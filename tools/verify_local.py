@@ -1,0 +1,151 @@
+"""Local mimic of the driver's DuckDB-oracle correctness check.
+
+Runs each registered query via Spark AND its oracle SQL via DuckDB on
+the same parquet fixtures, then compares:
+- row count
+- column-name set
+- order-insensitive value comparison (rows sorted, exact match after
+  light normalization — floats compared bitwise first, then to 1e-9
+  relative tolerance so we can see *how* close a mismatch is)
+
+Usage:  python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from keycloak_event_stream_spark.catalog import TABLE_NAMES, table_path  # noqa: E402
+from keycloak_event_stream_spark.registry import collect  # noqa: E402
+from keycloak_event_stream_spark.session import get_spark  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None:
+        return ("N",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm_cell(x) for x in v))
+    if hasattr(v, "isoformat"):  # datetime/date
+        return ("t", v.isoformat())
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
+
+
+def _rows_to_sorted(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def _close(a, b):
+    """Tolerant float compare for diagnostics."""
+    if a == b:
+        return True
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and len(a) == len(b)
+    ):
+        return all(_close(x, y) for x, y in zip(a, b))
+    if (
+        isinstance(a, tuple)
+        and a
+        and a[0] == "f"
+        and isinstance(b, tuple)
+        and b[0] == "f"
+        and isinstance(a[1], float)
+        and isinstance(b[1], float)
+    ):
+        return math.isclose(a[1], b[1], rel_tol=1e-9, abs_tol=1e-12)
+    return False
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+
+    queries, oracle = collect()
+    names = args or sorted(queries)
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        if name not in queries:
+            print(f"{name}: UNKNOWN")
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:
+            print(f"{name}: SPARK ERROR {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracle[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"{name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            a = _rows_to_sorted([tuple(r) for r in srows], scols)
+            b = _rows_to_sorted(drows, dcols)
+            exact = a == b
+            if not exact:
+                n_diff = sum(1 for x, y in zip(a, b) if x != y)
+                n_far = sum(1 for x, y in zip(a, b) if not _close(x, y))
+                if n_far == 0:
+                    problems.append(
+                        f"HASH-MISMATCH (floats within 1e-9: {n_diff} rows differ bitwise)"
+                    )
+                else:
+                    ex = next((x, y) for x, y in zip(a, b) if not _close(x, y))
+                    problems.append(f"VALUE-MISMATCH {n_far} rows; e.g. {ex[0]} vs {ex[1]}")
+        if problems:
+            print(f"{name}: FAIL  {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"{name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail / {len(names)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
