@@ -1,0 +1,267 @@
+"""Scalar function families (SURVEY.md §2.3: q_string/date/math/json/
+array/map_funcs).
+
+The reference generates no scalar functions at all — its SQL contains
+only column references and literals (``AthenaEventQuery.java:161-198``);
+the JSON encode/decode pair (``FlatEvents.java:9-29``, ref S6/S7) is the
+single function-like behavior, generalized here into the q_json/q_map
+families. Everything is built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen; no Python UDFs anywhere on these paths.
+
+Cross-engine notes (Spark vs the DuckDB oracle):
+- ``sqrt`` is IEEE-correctly-rounded in both -> bit identical; ``pow``
+  with integral exponents is exact; free-form ``log``/``exp`` are libm-
+  dependent and only appear rounded (see textstats/tfidf).
+- ``round`` on doubles differs at representation boundaries between
+  engines, so rounding goes through DECIMAL (exact, HALF_UP in both).
+- array results are emitted as joined strings or exploded rows — scalar
+  cells hash identically everywhere; raw array cells are avoided at the
+  oracle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                            AS name_upper,
+           substr(p_name, 1, 5)                     AS name_prefix,
+           p_brand || ':' || p_type                 AS brand_type,
+           p_name LIKE '%widget%'                   AS is_widget,
+           regexp_extract(p_name, '([a-z]+)', 1)    AS first_word,
+           length(p_name)                           AS name_len,
+           replace(p_name, ' ', '_')                AS name_snake,
+           trim(lower(p_type))                      AS type_norm
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substr/concat/like/regexp_extract/length/replace/trim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.lower("p_type")).alias("type_norm"),
+    )
+
+
+@_q(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)   AS order_month,
+           CAST(extract(year  FROM o_orderdate) AS INTEGER)      AS order_year,
+           CAST(extract(month FROM o_orderdate) AS INTEGER)      AS order_mon,
+           CAST(extract(day   FROM o_orderdate) AS INTEGER)      AS order_day,
+           CAST(extract(dow   FROM o_orderdate) AS INTEGER)      AS order_dow,
+           CAST(datediff('day', o_orderdate,
+                TIMESTAMP '2001-12-31 00:00:00') AS INTEGER)     AS days_to_eoy,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)      AS due_date,
+           strftime(o_orderdate, '%Y-%m-%d')                     AS order_iso
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / extract / datediff / interval arithmetic / format.
+
+    Generalizes ref F4 (the reference's only temporal op is an epoch-ms
+    range compare, ``AthenaEventQuery.java:189-195``).
+    DOW convention pinned to Sunday=0 in both engines (Spark's dayofweek
+    is Sunday=1, so shift by -1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.datediff(
+            F.lit("2001-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_eoy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_iso"),
+    )
+
+
+@_q(
+    "q_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0)                        AS price_dist,
+           CAST(ceil(p_retailprice) AS BIGINT)                AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT)               AS price_floor,
+           sqrt(p_retailprice)                                AS price_sqrt,
+           pow(CAST(p_size AS DOUBLE), 2)                     AS size_sq,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1)
+                AS DOUBLE)                                    AS price_round1,
+           CAST(p_size % 7 AS INTEGER)                        AS size_mod7,
+           greatest(p_retailprice, 500.0)                     AS price_floor500,
+           least(CAST(p_size AS DOUBLE), 25.0)                AS size_cap25
+    FROM part
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/pow/round/mod/greatest/least — all exact or
+    correctly-rounded ops (bit-identical across engines); decimal-routed
+    rounding for the boundary-sensitive case."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_round1"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.greatest(F.col("p_retailprice"), F.lit(500.0)).alias("price_floor500"),
+        F.least(F.col("p_size").cast("double"), F.lit(25.0)).alias("size_cap25"),
+    )
+
+
+@_q(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                    AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int,
+           CAST(json_extract_string(props, '$.missing') IS NOT NULL
+                AS BOOLEAN)                                     AS has_missing
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction off the ``props`` column — the reference's
+    ``detailsjson`` read surface (``FlatEvents.java:20-29``, ref S7/F10)
+    done with JVM-side ``get_json_object`` instead of Jackson."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )
+
+
+@_q(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER)               AS n_keys,
+           list_aggregate(list_sort(json_keys(props)), 'string_agg', ',')
+                                                                AS keys_joined,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_val
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode ``props`` into a real MapType (ref S7: JSON -> Map) and use
+    map_keys / element_at — the typed view the reference only ever held
+    as a Java ``Map<String,String>``."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_joined"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@_q(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)        AS n_words,
+           list_contains(string_split(text, ' '), 'spark')      AS has_spark,
+           string_split(text, ' ')[1]                           AS first_word,
+           array_to_string(string_split(text, ' ')[1:3], ' ')   AS first3,
+           CAST(len(list_distinct(string_split(text, ' ')))
+                AS INTEGER)                                     AS n_distinct_words
+    FROM documents
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/size/array_contains/element_at/slice/array_distinct over
+    document text. Arrays stay intermediate; outputs are scalars."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+
+
+@_q(
+    "q_array_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UDTF-shape, built-in): one row per token. The lateral-
+    view pattern every text pipeline downstream (tfidf, dedup shingles)
+    builds on."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+
+
+@_q(
+    "q_array_agg",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS types_seen,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted joined string per group (array-valued agg
+    with a scalar, engine-portable output)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )

@@ -1,0 +1,276 @@
+"""Text analysis for LLM data pipelines (north-star mandate).
+
+Language-ID, quality scoring, token counting, TF-IDF, and document
+fingerprinting over the ``documents`` table — all JVM-side built-ins
+(split / regexp / md5 / window aggregates); no Python in the hot path.
+At 100 TB these are embarrassingly parallel scans with at most one
+shuffle (the TF-IDF document-frequency aggregation), which is why each
+stays a single narrow pipeline over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators._exact import davg, sql_davg
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           {sql_davg("n_chars", "avg_chars")},
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, char/token totals."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_q(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)              AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+'))
+                AS INTEGER)                                           AS n_re_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}'))
+                AS INTEGER)                                           AS n_bpeish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex, and a
+    BPE-ish greedy chunker (max-4-char pieces — the standard cheap proxy
+    for subword token counts when no tokenizer model ships with the
+    cluster)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias(
+            "n_bpeish_tokens"
+        ),
+    )
+
+
+# Stopword list used by the quality heuristic (shared Spark/oracle).
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+@_q(
+    "q_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS}, w))) AS INTEGER) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_stop AS n_stopwords,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           (CAST(n_chars AS DOUBLE) - (n_words - 1)) / n_words AS mean_word_len,
+           0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+         + 0.2 * least(((CAST(n_chars AS DOUBLE) - (n_words - 1)) / n_words)
+                       / 8.0, 1.0) AS quality
+    FROM tok
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: length, mean word length, stopword
+    ratio, combined into a [0,1] score. Pure double arithmetic on
+    integer counts — IEEE-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    mean_word_len = (
+        F.col("n_chars").cast("double") - (n_words - F.lit(1))
+    ) / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.5) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(mean_word_len / F.lit(8.0), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+@_q(
+    "q_lang_id",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             (CAST(length(text) AS DOUBLE)
+              - length(replace(text, 'e', ''))) / CAST(length(text) AS DOUBLE)
+               AS e_ratio,
+             (CAST(length(text) AS DOUBLE)
+              - length(replace(text, 'a', ''))) / CAST(length(text) AS DOUBLE)
+               AS a_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, e_ratio, a_ratio,
+           CASE WHEN e_ratio >= 0.10 THEN 'en'
+                WHEN e_ratio >= 0.08 THEN 'fr'
+                WHEN a_ratio >= 0.10 THEN 'es'
+                WHEN a_ratio >= 0.08 THEN 'de'
+                ELSE 'zh' END AS predicted_lang,
+           (CASE WHEN e_ratio >= 0.10 THEN 'en'
+                 WHEN e_ratio >= 0.08 THEN 'fr'
+                 WHEN a_ratio >= 0.10 THEN 'es'
+                 WHEN a_ratio >= 0.08 THEN 'de'
+                 ELSE 'zh' END) = lang AS hit
+    FROM feat
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram-frequency language-ID heuristic. On this
+    synthetic corpus (shared vocabulary across langs) the rule is a
+    deterministic placeholder — the value is the *shape*: cheap per-row
+    featurization + threshold classifier, zero shuffles, runs at scan
+    speed on 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    ln = F.length("text").cast("double")
+    e_ratio = (ln - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))) / ln
+    a_ratio = (ln - F.length(F.replace(F.col("text"), F.lit("a"), F.lit("")))) / ln
+    predicted = (
+        F.when(e_ratio >= 0.10, F.lit("en"))
+        .when(e_ratio >= 0.08, F.lit("fr"))
+        .when(a_ratio >= 0.10, F.lit("es"))
+        .when(a_ratio >= 0.08, F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        e_ratio.alias("e_ratio"),
+        a_ratio.alias("a_ratio"),
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("hit"),
+    )
+
+
+@_q(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+           substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 8)
+             AS fp_short
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over whitespace-normalized,
+    lowercased text. The grouping key for exact dedup at scale — 16
+    bytes shuffled instead of whole documents."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    fp = F.md5(norm)
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_short")
+    )
+
+
+@_q(
+    "q_tfidf",
+    oracle="""
+    WITH tokens AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS tf
+      FROM tokens GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT source) AS df
+      FROM tokens GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT source, term, tf, df, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by TF-IDF, pure SQL ops:
+    explode -> two aggregations (tf by (source,term), df by term) -> join
+    -> windowed top-k. The df side is tiny (vocabulary-sized) and
+    broadcast; ln is rounded to 6 decimals at the boundary since libm
+    last-ulp behavior is engine-specific."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = d.select(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_sources))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_sources").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "df", "tfidf")
+    )
