@@ -1,0 +1,390 @@
+"""Deduplication operators for LLM data pipelines (north-star mandate).
+
+Exact (hash-groupBy), MinHash+LSH near-dup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup over the ``documents`` / ``embeddings`` tables.
+
+The reference has no dedup of any kind (SURVEY.md §2.2); these are the
+operators a 100 TB training-data pipeline needs. Scale design notes:
+
+- Exact dedup groups by a 16-byte md5 fingerprint, never by the document
+  body — the shuffle carries hashes, not text.
+- MinHash signatures are computed with *array expressions over each row*
+  (``transform`` + ``array_min``) — zero shuffles until the band
+  self-join, whose input is B rows per doc (band keys), not shingles.
+- The LSH band join is an equi self-join on (band, key): candidates only
+  collide within a band bucket, so the join output is ~pairs, not n².
+- Hash functions are string-valued md5 minima (min over lowercase hex) —
+  a valid minhash family that both Spark and DuckDB evaluate bit-for-bit
+  identically, which makes the whole pipeline oracle-checkable (no
+  engine-specific hash like xxhash64 anywhere).
+- Cosine near-dup blocks candidate pairs by the coarse cluster id
+  (``label``) — the IVF-style candidate cut; brute force only within a
+  block. Dot products accumulate sequentially in double precision, the
+  same evaluation order DuckDB uses, so raw doubles compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups keyed by content hash; survivor = lowest
+    doc_id (deterministic keep-first). At 100 TB the shuffle key is the
+    16-byte hash, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+# B bands x R rows = B*R string-minhash functions h_i(s) = md5("i:" || s).
+_B, _R = 8, 2
+_SHINGLE = 3  # word n-gram size
+_JACCARD_MIN = 0.2
+
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(w) - {k}), "
+    "i -> concat_ws(' ', {terms})))"
+).format(
+    k=_SHINGLE - 1,
+    terms=", ".join(f"element_at(w, i + {j})" for j in range(_SHINGLE)),
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(w) - {k} + 1), "
+    "i -> {terms}))"
+).format(
+    k=_SHINGLE - 1,
+    terms=" || ' ' || ".join(f"w[i + {j}]" for j in range(_SHINGLE)),
+)
+
+
+def _spark_minhash(i: int) -> str:
+    return f"array_min(transform(shingles, s -> md5(concat('{i}:', s))))"
+
+
+def _duck_minhash(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+
+
+def _band_indices(b: int) -> list[int]:
+    return list(range(b * _R, (b + 1) * _R))
+
+
+_DUCK_MINHASH_LSH = f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= {_SHINGLE}
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"md5({' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))}) AS bk{b}" for b in range(_B))}
+      FROM docs
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM sigs" for b in range(_B))}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles)))
+             AS jaccard
+    FROM pairs p
+    JOIN docs x ON p.doc_a = x.doc_id
+    JOIN docs y ON p.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles)))
+          >= {_JACCARD_MIN}
+"""
+
+
+@_q("q_dedup_near_minhash", oracle=_DUCK_MINHASH_LSH)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: word-{3}-gram shingles -> B*R
+    string minhashes (per-row array exprs, no shuffle) -> B band keys ->
+    band-bucket self-join for candidates -> exact Jaccard confirm.
+
+    The LSH cut is what survives 100 TB: candidate generation is an
+    equi-join on (band, band_key) instead of an n² similarity join; the
+    exact verify runs only on candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    )
+    sig_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.expr(_spark_minhash(i)) for i in _band_indices(b)])
+        ).alias(f"bk{b}")
+        for b in range(_B)
+    ]
+    sigs = docs.select("doc_id", *sig_cols)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(_B)])).alias(
+            "band", "bkey"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _spark_simhash_bit(j: int) -> str:
+    # hex digit j of md5(token) >= '8' contributes +1, else -1
+    return (
+        f"CASE WHEN aggregate(tokens, 0, (acc, t) -> acc + "
+        f"(CASE WHEN substring(md5(t), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+        f") > 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _duck_simhash_bit(j: int) -> str:
+    return (
+        f"CASE WHEN list_sum(list_transform(tokens, t -> "
+        f"CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END"
+        f")) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+_DUCK_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {" || ".join(_duck_simhash_bit(j) for j in range(_SIMHASH_BITS))}
+               AS simhash
+      FROM toks
+    )
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS n_same
+    FROM sigs
+"""
+
+
+@_q("q_dedup_simhash", oracle=_DUCK_SIMHASH)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{16}-bit SimHash signature per document (majority vote of token
+    hash bits) + the bucket size per signature. Hamming-0 collisions are
+    the dup candidates; at scale, hamming<=k probing runs k rotations of
+    this same bucket join. Signature computation is per-row array
+    aggregation — scan speed, no shuffle except the final bucket count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.withColumn("tokens", F.array_distinct(F.split("text", " ")))
+        .filter(F.size("tokens") > 0)
+        .select("doc_id", "tokens")
+    )
+    sig = F.concat(
+        *[F.expr(_spark_simhash_bit(j)) for j in range(_SIMHASH_BITS)]
+    ).alias("simhash")
+    sigs = toks.select("doc_id", sig)
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("n_same"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+            FROM documents)
+      WHERE len(w) >= {_SHINGLE}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles)))
+             AS jaccard
+    FROM docs a
+    JOIN docs b ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles)))
+          >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs within (lang, source) blocks. The
+    blocked self-join is the honest baseline MinHash approximates: n²
+    only *within* a block, which is how exact near-dup stays feasible
+    when a natural partition key exists."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    jaccard = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    ).cast("double") / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= 0.1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (IVF-style blocked)
+# ---------------------------------------------------------------------------
+
+_COS_MIN = 0.25
+
+# Sequential double-precision dot product — the same left-to-right
+# fold DuckDB's list_dot_product performs, so raw doubles match bitwise.
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def spark_cosine(a: str, b: str) -> F.Column:
+    """cos(a, b) over two array<double> columns, evaluated JVM-side."""
+    dot = F.expr(_SPARK_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_SPARK_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_SPARK_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@_q(
+    "q_dedup_embed_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {duck_cosine('a.v', 'b.v')} AS cosine
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duck_cosine('a.v', 'b.v')} >= {_COS_MIN}
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, blocked by the coarse cluster id
+    (``label``) — the IVF candidate cut: cosine is evaluated only within
+    a cluster, turning the n² similarity join into per-bucket blocks.
+    At 100 TB the label comes from a trained coarse quantizer; the join
+    shape is identical."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = spark_cosine("a.v", "b.v")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _COS_MIN)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+    )

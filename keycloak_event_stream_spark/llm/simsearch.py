@@ -1,0 +1,229 @@
+"""Approximate-nearest-neighbor similarity search over embeddings
+(north-star mandate).
+
+Three tiers over ``embeddings.embedding`` (array<float>, 64-dim):
+
+- ``q_sim_search``       brute-force cosine top-k — the exactness baseline.
+- ``q_sim_search_ivf``   IVF-style probe: candidates restricted to the
+                         query's coarse cluster (``label``) — the
+                         scale path (scan 1/n_clusters of the corpus).
+- ``q_sim_search_lsh``   random-hyperplane (sign) LSH: 4-bit bucket key,
+                         candidates = same-bucket vectors only.
+
+Scale design: the query set is tiny and explicitly ``broadcast`` — the
+corpus never shuffles; scoring is a map-side scan. Cosine is evaluated
+JVM-side as a sequential double fold (``aggregate(zip_with(...)))`` —
+the same left-to-right accumulation DuckDB performs, so the oracle
+comparison is exact, no tolerance games. Hyperplanes are deterministic
+(md5-derived signs), not RNG, so plans are reproducible across runs and
+engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.llm.dedup import duck_cosine, spark_cosine
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_N_QUERIES = 5  # query set = vec_id < 5
+_TOP_K = 10
+_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+@_q(
+    "q_sim_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {duck_cosine('q.qv', 'e.v')} AS cosine
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for each query vector. The query set is
+    broadcast; the corpus is scanned map-side exactly once — at 100 TB
+    this is one pass, no shuffle of the big side (only the tiny scored
+    top-k per partition reaches the window)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+@_q(
+    "q_sim_search_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {duck_cosine('q.qv', 'e.v')} AS cosine
+      FROM q JOIN e ON e.label = q.q_label
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe=1 ANN: candidates = vectors sharing the query's coarse
+    cluster id (``label`` stands in for the quantizer assignment). The
+    equi-join on cluster id replaces the cross join — with C clusters
+    the scored set shrinks ~C×, and on a cluster-partitioned 100 TB
+    corpus it prunes at the partition level."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.join(F.broadcast(q), e.label == q.q_label)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 4
+
+
+def _hyperplane(bit: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane: sign d of plane j is
+    derived from md5(f"{j}:{d}") — reproducible everywhere, no RNG."""
+    return [
+        1.0 if hashlib.md5(f"{bit}:{d}".encode()).hexdigest()[0] >= "8" else -1.0
+        for d in range(_DIM)
+    ]
+
+
+def _spark_bucket(vcol: str) -> str:
+    parts = []
+    for j in range(_LSH_BITS):
+        arr = ", ".join(
+            f"CAST({s} AS DOUBLE)" for s in _hyperplane(j)
+        )
+        dot = (
+            f"aggregate(zip_with({vcol}, array({arr}), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        parts.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _duck_bucket(vcol: str) -> str:
+    parts = []
+    for j in range(_LSH_BITS):
+        arr = ", ".join(str(s) for s in _hyperplane(j))
+        dot = f"list_dot_product({vcol}, [{arr}])"
+        parts.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(parts)
+
+
+@_q(
+    "q_sim_search_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {_duck_bucket('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+          FROM b WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, b.vec_id, b.bucket,
+             {duck_cosine('q.qv', 'b.v')} AS cosine
+      FROM q JOIN b ON b.bucket = q.q_bucket
+      WHERE b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, bucket, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: a {4}-bit bucket key (sign of the
+    dot product with 4 fixed hyperplanes) partitions the corpus into 16
+    buckets; candidates are same-bucket vectors only. Bucketing is a
+    per-row expression (scan speed); the candidate join is an equi-join
+    on the bucket key — the 100 TB shape, where the bucket also serves
+    as the physical partition key so probes touch one partition."""
+    e = _emb(spark, sf_dir)
+    b = e.withColumn("bucket", F.expr(_spark_bucket("v")))
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        b.join(F.broadcast(q), b.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "vec_id", "bucket", "cosine", "rank")
+    )
