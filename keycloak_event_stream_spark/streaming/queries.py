@@ -1,0 +1,306 @@
+"""Structured Streaming operators (SURVEY.md §2.3 s_*).
+
+The reference's write path is Firehose micro-batching: buffer 64 MB /
+600 s of JSON, convert to parquet, land under dt=/hour= from *arrival*
+time, at-most-once (``terraform/main.tf:194-220``,
+``FirehoseEventStoreProvider.java:141-150``). Rebuilt Spark-first:
+
+- file-source ``readStream`` -> event-time dt/hour -> checkpointed
+  ``writeStream.partitionBy("dt","hour")`` parquet sink = the same
+  landing layout, upgraded to exactly-once and to *event-time*
+  partitioning (fixes SURVEY §1.4 Q4's misfiled partitions);
+- watermarked tumbling/sliding/session windows and streaming dedup are
+  the event-time operators the reference lacks entirely (§2.2).
+
+Driver-contract adaptation: each entry runs the streaming query over
+the fixture parquet with ``trigger(availableNow=True)`` into a memory
+(or parquet) sink, then returns the sink contents as a DataFrame.
+Bounded replay of a stream is deterministic here because
+
+- complete-mode aggregations emit every window regardless of watermark;
+- append-mode entries rely on Spark's final no-data micro-batch
+  (``spark.sql.streaming.noDataMicroBatches.enabled``, default on) to
+  flush state closed by the terminal watermark = max(event time) -
+  delay, so the emitted set is exactly the watermark-closed windows —
+  which is what the DuckDB oracles reproduce with a
+  ``window_end <= max(ts) - delay`` filter.
+
+At scale: the same code with ``trigger(processingTime=...)`` against a
+Kafka/file-drop source is the production ingest; state size is bounded
+by the watermark, sinks are partitioned by event-time dt/hour.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import table_path
+from keycloak_event_stream_spark.operators._exact import DEC, sql_dsum
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+_COUNTER = [0]
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    The fixture is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; with ``nanosAsLong`` the raw column arrives as
+    bigint nanos and is converted to a microsecond timestamp — same
+    convention as :func:`keycloak_event_stream_spark.catalog.load_table`.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    # the file source wants a directory; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run a bounded streaming query into a memory sink, return result."""
+    _COUNTER[0] += 1
+    name = f"s_sink_{os.getpid()}_{_COUNTER[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@_q(
+    "s_ingest_flatten",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d') AS dt,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour
+    FROM events
+    """,
+)
+def s_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's write path, Spark-first: stream -> derive
+    dt/hour from EVENT time (not arrival — fixes Q4) -> checkpointed
+    partitioned parquet sink (exactly-once; the reference drops failed
+    puts, at-most-once). Result = the landed table read back."""
+    stream = read_stream_events(spark, sf_dir)
+    flat = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        F.hour("ts").alias("hour"),
+    )
+    out = tempfile.mkdtemp(prefix="s_ingest_out_")
+    q = (
+        flat.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s_ingest_ckpt_"))
+        .partitionBy("dt", "hour")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    return landed.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("dt").cast("string").alias("dt"),
+        F.col("hour").cast("int").alias("hour"),
+    )
+
+
+@_q(
+    "s_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def s_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1 h tumbling event-time window. Complete
+    mode on bounded replay = every window; watermark still bounds state
+    in production."""
+    stream = read_stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+    )
+
+
+@_q(
+    "s_sliding_agg",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*,
+             time_bucket(INTERVAL 15 MINUTES, ts) - k.k * INTERVAL 15 MINUTES
+               AS window_start
+      FROM events e
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n,
+           {sql_dsum("value", "sum_value")}
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def s_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h window sliding every 15 min: each event lands in 4 windows
+    (Spark expands map-side, then one shuffled agg on window start)."""
+    stream = read_stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "sum_value",
+    )
+
+
+@_q(
+    "s_watermark_late",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked tumbling counts: only windows the
+    watermark has closed are emitted; data later than 1 h is dropped
+    from closed windows. On bounded replay the terminal watermark is
+    max(ts) - 1 h, so emitted = windows ending at or before it (the
+    oracle's filter). This is the fix for the reference's only
+    late-data behavior — silently misfiled partitions (Q4)."""
+    stream = read_stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = _run_to_memory(agg, "append")
+    return res.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+    )
+
+
+@_q(
+    "s_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTES AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT * FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30 min inactivity gap), stateful
+    streaming aggregation. Session end = last event + gap (Spark
+    session_window semantics); append mode emits sessions closed by the
+    terminal watermark, which the oracle reproduces as a
+    gaps-and-islands rollup filtered to watermark-closed sessions."""
+    stream = read_stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = _run_to_memory(agg, "append")
+    return res.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@_q(
+    "s_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by key with watermarked state (exactly-once by
+    key): first arrival wins, duplicates within the watermark horizon
+    dropped. Projected to the key for determinism (which physical row
+    arrives first is an execution accident, the key set is not)."""
+    stream = read_stream_events(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
