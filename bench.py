@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced through full execution with the noop sink (all
+partitions materialized executor-side, nothing collected to the driver)
+— the honest measure of plan cost, not of driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from keycloak_event_stream_spark.registry import collect  # noqa: E402
+from keycloak_event_stream_spark.session import get_spark  # noqa: E402
+
+# The headline set: one per operator family, the shapes that dominate a
+# 100 TB workload (scan-agg, star join, shuffle join, top-k, window,
+# as-of, pagination, near-dup LSH, ANN, TF-IDF).
+HEADLINE = [
+    "q_agg_hash",
+    "q_join_broadcast",
+    "q_join_inner_hash",
+    "q_join_asof",
+    "q_topk",
+    "q_sort_limit_offset",
+    "q_window_rank",
+    "q_rollup",
+    "q_dedup_near_minhash",
+    "q_sim_search",
+    "q_tfidf",
+    "q_eventstore_canonical",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    queries, _ = collect()
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup outside the timed region
+    queries["q_scan_project"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
