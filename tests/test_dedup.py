@@ -1,0 +1,91 @@
+"""Dedup operators on controlled corpora: known dup/near-dup structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.llm import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """4 docs: 0 and 1 near-identical, 2 an exact copy of 0, 3 unrelated."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy cat near the river bank today"
+    other = "completely different content about spark query engines and shuffles"
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, near, "en", "src0", len(near)),
+        (2, base, "en", "src0", len(base)),
+        (3, other, "en", "src0", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("corpus")
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _sf_dir(corpus):
+    # dedup queries load f"{sf_dir}/documents.parquet"
+    return corpus
+
+
+def test_exact_dedup_groups(spark, corpus):
+    out = dedup.q_dedup_exact(spark, _sf_dir(corpus)).collect()
+    by_fp = {r.fp: r for r in out}
+    assert len(by_fp) == 3  # base (x2), near, other
+    dup_group = [r for r in out if r.n_copies == 2]
+    assert len(dup_group) == 1 and dup_group[0].keep_doc_id == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_dedup_near_minhash(spark, _sf_dir(corpus)).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact copy
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # one-word edit
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_exact_copies_collide(spark, corpus):
+    sigs = {r.doc_id: r for r in dedup.q_dedup_simhash(spark, _sf_dir(corpus)).collect()}
+    assert sigs[0].simhash == sigs[2].simhash
+    assert sigs[0].n_same >= 2
+    assert len(sigs[0].simhash) == 16 and set(sigs[0].simhash) <= {"0", "1"}
+    # near-dup differs in few bits (hamming distance small but nonzero-ok)
+    ham = sum(a != b for a, b in zip(sigs[0].simhash, sigs[3].simhash))
+    assert ham > 0  # unrelated doc gets a different signature
+
+
+def test_ngram_jaccard_blocked(spark, corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_dedup_ngram_jaccard(spark, _sf_dir(corpus)).collect()
+    }
+    assert pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs
+
+
+def test_embed_cosine_blocked_pairs(spark, tmp_path):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),  # close to 0, same block
+        (2, [0.0, 1.0, 0.0, 0.0], 0),  # orthogonal, same block
+        (3, [1.0, 0.0, 0.0, 0.0], 1),  # identical to 0 but other block
+    ]
+    df = tmp_path  # build fixture dir
+    import os
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(os.path.join(str(df), "embeddings.parquet"))
+    out = dedup.q_dedup_embed_cosine(spark, str(df)).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs  # orthogonal below threshold
+    assert (0, 3) not in pairs  # blocked: different label never compared

@@ -1,0 +1,76 @@
+"""Binary media plumbing: deterministic payloads, Arrow batch shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from keycloak_event_stream_spark.llm import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"document number {i} text body", "en", "s", 20) for i in range(10)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_fake_media_payload_deterministic(docs):
+    out = multimodal.with_fake_media(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    expect = hashlib.md5(b"document number 3 text body").digest() * 4
+    assert bytes(by_id[3].media) == expect
+    assert by_id[3].media_meta.width == 64 + 3 % 512
+    assert by_id[3].media_meta.mime == "fake/raw"
+
+
+def test_media_feature_extraction_values(docs):
+    import pyspark.sql.functions as F
+
+    media = multimodal.with_fake_media(docs).select(
+        "doc_id",
+        "media",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    feats = {
+        r.doc_id: r
+        for r in media.mapInPandas(
+            multimodal.extract_media_features, multimodal.MEDIA_FEATURE_SCHEMA
+        ).collect()
+    }
+    raw = hashlib.md5(b"document number 7 text body").digest() * 4
+    assert feats[7].n_bytes == 64
+    assert feats[7].byte_sum == sum(raw)
+    assert feats[7].byte_max == max(raw)
+    assert feats[7].width == 64 + 7 % 512
+
+
+def test_feature_schema_stable(docs):
+    import pyspark.sql.functions as F
+
+    media = multimodal.with_fake_media(docs).select(
+        "doc_id",
+        "media",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    df = media.mapInPandas(
+        multimodal.extract_media_features, multimodal.MEDIA_FEATURE_SCHEMA
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "n_bytes", "byte_sum", "byte_max", "width", "height",
+    ]
+
+
+def test_decode_image_stub_raises_without_codec():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub dispatches to it")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n")

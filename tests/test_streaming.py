@@ -1,0 +1,90 @@
+"""Streaming semantics on controlled multi-batch input: watermark
+late-data dropping (SURVEY §5.2 item 3) and the partitioned ingest
+layout.
+
+Spark pins the late-event filter one micro-batch behind eviction
+(``watermarkForLateEvents`` = previous batch's eviction watermark), so a
+row is dropped only when the watermark had crossed its window *before
+its batch began* — hence the three-batch arrangement below.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def three_batch_source(spark, tmp_path):
+    """Three parquet files processed as three micro-batches
+    (maxFilesPerTrigger=1, ordered by mtime):
+
+    - f=1 events at 10:05, 10:20, 13:00  -> eviction wm 12:00 after b0
+    - f=2 event at 12:30                 -> b1 emits the closed 10:00
+      window (n=2); late-filter wm catches up to 12:00
+    - f=3 late event 10:40 (DROPPED: window closed before its batch) +
+      event 14:30 -> final wm 13:30 closes the 12:00 window
+    """
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "event_id long, ts string, user_id long"
+
+    def write(n, rows):
+        df = spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "CAST(ts AS timestamp) ts", "user_id"
+        )
+        df.coalesce(1).write.parquet(f"{src}/f={n}")
+        time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+    write(1, [(1, "2024-01-01 10:05:00", 1), (2, "2024-01-01 10:20:00", 1),
+              (3, "2024-01-01 13:00:00", 2)])
+    write(2, [(4, "2024-01-01 12:30:00", 1)])
+    write(3, [(5, "2024-01-01 10:40:00", 1),   # LATE: dropped
+              (6, "2024-01-01 14:30:00", 2)])
+    return src, "event_id long, ts timestamp, user_id long"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path, three_batch_source):
+    src, schema = three_batch_source
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "wm_test_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        r["window"]["start"].hour: r["n"] for r in spark.table(name).collect()
+    }
+    # 10:00 window: events 1,2 counted; late event 5 DROPPED -> n=2,
+    # and no duplicate re-emission of the closed window
+    assert emitted.get(10) == 2
+    # 12:00 window closed by final watermark (13:30): event 4 counted
+    assert emitted.get(12) == 1
+    # 13:00/14:00 windows not past watermark -> never emitted
+    assert 13 not in emitted and 14 not in emitted
+
+
+def test_ingest_layout_partitioned_by_event_time(spark, tmp_path):
+    from keycloak_event_stream_spark.streaming.queries import s_ingest_flatten
+
+    out = s_ingest_flatten(spark, "/root/testdata/sf0.001")
+    got = out.select("dt", "hour").distinct().collect()
+    assert len(got) > 1
+    assert all(len(r.dt) == 10 and 0 <= r.hour <= 23 for r in got)
