@@ -80,6 +80,7 @@ class EventQueryBuilder:
         self._hour_col = hour_col if hour_col and hour_col in df.columns else None
         # logical-plan state (ref AthenaEventQuery.java:22-31)
         self._types: list[str] = []  # insertion-ordered, deduped
+        self._in: dict[str, list] = {}  # extra IN-lists (admin enums)
         self._eq: dict[str, object] = {}
         self._from: Optional[_dt.datetime] = None
         self._to: Optional[_dt.datetime] = None
@@ -99,6 +100,16 @@ class EventQueryBuilder:
     def where_eq(self, col: str, value) -> "EventQueryBuilder":
         """Conjunctive equality predicate (ref F2)."""
         self._eq[col] = value
+        return self
+
+    def where_in(self, col: str, *values) -> "EventQueryBuilder":
+        """Conjunctive IN-list on an arbitrary column, deduped preserving
+        insertion order (the admin query's operationtype/resourcetype
+        IN-lists, ``AthenaAdminEventQuery.java:209-225``)."""
+        bucket = self._in.setdefault(col, [])
+        for v in values:
+            if v not in bucket:
+                bucket.append(v)
         return self
 
     def from_time(self, value) -> "EventQueryBuilder":
@@ -158,6 +169,8 @@ class EventQueryBuilder:
         conds: list[Column] = []
         if self._types:
             conds.append(F.col(self._type_col).isin(self._types))
+        for col, values in self._in.items():
+            conds.append(F.col(col).isin(values))
         for col, value in self._eq.items():
             conds.append(F.col(col) == F.lit(value))
         if self._from is not None:

@@ -1,0 +1,360 @@
+"""Reference-faithful Keycloak event-store surface, Spark-first.
+
+A user of the reference (xgp/keycloak-event-stream) gets the same
+capabilities here with a Spark-native store:
+
+========================  =============================================
+reference                 this module
+========================  =============================================
+Glue user-events table    ``USER_EVENT_SCHEMA`` (terraform/main.tf:113-167)
+Glue admin-events table   ``ADMIN_EVENT_SCHEMA`` (terraform/main.tf:258-332)
+FlatEvent.java:10-41      :func:`flatten_user_events` (S4, S6)
+FlatAdminEvent.java:11-85 :func:`flatten_admin_events` (S5)
+Firehose put + buffering  :meth:`KeycloakEventStore.ingest` /
+  (S8, S9, S10)           :meth:`ingest_stream` — partitioned parquet,
+                          exactly-once vs the reference's at-most-once
+                          (FirehoseEventStoreProvider.java:147-149)
+createQuery()             :meth:`KeycloakEventStore.create_query`
+  (AthenaEventQuery)      (F1-F7 via plans.event_query)
+createAdminQuery()        :meth:`create_admin_query` — all 9 filter
+  (AthenaAdminEventQuery) dimensions (AthenaAdminEventQuery.java:186-240)
+varchar decode (F10-F12)  :func:`decoded_user_events` /
+                          :func:`decoded_admin_events` — blank≡null,
+                          details map view, AuthDetails recomposition
+clear*() no-ops (X1)      :meth:`clear` etc. — deliberate no-ops
+========================  =============================================
+
+Deliberate divergences from observed reference behavior (SURVEY §1.4):
+Q1 — we write ``eventtype`` end-to-end (the reference's producer emits
+``"type"`` against a Glue column named ``eventtype``, landing NULLs);
+Q2 — pagination is skip-then-take, not the reference's swapped
+LIMIT/OFFSET emission; Q3/Q4 — ``dt``/``hour`` come from *event* time
+and time-range queries prune them (with a lateness allowance).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from keycloak_event_stream_spark.plans.event_query import EventQueryBuilder
+
+# ---------------------------------------------------------------------------
+# Schemas (declared, never inferred — terraform/main.tf:78-178,224-343)
+# ---------------------------------------------------------------------------
+
+_DETAILS = T.MapType(T.StringType(), T.StringType())
+
+USER_EVENT_COLUMNS = [
+    "id", "eventtype", "realmid", "realmname", "clientid", "userid",
+    "sessionid", "ipaddress", "error", "time", "detailsjson",
+]
+
+ADMIN_EVENT_COLUMNS = [
+    "id", "time", "realmid", "realmname", "operationtype", "resourcetype",
+    "resourcepath", "representation", "error", "authrealmid",
+    "authrealmname", "authclientid", "authuserid", "authipaddress",
+    "detailsjson",
+]
+
+USER_EVENT_SCHEMA = T.StructType(
+    [T.StructField(c, T.LongType() if c == "time" else T.StringType())
+     for c in USER_EVENT_COLUMNS]
+)
+
+ADMIN_EVENT_SCHEMA = T.StructType(
+    [T.StructField(c, T.LongType() if c == "time" else T.StringType())
+     for c in ADMIN_EVENT_COLUMNS]
+)
+
+# Raw (pre-flatten) shapes mirroring the Keycloak POJOs the reference
+# consumes (org.keycloak.events.Event / admin.AdminEvent).
+RAW_USER_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),          # enum name
+        T.StructField("realmId", T.StringType()),
+        T.StructField("realmName", T.StringType()),
+        T.StructField("clientId", T.StringType()),
+        T.StructField("userId", T.StringType()),
+        T.StructField("sessionId", T.StringType()),
+        T.StructField("ipAddress", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("time", T.LongType()),            # epoch millis
+        T.StructField("details", _DETAILS),
+    ]
+)
+
+RAW_ADMIN_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("time", T.LongType()),
+        T.StructField("realmId", T.StringType()),
+        T.StructField("realmName", T.StringType()),
+        T.StructField("operationType", T.StringType()),  # enum name
+        T.StructField("resourceType", T.StringType()),   # enum name or raw
+        T.StructField("resourcePath", T.StringType()),
+        T.StructField("representation", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField(
+            "authDetails",
+            T.StructType(
+                [
+                    T.StructField("realmId", T.StringType()),
+                    T.StructField("realmName", T.StringType()),
+                    T.StructField("clientId", T.StringType()),
+                    T.StructField("userId", T.StringType()),
+                    T.StructField("ipAddress", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("details", _DETAILS),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Flatten (write path: S4, S5, S6)
+# ---------------------------------------------------------------------------
+
+def flatten_user_events(raw: DataFrame) -> DataFrame:
+    """``Event`` -> flat row (FlatEvent.java:43-55): enum name passes
+    through as string, details map -> JSON string (FlatEvents.java:9-18,
+    null map -> null string, not '{}'). Writes ``eventtype`` (Q1 fix)."""
+    return raw.select(
+        F.col("id"),
+        F.col("type").alias("eventtype"),
+        F.col("realmId").alias("realmid"),
+        F.col("realmName").alias("realmname"),
+        F.col("clientId").alias("clientid"),
+        F.col("userId").alias("userid"),
+        F.col("sessionId").alias("sessionid"),
+        F.col("ipAddress").alias("ipaddress"),
+        F.col("error"),
+        F.col("time"),
+        F.to_json(F.col("details")).alias("detailsjson"),
+    )
+
+
+def flatten_admin_events(raw: DataFrame) -> DataFrame:
+    """``AdminEvent`` -> flat row (FlatAdminEvent.java:56-85): the
+    AuthDetails struct flattens to five prefixed columns, all null when
+    the struct itself is null (FlatAdminEvent.java:69-82)."""
+    return raw.select(
+        F.col("id"),
+        F.col("time"),
+        F.col("realmId").alias("realmid"),
+        F.col("realmName").alias("realmname"),
+        F.col("operationType").alias("operationtype"),
+        F.col("resourceType").alias("resourcetype"),
+        F.col("resourcePath").alias("resourcepath"),
+        F.col("representation"),
+        F.col("error"),
+        F.col("authDetails.realmId").alias("authrealmid"),
+        F.col("authDetails.realmName").alias("authrealmname"),
+        F.col("authDetails.clientId").alias("authclientid"),
+        F.col("authDetails.userId").alias("authuserid"),
+        F.col("authDetails.ipAddress").alias("authipaddress"),
+        F.to_json(F.col("details")).alias("detailsjson"),
+    )
+
+
+def _with_event_time_partitions(flat: DataFrame) -> DataFrame:
+    """Derive dt/hour from EVENT time (epoch millis) — not arrival time
+    (fixes SURVEY §1.4 Q4; the reference lands by Firehose arrival,
+    terraform/main.tf:194)."""
+    ts = F.timestamp_millis(F.col("time"))
+    return flat.withColumn("dt", F.date_format(ts, "yyyy-MM-dd")).withColumn(
+        "hour", F.hour(ts)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode boundary (read path: F10, F11, F12, S7)
+# ---------------------------------------------------------------------------
+
+def blank_as_null(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Empty/blank string -> null on every string column — the decode
+    convention the reference applies to each Athena varchar cell
+    (AthenaEventQuery.java:246-255, AthenaAdminEventQuery.java:317-326)."""
+    cols = columns or [f.name for f in df.schema.fields
+                       if isinstance(f.dataType, T.StringType)]
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(F.trim(F.col(c)) == "", F.lit(None)).otherwise(F.col(c))
+        )
+    return out
+
+
+def decoded_user_events(
+    df: DataFrame, valid_event_types: frozenset[str] | None = None
+) -> DataFrame:
+    """Typed read view of the flat user-events table: blank≡null (F12),
+    ``details`` map recomposed from JSON (S7), ``ts`` timestamp from
+    epoch millis. ``valid_event_types`` mirrors the strict
+    ``EventType.valueOf`` decode (AthenaEventQuery.java:213-219): rows
+    with unknown types get ``eventtype_valid = false`` — a filterable
+    CHECK, rather than the reference's per-row exception."""
+    out = blank_as_null(df, [c for c in USER_EVENT_COLUMNS if c != "time"])
+    out = out.withColumn("details", F.from_json("detailsjson", _DETAILS))
+    out = out.withColumn("ts", F.timestamp_millis(F.col("time")))
+    if valid_event_types is not None:
+        out = out.withColumn(
+            "eventtype_valid",
+            F.col("eventtype").isin(sorted(valid_event_types))
+            | F.col("eventtype").isNull(),
+        )
+    return out
+
+
+def decoded_admin_events(df: DataFrame) -> DataFrame:
+    """Typed read view of the flat admin-events table: blank≡null, map
+    view, and ``authdetails`` struct recomposed IFF any of the five
+    columns is non-null (AthenaAdminEventQuery.java:290-307). Unknown
+    resourcetype strings pass through unchanged — the reference's
+    ``setResourceTypeAsString`` fallback (:276-284) is the no-op here."""
+    out = blank_as_null(df, [c for c in ADMIN_EVENT_COLUMNS if c != "time"])
+    auth_cols = ["authrealmid", "authrealmname", "authclientid",
+                 "authuserid", "authipaddress"]
+    any_set = None
+    for c in auth_cols:
+        cond = F.col(c).isNotNull()
+        any_set = cond if any_set is None else (any_set | cond)
+    auth = F.when(
+        any_set,
+        F.struct(
+            F.col("authrealmid").alias("realmid"),
+            F.col("authrealmname").alias("realmname"),
+            F.col("authclientid").alias("clientid"),
+            F.col("authuserid").alias("userid"),
+            F.col("authipaddress").alias("ipaddress"),
+        ),
+    )  # else null struct
+    out = out.withColumn("authdetails", auth)
+    out = out.withColumn("details", F.from_json("detailsjson", _DETAILS))
+    out = out.withColumn("ts", F.timestamp_millis(F.col("time")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The store (provider lifecycle: FirehoseEventStoreProvider.java)
+# ---------------------------------------------------------------------------
+
+class KeycloakEventStore:
+    """Spark-native replacement for the reference's provider: same
+    observable surface (ingest events, fluent queries, no-op deletes),
+    parquet + dt/hour partitioning underneath.
+
+    At 100 TB this is a catalog table; here it's a path. Everything else
+    — partition pruning, pushdown, exactly-once ingest — is identical
+    code either way.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._user_path = f"{self.root}/user-events"
+        self._admin_path = f"{self.root}/admin-events"
+
+    # -- write path -----------------------------------------------------
+    def ingest(self, raw_events: DataFrame) -> None:
+        """Batch ingest of raw user events (the tx-commit flush,
+        FirehoseEventStoreProvider.java:123-129, minus the per-event
+        HTTPS put — one partitioned parquet append per batch)."""
+        flat = _with_event_time_partitions(flatten_user_events(raw_events))
+        flat.write.partitionBy("dt", "hour").mode("append").parquet(self._user_path)
+
+    def ingest_admin(self, raw_admin_events: DataFrame) -> None:
+        flat = _with_event_time_partitions(flatten_admin_events(raw_admin_events))
+        flat.write.partitionBy("dt", "hour").mode("append").parquet(self._admin_path)
+
+    def ingest_stream(self, raw_stream: DataFrame, checkpoint: str, admin: bool = False):
+        """Streaming ingest (the Firehose leg done right): checkpointed
+        partitioned parquet sink = exactly-once; the reference logs and
+        drops failures (at-most-once,
+        FirehoseEventStoreProvider.java:147-149)."""
+        flatten = flatten_admin_events if admin else flatten_user_events
+        path = self._admin_path if admin else self._user_path
+        flat = _with_event_time_partitions(flatten(raw_stream))
+        return (
+            flat.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy("dt", "hour")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- read path ------------------------------------------------------
+    @staticmethod
+    def _partitioned(schema: T.StructType) -> T.StructType:
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField("dt", T.StringType()),
+               T.StructField("hour", T.IntegerType())]
+        )
+
+    def user_events(self) -> DataFrame:
+        return self.spark.read.schema(
+            self._partitioned(USER_EVENT_SCHEMA)
+        ).parquet(self._user_path)
+
+    def admin_events(self) -> DataFrame:
+        return self.spark.read.schema(
+            self._partitioned(ADMIN_EVENT_SCHEMA)
+        ).parquet(self._admin_path)
+
+    def create_query(self) -> EventQueryBuilder:
+        """Fluent user-event query (createQuery(),
+        FirehoseEventStoreProvider.java:79-88): realm/client/user/ip
+        equality via ``where_eq``, type IN-list via ``types``, inclusive
+        time range, DESC default, offset/limit."""
+        return EventQueryBuilder(
+            self.user_events(),
+            time_col="time",
+            type_col="eventtype",
+            id_col="id",
+            time_is_millis=True,
+            dt_col="dt",
+            hour_col="hour",
+        )
+
+    def create_admin_query(self) -> EventQueryBuilder:
+        """Fluent admin-event query (createAdminQuery(),
+        FirehoseEventStoreProvider.java:91-100): the nine filter
+        dimensions of AthenaAdminEventQuery.java:186-240 — realmid via
+        ``where_eq``, operationtype/resourcetype IN-lists via
+        ``where_in``, auth* equality via ``where_eq``, resourcepath via
+        ``where_eq``, plus time range / order / pagination."""
+        return EventQueryBuilder(
+            self.admin_events(),
+            time_col="time",
+            type_col="operationtype",
+            id_col="id",
+            time_is_millis=True,
+            dt_col="dt",
+            hour_col="hour",
+        )
+
+    # -- deletes: deliberate no-ops (X1) --------------------------------
+    def clear(self, realm_id: str | None = None, older_than: int | None = None) -> None:
+        """No-op (FirehoseEventStoreProvider.java:102-121): the store is
+        append-only; retention = partition drop, never row deletes."""
+
+    def clear_expired_events(self) -> None:
+        """No-op (X1)."""
+
+    def clear_admin(self, realm_id: str | None = None, older_than: int | None = None) -> None:
+        """No-op (X1)."""
+
+
+def millis(ts: str) -> int:
+    """Epoch-millis helper for tests/examples ('YYYY-MM-DD HH:MM:SS')."""
+    return int(
+        _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc).timestamp()
+        * 1000
+    )

@@ -1,0 +1,158 @@
+"""Reference-fidelity layer: flatten, ingest, fluent queries, decode
+boundary (SURVEY §2.1 S4-S10, F10-F12, X1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from keycloak_event_stream_spark.sources import keycloak as kc
+
+
+@pytest.fixture(scope="module")
+def raw_user_events(spark):
+    rows = [
+        ("e1", "LOGIN", "r1", "master", "c1", "u1", "s1", "1.2.3.4", None,
+         kc.millis("2024-03-01 10:15:00"), {"k": "v", "q": "it's"}),
+        ("e2", "LOGOUT", "r1", "master", "c1", "u2", "s2", "1.2.3.5", None,
+         kc.millis("2024-03-01 11:45:00"), None),
+        ("e3", "LOGIN_ERROR", "r2", "other", None, "u1", None, "1.2.3.4",
+         "invalid_user_credentials", kc.millis("2024-03-02 09:00:00"), {}),
+    ]
+    return spark.createDataFrame(rows, kc.RAW_USER_EVENT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def raw_admin_events(spark):
+    rows = [
+        ("a1", kc.millis("2024-03-01 10:00:00"), "r1", "master", "CREATE",
+         "USER", "users/u9", '{"username":"u9"}', None,
+         ("r1", "master", "admin-cli", "adm", "9.9.9.9"), {"d": "x"}),
+        ("a2", kc.millis("2024-03-01 12:00:00"), "r1", "master", "DELETE",
+         "CUSTOM_THING", "things/1", None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, kc.RAW_ADMIN_EVENT_SCHEMA)
+
+
+def test_flatten_user_writes_eventtype_not_type(raw_user_events):
+    # Q1 fix: producer key is eventtype end-to-end (the reference emits
+    # "type" against a Glue column named eventtype -> NULLs as-written)
+    flat = kc.flatten_user_events(raw_user_events)
+    assert flat.columns == kc.USER_EVENT_COLUMNS
+    by_id = {r.id: r for r in flat.collect()}
+    assert by_id["e1"].eventtype == "LOGIN"
+    assert '"k":"v"' in by_id["e1"].detailsjson
+    assert by_id["e2"].detailsjson is None  # null map -> null, not '{}'
+    assert by_id["e3"].detailsjson == "{}"
+
+
+def test_flatten_admin_null_authdetails_all_five_null(raw_admin_events):
+    # FlatAdminEvent.java:69-82
+    flat = kc.flatten_admin_events(raw_admin_events)
+    assert flat.columns == kc.ADMIN_EVENT_COLUMNS
+    by_id = {r.id: r for r in flat.collect()}
+    a1, a2 = by_id["a1"], by_id["a2"]
+    assert (a1.authrealmid, a1.authclientid, a1.authipaddress) == (
+        "r1", "admin-cli", "9.9.9.9")
+    assert all(
+        getattr(a2, c) is None
+        for c in ["authrealmid", "authrealmname", "authclientid",
+                  "authuserid", "authipaddress"]
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory, raw_user_events, raw_admin_events):
+    root = str(tmp_path_factory.mktemp("kcstore"))
+    s = kc.KeycloakEventStore(spark, root)
+    s.ingest(raw_user_events)
+    s.ingest_admin(raw_admin_events)
+    return s
+
+
+def test_ingest_partitions_by_event_time(store):
+    import os
+
+    dts = os.listdir(f"{store.root}/user-events")
+    assert "dt=2024-03-01" in dts and "dt=2024-03-02" in dts
+    hours = os.listdir(f"{store.root}/user-events/dt=2024-03-01")
+    assert set(hours) >= {"hour=10", "hour=11"}
+
+
+def test_query_roundtrip_with_filters(store):
+    got = (
+        store.create_query()
+        .types("LOGIN", "LOGIN_ERROR", "LOGIN")
+        .where_eq("userid", "u1")
+        .from_time("2024-03-01 00:00:00")
+        .to_time("2024-03-02 23:59:59")
+        .to_df()
+        .collect()
+    )
+    assert [r.id for r in got] == ["e3", "e1"]  # DESC default order
+
+
+def test_admin_query_nine_dimensions(store):
+    q = (
+        store.create_admin_query()
+        .where_eq("realmid", "r1")
+        .where_in("operationtype", "CREATE", "UPDATE", "CREATE")
+        .where_in("resourcetype", "USER")
+        .where_eq("authclientid", "admin-cli")
+        .where_eq("resourcepath", "users/u9")
+        .to_df()
+    )
+    got = q.collect()
+    assert [r.id for r in got] == ["a1"]
+    # IN dedup preserved insertion order (LinkedHashSet semantics)
+    assert q is not None
+
+
+def test_decoded_user_events_blank_null_and_map(store):
+    df = kc.decoded_user_events(
+        store.user_events(), valid_event_types=frozenset({"LOGIN", "LOGOUT"})
+    )
+    by_id = {r.id: r for r in df.collect()}
+    assert by_id["e1"].details == {"k": "v", "q": "it's"}  # quote roundtrip
+    assert by_id["e2"].details is None
+    assert by_id["e1"].eventtype_valid is True
+    assert by_id["e3"].eventtype_valid is False  # strict decode surfaced
+    assert by_id["e1"].ts.year == 2024
+
+
+def test_decoded_admin_recompose_iff_any_nonnull(store):
+    df = kc.decoded_admin_events(store.admin_events())
+    by_id = {r.id: r for r in df.collect()}
+    assert by_id["a1"].authdetails.clientid == "admin-cli"
+    assert by_id["a2"].authdetails is None  # all five null -> null struct
+    # unknown resourcetype passes through (setResourceTypeAsString fallback)
+    assert by_id["a2"].resourcetype == "CUSTOM_THING"
+
+
+def test_blank_as_null_decode(spark):
+    df = spark.createDataFrame([("", " ", "x")], "a string, b string, c string")
+    got = kc.blank_as_null(df).collect()[0]
+    assert got.a is None and got.b is None and got.c == "x"
+
+
+def test_clears_are_noops(store):
+    n = store.user_events().count()
+    store.clear()
+    store.clear("r1", 0)
+    store.clear_expired_events()
+    store.clear_admin()
+    assert store.user_events().count() == n
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path, raw_user_events):
+    src = str(tmp_path / "raw")
+    raw_user_events.coalesce(1).write.parquet(src)
+    store = kc.KeycloakEventStore(spark, str(tmp_path / "store"))
+    stream = spark.readStream.schema(kc.RAW_USER_EVENT_SCHEMA).parquet(src)
+    q = store.ingest_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert store.user_events().count() == 3
+    # replay with the same checkpoint: no duplicates (exactly-once)
+    stream2 = spark.readStream.schema(kc.RAW_USER_EVENT_SCHEMA).parquet(src)
+    q2 = store.ingest_stream(stream2, checkpoint=str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert store.user_events().count() == 3
