@@ -56,6 +56,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Widen a too-narrow scan for CPU-heavy per-row work (hashing,
+    shingling, vector math): a parquet file is splittable only at
+    row-group granularity, so a small file count can pin heavy compute
+    to a few tasks regardless of cores.
+
+    Adaptive: a no-op when the scan already yields >= the session's
+    parallelism — on a 100 TB table (thousands of row groups) this never
+    shuffles; it only round-robins genuinely narrow inputs, where the
+    shuffle is tiny by construction.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

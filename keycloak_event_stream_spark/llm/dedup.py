@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.catalog import load_table, spread
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -97,12 +97,26 @@ _DUCK_SHINGLES = (
 )
 
 
+# Hash family economics: hash i is chunk (i % 4) of md5("{i//4}:" || s) —
+# four 32-bit (8-hex-char) hash values per md5 call, so B*R=16 functions
+# cost 4 md5 evaluations per shingle instead of 16. md5 output bits are
+# independent enough that chunk-sharing does not degrade minhash quality.
+
+
 def _spark_minhash(i: int) -> str:
-    return f"array_min(transform(shingles, s -> md5(concat('{i}:', s))))"
+    g, c = divmod(i, 4)
+    return (
+        f"array_min(transform(shingles, "
+        f"s -> substring(md5(concat('{g}:', s)), {c * 8 + 1}, 8)))"
+    )
 
 
 def _duck_minhash(i: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+    g, c = divmod(i, 4)
+    return (
+        f"list_min(list_transform(shingles, "
+        f"s -> substr(md5('{g}:' || s), {c * 8 + 1}, 8)))"
+    )
 
 
 def _band_indices(b: int) -> list[int]:
@@ -151,7 +165,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH cut is what survives 100 TB: candidate generation is an
     equi-join on (band, band_key) instead of an n² similarity join; the
     exact verify runs only on candidates."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     docs = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= _SHINGLE)
@@ -244,7 +258,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup candidates; at scale, hamming<=k probing runs k rotations of
     this same bucket join. Signature computation is per-row array
     aggregation — scan speed, no shuffle except the final bucket count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = (
         d.withColumn("tokens", F.array_distinct(F.split("text", " ")))
         .filter(F.size("tokens") > 0)
@@ -291,7 +305,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked self-join is the honest baseline MinHash approximates: n²
     only *within* a block, which is how exact near-dup stays feasible
     when a natural partition key exists."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     docs = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= _SHINGLE)
@@ -368,7 +382,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cluster, turning the n² similarity join into per-bucket blocks.
     At 100 TB the label comes from a trained coarse quantizer; the join
     shape is identical."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")

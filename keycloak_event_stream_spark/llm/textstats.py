@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._exact import davg, sql_davg
 
 QUERIES: dict = {}
@@ -45,7 +45,7 @@ def _q(name: str, oracle: str | None = None):
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc counts, char/token totals."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         davg("n_chars", "avg_chars"),
@@ -72,7 +72,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish greedy chunker (max-4-char pieces — the standard cheap proxy
     for subword token counts when no tokenizer model ships with the
     cluster)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
@@ -113,7 +113,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: length, mean word length, stopword
     ratio, combined into a [0,1] score. Pure double arithmetic on
     integer counts — IEEE-identical across engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -172,7 +172,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic placeholder — the value is the *shape*: cheap per-row
     featurization + threshold classifier, zero shuffles, runs at scan
     speed on 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     ln = F.length("text").cast("double")
     e_ratio = (ln - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))) / ln
     a_ratio = (ln - F.length(F.replace(F.col("text"), F.lit("a"), F.lit("")))) / ln
@@ -207,7 +207,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over whitespace-normalized,
     lowercased text. The grouping key for exact dedup at scale — 16
     bytes shuffled instead of whole documents."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
     fp = F.md5(norm)
     return d.select(
@@ -251,7 +251,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> windowed top-k. The df side is tiny (vocabulary-sized) and
     broadcast; ln is rounded to 6 decimals at the boundary since libm
     last-ulp behavior is engine-specific."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tokens = d.select("source", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tokens.groupBy("term").agg(F.countDistinct("source").alias("df"))

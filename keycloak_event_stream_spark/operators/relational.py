@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._exact import (
     davg,
     dsum,
@@ -79,7 +79,7 @@ def q_filter_eq_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive equality filters (ref F2: ANDed `col = ?` chain,
     ``AthenaEventQuery.java:173-187``). Both predicates push down to the
     parquet reader (PushedFilters)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     return ev.filter(
         (F.col("event_type") == "click") & (F.col("user_id") == 7)
     ).select("event_id", "ts", "user_id", "event_type", "value")
@@ -96,7 +96,7 @@ def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-list on a low-cardinality string column (ref F3:
     `eventtype IN (...)` from a de-duplicated set,
     ``AthenaEventQuery.java:164-171``)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     return ev.filter(
         F.col("event_type").isin("purchase", "signup", "error")
     ).select("event_id", "ts", "user_id", "event_type")
@@ -116,7 +116,7 @@ def q_filter_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     both bounds inclusive, ``AthenaEventQuery.java:189-195``). At scale
     this predicate additionally prunes dt/hour partitions (SURVEY §4) —
     see plans.event_query for the pruning augmentation."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-20 23:59:59").cast("timestamp")
     return ev.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).select(
@@ -139,7 +139,7 @@ def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the wrong grammatical order there, SURVEY §1.4 Q2; semantics here
     are skip-50-take-100). event_id breaks ts ties so the page is a
     deterministic set."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     return (
         ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .offset(50)
@@ -162,7 +162,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject: per-partition heaps + driver merge — no global
     sort, no shuffle of the full table; O(k) memory per partition at any
     scale."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread(load_table(spark, sf_dir, "orders"))
     return (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
@@ -186,7 +186,7 @@ def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi inner join orders⋈customer. Left to AQE: at sf0.01 customer
     broadcasts; at 100 TB both sides shuffle-hash/SMJ on o_custkey with
     skew-splitting. The status filter is pushed below the join."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread(load_table(spark, sf_dir, "orders"))
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.filter(F.col("o_orderstatus") == "O")
@@ -212,7 +212,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim⋈dim⋈dim star join with explicit broadcast hints: at
     100 TB the lineitem side streams map-side through three broadcast
     hash joins — zero shuffles until the final partial/final agg."""
-    l = load_table(spark, sf_dir, "lineitem")
+    l = spread(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -259,7 +259,7 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread(load_table(spark, sf_dir, "orders"))
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "right").select(
         "c_custkey", "c_name", "o_orderkey", "o_orderstatus"
     )
@@ -338,7 +338,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same user. The equi component (user_id) keeps it a hash join;
     the range predicate is evaluated as a post-join filter — the scalable
     shape for banded time joins (pure theta would be a quadratic BNLJ)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
@@ -382,7 +382,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture; ties on ts resolve to the max event_id via the (ts,
     event_id) window order, matching DuckDB's greatest-row semantics.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
     )
@@ -436,7 +436,7 @@ def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy hash aggregate with partial (map-side)
     combine — the canonical 100 TB aggregation. Only 2 group keys, so
     the shuffle carries a handful of rows per partition."""
-    l = load_table(spark, sf_dir, "lineitem")
+    l = spread(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -468,7 +468,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct count per group: Spark expands to a two-phase
     aggregate (partial distinct on (status, custkey), then final count) —
     shuffle volume bounded by distinct pairs, not input rows."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread(load_table(spark, sf_dir, "orders"))
     return orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -480,7 +480,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct users per event type. At 100 TB this replaces exact
     distinct wherever tolerance allows: constant memory per group, single
     shuffle of sketches, mergeable across partitions."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
@@ -500,7 +500,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP: (flag, status), (flag), () aggregation levels in one pass
     (Spark Expand + single shuffle, not three scans)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    l = spread(load_table(spark, sf_dir, "lineitem"))
     return l.rollup("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -519,7 +519,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all four grouping-set combinations in one Expand pass."""
-    l = load_table(spark, sf_dir, "lineitem")
+    l = spread(load_table(spark, sf_dir, "lineitem"))
     return l.cube("l_returnflag", "l_linestatus").agg(
         dsum("l_extendedprice", "sum_price"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -538,7 +538,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL (the DataFrame API has no direct
     grouping-sets call; SQL and DataFrame compile to the same plan)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spread(load_table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -568,7 +568,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/row_number per partition. One shuffle on the
     partition key + one sort serves all three functions (same window)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread(load_table(spark, sf_dir, "orders"))
     w = W.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -596,7 +596,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first_value per user over event time (total order via
     event_id tiebreak)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -626,7 +626,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ROWS frames: running sum (unbounded preceding) and a
     3-row trailing count. Decimal accumulator keeps the running sum
     order-exact (same discipline as _exact)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     order = [F.col("ts"), F.col("event_id")]
     w_run = (
         W.partitionBy("user_id")
@@ -682,7 +682,7 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL: bag union, no dedup shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     a = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
     b = ev.filter(F.col("event_type") == "signup").select("event_id", "event_type")
     return a.unionByName(b)
