@@ -265,3 +265,36 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
+
+
+@_q(
+    "q_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')  AS seg_masked,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                                 AS bal_bucket,
+           CASE WHEN c_acctbal > 0 THEN c_acctbal END           AS pos_bal,
+           (c_acctbal IS NULL)                                  AS bal_missing,
+           ifnull(NULL, c_custkey)                              AS keyed
+    FROM customer
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / multi-branch CASE / conditional NULL /
+    IS NULL / ifnull — the conditional-expression family."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).alias("pos_bal"),
+        F.isnull("c_acctbal").alias("bal_missing"),
+        F.ifnull(F.lit(None), F.col("c_custkey")).alias("keyed"),
+    )

@@ -1,0 +1,412 @@
+"""Extended batch relational surface: subqueries, pivot, RANGE frames,
+multiset set-ops, stats aggregates, and TPC-H composite shapes.
+
+Continues SURVEY.md §2.3 beyond the core operators in
+:mod:`.relational` — the reference implements none of these (§2.2); the
+SQL-string queries it ships (``AthenaEventQuery.java:136-159``) never go
+beyond single-table filter/sort/paginate. Everything here is built-in
+Catalyst; subquery entries go through ``spark.sql`` deliberately to
+exercise the SQL surface (decorrelation, scalar-subquery planning) on
+top of the same views the DataFrame entries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._exact import DEC, dsum, sql_dsum
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Window RANGE frame (peers aggregate together, unlike ROWS)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_price,
+           count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_upto
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame running totals: all o_orderdate peers enter the frame
+    together (the semantic difference from the ROWS frame in
+    q_window_frame, where peers accumulate one by one)."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "running_price"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_upto"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection — each key survives
+    min(count_left, count_right) times."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@_q(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference — count_left - count_right survivors."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (via spark.sql — exercises scalar-subquery planning and
+# decorrelation; Catalyst rewrites EXISTS/IN to semi joins)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_subquery_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice /
+             (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*) FROM orders) AS price_ratio
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                  / count(*) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-average orders + ratio).
+    Catalyst plans the subquery once and broadcasts the scalar."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice /
+                 (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                         / count(*) FROM orders) AS price_ratio
+        FROM orders
+        WHERE o_totalprice >
+              (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*) FROM orders)
+        """
+    )
+
+
+@_q(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — Catalyst rewrites to a left-semi join."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        """
+    )
+
+
+@_q(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated into a semi join with the
+    correlated predicate as the join key."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING / pivot
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_having",
+    oracle=f"""
+    SELECT o_custkey,
+           {sql_dsum("o_totalprice", "total_spent")},
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) > 2500000
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): big-spender customers."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            dsum("o_totalprice", "total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("total_spent") > 2500000)
+    )
+
+
+@_q(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status. The explicit value
+    list keeps the plan a single pass (no distinct-values pre-query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.lit(1)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stats aggregates (decimal-routed: order-independent, engine-identical)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_agg_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           s1 / n AS mean_price,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_price,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev via exact decimal moment sums (s1, s2) with
+    the final arithmetic in double — order-independent and bit-identical
+    across engines, unlike streaming variance (Welford) whose result
+    depends on accumulation order."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    x = F.col("o_totalprice")
+    # prices are 2-decimal money: DECIMAL(18,2) casts are exact in every
+    # engine and the decimal square never rounds — bit-identical moments
+    x2 = x.cast("decimal(18,2)") * x.cast("decimal(18,2)")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        (s1 / n).alias("mean_price"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_price"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_price"),
+    )
+
+
+@_q(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the sort-based aggregate, not the
+    t-digest approximation): p50/p90/p99 per status. Both engines use
+    the same lower+(upper-lower)*frac interpolation on the sorted set."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H composite shapes (multi-join + agg + top-k end to end)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join with filters pushed
+    below each scan, hash agg on the join key, top-10 by revenue.
+    The shape AQE optimizes end-to-end: dimension-filtered customer
+    broadcasts, lineitem never shuffles before the agg."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spread(load_table(spark, sf_dir, "orders")).filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = spread(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum("l.l_quantity", "total_qty")}
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): self-referential agg-filter
+    (orders whose lineitems exceed a quantity threshold) feeding a
+    3-way join and a re-aggregation, top-100. The `big` pre-aggregate
+    is the shuffle-reducing move: it filters orders *before* the wide
+    join."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(l.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
+              F.col("lk") == o.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -54,25 +54,26 @@ def _rows_to_sorted(rows, colnames):
 
 
 def _close(a, b):
-    """Tolerant float compare for diagnostics."""
+    """Tolerant float compare for diagnostics. The ("f", value) pattern
+    must be checked before generic tuple recursion or floats end up
+    compared exactly."""
     if a == b:
         return True
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and len(a) == len(b) == 2
+        and a[0] == b[0] == "f"
+        and isinstance(a[1], float)
+        and isinstance(b[1], float)
+    ):
+        return math.isclose(a[1], b[1], rel_tol=1e-9, abs_tol=1e-12)
     if (
         isinstance(a, tuple)
         and isinstance(b, tuple)
         and len(a) == len(b)
     ):
         return all(_close(x, y) for x, y in zip(a, b))
-    if (
-        isinstance(a, tuple)
-        and a
-        and a[0] == "f"
-        and isinstance(b, tuple)
-        and b[0] == "f"
-        and isinstance(a[1], float)
-        and isinstance(b[1], float)
-    ):
-        return math.isclose(a[1], b[1], rel_tol=1e-9, abs_tol=1e-12)
     return False
 
 
