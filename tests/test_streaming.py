@@ -88,3 +88,52 @@ def test_ingest_layout_partitioned_by_event_time(spark, tmp_path):
     got = out.select("dt", "hour").distinct().collect()
     assert len(got) > 1
     assert all(len(r.dt) == 10 and 0 <= r.hour <= 23 for r in got)
+
+
+def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists between micro-batches —
+    the second batch's emission includes the first batch's totals."""
+    import os
+    import time as _t
+
+    from keycloak_event_stream_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "user_id long, ts string, value double"
+
+    def write(n, rows):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "CAST(ts AS timestamp) ts", "value"
+        ).coalesce(1).write.parquet(f"{src}/f={n}")
+        _t.sleep(1.1)
+
+    write(1, [(1, "2024-01-01 10:00:00", 10.0), (1, "2024-01-01 10:01:00", 5.0),
+              (2, "2024-01-01 10:02:00", 1.0)])
+    write(2, [(1, "2024-01-01 11:00:00", 2.5)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    q = (
+        running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName("profile_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("profile_sink").collect()
+    # user 1 emitted twice: (2, 15.0) after batch 1, (3, 17.5) after batch 2
+    u1 = sorted(
+        [(r.n_events, r.total_value, r.last_ts.hour) for r in rows if r.user_id == 1]
+    )
+    assert u1 == [(2, 15.0, 10), (3, 17.5, 11)]
+    u2 = [(r.n_events, r.total_value) for r in rows if r.user_id == 2]
+    assert u2 == [(1, 1.0)]
