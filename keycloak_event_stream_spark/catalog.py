@@ -37,7 +37,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
 # reader rejects; read them as long (legacy conf) and convert to
 # microsecond timestamps (truncation — same as DuckDB's ns->us cast).
+# The raw nanos column survives as `<col>_nanos`: predicates on the
+# converted column are expression-wrapped and can never reach the
+# parquet reader, so time-range filters add a redundant raw-domain
+# twin on `<col>_nanos` — that one pushes down to row-group stats.
 _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def nanos_bound(ts: "F.datetime | object") -> int:
+    """Epoch-nanos literal for raw-domain pushdown predicates."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        epoch = ts.replace(tzinfo=_dt.timezone.utc).timestamp()
+        return int(round(epoch * 1_000_000)) * 1000
+    raise TypeError(type(ts))
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -52,7 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            df = df.withColumn(f"{col}_nanos", F.col(col)).withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+            )
     return df
 
 

@@ -22,11 +22,13 @@ Design rules applied throughout (the 100 TB posture):
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import load_table, nanos_bound, spread
 from keycloak_event_stream_spark.operators._exact import (
     davg,
     dsum,
@@ -119,9 +121,17 @@ def q_filter_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(load_table(spark, sf_dir, "events"))
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-20 23:59:59").cast("timestamp")
-    return ev.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    # redundant raw-nanos bounds: the decoded-ts predicate is expression-
+    # wrapped and cannot push to parquet; these twins reach the reader's
+    # row-group stats (see catalog._NANO_TS_COLS)
+    lo_ns = _dt.datetime(2024, 1, 10)
+    hi_ns = _dt.datetime(2024, 1, 20, 23, 59, 59)
+    return ev.filter(
+        (F.col("ts") >= lo)
+        & (F.col("ts") <= hi)
+        & (F.col("ts_nanos") >= F.lit(nanos_bound(lo_ns)))
+        & (F.col("ts_nanos") <= F.lit(nanos_bound(hi_ns) + 999))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @_q(

@@ -167,6 +167,22 @@ class EventQueryBuilder:
         ``AbstractAthenaQuery.java:60``)."""
         df = self._df
         conds: list[Column] = []
+        # Redundant raw-domain time predicates: when the time column was
+        # decoded from raw nanos (catalog._NANO_TS_COLS), predicates on
+        # the decoded column are expression-wrapped and cannot reach the
+        # parquet reader; the same bound on `<col>_nanos` pushes down to
+        # row-group min/max stats. Semantically implied by the decoded
+        # predicate, so results are unchanged.
+        raw_col = f"{self._time_col}_nanos"
+        if raw_col in df.columns and not self._time_is_millis:
+            from keycloak_event_stream_spark.catalog import nanos_bound
+
+            if self._from is not None:
+                conds.append(F.col(raw_col) >= F.lit(nanos_bound(self._from)))
+            if self._to is not None:
+                # decoded micros truncate nanos: widen the upper bound by
+                # the sub-microsecond remainder (999 ns)
+                conds.append(F.col(raw_col) <= F.lit(nanos_bound(self._to) + 999))
         if self._types:
             conds.append(F.col(self._type_col).isin(self._types))
         for col, values in self._in.items():
@@ -191,7 +207,8 @@ class EventQueryBuilder:
             df = df.offset(self._first_result)
         if self._max_results > 0:
             df = df.limit(self._max_results)
-        return df
+        helper = [c for c in df.columns if c.endswith("_nanos")]
+        return df.drop(*helper) if helper else df
 
 
 # ---------------------------------------------------------------------------

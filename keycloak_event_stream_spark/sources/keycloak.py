@@ -261,16 +261,29 @@ class KeycloakEventStore:
         self._admin_path = f"{self.root}/admin-events"
 
     # -- write path -----------------------------------------------------
+    @staticmethod
+    def _layout(flat: DataFrame) -> DataFrame:
+        """Small-files + pruning discipline: co-locate each (dt, hour)
+        partition's rows into one task (one output file per partition
+        per batch instead of tasks x partitions), sorted by event time
+        so parquet row-group min/max statistics prune time-range scans
+        inside the hour."""
+        return flat.repartition("dt", "hour").sortWithinPartitions("time")
+
     def ingest(self, raw_events: DataFrame) -> None:
         """Batch ingest of raw user events (the tx-commit flush,
         FirehoseEventStoreProvider.java:123-129, minus the per-event
         HTTPS put — one partitioned parquet append per batch)."""
         flat = _with_event_time_partitions(flatten_user_events(raw_events))
-        flat.write.partitionBy("dt", "hour").mode("append").parquet(self._user_path)
+        self._layout(flat).write.partitionBy("dt", "hour").mode("append").parquet(
+            self._user_path
+        )
 
     def ingest_admin(self, raw_admin_events: DataFrame) -> None:
         flat = _with_event_time_partitions(flatten_admin_events(raw_admin_events))
-        flat.write.partitionBy("dt", "hour").mode("append").parquet(self._admin_path)
+        self._layout(flat).write.partitionBy("dt", "hour").mode("append").parquet(
+            self._admin_path
+        )
 
     def ingest_stream(self, raw_stream: DataFrame, checkpoint: str, admin: bool = False):
         """Streaming ingest (the Firehose leg done right): checkpointed

@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions: the scale properties the engine
+promises are pinned here, not just prose (SURVEY.md §4).
+
+These read the *executed/optimized* plan text: if a refactor silently
+loses a pushdown, a broadcast, or the top-k specialization, these fail.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from keycloak_event_stream_spark.registry import collect
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return collect()[0]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_push_down_to_parquet_scan(spark, queries):
+    plan = _plan(queries["q_filter_eq_conj"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(user_id,7)" in plan
+
+
+def test_projection_prunes_scan_columns(spark, queries):
+    plan = _plan(queries["q_scan_project"](spark, SF))
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "props" not in read and "value" not in read  # unused columns gone
+
+
+def test_topk_compiles_to_take_ordered(spark, queries):
+    # per-partition heaps + driver merge; no global sort, no shuffle
+    plan = _plan(queries["q_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, queries):
+    plan = _plan(queries["q_join_broadcast"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_planned_as_semi(spark, queries):
+    plan = _plan(queries["q_join_semi"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_agg_has_partial_map_side_combine(spark, queries):
+    plan = _plan(queries["q_agg_hash"](spark, SF))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "HashAggregate" in plan
+
+
+def test_in_subquery_becomes_semi_join(spark, queries):
+    plan = _plan(queries["q_subquery_in"](spark, SF))
+    assert "LeftSemi" in plan  # Catalyst decorrelated the IN subquery
+
+
+def test_whole_stage_codegen_covers_scan_pipeline(spark, queries):
+    df = queries["q_filter_range_time"](spark, SF)
+    df.collect()  # finalize the AQE plan
+    # "*(N)" prefixes mark WholeStageCodegen spans in final-plan text
+    assert "*(1) Filter" in _plan(df) or "WholeStageCodegen" in _plan(df)
+
+
+def test_event_time_range_pushes_raw_bounds_to_scan(spark, queries):
+    # the decoded-ts predicate cannot push through timestamp_micros();
+    # the redundant raw-nanos twin must reach the parquet reader
+    # the alias resolves back to the raw scan column `ts` (bigint nanos)
+    plan = _plan(queries["q_filter_range_time"](spark, SF))
+    assert "GreaterThanOrEqual(ts,17" in plan  # epoch-nanos literal
+    assert "LessThanOrEqual(ts,17" in plan
+
+
+def test_builder_time_range_pushes_raw_bounds(spark):
+    from keycloak_event_stream_spark.catalog import load_table
+    from keycloak_event_stream_spark.plans.event_query import EventQueryBuilder
+
+    q = (
+        EventQueryBuilder(load_table(spark, SF, "events"))
+        .from_time("2024-01-05 00:00:00")
+        .to_time("2024-01-25 23:59:59")
+        .to_df()
+    )
+    assert "ts_nanos" not in q.columns  # helper column dropped from output
+    assert "GreaterThanOrEqual(ts,17" in _plan(q)
