@@ -1,0 +1,161 @@
+"""Dataset assembly operators for training pipelines: deterministic
+splits, stratified sampling, dedup survivor selection, sequence packing.
+
+All sampling here is *hash-based*, never RNG-based: membership is a pure
+function of the row key, so splits are reproducible across runs,
+engines, partitionings, and cluster sizes — the property that matters
+when a 100 TB corpus is re-materialized and the eval set must not move.
+(`df.sample()`/`sampleBy()` are partition-order-dependent; they have no
+place in a reproducible pipeline.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# hash-bucket: first 4 hex chars of md5(key) -> 0..65535, identical in
+# both engines; bucket < threshold*65536 selects a deterministic slice
+def _spark_bucket(key: str) -> F.Column:
+    return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int")
+
+
+def _duck_bucket(key: str) -> str:
+    return f"CAST(('0x' || substr(md5({key}), 1, 4))::INTEGER AS INTEGER)"
+
+
+@_q(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_duck_bucket("CAST(doc_id AS VARCHAR)")} < 58982
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by key hash (58982 =
+    0.9 * 65536). A document's split never changes when the corpus
+    grows, shrinks, or repartitions — unlike df.randomSplit."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _spark_bucket(F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 58982, "train").otherwise("test").alias("split"),
+    )
+
+
+@_q(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_duck_bucket("CAST(doc_id AS VARCHAR)")} <
+          CASE WHEN lang = 'en' THEN 6554 ELSE 32768 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (10% of the
+    dominant 'en', 50% elsewhere) via the same key hash — the standard
+    rebalance move for over-represented languages/sources, reproducible
+    by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _spark_bucket(F.col("doc_id").cast("string"))
+    rate = F.when(F.col("lang") == "en", 6554).otherwise(32768)
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@_q(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(lower(trim(text))) AS fp,
+             row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, fp
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor selection: within each content-fingerprint group
+    keep the best row by an explicit policy (longest, then lowest id) —
+    the window-rank idiom that replaces dropDuplicates' arbitrary
+    "whichever row the execution happened to see first"."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fp = F.md5(F.lower(F.trim("text")))
+    w = W.partitionBy(fp).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "fp")
+    )
+
+
+@_q(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
+           cum_tokens - n_tokens
+             - 2048 * CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT)
+             AS pack_offset
+    FROM run
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for a 2048-token context budget: documents are
+    laid end-to-end per source in doc_id order (running token sum via
+    window), and each lands in pack floor(start/budget) at offset
+    start%budget. One shuffle on the pack key (source); deterministic
+    because the order is a total key, not arrival order."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack = F.floor(start / 2048)
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (start - 2048 * pack).alias("pack_offset"),
+    )

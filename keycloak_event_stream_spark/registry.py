@@ -26,6 +26,7 @@ _MODULES = [
     "keycloak_event_stream_spark.llm.simsearch",
     "keycloak_event_stream_spark.llm.textstats",
     "keycloak_event_stream_spark.llm.multimodal",
+    "keycloak_event_stream_spark.llm.sampling",
 ]
 
 
