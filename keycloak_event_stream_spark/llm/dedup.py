@@ -99,24 +99,30 @@ _DUCK_SHINGLES = (
 
 # Hash family economics: hash i is chunk (i % 4) of md5("{i//4}:" || s) —
 # four 32-bit (8-hex-char) hash values per md5 call, so B*R=16 functions
-# cost 4 md5 evaluations per shingle instead of 16. md5 output bits are
-# independent enough that chunk-sharing does not degrade minhash quality.
+# cost 4 md5 evaluations per shingle instead of 16 (the md5 arrays are
+# materialized once per group and the 16 minhashes are substring slices
+# of them). md5 output bits are independent enough that chunk-sharing
+# does not degrade minhash quality.
+
+_N_GROUPS = (_B * _R + 3) // 4
+
+
+def _spark_hash_arr(g: int) -> str:
+    return f"transform(shingles, s -> md5(concat('{g}:', s)))"
+
+
+def _duck_hash_arr(g: int) -> str:
+    return f"list_transform(shingles, s -> md5('{g}:' || s))"
 
 
 def _spark_minhash(i: int) -> str:
     g, c = divmod(i, 4)
-    return (
-        f"array_min(transform(shingles, "
-        f"s -> substring(md5(concat('{g}:', s)), {c * 8 + 1}, 8)))"
-    )
+    return f"array_min(transform(h{g}, x -> substring(x, {c * 8 + 1}, 8)))"
 
 
 def _duck_minhash(i: int) -> str:
     g, c = divmod(i, 4)
-    return (
-        f"list_min(list_transform(shingles, "
-        f"s -> substr(md5('{g}:' || s), {c * 8 + 1}, 8)))"
-    )
+    return f"list_min(list_transform(h{g}, x -> substr(x, {c * 8 + 1}, 8)))"
 
 
 def _band_indices(b: int) -> list[int]:
@@ -129,10 +135,15 @@ _DUCK_MINHASH_LSH = f"""
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       WHERE len(w) >= {_SHINGLE}
     ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             {", ".join(f"{_duck_hash_arr(g)} AS h{g}" for g in range(_N_GROUPS))}
+      FROM docs
+    ),
     sigs AS (
       SELECT doc_id,
-             {", ".join(f"md5({' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))}) AS bk{b}" for b in range(_B))}
-      FROM docs
+             {", ".join(f"{' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))} AS bk{b}" for b in range(_B))}
+      FROM hashed
     ),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM sigs" for b in range(_B))}
@@ -164,26 +175,32 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LSH cut is what survives 100 TB: candidate generation is an
     equi-join on (band, band_key) instead of an n² similarity join; the
-    exact verify runs only on candidates."""
+    exact verify runs only on candidates. Only the band table (doc_id,
+    band, key — bytes per doc) is persisted for the self-join; shingles
+    recompute from the scan, so nothing corpus-sized is ever cached."""
     d = spread(load_table(spark, sf_dir, "documents"))
     docs = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= _SHINGLE)
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
     )
+    hashed = docs.select(
+        "doc_id",
+        *[F.expr(_spark_hash_arr(g)).alias(f"h{g}") for g in range(_N_GROUPS)],
+    )
     sig_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.expr(_spark_minhash(i)) for i in _band_indices(b)])
+        F.concat_ws(
+            "|", *[F.expr(_spark_minhash(i)) for i in _band_indices(b)]
         ).alias(f"bk{b}")
         for b in range(_B)
     ]
-    sigs = docs.select("doc_id", *sig_cols)
+    sigs = hashed.select("doc_id", *sig_cols)
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(_B)])).alias(
             "band", "bkey"
         ),
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
