@@ -419,3 +419,41 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string dedup (edit distance, blocked)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_dedup_fuzzy_name",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup by edit distance, blocked by brand: levenshtein
+    runs only within a block (the n² stays per-block). The string-metric
+    complement to the set-based Jaccard operators."""
+    p = spread(load_table(spark, sf_dir, "part"))
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= 6)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            "edit_dist",
+        )
+    )

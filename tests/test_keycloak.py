@@ -156,3 +156,39 @@ def test_streaming_ingest_exactly_once(spark, tmp_path, raw_user_events):
     q2 = store.ingest_stream(stream2, checkpoint=str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert store.user_events().count() == 3
+
+
+def test_detailsjson_roundtrip_property(spark):
+    """Property: any details map survives to_json -> from_json intact —
+    quotes, unicode, backslashes, empty strings (ref S6/S7 semantics,
+    FlatEvents.java:9-29; exercises the reference's quote-doubling
+    concern F8 structurally)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.dictionaries(text, text, min_size=0, max_size=6))
+    def roundtrip(details):
+        df = spark.createDataFrame(
+            [(details,)],
+            T.StructType(
+                [T.StructField("details", T.MapType(T.StringType(), T.StringType()))]
+            ),
+        )
+        out = df.select(
+            F.from_json(
+                F.to_json("details"), T.MapType(T.StringType(), T.StringType())
+            ).alias("rt")
+        ).collect()[0].rt
+        assert (out or {}) == details or (out is None and not details)
+
+    roundtrip()

@@ -10,7 +10,12 @@ from keycloak_event_stream_spark.registry import collect
 
 # rows-only by design: approximate or non-SQL-expressible (documented in
 # each op's docstring; the driver records the weaker check)
-ROWS_ONLY = {"q_agg_approx_distinct", "q_multimodal_media"}
+ROWS_ONLY = {
+    "q_agg_approx_distinct",
+    "q_multimodal_media",
+    "q_sketch_hll",
+    "q_sketch_quantiles",
+}
 
 
 def test_registry_collects_without_errors(capsys):

@@ -137,3 +137,48 @@ def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
     assert u1 == [(2, 15.0, 10), (3, 17.5, 11)]
     u2 = [(r.n_events, r.total_value) for r in rows if r.user_id == 2]
     assert u2 == [(1, 1.0)]
+
+
+def test_foreach_batch_fan_out_idempotent(spark, tmp_path):
+    """foreachBatch multi-sink: one pass per batch feeds two sinks;
+    batch-id-keyed overwrite makes replays idempotent."""
+    import os
+
+    from keycloak_event_stream_spark.streaming.sinks import (
+        fan_out,
+        partitioned_batch_sink,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "event_id long, value double"
+    ).coalesce(1).write.parquet(src)
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    counts = []
+
+    def counting_sink(df, bid):
+        counts.append((bid, df.count()))
+
+    stream = spark.readStream.schema("event_id long, value double").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            fan_out(
+                partitioned_batch_sink(out_a),
+                partitioned_batch_sink(out_b),
+                counting_sink,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out_a).count() == 20
+    assert spark.read.parquet(out_b).count() == 20
+    assert counts and all(n > 0 for _, n in counts)
+    # idempotence: simulate a replay of batch 0 — same location rewritten
+    first = spark.read.parquet(src)
+    partitioned_batch_sink(out_a)(first, 0)
+    assert spark.read.parquet(out_a).count() == 20  # no duplicates
+    assert os.path.isdir(out_a + "/batch_id=0")
