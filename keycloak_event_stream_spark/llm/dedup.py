@@ -457,3 +457,78 @@ def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_DUCK_COMPONENTS = f"""
+    WITH RECURSIVE
+    lsh AS (SELECT * FROM ({_DUCK_MINHASH_LSH}) t),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM lsh
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+@_q("q_dedup_components", oracle=_DUCK_COMPONENTS)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: connected components over the MinHash-LSH
+    pair graph via iterative min-label propagation — the step that turns
+    pairwise similarity into dedup groups (keep one doc per component).
+
+    The iterative-algorithm shape on Spark: a driver loop of joins with
+    a convergence check, lineage truncated per iteration with
+    localCheckpoint so the plan stays O(1) deep. Iterations ~ graph
+    diameter (near-dup clusters are shallow); each is one shuffle of the
+    label table (nodes, not documents). DuckDB's recursive transitive
+    closure is the oracle."""
+    pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage: O(1) plan depth per iter
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")

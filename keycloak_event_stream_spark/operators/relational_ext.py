@@ -410,3 +410,31 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@_q(
+    "q_agg_salted_twophase",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: phase 1 groups by (key, salt) so a hot
+    key spreads over 16 reducers; phase 2 merges the 16 partials per
+    key. The salt is a deterministic function of a unique column (never
+    rand(): reproducibility). Decimal partials merge exactly, so the
+    result is identical to the direct aggregation the oracle runs.
+    At 100 TB this is the manual fallback when AQE's skew handling
+    can't apply (e.g. skewed aggregation rather than join)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    salt = F.pmod(F.col("event_id"), F.lit(16)).alias("salt")
+    phase1 = ev.groupBy("event_type", salt).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast(DEC)).alias("pv"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

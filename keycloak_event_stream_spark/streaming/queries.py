@@ -304,3 +304,52 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
+
+
+@_q(
+    "s_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to clicks within one
+    hour after, both sides watermarked so join state is evicted once the
+    watermark passes the range condition — bounded state at any scale
+    (without watermarks a stream-stream join buffers forever). On
+    bounded replay every match emits, so the batch theta-join is the
+    oracle."""
+    p = read_stream_events(spark, sf_dir)
+    c = read_stream_events(spark, sf_dir)
+    purchases = (
+        p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        c.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts > purchases.purchase_ts)
+        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return _run_to_memory(joined, "append")
