@@ -1,0 +1,103 @@
+"""Source/sink format support beyond parquet: newline-delimited JSON
+and CSV, with lossless round-trips.
+
+NDJSON is the reference's wire format — one JSON object per line pushed
+to Firehose (``FirehoseEventStoreProvider.java:144`` appends ``"\\n"``)
+and deserialized by the Hive JSON SerDe (``terraform/main.tf:203-207``).
+Here the same format is a first-class batch/streaming source and sink
+with a declared schema (nothing inferred, matching the reference's
+fixed-schema posture).
+
+Round-trip discipline: timestamps serialize at microsecond precision
+(the default format truncates to millis); doubles rely on shortest
+round-trip rendering; compression is gzip per split. Each registry
+entry writes the fixture out in the format and reads it back — the
+oracle compares against the original parquet, so the round-trip must be
+bit-lossless to pass.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def write_ndjson(df: DataFrame, path: str, compress: bool = True) -> None:
+    w = df.write.mode("overwrite").option("timestampFormat", _TS_FMT)
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
+def read_ndjson(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.read.schema(schema).option("timestampFormat", _TS_FMT).json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .option("compression", "gzip")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+_EVENTS_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@_q("q_source_json_roundtrip", oracle=_EVENTS_ORACLE)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> gzip NDJSON -> read with declared schema. Lossless:
+    the oracle is the original parquet, so any truncation (timestamp
+    millis, double formatting, quote mangling in props) fails the
+    bitwise compare."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = tempfile.mkdtemp(prefix="ndjson_rt_")
+    write_ndjson(ev, out)
+    return read_ndjson(spark, out, ev.schema)
+
+
+@_q("q_source_csv_roundtrip", oracle=_EVENTS_ORACLE)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> gzip CSV (header, quoted) -> read with declared
+    schema; same losslessness bar as the JSON round-trip."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    write_csv(ev, out)
+    return read_csv(spark, out, ev.schema)
