@@ -438,3 +438,136 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@_q(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (richest 3 customers per segment): window
+    row_number with a total order, filtered to K. One shuffle on the
+    group key; at scale, pre-aggregation per partition caps the sort
+    input when K << group size."""
+    c = spread(load_table(spark, sf_dir, "customer"))
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@_q(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns -> (key, measure, value)
+    rows via stack() — the inverse of q_pivot, no shuffle (a generator
+    projection)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', p_retailprice, "
+        "'size', CAST(p_size AS DOUBLE)) AS (measure, val)",
+    )
+
+
+@_q(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id AS version_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals without a table format: each change
+    event opens a version valid until the next one (lead over event
+    time); the open-ended row is current. The window formulation of
+    MERGE-style history tables — emulates Delta/Iceberg CDC in plain
+    parquet."""
+    ev = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@_q(
+    "q_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session break is a
+    >30-min gap; session id = running count of breaks. One shuffle on
+    user_id serves both windows and the final rollup — the batch twin
+    of the streaming session_window operator."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+    ).cast("int")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("new_session", gap_break)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
