@@ -254,7 +254,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tokens = d.select("source", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tokens.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    # df derives from tf (distinct (source, term) pairs already) — one
+    # explode+agg over the corpus instead of two; the df agg input is
+    # vocabulary-sized
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_sources = d.select(F.countDistinct("source").alias("n_sources"))
     scored = (
         tf.join(F.broadcast(df_), "term")
