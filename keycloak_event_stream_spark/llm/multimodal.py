@@ -171,3 +171,55 @@ def q_multimodal_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
     )
     return media.mapInPandas(extract_media_features, MEDIA_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample plumbing (video-shaped binary, deterministic fake)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator, frame_bytes: int = 16, stride: int = 2) -> Iterator:
+    """mapInPandas UDTF-shape: split each binary payload into fixed-size
+    "frames" and emit every ``stride``-th one — the frame-sampling
+    pattern for video columns (one input row -> many output rows). Real
+    decoders swap in here; the Arrow batch interface and the 1->N row
+    fan-out are the production shape."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_sum": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            n = len(blob) // frame_bytes
+            for i in range(0, n, stride):
+                fr = bytes(blob[i * frame_bytes:(i + 1) * frame_bytes])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame"].append(fr)
+                out["frame_sum"].append(sum(fr))
+        yield pd.DataFrame(out)
+
+
+def resize_image(data: bytes, width: int, height: int):
+    """Resize stub: dispatches to PIL when available, else raises —
+    clearly-marked placeholder for the codec-dependent step."""
+    img = decode_image(data)  # raises NotImplementedError without PIL
+    return img.resize((width, height))  # pragma: no cover
+
+
+@_q("q_multimodal_frames")  # binary fan-out — rows-only check
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped binary columns: 64-byte payload
+    -> four 16-byte frames -> every 2nd kept (2 rows per doc). Map-side
+    1->N fan-out; frames never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_fake_media(d).select("doc_id", "media")
+    return media.mapInPandas(sample_frames, FRAME_SCHEMA)

@@ -74,3 +74,36 @@ def test_decode_image_stub_raises_without_codec():
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_frame_sampling_fan_out(docs):
+    import hashlib
+
+    from keycloak_event_stream_spark.llm import multimodal as mm
+
+    media = mm.with_fake_media(docs).select("doc_id", "media")
+    frames = media.mapInPandas(mm.sample_frames, mm.FRAME_SCHEMA).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 64-byte payload, 16-byte frames, stride 2 -> frames 0 and 2
+    assert all(len(v) == 2 for v in by_doc.values())
+    raw = hashlib.md5(b"document number 4 text body").digest() * 4
+    f0 = sorted(by_doc[4], key=lambda r: r.frame_idx)[0]
+    assert bytes(f0.frame) == raw[:16]
+    assert f0.frame_sum == sum(raw[:16])
+
+
+def test_resize_stub_raises_without_codec():
+    import pytest as _pytest
+
+    from keycloak_event_stream_spark.llm import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        mm.resize_image(b"xx", 8, 8)

@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "q_multimodal_media",
     "q_sketch_hll",
     "q_sketch_quantiles",
+    "q_multimodal_frames",
 }
 
 
