@@ -50,7 +50,7 @@ def _q(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 @F.udf(returnType=T.StringType())
-def _reverse_udf(s: str) -> str | None:
+def _reverse_udf(s):
     return s[::-1] if s is not None else None
 
 

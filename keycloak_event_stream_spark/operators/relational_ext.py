@@ -571,3 +571,74 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@_q(
+    "q_corr_moments",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM m
+    """,
+)
+def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments (one pass, five
+    sums), final arithmetic in double — order-independent and engine-
+    identical, unlike corr()'s streaming covariance accumulation."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("n", corr.alias("corr_qty_price"))
+
+
+@_q(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor(o_totalprice / 50000) + 1 END AS INTEGER)
+             AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: a single hash agg on the
+    bucket id — the profile query that replaces collecting values to
+    the driver for binning."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    b = F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+    return o.groupBy(b.cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
