@@ -93,3 +93,44 @@ def test_builder_time_range_pushes_raw_bounds(spark):
     )
     assert "ts_nanos" not in q.columns  # helper column dropped from output
     assert "GreaterThanOrEqual(ts,17" in _plan(q)
+
+
+def test_join_strategy_hints_respected(spark, queries):
+    from keycloak_event_stream_spark.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    shj = orders.join(
+        cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+    )
+    assert "ShuffledHashJoin" in _plan(shj)
+    smj = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    assert "SortMergeJoin" in _plan(smj)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter prunes fact partitions at runtime (DPP):
+    the fact scan's PartitionFilters carries a dynamicpruning
+    subquery instead of scanning every dt."""
+    from pyspark.sql import functions as F
+
+    from keycloak_event_stream_spark.catalog import load_table
+
+    fact_path = str(tmp_path / "fact")
+    ev = load_table(spark, SF, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("dt").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dts = [r.dt for r in fact.select("dt").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, "keep" if i == 0 else "drop") for i, d in enumerate(sorted(dts))],
+        "dt string, flag string",
+    )
+    joined = fact.join(dim.filter(F.col("flag") == "keep"), "dt")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower()
+    # correctness: only the kept partition's rows survive
+    assert joined.count() == fact.filter(F.col("dt") == sorted(dts)[0]).count()
