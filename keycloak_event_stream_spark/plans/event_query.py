@@ -210,6 +210,28 @@ class EventQueryBuilder:
         helper = [c for c in df.columns if c.endswith("_nanos")]
         return df.drop(*helper) if helper else df
 
+    # -- terminal operations (the reference's getResultStream surface) --
+    def collect(self, timeout_s: float | None = None) -> list:
+        """Materialize results; with ``timeout_s``, bounded by a
+        cancellable deadline — the reference's query completion budget
+        (poll x attempts, ``AbstractAthenaQuery.java:108-142``) done
+        engine-side."""
+        df = self.to_df()
+        if timeout_s is None:
+            return df.collect()
+        from keycloak_event_stream_spark.plans.deadline import (
+            collect_with_deadline,
+        )
+
+        return collect_with_deadline(df, timeout_s)
+
+    def to_local_iterator(self):
+        """Lazy result stream: rows arrive partition-by-partition
+        instead of the reference's full materialization into a List
+        (``AbstractAthenaQuery.java:60,86``) — constant driver memory on
+        unbounded results."""
+        return self.to_df().toLocalIterator()
+
 
 # ---------------------------------------------------------------------------
 # Registry entries: the reference's canonical query shapes on the fixture

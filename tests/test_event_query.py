@@ -119,3 +119,19 @@ def test_partition_pruning_predicates_derived(spark, tmp_path):
         (F.col("ts") >= "2024-01-02 00:00:00") & (F.col("ts") <= "2024-01-02 23:59:59")
     ).count()
     assert len(rows) == expect
+
+
+def test_collect_terminal_with_deadline(events_df):
+    rows = (
+        EventQueryBuilder(events_df)
+        .types("click")
+        .max_results(5)
+        .collect(timeout_s=60)
+    )
+    assert len(rows) == 5 and all(r.event_type == "click" for r in rows)
+
+
+def test_to_local_iterator_streams_rows(events_df):
+    it = EventQueryBuilder(events_df).order_by_ascending().to_local_iterator()
+    first = next(it)
+    assert first.event_id == 0
