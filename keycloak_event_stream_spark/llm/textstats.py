@@ -277,3 +277,35 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "term", "tf", "df", "tfidf")
     )
+
+
+@_q(
+    "q_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+    FROM documents
+    """,
+)
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over the
+    token stream: fp = fold(acc*31 + h(w) mod p). Order-sensitive —
+    unlike the md5-of-normalized-text fingerprint, permuted documents
+    get different fingerprints; the primitive behind content-defined
+    chunking and shift-resistant dedup. Per-row fold, scan speed."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    expr = (
+        "aggregate(transform(split(text, ' '), "
+        "w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(expr).alias("rolling_fp"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
