@@ -734,3 +734,65 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.subtract(s)
+
+
+def _asof_pandas_group(pdf):
+    """Per-user as-of match via pd.merge_asof (sorted backward search)."""
+    import pandas as pd
+
+    probes = (
+        pdf[pdf["is_probe"] == 1][["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "purchase_id", "ts": "purchase_ts"})
+        .sort_values("purchase_ts")
+    )
+    refs = (
+        pdf[pdf["is_probe"] == 0][["event_id", "ts"]]
+        .rename(columns={"event_id": "last_click_id", "ts": "last_click_ts"})
+        .sort_values(["last_click_ts", "last_click_id"])
+    )
+    if probes.empty:
+        return probes.assign(last_click_id=pd.Series(dtype="float64"),
+                             last_click_ts=pd.Series(dtype="datetime64[us]"))
+    merged = pd.merge_asof(
+        probes,
+        refs,
+        left_on="purchase_ts",
+        right_on="last_click_ts",
+        direction="backward",  # latest ref at-or-before the probe
+    )
+    return merged[["purchase_id", "user_id", "purchase_ts",
+                   "last_click_id", "last_click_ts"]]
+
+
+@_q("q_join_asof_pandas", oracle=ORACLE["q_join_asof"])
+def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, custom-operator formulation: one shuffle on user_id,
+    then ``pd.merge_asof`` per group via applyInPandas — the pattern for
+    as-of semantics Spark expressions can't reach (e.g. nearest-within-
+    tolerance, non-key side conditions). Same oracle as the window-idiom
+    q_join_asof, so the two implementations cross-validate.
+
+    Tie detail: refs sort by (ts, id) so merge_asof's backward search
+    lands on the max event_id among equal-ts clicks — matching the
+    window idiom and DuckDB ASOF."""
+    from pyspark.sql import types as T
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_probe")
+    )
+    both = p.unionByName(c)
+    schema = T.StructType(
+        [
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+            T.StructField("last_click_id", T.DoubleType()),
+            T.StructField("last_click_ts", T.TimestampType()),
+        ]
+    )
+    out = both.groupBy("user_id").applyInPandas(_asof_pandas_group, schema)
+    return out.withColumn("last_click_id", F.col("last_click_id").cast("long"))

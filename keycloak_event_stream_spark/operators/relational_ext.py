@@ -642,3 +642,79 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@_q(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, CASE WHEN user_id % 7 = 0 THEN NULL
+                            ELSE user_id END AS k
+      FROM events WHERE event_type = 'signup'
+    ),
+    b AS (
+      SELECT event_id, CASE WHEN user_id % 7 = 0 THEN NULL
+                            ELSE user_id END AS k
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics gap that
+    loses rows when joining on nullable business keys. Still a hash
+    join (NULL hashes to a bucket like any value)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    k = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("id_a"), k.alias("k")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_b"), k.alias("kb")
+    )
+    return a.join(b, a.k.eqNullSafe(b.kb)).select("id_a", "id_b", "k")
+
+
+@_q(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_custkey AS c_custkey,
+             max(o_totalprice) AS new_bal
+      FROM orders WHERE o_totalprice > 450000
+      GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+           coalesce(u.new_bal, c.c_acctbal) AS acctbal,
+           (u.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL) AS updated,
+           (c.c_custkey IS NULL) AS inserted
+    FROM customer c
+    FULL JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without a table format (Delta/Iceberg):
+    full-outer join of base vs updates, fields coalesced — matched rows
+    update, unmatched update-side rows insert, the rest carry over.
+    This plus an overwrite of affected partitions is the plain-parquet
+    CDC idiom; with a lakehouse format the same logic is MERGE INTO."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        spread(load_table(spark, sf_dir, "orders"))
+        .filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.max("o_totalprice").alias("new_bal"))
+    )
+    merged = c.join(updates, c.c_custkey == updates.u_custkey, "full")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("u_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias("acctbal"),
+        (F.col("u_custkey").isNotNull() & F.col("c_custkey").isNotNull()).alias(
+            "updated"
+        ),
+        F.col("c_custkey").isNull().alias("inserted"),
+    )
