@@ -39,6 +39,12 @@ HEADLINE = [
     "q_sim_search",
     "q_tfidf",
     "q_eventstore_canonical",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_sessionize",
+    "q_dedup_components",
+    "q_sim_search_lsh",
 ]
 
 
