@@ -298,3 +298,89 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("c_acctbal").alias("bal_missing"),
         F.ifnull(F.lit(None), F.col("c_custkey")).alias("keyed"),
     )
+
+
+@_q(
+    "q_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE string_split(text, ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, unnest(coalesce(toks, [NULL])) AS tok
+    FROM src
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: null/empty arrays keep their parent row (with a
+    NULL element) instead of dropping it — the null-preserving UDTF
+    variant plain explode silently loses rows to."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.when(
+        F.col("doc_id") % 5 == 0, F.lit(None).cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@_q(
+    "q_map_higher_order",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           k_val * 2 AS k_doubled,
+           'v_' || CAST(k_val AS VARCHAR) AS k_tagged
+    FROM m
+    """,
+)
+def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions: transform_values / transform_keys
+    rewrite a MapType in place (JVM lambda, no explode+regroup). Scalar
+    projections of the transformed map keep the oracle engine-neutral."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    tagged = F.transform_keys(m, lambda k, _: F.concat(F.lit("v_"), k))
+    # project entries back out as scalars via element_at
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.element_at(
+            F.map_values(
+                F.transform_values(tagged, lambda _, v: v.cast("string"))
+            ),
+            1,
+        ).alias("k_tagged_val"),
+    ).select(
+        "event_id",
+        "k_doubled",
+        F.concat(F.lit("v_"), F.col("k_tagged_val")).alias("k_tagged"),
+    )
+
+
+@_q(
+    "q_agg_bool",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99)  AS any_big,
+           count(*) FILTER (WHERE value > 50) AS n_over50,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: every/some (bool_and/bool_or)
+    and filtered counts (count_if = COUNT(*) FILTER)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 99).alias("any_big"),
+        F.count_if(F.col("value") > 50).alias("n_over50"),
+        F.count(F.lit(1)).alias("n"),
+    )

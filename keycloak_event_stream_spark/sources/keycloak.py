@@ -191,23 +191,37 @@ def blank_as_null(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 def decoded_user_events(
-    df: DataFrame, valid_event_types: frozenset[str] | None = None
+    df: DataFrame,
+    valid_event_types: frozenset[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Typed read view of the flat user-events table: blank≡null (F12),
     ``details`` map recomposed from JSON (S7), ``ts`` timestamp from
     epoch millis. ``valid_event_types`` mirrors the strict
     ``EventType.valueOf`` decode (AthenaEventQuery.java:213-219): rows
     with unknown types get ``eventtype_valid = false`` — a filterable
-    CHECK, rather than the reference's per-row exception."""
+    CHECK — or, with ``strict=True``, raise at execution exactly like
+    the reference's per-row ``IllegalArgumentException``."""
     out = blank_as_null(df, [c for c in USER_EVENT_COLUMNS if c != "time"])
     out = out.withColumn("details", F.from_json("detailsjson", _DETAILS))
     out = out.withColumn("ts", F.timestamp_millis(F.col("time")))
     if valid_event_types is not None:
-        out = out.withColumn(
-            "eventtype_valid",
-            F.col("eventtype").isin(sorted(valid_event_types))
-            | F.col("eventtype").isNull(),
-        )
+        valid = F.col("eventtype").isin(sorted(valid_event_types)) | F.col(
+            "eventtype"
+        ).isNull()
+        if strict:
+            out = out.withColumn(
+                "eventtype",
+                F.when(valid, F.col("eventtype")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("unknown event type: "), F.col("eventtype")
+                        )
+                    )
+                ),
+            )
+        else:
+            out = out.withColumn("eventtype_valid", valid)
     return out
 
 

@@ -192,3 +192,26 @@ def test_detailsjson_roundtrip_property(spark):
         assert (out or {}) == details or (out is None and not details)
 
     roundtrip()
+
+
+def test_strict_decode_raises_on_unknown_type(store):
+    """strict=True reproduces the reference's EventType.valueOf throw
+    (AthenaEventQuery.java:213-219) at execution time."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = kc.decoded_user_events(
+        store.user_events(),
+        valid_event_types=frozenset({"LOGIN", "LOGOUT"}),
+        strict=True,
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        df.collect()  # LOGIN_ERROR row trips the strict decode
+    assert "unknown event type" in str(exc.value)
+    # strict decode over only-valid rows passes
+    ok = kc.decoded_user_events(
+        store.user_events().filter("eventtype <> 'LOGIN_ERROR'"),
+        valid_event_types=frozenset({"LOGIN", "LOGOUT"}),
+        strict=True,
+    )
+    assert ok.count() == 2
