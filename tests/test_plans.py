@@ -134,3 +134,47 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # correctness: only the kept partition's rows survive
     assert joined.count() == fact.filter(F.col("dt") == sorted(dts)[0]).count()
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, queries):
+    plan = _plan(queries["q_tpch_q5"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """A hot key (99% of rows) triggers AQE's skew-join splitting once
+    thresholds are in range — the runtime answer to key skew that needs
+    no manual salting."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        F.lpad(F.col("id").cast("string"), 100, "x").alias("pad"),
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # keep the wide pad column through the shuffle so the hot
+        # partition's bytes clearly cross the skew threshold
+        joined = left.join(right, "k").select("k", "pad", "w")
+        rows = joined.collect()  # execute THIS plan so AQE finalizes it
+        assert len(rows) == 198_010  # hot key 7 + distinct ids < 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
