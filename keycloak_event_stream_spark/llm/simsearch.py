@@ -227,3 +227,75 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "vec_id", "bucket", "cosine", "rank")
     )
+
+
+def _pandas_scorer(queries_bc):
+    """Build a mapInPandas scorer over a broadcast query set. Broadcast
+    variable, not closure capture: the query matrix ships to each
+    executor once instead of re-pickling per task (the guide's closure
+    pitfall). Accumulation is dim-sequential so cosines match the JVM
+    fold and DuckDB bitwise."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qs = queries_bc.value  # list of (q_id, vector)
+        qmat = np.array([v for _, v in qs])  # (nq, dim)
+        qnorm = np.zeros(len(qs))
+        for d in range(qmat.shape[1]):
+            qnorm += qmat[:, d] * qmat[:, d]
+        qnorm = np.sqrt(qnorm)
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy())  # (batch, dim)
+            vnorm = np.zeros(mat.shape[0])
+            for d in range(mat.shape[1]):
+                vnorm += mat[:, d] * mat[:, d]
+            vnorm = np.sqrt(vnorm)
+            out = {"q_id": [], "vec_id": [], "cosine": []}
+            for qi, (q_id, _) in enumerate(qs):
+                dot = np.zeros(mat.shape[0])
+                for d in range(mat.shape[1]):
+                    dot += qmat[qi, d] * mat[:, d]
+                cos = dot / (qnorm[qi] * vnorm)
+                keep = pdf["vec_id"].to_numpy() != q_id
+                out["q_id"].extend([q_id] * int(keep.sum()))
+                out["vec_id"].extend(pdf["vec_id"].to_numpy()[keep])
+                out["cosine"].extend(cos[keep])
+            yield pd.DataFrame(out)
+
+    return score
+
+
+@_q("q_sim_search_pandas", oracle=ORACLE["q_sim_search"])
+def q_sim_search_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN with Arrow-batch numpy scoring: the query set is
+    a broadcast variable; each corpus batch is scored against all
+    queries in vectorized numpy, then the JVM window takes top-k. Same
+    oracle as the JVM-fold q_sim_search — the two scorers cross-
+    validate bitwise. The Python path wins once dim x n_queries makes
+    per-row JVM folds expression-heavy."""
+    from pyspark.sql import types as T
+
+    e = _emb(spark, sf_dir)
+    q_rows = [
+        (r.vec_id, list(r.v))
+        for r in e.filter(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    queries_bc = spark.sparkContext.broadcast(q_rows)
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = e.select("vec_id", "v").mapInPandas(
+        _pandas_scorer(queries_bc), schema
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )

@@ -182,3 +182,47 @@ def test_foreach_batch_fan_out_idempotent(spark, tmp_path):
     partitioned_batch_sink(out_a)(first, 0)
     assert spark.read.parquet(out_a).count() == 20  # no duplicates
     assert os.path.isdir(out_a + "/batch_id=0")
+
+
+def test_update_mode_reemits_changed_groups(spark, tmp_path):
+    """Update output mode: a group re-emits each batch its aggregate
+    changes; the memory sink accumulates one row per (group, change) —
+    the mode for downstream upsert sinks."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "user_id long, n long"
+
+    def write(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={i}"
+        )
+        _t.sleep(1.1)
+
+    write(1, [(1, 1), (1, 1), (2, 1)])
+    write(2, [(1, 1)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("upd_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emits = sorted(
+        (r.user_id, r.cnt) for r in spark.table("upd_sink").collect()
+    )
+    # user 1: emitted at cnt=2 (batch 1) and again at cnt=3 (batch 2);
+    # user 2: once at cnt=1, not re-emitted (unchanged in batch 2)
+    assert emits == [(1, 2), (1, 3), (2, 1)]
