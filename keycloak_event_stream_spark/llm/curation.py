@@ -1,0 +1,368 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The north-star mandate (BASELINE.json) asks for the operations a
+large-scale training-data pipeline needs beyond the reference's event
+query surface (reference has none of these — SURVEY.md §2.2):
+chunking long documents into model-window pieces, decontaminating the
+training set against an eval set, scrubbing PII, Gopher-style quality
+filtering, and deterministic per-group sampling.
+
+Scale posture: every operator here is a narrow per-row pipeline
+(chunk/scrub/quality/sample) or a single well-keyed shuffle
+(decontaminate joins on the n-gram hash). Nothing collects to the
+driver; all string work is JVM-side built-ins so it stays inside
+whole-stage codegen on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Chunking: split documents into overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 40  # window size in whitespace tokens
+_CHUNK_STRIDE = 30  # stride (overlap = window - stride)
+
+
+@_q(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.start / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           array_to_string(
+             list_slice(words, s.start + 1, s.start + {_CHUNK_WORDS}),
+             ' ') AS chunk_text,
+           CAST(len(list_slice(words, s.start + 1, s.start + {_CHUNK_WORDS}))
+                AS INTEGER) AS n_chunk_words
+    FROM toks, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n_words AS INTEGER) - 1,
+                                    {_CHUNK_STRIDE})) AS start
+    ) s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping {window}-token chunks with
+    stride {stride} — the standard pre-tokenization step that turns
+    variable-length documents into model-window training rows.
+
+    Pure generate-and-slice on the token array (sequence -> transform ->
+    explode): per-row fan-out with no shuffle, so a 100 TB corpus chunks
+    at scan speed and the output inherits the input partitioning.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(0), F.size(words) - F.lit(1), F.lit(_CHUNK_STRIDE)
+    )
+    exploded = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(starts).alias("start"),
+    )
+    chunk = F.slice(F.col("words"), F.col("start") + 1, _CHUNK_WORDS)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap between the training and eval splits
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # n-gram width for contamination matching
+
+
+@_q(
+    "q_decontaminate",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0, CAST(len(string_split(text, ' '))
+                                       AS INTEGER) - {_DECON_N}),
+               i -> array_to_string(
+                 list_slice(string_split(text, ' '), i + 1, i + {_DECON_N}),
+                 ' '))) AS gram
+      FROM documents
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ),
+    train_grams AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE source <> 'src0'
+    ),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word {n}-gram with the held-out eval split (source = 'src0' stands
+    in for the eval set on the fixture corpus).
+
+    Shape: per-row shingling (no shuffle) -> distinct -> equi-join on
+    the n-gram -> count per doc. The eval side is the distinct n-gram
+    set of the *eval corpus* — tiny relative to training data (benchmark
+    suites are MBs against a 100 TB train set), so Catalyst broadcasts
+    it and the whole check runs without shuffling the training grams.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(words) - F.lit(_DECON_N))
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(
+                    F.slice(words, i + 1, _DECON_N), " "
+                ),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == "src0").select("gram").distinct()
+    )
+    train_grams = (
+        grams.filter(F.col("source") != "src0")
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train_docs = d.filter(F.col("source") != "src0").select("doc_id")
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction with audit counts
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+@_q(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_SSN}', '<SSN>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INTEGER)
+             AS n_ssns,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text, '{_PII_SSN}', '<SSN>', 'g'),
+             '{_PII_PHONE}')) AS INTEGER) AS n_phones
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace emails, SSNs, then phone numbers with
+    typed placeholders and count each redaction class for the audit
+    log. SSN runs before phone because the two digit shapes overlap —
+    order is part of the contract (and the phone count is taken after
+    SSN redaction for the same reason).
+
+    Pure regexp_replace chain: per-row, codegen'd, no shuffle — scrubbing
+    is scan-speed at any corpus size. The fixture corpus contains no PII
+    (the chain is a verified no-op there); `tests/test_curation.py`
+    proves actual redaction on adversarial literals.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_SSN,
+            "<SSN>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_SSN), 0)).alias(
+            "n_ssns"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace("text", _PII_SSN, "<SSN>"),
+                F.lit(_PII_PHONE),
+                0,
+            )
+        ).alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_MIN_WORDS, _MAX_WORDS = 15, 100000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+
+
+@_q(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             (CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / n_chars AS symbol_ratio,
+             CAST(len(list_intersect(string_split(text, ' '),
+                                     {_GOPHER_STOPWORDS})) AS INTEGER)
+               AS n_distinct_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, symbol_ratio,
+           n_distinct_stop,
+           n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS} AS ok_length,
+           mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL} AS ok_word_len,
+           symbol_ratio <= 0.1 AS ok_symbols,
+           n_distinct_stop >= 2 AS ok_stopwords,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+             AND (mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+             AND symbol_ratio <= 0.1
+             AND n_distinct_stop >= 2 AS keep
+    FROM feat
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021, public heuristics):
+    word-count bounds, mean word length bounds, symbol-to-char ratio,
+    and distinct-stopword floor, each surfaced as its own flag plus a
+    combined ``keep``. Surfacing per-rule flags (not just the verdict)
+    is what lets a pipeline audit WHY documents were dropped.
+
+    All flags are per-row built-ins — the gate filters a 100 TB corpus
+    at scan speed with zero shuffles.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mwl = (F.col("n_chars").cast("double") - (n_words - F.lit(1))) / n_words
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, stop_arr))
+    ok_length = (n_words >= _MIN_WORDS) & (n_words <= _MAX_WORDS)
+    ok_word_len = (mwl >= _MIN_MWL) & (mwl <= _MAX_MWL)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_stopwords = n_stop >= 2
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_distinct_stop"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_symbols & ok_stopwords).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+
+@_q(
+    "q_sample_per_group",
+    oracle=f"""
+    SELECT doc_id, source, rk
+    FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+      FROM documents
+    ) WHERE rk <= {_SAMPLE_K}
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per source: order each group by a
+    cryptographic hash of the key and keep the first k — the
+    deterministic, engine-portable equivalent of per-group reservoir
+    sampling (any md5 prefix is uniform, and the sample is reproducible
+    run-to-run, which `TABLESAMPLE`/`rand()` are not).
+
+    One shuffle on the group key; the window never materializes more
+    than a partition. At 100 TB, groups are processed independently —
+    skewed groups can be pre-aggregated with the salted two-phase
+    pattern (q_agg_salted_twophase) if a single source dominates.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SAMPLE_K)
+    )

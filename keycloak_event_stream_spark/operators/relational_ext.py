@@ -766,3 +766,61 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc())
     )
+
+
+_BIN_SECONDS = 900  # 15-minute range-join bins
+
+
+@_q(
+    "q_join_range_binned",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           e.ts AS error_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 15 MINUTE
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key — all clicks within 15 minutes
+    after any error — executed as an equi join on time bins.
+
+    A naive `ON c.ts BETWEEN e.ts AND e.ts + 15min` has no equi
+    component, so Spark plans a BroadcastNestedLoopJoin: O(n*m)
+    predicate evaluations, the classic 100 TB cliff. Binning restores
+    an equi key: with bin width = band width, a matching click is
+    always in the error's bin or the next one, so each error row is
+    expanded to 2 (bin, bin+1) keys, the join becomes a hash join on
+    `bin`, and the exact band predicate is re-applied after. Cost drops
+    from |errors|x|clicks| to sum over bins of the local product —
+    linear in data size for time-distributed events, and it shuffles
+    both sides by bin, which AQE can further skew-split.
+    `tests/test_plans.py` pins the no-BNLJ promise.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    bin_of = lambda c: (F.unix_micros(c) / F.lit(_BIN_SECONDS * 1_000_000)).cast(
+        "bigint"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.explode(
+            F.array(bin_of(F.col("ts")), bin_of(F.col("ts")) + 1)
+        ).alias("bin"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        bin_of(F.col("ts")).alias("bin"),
+    )
+    return (
+        e.join(c, "bin")
+        .filter(
+            (F.col("click_ts") >= F.col("error_ts"))
+            & (
+                F.col("click_ts")
+                < F.col("error_ts") + F.expr("INTERVAL 15 MINUTE")
+            )
+        )
+        .select("error_id", "click_id", "error_ts", "click_ts")
+    )

@@ -29,6 +29,7 @@ _MODULES = [
     "keycloak_event_stream_spark.llm.textstats",
     "keycloak_event_stream_spark.llm.multimodal",
     "keycloak_event_stream_spark.llm.sampling",
+    "keycloak_event_stream_spark.llm.curation",
 ]
 
 

@@ -353,3 +353,33 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return _run_to_memory(joined, "append")
+
+
+@_q(
+    "s_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name AS customer_name, c.c_nationkey AS nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a
+    static dimension (customer) on user_id. The static side needs no
+    watermark and holds no state — Spark re-plans it per micro-batch
+    and (dimension-sized) broadcasts it, so enrichment adds zero
+    stateful operators and scales with the stream alone. This is the
+    production shape for attaching realm/user metadata to the
+    reference's event firehose (FirehoseEventStoreProvider.java:67-76
+    emits bare events; enrichment there requires a second Keycloak
+    lookup per event)."""
+    stream = read_stream_events(spark, sf_dir)
+    customer = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        F.col("c_custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    joined = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey
+    ).select("event_id", "user_id", "event_type", "customer_name", "nationkey")
+    return _run_to_memory(joined, "append")
