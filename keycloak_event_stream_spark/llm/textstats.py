@@ -309,3 +309,90 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(expr).alias("rolling_fp"),
         F.size(F.split("text", " ")).alias("n_words"),
     )
+
+
+@_q(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM cnt)
+    SELECT term, cnt, CAST(cnt AS DOUBLE) / total AS share
+    FROM cnt CROSS JOIN tot
+    WHERE cnt * 200 > total
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: terms holding > 0.5% of all token
+    occurrences — the vocabulary-pruning / stopword-discovery primitive
+    (the exact ground truth a Count-Min or SpaceSaving sketch
+    approximates; see operators/sketches.py for the sketched tier).
+
+    Shape: explode -> count by term (partial agg absorbs the fan-out
+    map-side) -> broadcast the single total -> integer-arithmetic
+    filter (cnt * 200 > total avoids float thresholds). The term-count
+    table is vocabulary-sized, orders smaller than the corpus."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 200 > F.col("total"))
+        .select(
+            "term",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+@_q(
+    "q_char_ngram_profile",
+    oracle="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, CAST(length(text) AS INTEGER) - 2),
+               i -> substr(text, i, 3))) AS gram
+      FROM documents
+    ),
+    cnt AS (SELECT lang, gram, count(*) AS cnt FROM grams GROUP BY lang, gram)
+    SELECT lang, gram, cnt, rk FROM (
+      SELECT lang, gram, cnt,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC, gram) AS INTEGER) AS rk
+      FROM cnt
+    ) WHERE rk <= 10
+    """,
+)
+def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the feature table real
+    language-ID models (textcat, CLD) are built from; q_lang_id's
+    thresholds are the degenerate 1-gram case of this profile.
+
+    Trigram fan-out is per-row (sequence -> transform -> explode, no
+    shuffle); the count shuffle is keyed (lang, gram) and the windowed
+    top-k runs on the already-aggregated (small) profile table."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "gram", "cnt", "rk")
+    )

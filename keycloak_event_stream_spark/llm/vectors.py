@@ -1,0 +1,174 @@
+"""Vector/embedding column operators for LLM data pipelines.
+
+Preprocessing the `embeddings` table (array<float>, 64-dim) the way a
+training/serving pipeline does before indexing: L2 normalization,
+per-class centroids, and int8 scalar quantization. Complements
+:mod:`.simsearch` (which consumes these vectors for ANN).
+
+Determinism discipline: float reductions are expressed as explicit
+sequential left folds (``aggregate``/``list_reduce``) or folds over a
+key-ordered ``collect_list`` — never engine-managed double aggregation,
+whose accumulation order is a partitioning accident (see
+``operators/_exact.py``). sqrt/division are IEEE correctly-rounded, so
+fold-identical inputs give bitwise-identical outputs on any engine.
+
+Scale: normalize/quantize are per-row transforms (scan speed, no
+shuffle). The centroid is one shuffle keyed by (label, dim) —
+64x|labels| cells regardless of corpus size, so the reduce side is tiny
+even at 100 TB; the ordered-fold ``collect_list`` per (label, dim)
+group holds one double per input row of that label, the same residency
+as any exact mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_SSQ = (
+    "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)"
+)  # sequential left fold — order-pinned, engine-portable
+
+
+@_q(
+    "q_embed_norm",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(v, x -> x * x)), (a, b) -> a + b)) AS l2,
+           list_transform(v, x -> x / sqrt(
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (a, b) -> a + b))) AS unit
+    FROM t
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings to unit vectors (plus the norm itself) —
+    the standard prep so cosine similarity reduces to a dot product in
+    every downstream ANN query. Per-row higher-order functions only:
+    zero shuffles, codegen'd, scan speed at any corpus size."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(f"sqrt({_SSQ})").alias("l2"),
+        F.expr(f"transform(v, x -> x / sqrt({_SSQ}))").alias("unit"),
+    )
+
+
+@_q(
+    "q_embed_centroid",
+    oracle="""
+    WITH cell AS (
+      SELECT label, s.pos,
+             CAST(embedding[s.pos + 1] AS DOUBLE) AS val, vec_id
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos) s
+    ),
+    dim AS (
+      SELECT label, pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(val ORDER BY vec_id)), (a, b) -> a + b)
+               / count(*) AS mean_val
+      FROM cell GROUP BY label, pos
+    )
+    SELECT label, list(mean_val ORDER BY pos) AS centroid
+    FROM dim GROUP BY label
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label centroid: posexplode to (label, dim) cells, mean
+    per cell as a vec_id-ordered sequential fold (bitwise-portable,
+    unlike engine-order double sums), reassembled into a 64-dim array.
+
+    The shuffle key is (label, dim): the aggregate output is
+    |labels| x 64 cells however large the input — the classic
+    "tall-skinny reduction" that makes k-means-style steps cheap on a
+    100 TB corpus."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = e.select(
+        "label", "vec_id", F.posexplode("v").alias("pos", "val")
+    )
+    dim = cells.groupBy("label", "pos").agg(
+        (
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, val))),"
+                " s -> s.val), cast(0.0 as double), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    return dim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean_val))),"
+            " s -> s.mean_val)"
+        ).alias("centroid")
+    )
+
+
+@_q(
+    "q_embed_quantize",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    rng AS (
+      SELECT vec_id, v,
+             list_min(v) AS mn, list_max(v) AS mx
+      FROM t
+    )
+    SELECT vec_id, mn, mx,
+           list_transform(v, x -> CAST(least(
+             floor((x - mn) * 255.0 / (mx - mn)), 255.0) AS INTEGER) - 128)
+             AS q8
+    FROM rng
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization: map [min, max] to
+    [-128, 127] with floor binning (floor, not round — round's tie
+    behavior is engine-specific, floor is IEEE-exact everywhere). The
+    4x-compression step before shipping vectors to an index; per-row,
+    no shuffle. min/max/scale ride along for dequantization."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rng = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    return rng.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.expr(
+            "transform(v, x -> cast(least("
+            "floor((x - mn) * 255.0 / (mx - mn)), 255.0d) as int) - 128)"
+        ).alias("q8"),
+    )

@@ -30,6 +30,7 @@ _MODULES = [
     "keycloak_event_stream_spark.llm.multimodal",
     "keycloak_event_stream_spark.llm.sampling",
     "keycloak_event_stream_spark.llm.curation",
+    "keycloak_event_stream_spark.llm.vectors",
 ]
 
 

@@ -1,0 +1,54 @@
+"""Vector-operator semantics (llm/vectors.py). Oracle parity is proven
+by the harness; these pin the mathematical invariants."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.llm.vectors import (
+    q_embed_centroid,
+    q_embed_norm,
+    q_embed_quantize,
+)
+from tests.conftest import SF_DIR
+
+
+def test_embed_norm_unit_length(spark):
+    rows = q_embed_norm(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["l2"] > 0
+        unit_l2 = math.sqrt(sum(x * x for x in r["unit"]))
+        assert abs(unit_l2 - 1.0) < 1e-9
+        assert len(r["unit"]) == 64
+
+
+def test_embed_centroid_matches_plain_mean(spark):
+    cents = {r["label"]: r["centroid"] for r in q_embed_centroid(spark, SF_DIR).collect()}
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r["v"])
+    assert set(cents) == set(by_label)
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        for d in range(64):
+            expect = sum(v[d] for v in vecs) / n
+            assert abs(cents[label][d] - expect) < 1e-12
+
+
+def test_embed_quantize_bounds_and_monotonic(spark):
+    rows = q_embed_quantize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["mn"] < r["mx"]
+        assert all(-128 <= q <= 127 for q in r["q8"])
+        # extremes map to the ends of the range
+        assert max(r["q8"]) == 127
+        assert min(r["q8"]) == -128
