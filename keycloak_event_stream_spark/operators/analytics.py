@@ -1,0 +1,258 @@
+"""Event-analytics composites over the events table.
+
+The reference's query surface stops at filter/sort/paginate of raw
+events (SURVEY.md §2.1 F1-F7); the questions its users actually ask of
+an event store — conversion funnels, cohort retention, outlier-robust
+value distributions, activity fingerprints — are these composites.
+All built-in Catalyst; determinism via total orders and integer/exact
+arithmetic only.
+
+Scale notes inline per operator; the common theme is that every
+aggregate here is keyed by user/cohort/type, so the shuffles are
+pre-reduced map-side and the result tables are small regardless of raw
+event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT s.user_id, min(e.ts) AS t_click
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click'
+       AND e.ts > s.t_signup
+      GROUP BY s.user_id
+    ),
+    p AS (
+      SELECT c.user_id, min(e.ts) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t_click
+      GROUP BY c.user_id
+    )
+    SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS INTEGER) AS stage
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: each
+    stage's timestamp is the earliest qualifying event STRICTLY AFTER
+    the previous stage (the textbook funnel, not mere per-type
+    existence). Three keyed joins on user_id — at 100 TB each stage
+    input is the per-user min table (|users| rows, map-side reduced),
+    not the raw event log, so the join sides shrink monotonically."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        s.join(
+            ev.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+            ),
+            (F.col("user_id") == F.col("cu")) & (F.col("cts") > F.col("t_signup")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("t_click"))
+    )
+    p = (
+        c.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+            ),
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("t_click")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t_purchase"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+@_q(
+    "q_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort, CAST(day_offset AS INTEGER) AS day_offset,
+           count(*) AS n_users
+    FROM active
+    WHERE day_offset <= 7
+    GROUP BY cohort, day_offset
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later day they return (offsets 0..7). Two keyed aggregations
+    plus one join on user_id; the first-day table is |users|-sized and
+    the result is |cohorts| x 8 — tiny at any event volume. The
+    distinct collapses same-day repeat activity map-side."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    first_day = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort")
+    )
+    active = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        active.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_q(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n * 1 + 99) // 100 THEN value END) AS p01,
+             min(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value, b.p01, b.p99,
+           least(greatest(r.value, b.p01), b.p99) AS clipped
+    FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's exact
+    [p01, p99] band, percentiles as nearest-rank order statistics
+    (rank = ceil(q*n) via integer arithmetic — no interpolation, no
+    float thresholds, so every engine picks the identical row; ties
+    broken by event_id for a total order).
+
+    The window ranks within event_type — one shuffle; bounds are
+    |types| rows and broadcast back. At 100 TB the exact rank pass is
+    the expensive-but-honest tier; the sketched tier is
+    q_sketch_quantiles."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == ((F.col("n") * 1 + 99) / 100).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p01"),
+        F.min(
+            F.when(
+                F.col("rn") == ((F.col("n") * 99 + 99) / 100).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p99"),
+    )
+    return ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "p01",
+        "p99",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "clipped"
+        ),
+    )
+
+
+@_q(
+    "q_activity_bitmap",
+    oracle="""
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << (date_part('day', ts) - 1))
+             AS day_mask,
+           CAST(count(DISTINCT date_part('day', ts)) AS INTEGER)
+             AS n_active_days
+    FROM events GROUP BY user_id
+    """,
+)
+def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity fingerprint: day-of-month presence packed into
+    one int64 via bit_or (bit d-1 = active on day d). The roaring-
+    bitmap idea in miniature — set membership as a fixed-width integer
+    aggregate that is associative/commutative (perfect map-side
+    combining) and 8 bytes per user however many events. Bitmap AND/OR
+    then answers audience-overlap questions without touching raw
+    events."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    day = F.dayofmonth("ts")
+    # shiftleft's python binding takes only a literal shift — go through
+    # the SQL expression for a column-valued shift
+    mask_bit = F.expr("shiftleft(cast(1 as bigint), dayofmonth(ts) - 1)")
+    return ev.groupBy("user_id").agg(
+        F.bit_or(mask_bit).alias("day_mask"),
+        F.countDistinct(day).alias("n_active_days"),
+    )
