@@ -45,6 +45,12 @@ HEADLINE = [
     "q_sessionize",
     "q_dedup_components",
     "q_sim_search_lsh",
+    "q_chunk_documents",
+    "q_decontaminate",
+    "q_embed_centroid",
+    "q_funnel",
+    "q_winsorize",
+    "q_join_range_binned",
 ]
 
 

@@ -396,3 +396,69 @@ def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang", "gram", "cnt", "rk")
     )
+
+
+@_q(
+    "q_vocab_coverage",
+    oracle="""
+    WITH cnt AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM cnt GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    ranked AS (
+      SELECT term, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER)
+               AS rk,
+             sum(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM vocab
+    )
+    SELECT rk, term, cnt,
+           CAST(cum_cnt AS DOUBLE) / total AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE cum_cnt * 10 <= total * 9 OR (cum_cnt - cnt) * 10 < total * 9
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: terms by descending frequency with the
+    running share of corpus tokens covered, truncated to the smallest
+    prefix reaching 90% coverage — the sizing tool for tokenizer
+    vocabularies and stopword cutoffs. The threshold test is integer
+    cross-multiplication (cum*10 vs total*9), not a float compare, so
+    the emitted prefix is engine-exact.
+
+    The ORDER BY over the whole vocabulary is a single-partition window
+    — correct here because the input is the *aggregated* vocabulary
+    (orders smaller than the corpus), never the raw token stream."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = vocab.select(
+        "term",
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cum_cnt"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum_cnt") * 10 <= F.col("total") * 9)
+            | ((F.col("cum_cnt") - F.col("cnt")) * 10 < F.col("total") * 9)
+        )
+        .select(
+            "rk",
+            "term",
+            "cnt",
+            (F.col("cum_cnt").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -256,3 +256,127 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(mask_bit).alias("day_mask"),
         F.countDistinct(day).alias("n_active_days"),
     )
+
+
+@_q(
+    "q_timeseries_resample",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(
+               (SELECT time_bucket(INTERVAL 6 HOUR, min(ts)) FROM events),
+               (SELECT time_bucket(INTERVAL 6 HOUR, max(ts)) FROM events),
+               INTERVAL 6 HOUR)) AS bucket
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT s.bucket, COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.n_users, 0) AS n_users,
+           a.bucket IS NULL AS gap_filled
+    FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+    """,
+)
+def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample purchases onto a dense 6-hour grid: aggregate into
+    buckets, then left-join a generated calendar spine so empty buckets
+    appear as explicit zero rows (gap_filled marks them). Densification
+    is what makes downstream movings/averages/charts correct — a bare
+    GROUP BY silently drops empty intervals.
+
+    The spine is sequence()-generated from the min/max scalar aggregate
+    — O(range/step) rows on the driver-free path, broadcast to the
+    grid join; the heavy side is one keyed aggregation."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / (6 * 3600)).cast("bigint") * (6 * 3600)
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    bounds = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(
+        F.timestamp_seconds(
+            (F.unix_timestamp("mn") / (6 * 3600)).cast("bigint") * (6 * 3600)
+        ).alias("lo"),
+        F.timestamp_seconds(
+            (F.unix_timestamp("mx") / (6 * 3600)).cast("bigint") * (6 * 3600)
+        ).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 6 hours)")
+        ).alias("bucket")
+    )
+    a = agg.withColumnRenamed("bucket", "abucket")
+    return spine.join(a, spine.bucket == a.abucket, "left").select(
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+        F.col("abucket").isNull().alias("gap_filled"),
+    )
+
+
+@_q(
+    "q_diff_snapshots",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+         b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderstatus = b.o_orderstatus
+                 AND a.o_totalprice = b.o_totalprice THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def q_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the reconciliation primitive behind CDC audits
+    and backfill validation: full outer join two table versions on the
+    key and classify added/removed/changed/unchanged. Snapshots here
+    are two date-bounded views of orders (append-only fixture, so
+    'changed' is structurally empty but the classification logic
+    handles it). One shuffle on the key; at 100 TB both sides prune to
+    changed partitions first when snapshots are date-partitioned."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    a = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("a_price"),
+    )
+    b = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    j = a.join(b, a.a_key == b.b_key, "full")
+    change = (
+        F.when(F.col("a_key").isNull(), F.lit("added"))
+        .when(F.col("b_key").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a_status") == F.col("b_status"))
+            & (F.col("a_price") == F.col("b_price")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col("a_key"), F.col("b_key")).alias("o_orderkey"),
+        change.alias("change"),
+    )

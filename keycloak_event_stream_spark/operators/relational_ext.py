@@ -824,3 +824,33 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("error_id", "click_id", "error_ts", "click_ts")
     )
+
+
+@_q(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist per order priority — completing the window family beyond
+    rank/analytic/frame (SURVEY §2.3). Total order via the o_orderkey
+    tiebreak; pct_rank/cume are exact rational arithmetic on ranks, so
+    they compare bitwise."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -101,3 +101,18 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="csv_rt_")
     write_csv(ev, out)
     return read_csv(spark, out, ev.schema)
+
+
+@_q("q_source_orc_roundtrip", oracle=_EVENTS_ORACLE)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> ORC (zlib) -> read back. ORC is the other columnar
+    format a Spark lakehouse meets in the wild (Hive heritage); Spark's
+    native vectorized ORC reader gives the same pushdown/pruning story
+    as parquet, and the bitwise oracle proves type fidelity (timestamps,
+    doubles, strings) through the format."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    ev.write.mode("overwrite").option("compression", "zlib").orc(out)
+    return spark.read.schema(ev.schema).orc(out)
