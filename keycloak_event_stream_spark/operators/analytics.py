@@ -67,49 +67,52 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase: each
     stage's timestamp is the earliest qualifying event STRICTLY AFTER
     the previous stage (the textbook funnel, not mere per-type
-    existence). Three keyed joins on user_id — at 100 TB each stage
-    input is the per-user min table (|users| rows, map-side reduced),
-    not the raw event log, so the join sides shrink monotonically."""
-    ev = spread(load_table(spark, sf_dir, "events"))
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
+    existence).
+
+    Single-scan, single-shuffle formulation: one groupBy(user_id)
+    collects min(signup) plus each user's sorted click/purchase
+    timestamp arrays; the stage chain is then per-row array logic
+    (filter -> first element = earliest-after, sortedness makes that
+    the min). The naive per-stage join version reads the events table
+    once PER STAGE and shuffles three times — this plan reads it once,
+    which is the difference that matters at 100 TB. Per-user array
+    residency is that user's click/purchase count; a pathological hot
+    user is handled by the salted two-phase pattern
+    (q_agg_salted_twophase) if needed."""
+    ev = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("signup", "click", "purchase")
     )
-    c = (
-        s.join(
-            ev.filter(F.col("event_type") == "click").select(
-                F.col("user_id").alias("cu"), F.col("ts").alias("cts")
-            ),
-            (F.col("user_id") == F.col("cu")) & (F.col("cts") > F.col("t_signup")),
-        )
-        .groupBy("user_id")
-        .agg(F.min("cts").alias("t_click"))
+    agg = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            )
+        ).alias("clicks"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchases"),
     )
-    p = (
-        c.join(
-            ev.filter(F.col("event_type") == "purchase").select(
-                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
-            ),
-            (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("t_click")),
-        )
-        .groupBy("user_id")
-        .agg(F.min("pts").alias("t_purchase"))
+    staged = agg.filter(F.col("t_signup").isNotNull()).withColumn(
+        "t_click",
+        F.expr("element_at(filter(clicks, c -> c > t_signup), 1)"),
     )
-    return (
-        s.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "t_signup",
-            "t_click",
-            "t_purchase",
-            (
-                F.lit(1)
-                + F.col("t_click").isNotNull().cast("int")
-                + F.col("t_purchase").isNotNull().cast("int")
-            ).alias("stage"),
-        )
+    return staged.select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        F.expr("element_at(filter(purchases, p -> p > t_click), 1)").alias(
+            "t_purchase"
+        ),
+    ).withColumn(
+        "stage",
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int"),
     )
 
 

@@ -178,3 +178,12 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_funnel_single_scan_single_shuffle(spark, queries):
+    """The single-pass funnel must touch the events table exactly once
+    (the per-stage-join formulation scans it once per stage) and
+    shuffle only for the one groupBy(user_id)."""
+    plan = _plan(queries["q_funnel"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
