@@ -854,3 +854,92 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@_q(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the purest pushdown
+    benchmark — a single scan where every predicate (date range,
+    discount band, quantity cap) reaches the parquet reader as
+    PushedFilters and the aggregate is one map-side-combined global
+    sum. No shuffle of data rows at all: each task emits one partial,
+    the final agg reduces |tasks| rows. The query TPC designed to
+    measure scan efficiency, which at 100 TB is I/O + codegen, nothing
+    else."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter of orders joined to
+    returned lineitems, revenue per customer, top 20. The canonical
+    "fact-fact join then dimension decorate" shape: orders x lineitem
+    shuffles on orderkey (both filtered first), customer and nation
+    broadcast, and the final TakeOrderedAndProject keeps the top-k
+    merge on the driver at |k| rows. Tiebreak on c_custkey makes the
+    LIMIT deterministic for the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = spread(load_table(spark, sf_dir, "orders")).filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = spread(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
