@@ -42,6 +42,7 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q18",
+    "q_tpch_q6",
     "q_sessionize",
     "q_dedup_components",
     "q_sim_search_lsh",
