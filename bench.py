@@ -43,6 +43,9 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q18",
     "q_tpch_q6",
+    "q_tpch_q1",
+    "q_tpch_q9",
+    "q_tpch_q21",
     "q_sessionize",
     "q_dedup_components",
     "q_sim_search_lsh",

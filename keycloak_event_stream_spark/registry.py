@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     "keycloak_event_stream_spark.operators.relational",
     "keycloak_event_stream_spark.operators.relational_ext",
+    "keycloak_event_stream_spark.operators.tpch",
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",
     "keycloak_event_stream_spark.functions.scalar",
