@@ -911,11 +911,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_late", (F.col("l_shipdate") > late_cut).cast("int"))
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    profile = rows.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # Two-level aggregate instead of a double countDistinct: the expand
+    # Spark plans for multiple distinct aggregates would double every
+    # row through the shuffle; collapsing to (orderkey, suppkey) first
+    # ships only distinct pairs, and the second agg input is tiny.
+    per_supp = rows.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late")
+    )
+    profile = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
     )
     late_rows = rows.filter(F.col("is_late") == 1).select(
         F.col("l_orderkey").alias("lk"), "l_suppkey"
