@@ -55,6 +55,8 @@ HEADLINE = [
     "q_funnel",
     "q_winsorize",
     "q_join_range_binned",
+    "q_join_salted_skew",
+    "q_incremental_agg",
 ]
 
 
