@@ -225,3 +225,91 @@ def s_source_pushgen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@_q(
+    "s_foreachbatch_mv",
+    oracle=f"""
+    SELECT (i * {_KNUTH}) % 100 AS user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST((i * {_KNUTH}) % 1000000 AS DOUBLE) / 100.0
+                         AS DECIMAL(27,6))) AS DOUBLE) AS total_amount
+    FROM (SELECT unnest(generate_series(0, 2999)) AS i)
+    GROUP BY 1
+    ORDER BY user_id
+    """,
+)
+def s_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized view: each micro-batch of the
+    push-source stream is aggregated alone and MERGED into a keyed
+    state table (count + exact decimal sum per user) via foreachBatch —
+    the streaming twin of ``q_incremental_agg``. State versions are
+    keyed by batch_id, so a crash-replay of a batch rewrites the same
+    version — idempotent, which together with the source's offset log
+    gives end-to-end exactly-once (the upgrade over the reference's
+    at-most-once ``putRecord``, ``FirehoseEventStoreProvider.java:
+    141-150``). Decimal partials make merge order irrelevant, so the
+    final state is bit-identical to the one-shot aggregate the oracle
+    computes over the regenerated id range. At 100 TB the per-batch
+    cost is O(delta + state-partition overlap), never a recompute."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keycloak_event_stream_spark.operators._exact import DEC
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("keycloak_synth_stream")
+        .option("n", 3000)
+        .option("batch", 1000)
+        .load()
+    )
+    root = tempfile.mkdtemp(prefix="mv_state_")
+    latest: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amount").cast(DEC)).alias("s"),
+        )
+        if latest:
+            prev = sp.read.parquet(latest[-1])
+            delta = agg.select(
+                F.col("user_id").alias("d_user"),
+                F.col("n").alias("dn"),
+                F.col("s").alias("ds"),
+            )
+            merged = prev.join(
+                delta, prev.user_id == delta.d_user, "full_outer"
+            ).select(
+                F.coalesce(prev.user_id, delta.d_user).alias("user_id"),
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast(DEC))
+                    + F.coalesce(F.col("ds"), F.lit(0).cast(DEC))
+                ).alias("s"),
+            )
+        else:
+            merged = agg
+        path = f"{root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        latest.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mv_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(latest[-1])
+    return state.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("s").cast("double").alias("total_amount"),
+    ).orderBy("user_id")
