@@ -943,3 +943,120 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@_q(
+    "q_window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id, ts, masked,
+           last_value(masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           first_value(masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 < 3 THEN NULL ELSE value END AS masked
+      FROM events
+    )
+    """,
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics — last-observation-carried-forward
+    (LOCF) gap filling per user, the workhorse of sensor/telemetry
+    repair. A deterministic mask (event_id % 7) synthesizes the gaps;
+    ``last(..., ignorenulls=True)`` over an explicit ROWS frame carries
+    the previous non-null reading forward. The frame must be ROWS (not
+    the default RANGE) because tied timestamps would otherwise pull
+    peers into the frame differently across engines; (ts, event_id)
+    gives a total order."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    masked = F.when(F.col("event_id") % 7 < 3, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.withColumn("masked", masked).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "masked",
+        F.last("masked", ignorenulls=True).over(w).alias("filled"),
+        F.first("masked", ignorenulls=True).over(w).alias("first_seen"),
+    )
+
+
+_IVL_MINUTES = 30
+
+
+@_q(
+    "q_join_interval_overlap",
+    oracle=f"""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+           greatest(e.ts, p.ts) AS overlap_start,
+           least(e.ts + INTERVAL {_IVL_MINUTES} MINUTE,
+                 p.ts + INTERVAL {_IVL_MINUTES} MINUTE) AS overlap_end
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.ts <= p.ts + INTERVAL {_IVL_MINUTES} MINUTE
+     AND p.ts <= e.ts + INTERVAL {_IVL_MINUTES} MINUTE
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key — every (error, purchase)
+    pair whose 30-minute activity intervals intersect — executed as an
+    equi join on time bins instead of the BroadcastNestedLoopJoin a
+    naive overlap predicate plans.
+
+    Both sides explode to the bins their interval covers (bin width =
+    interval length → ≤ 2 bins each). A pair overlapping in k shared
+    bins would emit k duplicates; instead of a distinct, each pair is
+    kept only in the bin containing its overlap START
+    (``bin == floor(greatest(starts)/width)``) — exactly one emission,
+    no dedup shuffle. This is the standard distributed interval-join
+    idiom (cf. interval trees on a single node); the oracle runs the
+    naive theta join."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    width_us = _IVL_MINUTES * 60 * 1_000_000
+    bin_of = lambda c: (F.unix_micros(c) / F.lit(width_us)).cast("bigint")
+    ivl = F.expr(f"INTERVAL {_IVL_MINUTES} MINUTE")
+
+    def side(tag: str, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("ts").alias(f"{tag}_start"),
+                (F.col("ts") + ivl).alias(f"{tag}_end"),
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.sequence(
+                        bin_of(F.col(f"{tag}_start")),
+                        bin_of(F.col(f"{tag}_end")),
+                    )
+                ),
+            )
+        )
+
+    e, p = side("error", "error"), side("purchase", "purchase")
+    overlap_start = F.greatest("error_start", "purchase_start")
+    return (
+        e.join(p, "bin")
+        .filter(
+            (F.col("error_start") <= F.col("purchase_end"))
+            & (F.col("purchase_start") <= F.col("error_end"))
+            & (F.col("bin") == bin_of(overlap_start))
+        )
+        .select(
+            "error_id",
+            "purchase_id",
+            overlap_start.alias("overlap_start"),
+            F.least("error_end", "purchase_end").alias("overlap_end"),
+        )
+    )
