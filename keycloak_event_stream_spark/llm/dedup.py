@@ -517,18 +517,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()  # truncate lineage: O(1) plan depth per iter
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = updated
+        # convergence check re-reads the checkpointed rows (no extra join)
+        changed = updated.filter(F.col("component") != F.col("old")).count()
+        labels = updated.drop("old")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "component")

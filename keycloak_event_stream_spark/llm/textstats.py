@@ -462,3 +462,111 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ["vector", "hash", "stream"]
+
+
+@_q(
+    "q_bm25",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tokens
+      WHERE term IN ('vector', 'hash', 'stream')
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)),
+               6) AS c
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(sum(CAST(c AS DECIMAL(27,6))) AS DOUBLE) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed
+    three-term query, top-20 documents. The full-text-search ranking
+    function as pure DataFrame ops: token explode -> per-doc length ->
+    per-(doc, term) tf restricted to the query terms (the explode is
+    filtered BEFORE the aggregation, so the shuffle carries only
+    query-term hits) -> df and corpus stats as one-row broadcasts ->
+    per-term contribution -> exact decimal sum per doc.
+
+    Float discipline (same as q_tfidf): every per-term contribution is
+    rounded to 6 decimals — libm ``ln`` differs from the JVM's in the
+    last ulp — and the cross-term SUM runs in decimal, so accumulation
+    order cannot move the result; top-20 tiebreaks on doc_id."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.crossJoin(
+        F.broadcast(d.select(F.count(F.lit(1)).cast("double").alias("n_docs")))
+    ).agg(
+        F.first("n_docs").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tokens.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(F.col("c").cast("decimal(27,6)")).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
