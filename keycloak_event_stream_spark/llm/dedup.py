@@ -530,3 +530,63 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+_SEMDEDUP_TAU = 0.55
+
+
+@_q(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT k.vec_id, k.label
+    FROM e k
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e a
+      WHERE a.label = k.label AND a.vec_id < k.vec_id
+        AND {duck_cosine('a.v', 'k.v')} >= {_SEMDEDUP_TAU})
+    ORDER BY k.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each embedding cluster, drop any item
+    whose cosine to a lower-id item reaches the threshold — the
+    keep-first-deterministic variant of "remove semantic duplicates,
+    keep one representative". The cluster column (fixture ``label``)
+    plays the k-means assignment role, which is what bounds the
+    pairwise comparison to within-cluster blocks — the move that makes
+    SemDeDup O(sum k_i^2) instead of O(n^2) and maps to an equi
+    self-join on the cluster key in Spark. Survivors come from an anti
+    join against the dominated set; cosine is the sequential-fold dot
+    product that matches DuckDB's ``list_dot_product`` bitwise."""
+    e = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("a_v"),
+    )
+    dominated = (
+        e.join(
+            a,
+            (F.col("a_label") == F.col("label"))
+            & (F.col("a_id") < F.col("vec_id")),
+        )
+        .filter(spark_cosine("a_v", "v") >= _SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        e.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

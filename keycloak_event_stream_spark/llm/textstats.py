@@ -570,3 +570,72 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@_q(
+    "q_perplexity_unigram",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+    ),
+    corpus AS (
+      SELECT term, count(*) AS ctf FROM tokens GROUP BY term
+    ),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM tokens),
+    contrib AS (
+      SELECT tf.doc_id, tf.tf,
+             round(tf.tf * ln(corpus.ctf / total.n_tokens), 6) AS c
+      FROM tf JOIN corpus ON tf.term = corpus.term CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS dl,
+           CAST(sum(CAST(c AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE) AS avg_logprob
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY avg_logprob, doc_id
+    LIMIT 100
+    """,
+)
+def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean log-probability
+    under the corpus unigram distribution (the monotone core of
+    perplexity — exp is omitted so the value stays oracle-exact). The
+    100 lowest-scoring documents are the classic "surprising/junk" tail
+    a curation pipeline inspects or drops. Plan: one token explode
+    feeds both the per-doc tf and the corpus term frequencies; the
+    vocabulary side broadcasts back onto the doc-term table. Per-term
+    ``tf * ln(p)`` is rounded at 6 decimals (libm ulp differences),
+    summed in decimal, and normalized by document length in one exact
+    double division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = tokens.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    contrib = (
+        tf.join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "c",
+            F.round(
+                F.col("tf") * F.log(F.col("ctf") / F.col("n_tokens")), 6
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            (
+                F.sum(F.col("c").cast("decimal(27,6)")).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("avg_logprob"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+        .limit(100)
+    )
