@@ -1,0 +1,135 @@
+"""Iterative graph algorithms as driver-loop DataFrame programs.
+
+Complements the connected-components label propagation in
+:mod:`..llm.dedup` with PageRank — the canonical fixed-point iteration.
+The reference computes nothing iterative (SURVEY.md §2.2); this is
+north-star engine surface demonstrating the Spark idiom for iterative
+algorithms: a driver ``for`` loop over joins with per-iteration
+``localCheckpoint`` lineage truncation, edges/degrees persisted once.
+
+Exactness across engines (the whole point of the oracle check): each
+iteration's per-edge contribution ``r/deg`` is rounded to 6 decimals,
+the per-node sum runs in decimal (order-independent), and the damping
+update is plain double arithmetic on identical inputs — so five
+iterations stay bit-identical between Spark and DuckDB's unrolled-CTE
+replay of the same recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._exact import DEC
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_DAMP = 0.85
+_ITERS = 5
+
+
+def _duck_pagerank() -> str:
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges),
+    r0 AS (
+      SELECT DISTINCT src AS node, (SELECT 1.0 / n FROM nn) AS r FROM edges
+    )"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             (SELECT 0.15 / n FROM nn)
+             + {_DAMP} * CAST(sum(CAST(round(p.r / d.deg, 6)
+                                       AS DECIMAL(27,6))) AS DOUBLE) AS r
+      FROM r{i - 1} p
+      JOIN edges e ON p.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, r AS pagerank FROM r{_ITERS}
+    ORDER BY pagerank DESC, node
+    LIMIT 50
+    """
+    )
+
+
+@_q("q_graph_pagerank", oracle=_duck_pagerank())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations) over the symmetric
+    customer<->supplier trade graph derived from orders x lineitem;
+    top-50 nodes. The Spark iterative idiom: edges+degrees computed
+    once and persisted, the driver loop re-joins only the rank vector
+    (|nodes| rows — the small, shrinking state), and localCheckpoint
+    truncates lineage so the plan stays O(1) deep instead of growing
+    5 joins tall. Symmetric edges mean no dangling-mass correction is
+    needed and every node receives inbound mass each step. At 100 TB
+    the rank vector shuffles on the same key each iteration, so a
+    pre-partitioned edge table makes every join a local zipper."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = (
+        pairs.select(c_node.alias("src"), s_node.alias("dst"))
+        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").persist()
+    n_nodes = edges_deg.select("src").distinct().count()
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r"))
+        .localCheckpoint()
+    )
+    for _ in range(_ITERS):
+        ranks = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .withColumn("contrib", F.round(F.col("r") / F.col("deg"), 6))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + _DAMP
+                    * F.sum(F.col("contrib").cast(DEC)).cast("double")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("pagerank")).orderBy(
+        F.col("pagerank").desc(), "node"
+    ).limit(50)

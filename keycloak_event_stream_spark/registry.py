@@ -20,6 +20,7 @@ _MODULES = [
     "keycloak_event_stream_spark.operators.relational_ext",
     "keycloak_event_stream_spark.operators.tpch",
     "keycloak_event_stream_spark.operators.scale_patterns",
+    "keycloak_event_stream_spark.operators.graph",
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",
     "keycloak_event_stream_spark.functions.scalar",
