@@ -1060,3 +1060,88 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("error_end", "purchase_end").alias("overlap_end"),
         )
     )
+
+
+@_q(
+    "q_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names,
+           count(*) AS n
+    FROM (
+      SELECT c_mktsegment, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_name) AS rn
+      FROM customer
+    )
+    WHERE rn <= 5
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with a deterministic ORDER BY: the 5
+    richest customers per segment concatenated richest-first. Spark has
+    no ordered string_agg, so the idiom is sort_array over collected
+    (sort-key, value) structs — struct comparison is lexicographic by
+    field position, which reproduces the ORDER BY exactly; acctbal
+    descends via negation. The top-5 prefilter bounds the collected
+    list (never collect an unbounded group at scale)."""
+    c = spread(load_table(spark, sf_dir, "customer"))
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_name")
+    )
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        top.groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("c_acctbal")).alias("k"),
+                                F.col("c_name").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s.v,
+                ),
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "q_transition_matrix",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral-analytics complement to the funnel
+    (which fixes the sequence) and sessionization (which cuts it). One
+    shuffle on user_id for the lag window, then a small aggregate on
+    the |types|^2 domain; (ts, event_id) is the total order."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
