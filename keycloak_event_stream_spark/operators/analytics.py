@@ -383,3 +383,75 @@ def q_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a_key"), F.col("b_key")).alias("o_orderkey"),
         change.alias("change"),
     )
+
+
+@_q(
+    "q_cep_pattern",
+    oracle="""
+    SELECT user_id, event_id AS error_id, ts AS error_ts,
+           nxt_purchase AS purchase_ts
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nxt_purchase,
+             min(CASE WHEN event_type = 'error' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nxt_error
+      FROM events
+    )
+    WHERE event_type = 'error'
+      AND nxt_purchase IS NOT NULL
+      AND nxt_purchase <= ts + INTERVAL 30 MINUTE
+      AND (nxt_error IS NULL OR nxt_error > nxt_purchase)
+    ORDER BY user_id, error_ts, error_id
+    """,
+)
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    CEP shape, cf. HYPERSONIC SIGMOD'22): per user, an ``error``
+    immediately RECOVERED by a ``purchase`` within 30 minutes with no
+    other error in between. Instead of per-pattern NFA state (the CEP
+    engine approach), the relational encoding is two forward-looking
+    window minima — next purchase ts and next error ts — computed in
+    ONE pass over the user's timeline; the pattern predicate is then a
+    plain filter. One shuffle on user_id total, no self-joins, which
+    is the scalable reformulation of sequence patterns whose steps are
+    adjacent-in-kind. (ts, event_id) gives the total order."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    nxt_error = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("nxt_purchase", nxt_purchase)
+        .withColumn("nxt_error", nxt_error)
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("nxt_purchase").isNotNull()
+            & (
+                F.col("nxt_purchase")
+                <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+            )
+            & (
+                F.col("nxt_error").isNull()
+                | (F.col("nxt_error") > F.col("nxt_purchase"))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+            F.col("nxt_purchase").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "error_ts", "error_id")
+    )
