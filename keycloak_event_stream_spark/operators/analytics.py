@@ -455,3 +455,122 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "error_ts", "error_id")
     )
+
+
+@_q(
+    "q_ts_similarity",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT unnest(generate_series(
+        (SELECT time_bucket(INTERVAL 1 DAY, min(ts)) FROM events),
+        (SELECT time_bucket(INTERVAL 1 DAY, max(ts)) FROM events),
+        INTERVAL 1 DAY)) AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    dense AS (
+      SELECT u.user_id, s.day, COALESCE(d.v, CAST(0 AS DECIMAL(18,2))) AS v
+      FROM users u CROSS JOIN spine s
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    ),
+    mom AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS s1,
+             CAST(sum(v * v) AS DOUBLE) AS s2
+      FROM dense GROUP BY 1
+    ),
+    z AS (
+      SELECT d.user_id,
+             list((CAST(d.v AS DOUBLE) - m.s1 / m.n)
+                  / sqrt((m.s2 - m.s1 * m.s1 / m.n) / m.n)
+                  ORDER BY d.day) AS zs
+      FROM dense d JOIN mom m USING (user_id)
+      WHERE (m.s2 - m.s1 * m.s1 / m.n) > 0
+      GROUP BY d.user_id, m.n, m.s1, m.s2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           sqrt(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(a.zs) + 1),
+                 i -> (a.zs[i] - b.zs[i]) * (a.zs[i] - b.zs[i]))),
+             (acc, x) -> acc + x)) AS zdist
+    FROM z a JOIN z b ON a.user_id < b.user_id
+    ORDER BY zdist, user_a, user_b
+    LIMIT 20
+    """,
+)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (cf. the streaming-similarity EDBT
+    line of work): z-normalized Euclidean distance between per-user
+    daily activity series, 20 closest pairs. Pipeline: daily exact-
+    decimal sums -> gap-filled dense grid (users x calendar spine, so
+    every series has identical length and alignment) -> per-series
+    moments in exact decimal (mean/std rational until the final double)
+    -> aligned z-arrays via sorted struct collect -> pairwise
+    sequential-fold distance (same left-to-right order as DuckDB's
+    ``list_reduce``, so doubles match bitwise). Constant series
+    (variance 0) are excluded by an exact predicate. At scale the
+    pairwise stage is the quadratic part — it runs on |users| compact
+    z-vectors, not on events, and would block by a coarse cluster key
+    (cf. q_dedup_semantic) beyond a few thousand series."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(spine))
+        .join(daily, ["user_id", "day"], "left")
+        .withColumn(
+            "v", F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))
+        )
+    )
+    mom = dense.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / n
+    z = (
+        dense.join(mom, "user_id")
+        .filter((s2 - s1 * s1 / n) > 0)
+        .withColumn(
+            "z", (F.col("v").cast("double") - s1 / n) / F.sqrt(var)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("day"), F.col("z")))
+                ),
+                lambda s: s.z,
+            ).alias("zs")
+        )
+    )
+    a = z.select(F.col("user_id").alias("user_a"), F.col("zs").alias("a_zs"))
+    b = z.select(F.col("user_id").alias("user_b"), F.col("zs").alias("b_zs"))
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(a_zs, b_zs, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", dist.alias("zdist"))
+        .orderBy("zdist", "user_a", "user_b")
+        .limit(20)
+    )
