@@ -57,6 +57,9 @@ HEADLINE = [
     "q_join_range_binned",
     "q_join_salted_skew",
     "q_incremental_agg",
+    "q_graph_pagerank",
+    "q_bm25",
+    "q_ts_similarity",
 ]
 
 

@@ -471,7 +471,12 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT time_bucket(INTERVAL 1 DAY, max(ts)) FROM events),
         INTERVAL 1 DAY)) AS day
     ),
-    users AS (SELECT DISTINCT user_id FROM events),
+    users AS (
+      SELECT user_id FROM (
+        SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+        ORDER BY n_ev DESC, user_id LIMIT 300
+      )
+    ),
     dense AS (
       SELECT u.user_id, s.day, COALESCE(d.v, CAST(0 AS DECIMAL(18,2))) AS v
       FROM users u CROSS JOIN spine s
@@ -513,10 +518,11 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> aligned z-arrays via sorted struct collect -> pairwise
     sequential-fold distance (same left-to-right order as DuckDB's
     ``list_reduce``, so doubles match bitwise). Constant series
-    (variance 0) are excluded by an exact predicate. At scale the
-    pairwise stage is the quadratic part — it runs on |users| compact
-    z-vectors, not on events, and would block by a coarse cluster key
-    (cf. q_dedup_semantic) beyond a few thousand series."""
+    (variance 0) are excluded by an exact predicate. The quadratic
+    pairwise stage runs only on the 300 most-active users (top-k
+    candidate selection, deterministic tiebreak) — the coarse pruning
+    that bounds pair count no matter how large the population grows;
+    widening it is a knob, not a rewrite."""
     ev = spread(load_table(spark, sf_dir, "events"))
     day = F.date_trunc("day", F.col("ts"))
     daily = ev.groupBy("user_id", day.alias("day")).agg(
@@ -531,7 +537,17 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
-    users = ev.select("user_id").distinct()
+    # candidate selection before the quadratic stage: the 300 most
+    # active users (deterministic tiebreak) — the same pruning a
+    # production similarity search does with a coarse cluster/recency
+    # key so the pairwise cost is bounded regardless of corpus size
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .orderBy(F.col("n_ev").desc(), "user_id")
+        .limit(300)
+        .select("user_id")
+    )
     dense = (
         users.crossJoin(F.broadcast(spine))
         .join(daily, ["user_id", "day"], "left")

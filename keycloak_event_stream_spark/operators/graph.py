@@ -90,9 +90,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|nodes| rows — the small, shrinking state), and localCheckpoint
     truncates lineage so the plan stays O(1) deep instead of growing
     5 joins tall. Symmetric edges mean no dangling-mass correction is
-    needed and every node receives inbound mass each step. At 100 TB
-    the rank vector shuffles on the same key each iteration, so a
-    pre-partitioned edge table makes every join a local zipper."""
+    needed and every node receives inbound mass each step. The rank
+    vector broadcasts into the edge join (it is |nodes|-sized, tiny
+    next to |edges|); at a scale where it no longer fits, the fallback
+    is a pre-partitioned edge table so the per-iteration join zippers
+    locally."""
     o = spread(load_table(spark, sf_dir, "orders"))
     l = spread(load_table(spark, sf_dir, "lineitem"))
     pairs = (
@@ -116,8 +118,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(_ITERS):
+        # the rank vector is |nodes| rows — broadcast it so the edge
+        # table never re-shuffles across iterations (fall back to a
+        # pre-partitioned shuffle join only when ranks outgrow memory)
         ranks = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
             .withColumn("contrib", F.round(F.col("r") / F.col("deg"), 6))
             .groupBy("dst")
             .agg(
