@@ -1,0 +1,176 @@
+"""Python UDTF surface (Spark 4 ``pyspark.sql.functions.udtf``).
+
+Completes the UDF matrix promised in SURVEY.md §2.3 (scalar UDF /
+pandas UDF / applyInPandas UDAF / mapInPandas UDTF) with the *native*
+table-function API: a lateral-joined row-expanding UDTF and a
+``TABLE(...) PARTITION BY`` streaming-accumulator UDTF (the
+UDAF-via-UDTF shape with ``terminate()``).
+
+The reference has no UDF surface at all (SURVEY.md §2.2); this is
+north-star engine surface. Scale note: UDTFs run Python-side, so the
+hot path keeps them out of wide scans — here the row expansion happens
+*after* column pruning to (doc_id, text), and the partition-agg UDTF
+receives only the two columns it consumes. Both queries aggregate the
+UDTF output JVM-side so only small results cross back out of the stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _register_first_seen(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class FirstSeen:
+        """Emit (1-based position, word) for each token's FIRST
+        occurrence in the document — order-preserving dedup."""
+
+        def eval(self, text: str):
+            if text is None:
+                return
+            seen = set()
+            for i, w in enumerate(text.split(" ")):
+                if w and w not in seen:
+                    seen.add(w)
+                    yield (i + 1, w)
+
+    spark.udtf.register("t_first_seen", FirstSeen)
+
+
+@_q(
+    "q_udtf_first_seen",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos,
+             unnest(string_split(d.text, ' ')) AS word
+      FROM documents d
+    ),
+    first_seen AS (
+      SELECT doc_id, word, min(pos) AS pos
+      FROM toks WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT word,
+           count(*) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS sum_first_pos,
+           CAST(min(pos) AS BIGINT) AS min_first_pos
+    FROM first_seen
+    GROUP BY word
+    ORDER BY n_docs DESC, word
+    LIMIT 100
+    """,
+)
+def q_udtf_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-joined row-expanding UDTF: per document, emit each
+    distinct token at its first position (order-preserving dedup in
+    Python), then aggregate corpus-wide document frequency and
+    positional stats JVM-side.
+
+    ``FROM documents, LATERAL t_first_seen(text)`` is the Spark-4
+    native UDTF call shape — the per-row Python expansion replaces a
+    posexplode + groupBy-min two-step with a single generator pass.
+    """
+    _register_first_seen(spark)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.word,
+               count(*) AS n_docs,
+               sum(CAST(s.pos AS BIGINT)) AS sum_first_pos,
+               CAST(min(s.pos) AS BIGINT) AS min_first_pos
+        FROM _udtf_docs d, LATERAL t_first_seen(d.text) s
+        GROUP BY s.word
+        ORDER BY n_docs DESC, s.word
+        LIMIT 100
+        """
+    )
+
+
+def _register_type_stats(spark: SparkSession) -> None:
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type: string, n: bigint, sum_k: bigint, max_user: bigint")
+    class TypeStats:
+        """Streaming per-partition accumulator: consume rows one at a
+        time, emit a single summary row from ``terminate()``."""
+
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.sum_k = 0
+            self.max_user = None
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            self.n += 1
+            self.sum_k += int(json.loads(row["props"])["k"])
+            u = row["user_id"]
+            if self.max_user is None or u > self.max_user:
+                self.max_user = u
+
+        def terminate(self):
+            if self.key is not None:
+                yield (self.key, self.n, self.sum_k, self.max_user)
+
+    spark.udtf.register("t_type_stats", TypeStats)
+
+
+@_q(
+    "q_udtf_partition_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_udtf_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF-via-UDTF: ``TABLE(events) PARTITION BY event_type`` routes
+    each key's rows through one UDTF instance; ``eval`` accumulates,
+    ``terminate`` emits the summary. Only order-insensitive stats
+    (count / sum / max) are computed — within-partition row order is
+    not guaranteed, and a correct custom accumulator must not rely on
+    it unless it also declares ``ORDER BY``.
+
+    At scale this is the escape hatch for aggregation logic Spark's
+    built-ins can't express (e.g. sketch merges with Python-only
+    libraries) — the partitioning/shuffle stays JVM-planned, Python
+    sees one key stream at a time.
+    """
+    _register_type_stats(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "props", "user_id"
+    )
+    ev.createOrReplaceTempView("_udtf_events")
+    return spark.sql(
+        """
+        SELECT event_type, n, sum_k, max_user
+        FROM t_type_stats(TABLE(_udtf_events) PARTITION BY event_type)
+        ORDER BY event_type
+        """
+    )

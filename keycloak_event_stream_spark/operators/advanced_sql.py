@@ -1,0 +1,226 @@
+"""Advanced SQL shapes: correlated LATERAL, positional explode,
+windowed distinct counting, and a single-pass skyline (Pareto frontier).
+
+The reference's query builder emits only flat SELECT/WHERE/ORDER/LIMIT
+(``AthenaEventQuery.java:136-158``); these are north-star surface, each
+chosen because the *naive* formulation degrades badly at 100 TB and the
+Spark-first formulation does not:
+
+- lateral top-k: per-group LIMIT without a full global sort;
+- windowed distinct: running ``COUNT(DISTINCT)`` — Spark lacks the SQL
+  form, ``size(collect_set() OVER ...)`` is the idiom (state is one set
+  per open partition, not a shuffle per row);
+- skyline: the textbook NOT EXISTS dominance test is O(n²) — the
+  sort + running-max formulation is one shuffle + one window pass, and
+  the oracle *is* the O(n²) spec, proving the fast plan equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-3
+    customers by balance per nation.
+
+    Catalyst decorrelates this into a window ``row_number`` under the
+    hood — the same plan as the hand-written idiom — so the declarative
+    SQL costs nothing. At scale: one hash shuffle on ``c_nationkey``,
+    no global sort, dims never materialize the full customer list.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM _lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM _lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
+
+
+@_q(
+    "q_posexplode_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT pos,
+           count(*) AS n_tokens,
+           count(DISTINCT word) AS n_distinct,
+           min(word) AS first_word
+    FROM toks
+    WHERE pos < 8
+    GROUP BY pos
+    ORDER BY pos
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: ``posexplode(split(text))`` keeps each
+    token's 0-based offset; profile the first 8 token positions across
+    the corpus (count / distinct / lexicographic min).
+
+    The position column comes free from the generator — no window or
+    zip-with-index pass — and the ``pos < 8`` filter lands directly on
+    generator output, so later positions never reach the aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    return (
+        toks.filter(F.col("pos") < 8)
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct"),
+            F.min("word").alias("first_word"),
+        )
+        .orderBy("pos")
+    )
+
+
+@_q(
+    "q_window_distinct_running",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_distinct
+      FROM events
+    )
+    SELECT event_type,
+           CAST(max(run_distinct) AS BIGINT) AS total_distinct,
+           CAST(sum(run_distinct) AS BIGINT) AS area_under_curve
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per event type ordered by time — the
+    "cumulative unique users" curve. Spark SQL rejects DISTINCT
+    aggregates over windows; the idiom is ``size(collect_set() OVER
+    frame)``. The curve is fingerprinted (max = final distinct count,
+    sum = area under the curve) so the oracle compares the entire
+    series without shipping every row.
+
+    Scale note: collect_set window state is one hash set per open
+    partition on the executor — bounded by per-key distinct cardinality,
+    not row count; the total order (ts, event_id) makes the prefix sums
+    engine-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
+            "run_distinct"
+        ),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("run_distinct").alias("total_distinct"),
+            F.sum("run_distinct").alias("area_under_curve"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS sz, count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.price, a.sz, a.n_parts
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price <= a.price AND b.sz >= a.sz
+        AND (b.price < a.price OR b.sz > a.sz)
+    )
+    ORDER BY a.price, a.sz
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal and larger-or-equal (strictly better in one).
+
+    Implementation is the O(n log n) sweep, not the O(n²) spec: dedupe
+    to distinct (price, size) points, sort by (price ASC, size DESC),
+    keep a point iff its size strictly exceeds the running max over all
+    preceding points. On sorted distinct points, any preceding point
+    has price <= current — so a preceding size >= current's size is
+    exactly dominance. The DuckDB oracle runs the quadratic NOT EXISTS
+    definition, proving the sweep equivalent. At 100 TB the sweep is a
+    groupBy + one single-partition window over *distinct pairs* (tiny);
+    the quadratic form would be a self-cross-join of the base table.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("sz"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("prev_max_sz", F.max("sz").over(w))
+    return (
+        flagged.filter(
+            F.col("prev_max_sz").isNull()
+            | (F.col("sz") > F.col("prev_max_sz"))
+        )
+        .select("price", "sz", "n_parts")
+        .orderBy("price", "sz")
+    )

@@ -21,10 +21,13 @@ _MODULES = [
     "keycloak_event_stream_spark.operators.tpch",
     "keycloak_event_stream_spark.operators.scale_patterns",
     "keycloak_event_stream_spark.operators.graph",
+    "keycloak_event_stream_spark.operators.advanced_sql",
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",
     "keycloak_event_stream_spark.functions.scalar",
     "keycloak_event_stream_spark.functions.udfs",
+    "keycloak_event_stream_spark.functions.variant",
+    "keycloak_event_stream_spark.functions.udtf",
     "keycloak_event_stream_spark.plans.event_query",
     "keycloak_event_stream_spark.streaming.queries",
     "keycloak_event_stream_spark.sources.formats",
