@@ -1,0 +1,218 @@
+"""Data-layout operators: Z-order clustering and small-file compaction.
+
+The reference fixes its physical layout once in Terraform — Hive
+``dt=/hour=`` partitions (``terraform/main.tf:194-195``) — which prunes
+on time only; a query filtering on user or client scans every file in
+range (SURVEY.md §1.4 Q4). At 100 TB, multi-dimensional *clustering*
+within partitions is what makes selective non-time predicates cheap:
+sort the data along a space-filling curve and each file covers a tight
+rectangle of (customer, date) space, so min/max footer stats skip most
+files. These operators compute the curve and audit the resulting
+rectangles — the planning/audit half of a table-maintenance service,
+expressed as pure DataFrame programs.
+
+Both are bit-exact across engines: the Z-curve is integer bit
+interleaving, and the compaction plan is integer running sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _spread_sql(v: str) -> str:
+    """16-bit -> 32-bit Morton spread (bits to even positions), as
+    portable SQL over BIGINT: the classic magic-mask doubling. Emitted
+    as nested arithmetic so Spark and DuckDB evaluate identically."""
+    s = v
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    return f"({_spread_sql(x)} | ({_spread_sql(y)} << 1))"
+
+
+# Spark's SQL parser has no infix `<<`/`|` bit operators in all dialects;
+# shiftleft()/bitwise functions are the portable spelling there.
+def _spread_spark(v: str) -> str:
+    s = v
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | shiftleft({s}, {shift})) & {mask})"
+    return s
+
+
+def _zvalue_spark(x: str, y: str) -> str:
+    return f"({_spread_spark(x)} | shiftleft({_spread_spark(y)}, 1))"
+
+
+_CELL_SHIFT = 26  # 32-bit z -> 64 top-level curve cells
+
+
+@_q(
+    "q_cluster_zorder",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS eday
+      FROM orders
+    ),
+    ext AS (
+      SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+             min(eday) AS d0, max(eday) AS d1
+      FROM base
+    ),
+    z AS (
+      SELECT o_custkey, eday,
+             {_zvalue_sql(
+                 "((o_custkey - c0) * 65535 // greatest(c1 - c0, 1))",
+                 "((eday - d0) * 65535 // greatest(d1 - d0, 1))")}
+               AS zval
+      FROM base, ext
+    )
+    SELECT (zval >> {_CELL_SHIFT}) AS cell,
+           count(*) AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           CAST(min(eday) AS BIGINT) AS min_day,
+           CAST(max(eday) AS BIGINT) AS max_day,
+           CAST((max(o_custkey) - min(o_custkey) + 1) AS BIGINT)
+             * CAST((max(eday) - min(eday) + 1) AS BIGINT) AS rect_area
+    FROM z
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over orders on
+    (customer, order-day): min-max normalize each dimension to 16 bits
+    (one tiny extrema aggregate, broadcast), interleave with magic-mask
+    spreading, bucket rows by the top z-prefix (64 curve cells), and
+    report each cell's bounding rectangle.
+
+    Normalizing before interleaving is what real cluster-by services do
+    (range-binned keys): without it, a dimension whose values span
+    fewer high bits contributes nothing to the cell prefix and the
+    curve degenerates to stripes. The rectangle area per cell is the
+    data-skipping figure of merit: a linear sort on one key gives
+    full-width stripes in the other dimension, while z-cells stay
+    near-square, so min/max footer stats prune on BOTH predicates. At
+    100 TB the write path is ``repartitionByRange(zval)`` +
+    ``sortWithinPartitions(zval)`` + ``maxRecordsPerFile`` — a range
+    shuffle, no global window; this audit is the same groupBy a
+    table-maintenance job runs to decide whether re-clustering is due.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_custkey",
+        "datediff(to_date(o_orderdate), date'1970-01-01') AS eday",
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("c0"),
+        F.max("o_custkey").alias("c1"),
+        F.min("eday").alias("d0"),
+        F.max("eday").alias("d1"),
+    )
+    z = base.crossJoin(F.broadcast(ext)).selectExpr(
+        "o_custkey",
+        "eday",
+        _zvalue_spark(
+            "((o_custkey - c0) * 65535 div greatest(c1 - c0, 1))",
+            "((eday - d0) * 65535 div greatest(d1 - d0, 1))",
+        )
+        + " AS zval",
+    )
+    return (
+        z.groupBy(
+            F.expr(f"shiftright(zval, {_CELL_SHIFT})").alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("eday").cast("bigint").alias("min_day"),
+            F.max("eday").cast("bigint").alias("max_day"),
+        )
+        .withColumn(
+            "rect_area",
+            (F.col("max_cust") - F.col("min_cust") + 1)
+            * (F.col("max_day") - F.col("min_day") + 1),
+        )
+        .orderBy("cell")
+    )
+
+
+_TARGET_BYTES = 64_000
+
+
+@_q(
+    "q_compaction_bins",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT doc_id, n_chars AS bytes,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS start_off
+      FROM documents
+    )
+    SELECT CAST(start_off // {_TARGET_BYTES} AS BIGINT) AS bin,
+           count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM manifest
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: treat documents as a file manifest
+    (id, size) and assign contiguous runs to ~64 KB output bins by
+    running-offset division — the coalesce plan a compactor would
+    execute.
+
+    The window is a global prefix sum, which is fine *because the input
+    is a manifest*: at 100 TB the manifest has one row per file
+    (millions, not billions) — metadata scale. The plan keeps input
+    order (contiguous runs), so compaction preserves any clustering
+    already present (see ``q_cluster_zorder``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    manifest = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("bytes"),
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    )
+    return (
+        manifest.groupBy(
+            F.floor(F.col("start_off") / _TARGET_BYTES).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin")
+    )
