@@ -72,3 +72,110 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# Count-min sketch: 4 deterministic universal-hash rows x 256 buckets.
+# Unlike HLL above, CMS is exactly reproducible across engines (pure
+# integer arithmetic), so this one IS oracle-checked bitwise.
+_CMS_P = 2147483647  # Mersenne prime 2^31-1
+_CMS_W = 256
+_CMS_ROWS = [(131, 7), (1031, 19), (8191, 101), (524287, 907)]
+
+
+def _cms_bucket(i: int, key: str) -> str:
+    a, b = _CMS_ROWS[i]
+    return f"((({a} * {key} + {b}) % {_CMS_P}) % {_CMS_W})"
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(f"({i})" for i in range(len(_CMS_ROWS)))
+    def bucket(i_ref: str, key: str) -> str:
+        a_case = f"CASE {i_ref} " + " ".join(
+            f"WHEN {i} THEN {a}" for i, (a, _) in enumerate(_CMS_ROWS)
+        ) + " END"
+        b_case = f"CASE {i_ref} " + " ".join(
+            f"WHEN {i} THEN {b}" for i, (_, b) in enumerate(_CMS_ROWS)
+        ) + " END"
+        return f"((({a_case}) * {key} + ({b_case})) % {_CMS_P}) % {_CMS_W}"
+
+    return f"""
+    WITH dims AS (SELECT i FROM (VALUES {rows}) t(i)),
+    counters AS (
+      SELECT dims.i AS i, {bucket("dims.i", "user_id")} AS bucket,
+             count(*) AS c
+      FROM events, dims GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    est AS (
+      SELECT e.user_id, e.n, min(c.c) AS est
+      FROM exact e
+      JOIN dims ON true
+      JOIN counters c
+        ON c.i = dims.i AND c.bucket = {bucket("dims.i", "e.user_id")}
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(n) AS BIGINT) AS total_exact,
+           CAST(sum(est) AS BIGINT) AS total_est,
+           CAST(sum(CASE WHEN est > n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overestimated,
+           CAST(max(est - n) AS BIGINT) AS max_over
+    FROM est
+    """
+
+
+@_q("q_sketch_cms", oracle=_cms_oracle())
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=256) for per-user event frequency,
+    audited against exact counts in the same query.
+
+    Build: each event lands in one bucket per hash row — a posexplode
+    to (row, bucket) pairs whose partial aggregation collapses map-side
+    to at most d*w = 1024 counters per task before the shuffle; the
+    merged sketch is 1024 ints regardless of input size, the mergeable
+    constant-memory shape that makes heavy-hitter estimation viable on
+    an unbounded stream. Probe: min over the key's d counters; CMS
+    error is one-sided (est >= exact, pinned by the audit columns and
+    tests). Deterministic universal hashes ((a*k + b) mod p mod w)
+    make the sketch bit-identical in any engine — the DuckDB oracle
+    rebuilds it exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    pairs = ev.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_cms_bucket(i, "user_id"))
+                    for i in range(len(_CMS_ROWS))
+                ]
+            )
+        ).alias("i", "bucket")
+    )
+    counters = pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    probes = exact.select(
+        "user_id",
+        "n",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_cms_bucket(i, "user_id"))
+                    for i in range(len(_CMS_ROWS))
+                ]
+            )
+        ).alias("i", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total_exact"),
+        F.sum("est").alias("total_est"),
+        F.sum(F.when(F.col("est") > F.col("n"), 1).otherwise(0)).alias(
+            "n_overestimated"
+        ),
+        F.max(F.col("est") - F.col("n")).alias("max_over"),
+    )
