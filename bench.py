@@ -60,6 +60,15 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_bm25",
     "q_ts_similarity",
+    "q_variant_parse",
+    "q_udtf_first_seen",
+    "q_lateral_topk",
+    "q_window_distinct_running",
+    "q_skyline",
+    "q_cluster_zorder",
+    "q_sketch_cms",
+    "q_market_basket",
+    "q_anomaly_zscore",
 ]
 
 

@@ -22,6 +22,7 @@ _MODULES = [
     "keycloak_event_stream_spark.operators.scale_patterns",
     "keycloak_event_stream_spark.operators.graph",
     "keycloak_event_stream_spark.operators.advanced_sql",
+    "keycloak_event_stream_spark.operators.insights",
     "keycloak_event_stream_spark.operators.layout",
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",

@@ -1,0 +1,118 @@
+"""Semantics tests for recursive CTE / attribution / basket /
+histogram / anomaly operators (operators/insights.py)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators.insights import (
+    q_anomaly_zscore,
+    q_attribution_last_touch,
+    q_histogram_equiwidth,
+    q_market_basket,
+    q_recursive_date_spine,
+    q_recursive_hierarchy,
+)
+
+
+def test_date_spine_gap_free_and_totals(spark):
+    rows = q_recursive_date_spine(spark, SF_DIR).collect()
+    # consecutive months, no gaps
+    months = [r.month for r in rows]
+    assert len(months) == len(set(months))
+    for prev, cur in zip(months, months[1:]):
+        nxt = (prev.year * 12 + prev.month - 1) + 1
+        assert (cur.year * 12 + cur.month - 1) == nxt
+    # spine totals reconcile with the base table
+    orders = load_table(spark, SF_DIR, "orders")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    # gap months (if any) carry explicit zeros, not nulls
+    assert all(r.n_orders >= 0 and r.revenue is not None for r in rows)
+
+
+def test_hierarchy_partitions_all_customers(spark):
+    rows = q_recursive_hierarchy(spark, SF_DIR).collect()
+    customer = load_table(spark, SF_DIR, "customer")
+    # every customer appears at exactly one depth
+    assert sum(r.n_members for r in rows) == customer.count()
+    # checksum over all levels = checksum over the table (no dup/loss)
+    total = customer.agg(F.sum("c_custkey")).collect()[0][0]
+    assert sum(r.key_checksum for r in rows) == total
+    # depth 0 is exactly the anchor set (c_custkey < 10)
+    d0 = next(r for r in rows if r.depth == 0)
+    assert d0.n_members == customer.filter("c_custkey < 10").count()
+    # roots never exceed the anchor count
+    assert all(r.n_roots <= d0.n_members for r in rows)
+
+
+def test_attribution_conversions_reconcile(spark):
+    rows = q_attribution_last_touch(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter("event_type = 'purchase'").count()
+    # purchases with no prior non-purchase touch are unattributed;
+    # attributed count can never exceed total purchases
+    attributed = sum(r.n_conversions for r in rows)
+    assert 0 < attributed <= purchases
+    # purchase can never be its own touch
+    assert all(r.touch != "purchase" for r in rows)
+
+
+def test_market_basket_pairs_canonical(spark):
+    rows = q_market_basket(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    # canonical ordering (a < b) and descending counts
+    assert all(r.part_a < r.part_b for r in rows)
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # spot-check the top pair against a direct recount
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    top = rows[0]
+    n = (
+        li.filter(F.col("l_partkey") == top.part_a)
+        .join(
+            li.filter(F.col("l_partkey") == top.part_b).select(
+                "l_orderkey"
+            ),
+            "l_orderkey",
+        )
+        .count()
+    )
+    assert n == top.n_orders
+
+
+def test_histogram_covers_all_rows_in_20_bins(spark):
+    rows = q_histogram_equiwidth(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    assert sum(r.n for r in rows) == orders.count()
+    assert all(0 <= r.bin <= 19 for r in rows)
+    # bins are disjoint ranges: each bin's max <= next bin's min
+    rows = sorted(rows, key=lambda r: r.bin)
+    for a, b in zip(rows, rows[1:]):
+        assert a.bin_max <= b.bin_min
+
+
+def test_anomaly_zscore_threshold(spark):
+    rows = q_anomaly_zscore(spark, SF_DIR).collect()
+    assert all(abs(r.zscore) > 2.0 for r in rows)
+    # recompute one flagged day's z-score from first principles
+    if rows:
+        r0 = rows[0]
+        daily = (
+            load_table(spark, SF_DIR, "events")
+            .filter(F.col("event_type") == r0.event_type)
+            .groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        cnts = [r.cnt for r in daily]
+        n = len(cnts)
+        mean = sum(cnts) / n
+        var = (n * sum(c * c for c in cnts) - sum(cnts) ** 2) / (n * n)
+        z = (r0.cnt - mean) / var**0.5
+        assert abs(z - r0.zscore) < 1e-9
