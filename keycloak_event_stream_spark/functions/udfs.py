@@ -158,3 +158,63 @@ def q_udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_id").groupBy("user_id").applyInPandas(
         _user_stats, _UDAF_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Arrow UDF (pyarrow arrays in/out — no pandas conversion)
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(T.LongType())
+    def _codepoints_udf(texts):
+        import pyarrow.compute as pc
+
+        return pc.cast(pc.utf8_length(texts), "int64")
+
+    @arrow_udf(T.LongType())
+    def _space_tokens_udf(texts):
+        import pyarrow.compute as pc
+
+        return pc.cast(
+            pc.add(pc.count_substring(texts, " "), 1), "int64"
+        )
+
+    _HAVE_ARROW_UDF = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAVE_ARROW_UDF = False
+
+
+if _HAVE_ARROW_UDF:
+
+    @_q(
+        "q_udf_arrow",
+        oracle="""
+        SELECT doc_id,
+               length(text) AS n_codepoints,
+               length(text) - length(replace(text, ' ', '')) + 1
+                 AS n_space_tokens
+        FROM documents
+        """,
+    )
+    def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark 4 ``arrow_udf``: the UDF receives/returns *pyarrow
+        arrays* directly — zero pandas materialization, so string
+        columns stay in Arrow's contiguous UTF-8 buffers end-to-end and
+        the kernel (``pyarrow.compute``) runs vectorized C++ over them.
+        This sits between ``pandas_udf`` (extra Arrow→pandas copy, with
+        object-dtype blowup for strings) and JVM expressions in the
+        cost hierarchy; for string-heavy 100 TB document scans the
+        avoided copy is the difference between CPU- and
+        allocation-bound.
+
+        Codepoint length and space-token counts are integer outputs of
+        deterministic kernels — bitwise oracle parity for free.
+        """
+        d = spread(load_table(spark, sf_dir, "documents"))
+        return d.select(
+            "doc_id",
+            _codepoints_udf(F.col("text")).alias("n_codepoints"),
+            _space_tokens_udf(F.col("text")).alias("n_space_tokens"),
+        )

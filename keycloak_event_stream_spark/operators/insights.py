@@ -423,3 +423,188 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "cnt", z.alias("zscore"))
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Pearson correlation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_agg_corr",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS yi
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(xi) AS DOUBLE) AS sx,
+             CAST(sum(yi) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag — computed from *exact decimal moments*, not ``F.corr``.
+
+    Spark's/DuckDB's built-in ``corr`` accumulates co-moments in
+    floating point, so their results differ by aggregation order and
+    never hash-match. Here both columns are first scaled to exact
+    integer cents (decimal multiply, then an exact integer-valued
+    decimal→bigint cast), so the five moments (Σx, Σy, Σx², Σy², Σxy)
+    are *integer* sums — exact, order-independent, and single-rounded
+    on the one cast to double. (A fractional DECIMAL(38,4)→DOUBLE cast
+    is NOT portable: DuckDB divides after an int128→double conversion
+    and drifts a ulp from Spark's correctly-rounded
+    BigDecimal.doubleValue — measured on this data.) The scale factors
+    cancel in the closed-form r, which is then deterministic scalar
+    IEEE math with identical expression shape in both engines: bitwise
+    parity on a statistic that is "impossible" to oracle-check naively.
+    One shuffle (the group-by); the per-row products pipeline inside
+    the scan stage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    yi = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    cents = li.select(
+        "l_returnflag", xi.alias("xi"), yi.alias("yi")
+    )
+    c_xi, c_yi = F.col("xi"), F.col("yi")
+    m = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c_xi).cast("double").alias("sx"),
+        F.sum(c_yi).cast("double").alias("sy"),
+        F.sum((c_xi * c_xi).cast("decimal(38,0)")).cast("double").alias(
+            "sxx"
+        ),
+        F.sum((c_yi * c_yi).cast("decimal(38,0)")).cast("double").alias(
+            "syy"
+        ),
+        F.sum((c_xi * c_yi).cast("decimal(38,0)")).cast("double").alias(
+            "sxy"
+        ),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", r.alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (referential integrity / uniqueness / completeness)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'events_dup_event_id',
+           (SELECT count(*) - count(DISTINCT event_id) FROM events)
+    UNION ALL
+    SELECT 'documents_null_or_empty_text',
+           (SELECT count(*) FROM documents
+            WHERE text IS NULL OR text = '')
+    UNION ALL
+    SELECT 'orders_nonpositive_totalprice',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    ORDER BY check_name
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality gate: referential integrity (FK orphans
+    via anti join), key uniqueness, completeness, and range checks,
+    one labelled row per check.
+
+    The shape that guards every 100 TB training-data ingest: each
+    check is a single scan (anti joins broadcast their key side or
+    shuffle on the FK; the uniqueness check is one hash aggregate),
+    and the union of 1-row results is free. The reference has no
+    validation surface at all — malformed rows silently divert to an
+    S3 error prefix (``terraform/main.tf:195``); this operator is the
+    queryable replacement.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def one(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    orphan_li = one(
+        "lineitem_orphan_orderkey",
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    orphan_ord = one(
+        "orders_orphan_custkey",
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    dup_ev = one(
+        "events_dup_event_id",
+        events.agg(
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+                "violations"
+            )
+        ),
+    )
+    null_doc = one(
+        "documents_null_or_empty_text",
+        docs.filter(
+            F.col("text").isNull() | (F.col("text") == "")
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    neg_price = one(
+        "orders_nonpositive_totalprice",
+        orders.filter(F.col("o_totalprice") <= 0).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    return (
+        orphan_li.unionByName(orphan_ord)
+        .unionByName(dup_ev)
+        .unionByName(null_doc)
+        .unionByName(neg_price)
+        .orderBy("check_name")
+    )

@@ -116,3 +116,47 @@ def test_anomaly_zscore_threshold(spark):
         var = (n * sum(c * c for c in cnts) - sum(cnts) ** 2) / (n * n)
         z = (r0.cnt - mean) / var**0.5
         assert abs(z - r0.zscore) < 1e-9
+
+
+def test_agg_corr_in_valid_range_and_matches_builtin(spark):
+    from keycloak_event_stream_spark.operators.insights import q_agg_corr
+
+    rows = q_agg_corr(spark, SF_DIR).collect()
+    assert rows and all(-1.0 <= r.corr_qty_price <= 1.0 for r in rows)
+    # the exact-moment formula must agree with Spark's builtin corr to
+    # float tolerance (the builtin is order-dependent, hence the 1e-9)
+    li = load_table(spark, SF_DIR, "lineitem")
+    builtin = {
+        r.l_returnflag: r.c
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.corr_qty_price - builtin[r.l_returnflag]) < 1e-9
+
+
+def test_dq_audit_clean_fixture(spark):
+    from keycloak_event_stream_spark.operators.insights import q_dq_audit
+
+    rows = {r.check_name: r.violations for r in q_dq_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 5
+    # driver fixtures are referentially clean — all checks green
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_udf_arrow_matches_jvm_expressions(spark):
+    from keycloak_event_stream_spark.functions.udfs import QUERIES
+
+    if "q_udf_arrow" not in QUERIES:  # older Spark without arrow_udf
+        import pytest
+
+        pytest.skip("arrow_udf unavailable")
+    got = QUERIES["q_udf_arrow"](spark, SF_DIR)
+    d = load_table(spark, SF_DIR, "documents")
+    want = d.select(
+        "doc_id",
+        F.length("text").alias("n_codepoints"),
+        (F.size(F.split(F.col("text"), " ")) + 0).alias("n_space_tokens"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
