@@ -608,3 +608,148 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(neg_price)
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (TPC-DS-style composite)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name, year(o.o_orderdate) AS yr,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, yr, revenue,
+           lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)
+             AS prev_revenue,
+           CAST(revenue AS DOUBLE)
+             / CAST(lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)
+                    AS DOUBLE) - 1.0 AS yoy
+    FROM yearly
+    ORDER BY n_name, yr
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: star join → yearly
+    decimal rollup → ``lag`` window — the TPC-DS Q4/Q74 shape.
+
+    The join side broadcasts both dims (customer is the only shuffled
+    input); the yearly aggregate reduces the data to |nation|×|year|
+    rows *before* the window, so the window pass is trivially small —
+    the order that matters at 100 TB (window-then-aggregate would sort
+    the fact table). Revenue stays DECIMAL through the rollup and the
+    growth ratio converts each operand to double once — deterministic
+    scalar division, identical shape in the oracle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (
+            F.col("revenue").cast("double") / prev.cast("double") - 1.0
+        ).alias("yoy"),
+    ).orderBy("n_name", "yr")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           sum(monetary) AS segment_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-customer
+    order rollup, quartile scores via ``ntile``, then segment-level
+    counts and value.
+
+    ntile needs a *total* order (ties broken by custkey) or the
+    quartile boundaries — and therefore the whole result — are
+    engine-dependent; that discipline is what makes a rank-based
+    segmentation oracle-checkable at all. The three global ntiles are
+    single-partition windows over the already-aggregated per-customer
+    rows (|customers|, not |orders|); at 100 TB you'd replace them
+    with percentile-threshold joins (cf. q_winsorize), but the
+    aggregate-first ordering keeps even this form viable to ~10⁸
+    customers. Monetary stays DECIMAL end-to-end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "monetary"
+        ),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

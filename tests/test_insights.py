@@ -160,3 +160,43 @@ def test_udf_arrow_matches_jvm_expressions(spark):
         (F.size(F.split(F.col("text"), " ")) + 0).alias("n_space_tokens"),
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_yoy_growth_ratio_consistency(spark):
+    from keycloak_event_stream_spark.operators.insights import q_yoy_growth
+
+    rows = q_yoy_growth(spark, SF_DIR).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for seq in by_nation.values():
+        # first year has no prior
+        assert seq[0].prev_revenue is None and seq[0].yoy is None
+        for prev, cur in zip(seq, seq[1:]):
+            assert cur.prev_revenue == prev.revenue
+            want = float(cur.revenue) / float(cur.prev_revenue) - 1.0
+            assert abs(cur.yoy - want) < 1e-12
+
+
+def test_rfm_segments_partition_customers(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_rfm_segmentation,
+    )
+
+    rows = q_rfm_segmentation(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(
+        1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+        for r in rows
+    )
+    # total segment value reconciles with the table total
+    total = sum(r.segment_value for r in rows)
+    from decimal import Decimal
+
+    want = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    assert Decimal(total) == want
