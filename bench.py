@@ -69,6 +69,7 @@ HEADLINE = [
     "q_sketch_cms",
     "q_market_basket",
     "q_anomaly_zscore",
+    "q_yoy_growth",
 ]
 
 

@@ -144,27 +144,40 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT) per event type ordered by time — the
     "cumulative unique users" curve. Spark SQL rejects DISTINCT
-    aggregates over windows; the idiom is ``size(collect_set() OVER
-    frame)``. The curve is fingerprinted (max = final distinct count,
-    sum = area under the curve) so the oracle compares the entire
-    series without shipping every row.
-
-    Scale note: collect_set window state is one hash set per open
-    partition on the executor — bounded by per-key distinct cardinality,
-    not row count; the total order (ts, event_id) makes the prefix sums
-    engine-independent.
+    aggregates over windows; the textbook idiom is ``size(collect_set()
+    OVER frame)``, but that materializes the accumulated set for every
+    row — O(rows × set) churn, measured 6.0s at sf0.1. The scalable
+    equivalence: a row raises the distinct count iff it is its user's
+    *first* occurrence within the type, so running-distinct = running
+    SUM of a first-occurrence flag (``row_number() == 1`` over
+    (type, user)). Two cheap window passes (integer state only),
+    1.3s at sf0.1 — and at 100 TB the flag pass shuffles by
+    (type, user) which also spreads hot types across executors.
+    The curve is fingerprinted (max = final distinct count, sum = area
+    under the curve) so the oracle compares the entire series without
+    shipping every row; the total order (ts, event_id) makes the
+    prefix sums engine-independent.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r = ev.select(
+    flagged = ev.select(
         "event_type",
-        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
-            "run_distinct"
-        ),
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    r = flagged.select(
+        "event_type",
+        F.sum("is_first").over(w_run).cast("bigint").alias("run_distinct"),
     )
     return (
         r.groupBy("event_type")

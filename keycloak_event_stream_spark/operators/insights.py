@@ -753,3 +753,56 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode (most-frequent value with portable tie-breaking)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM counted
+    )
+    SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS mode_count
+    FROM ranked WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent quantity per return flag) with a
+    *portable* tie-break: highest count, then smallest value.
+
+    Both Spark 4 and DuckDB ship a ``mode()`` aggregate, but their
+    tie-breaking is implementation-defined (first-seen, which depends
+    on scan/aggregation order) — so the built-ins can never
+    hash-match across engines or even across runs. The count+window
+    formulation pins the semantics and is the scalable shape anyway:
+    a two-level aggregation (group×value counts, then a per-group
+    top-1), each one shuffle, no single-partition window (the window
+    partitions by group).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), "l_quantity"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -200,3 +200,24 @@ def test_rfm_segments_partition_customers(spark):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
     ).collect()[0][0]
     assert Decimal(total) == want
+
+
+def test_agg_mode_is_true_maximum(spark):
+    from keycloak_event_stream_spark.operators.insights import q_agg_mode
+
+    rows = q_agg_mode(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    for r in rows:
+        counts = {
+            x.l_quantity: x.c
+            for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .groupBy("l_quantity")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        best = max(counts.values())
+        assert r.mode_count == best
+        # portable tie-break: smallest value among maxima
+        assert r.mode_quantity == min(
+            q for q, c in counts.items() if c == best
+        )
