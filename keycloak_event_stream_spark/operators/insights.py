@@ -806,3 +806,158 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands (consecutive-activity runs)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_gaps_islands",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS anchor
+      FROM daily
+    ), islands AS (
+      SELECT user_id, anchor, count(*) AS len,
+             min(day) AS island_start
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           max(len) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           min(island_start) AS first_active
+    FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of *consecutive* active days
+    (streaks), their count, the longest, and total active days.
+
+    The classic anchor trick — ``day - row_number()`` is constant
+    within a consecutive run — turns run detection into a plain
+    group-by: one shuffle on ``user_id`` for the window, one hash
+    aggregate, no self-join, no iteration. The engagement-streak
+    metric every event-analytics stack needs; the reference can only
+    return the raw per-user event list (``AthenaEventQuery.java:
+    173-187``) and push streak logic client-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = daily.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w).cast("int")
+        ).alias("anchor"),
+    )
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("island_start"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+            F.min("island_start").alias("first_active"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis (cumulative revenue share)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_pareto_abc",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT o_custkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM per_cust
+    ), classed AS (
+      SELECT o_custkey, cents,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.5
+                  THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                  THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY 1 ORDER BY abc_class
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC segmentation: customers ranked by revenue, running
+    cumulative share, classed A (first 50% of revenue) / B (to 80%) /
+    C (tail).
+
+    Revenue lives in exact integer *cents* end-to-end (the q_agg_corr
+    discipline — a fractional decimal→double cast is not
+    engine-portable), so the running sum is exact and the single
+    share division is deterministic IEEE. The running-share window is
+    a global ordered window over the *per-customer* rollup
+    (|customers| rows, not |orders|) — same aggregate-before-window
+    ordering as q_rfm_segmentation, same percentile-threshold-join
+    escape hatch beyond ~10⁸ groups. Total order via (cents DESC,
+    custkey).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents_expr = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents_expr).alias("cents")
+    )
+    w_run = (
+        Window.orderBy(F.desc("cents"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w_run).cast("bigint").alias("cum"),
+        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = ranked.select(
+        "cents",
+        F.when(share <= 0.5, "A")
+        .when(share <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )

@@ -221,3 +221,52 @@ def test_agg_mode_is_true_maximum(spark):
         assert r.mode_quantity == min(
             q for q, c in counts.items() if c == best
         )
+
+
+def test_gaps_islands_reconcile(spark):
+    from keycloak_event_stream_spark.operators.insights import q_gaps_islands
+
+    rows = q_gaps_islands(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    per_user = {
+        r.user_id: r.c
+        for r in daily.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {r.user_id for r in rows} == set(per_user)
+    for r in rows:
+        assert r.active_days == per_user[r.user_id]
+        assert 1 <= r.longest_streak <= r.active_days
+        assert 1 <= r.n_islands <= r.active_days
+    # brute-force one user's islands
+    r0 = rows[0]
+    days = sorted(
+        d.day for d in daily.filter(F.col("user_id") == r0.user_id).collect()
+    )
+    islands, cur = [], 1
+    for a, b in zip(days, days[1:]):
+        if (b - a).days == 1:
+            cur += 1
+        else:
+            islands.append(cur)
+            cur = 1
+    islands.append(cur)
+    assert r0.n_islands == len(islands)
+    assert r0.longest_streak == max(islands)
+
+
+def test_pareto_abc_shares(spark):
+    from keycloak_event_stream_spark.operators.insights import q_pareto_abc
+
+    rows = {r.abc_class: r for r in q_pareto_abc(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r.revenue_cents for r in rows.values())
+    # every A member's running share is <= 0.5, so the class total is
+    # bounded by half the revenue; A+B stay within 80%
+    assert 0 < rows["A"].revenue_cents <= total * 0.5
+    assert rows["A"].revenue_cents + rows["B"].revenue_cents <= total * 0.8
+    orders = load_table(spark, SF_DIR, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows.values()) == n_cust
