@@ -961,3 +961,183 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_ab_test_proportions",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) * 5 > count(*)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1, 2
+    ), arms AS (
+      SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY 1
+    ), wide AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+             max(CASE WHEN arm = 'A' THEN conv END) AS xa,
+             max(CASE WHEN arm = 'B' THEN n END) AS nb,
+             max(CASE WHEN arm = 'B' THEN conv END) AS xb
+      FROM arms
+    )
+    SELECT na, xa, nb, xb,
+           CAST(xa AS DOUBLE) / na AS rate_a,
+           CAST(xb AS DOUBLE) / nb AS rate_b,
+           (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)) AS zstat
+    FROM wide
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash split: users in
+    even/odd arms, conversion = purchases exceed 20% of the user's
+    events (an "any purchase" definition is degenerate on this fixture
+    — every user purchases, pooled variance 0, z undefined), pooled-
+    variance z statistic.
+
+    The experiment readout every event pipeline ends at. All inputs to
+    the statistic are integer counts (exact, order-independent); the z
+    formula is deterministic scalar IEEE with identical shape in both
+    engines, so even the test statistic hash-matches bitwise. Two
+    aggregates (per-user conversion flag, per-arm rollup) and a 2-row
+    pivot — nothing here grows with data volume except the first
+    shuffle on ``user_id``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("xb"),
+    )
+    na, xa = F.col("na"), F.col("xa")
+    nb, xb = F.col("nb"), F.col("xb")
+    rate_a = xa.cast("double") / na
+    rate_b = xb.cast("double") / nb
+    pooled = (xa + xb).cast("double") / (na + nb)
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return wide.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("zstat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert (exact median latency between funnel stages)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS purchase_ts
+      FROM events GROUP BY 1
+    ), lat AS (
+      SELECT user_id,
+             CAST(epoch_ms(purchase_ts) - epoch_ms(signup_ts) AS BIGINT)
+               AS ms
+      FROM firsts
+      WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+        AND purchase_ts >= signup_ts
+    ), ranked AS (
+      SELECT ms, row_number() OVER (ORDER BY ms, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN rn * 2 = n + 1 OR rn * 2 = n
+                          OR rn * 2 = n + 2 THEN ms END) AS BIGINT)
+             AS median_lo_ms,
+           CAST(max(CASE WHEN rn * 2 = n + 1 OR rn * 2 = n
+                          OR rn * 2 = n + 2 THEN ms END) AS BIGINT)
+             AS median_hi_ms
+    FROM ranked
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: exact median (reported as
+    the lower/upper middle order statistics, integer milliseconds — no
+    float midpoint, so the result is exact in any engine).
+
+    Rank arithmetic instead of a percentile function: the two middle
+    ranks satisfy 2·rn ∈ {n, n+1, n+2} (the q_winsorize
+    integer-cross-multiplication discipline — engine percentile
+    interpolation rules differ and can never hash-match). Shape: one
+    shuffle for the per-user firsts, one ordered window over the
+    |converted users| rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("signup_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    lat = firsts.filter(
+        F.col("signup_ts").isNotNull()
+        & F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+    ).select(
+        "user_id",
+        (
+            F.unix_millis("purchase_ts") - F.unix_millis("signup_ts")
+        ).alias("ms"),
+    )
+    w = Window.orderBy("ms", "user_id")
+    ranked = lat.select(
+        "ms",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    mid = (
+        (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min(F.when(mid, F.col("ms"))).cast("bigint").alias("median_lo_ms"),
+        F.max(F.when(mid, F.col("ms"))).cast("bigint").alias("median_hi_ms"),
+    )

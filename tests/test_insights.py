@@ -270,3 +270,50 @@ def test_pareto_abc_shares(spark):
     orders = load_table(spark, SF_DIR, "orders")
     n_cust = orders.select("o_custkey").distinct().count()
     assert sum(r.n_customers for r in rows.values()) == n_cust
+
+
+def test_ab_test_zstat_first_principles(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_ab_test_proportions,
+    )
+
+    r = q_ab_test_proportions(spark, SF_DIR).collect()[0]
+    assert r.na + r.nb > 0 and 0 <= r.xa <= r.na and 0 <= r.xb <= r.nb
+    import math
+
+    pooled = (r.xa + r.xb) / (r.na + r.nb)
+    assert 0 < pooled < 1  # non-degenerate conversion definition
+    z = (r.xa / r.na - r.xb / r.nb) / math.sqrt(
+        pooled * (1 - pooled) * (1 / r.na + 1 / r.nb)
+    )
+    assert abs(z - r.zstat) < 1e-12
+    assert abs(r.rate_a - r.xa / r.na) < 1e-15
+
+
+def test_time_to_convert_median_brackets(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_time_to_convert,
+    )
+
+    r = q_time_to_convert(spark, SF_DIR).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.median_lo_ms <= r.median_hi_ms
+    # recompute the middle order statistics directly
+    ev = load_table(spark, SF_DIR, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p"
+        ),
+    )
+    lat = sorted(
+        (
+            int((row.p - row.s).total_seconds() * 1000)
+            for row in firsts.collect()
+            if row.s is not None and row.p is not None and row.p >= row.s
+        )
+    )
+    n = len(lat)
+    assert n == r.n_converted
+    mids = [lat[(n - 1) // 2], lat[n // 2]]
+    assert r.median_lo_ms == min(mids) and r.median_hi_ms == max(mids)
