@@ -1,0 +1,362 @@
+"""Distributional statistics and hypothesis tests as exact relational
+programs: Kolmogorov–Smirnov, Gini, chi-square, Shannon entropy, KL
+divergence.
+
+North-star surface (the reference computes no statistics at all,
+SURVEY.md §2.2): corpus drift detection (KS/KL), concentration audits
+(Gini), independence checks (chi-square) and diversity profiling
+(entropy) are the monitoring layer of a 100 TB training-data pipeline.
+
+The determinism playbook (what makes these oracle-checkable bitwise):
+
+- KS: the statistic is a *maximum of integer cross-products* —
+  ``max |cum1·m − cum2·n|`` over the merged ECDF — divided once at the
+  end; no floating accumulation at all.
+- Gini: rank-weighted sums in exact integer cents, one final scalar
+  expression in double.
+- chi-square / entropy / KL: per-cell double contributions are
+  deterministic scalar math, but *engine-summed doubles are
+  order-dependent* — so each contribution is rounded to 6 decimals and
+  summed in DECIMAL (the q_tfidf/q_bm25 discipline), which is exact
+  and order-independent.
+
+Scale: every statistic reduces by group-by/window over aggregated
+cells (|distinct values| or |groups| rows, never raw-row state);
+the raw-data pass is one shuffle each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in1,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in2
+      FROM events WHERE event_type IN ('click', 'view')
+    ), pts AS (
+      SELECT value, CAST(sum(in1) AS BIGINT) AS c1,
+             CAST(sum(in2) AS BIGINT) AS c2
+      FROM s GROUP BY value
+    ), ecdf AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2,
+             CAST(sum(c1) OVER () AS BIGINT) AS n,
+             CAST(sum(c2) OVER () AS BIGINT) AS m
+      FROM pts
+    )
+    SELECT max(n) AS n_click, max(m) AS n_view,
+           CAST(max(abs(cum1 * m - cum2 * n)) AS BIGINT) AS d_numer,
+           CAST(max(abs(cum1 * m - cum2 * n)) AS DOUBLE)
+             / (max(n) * max(m)) AS ks_d
+    FROM ecdf
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value``
+    distributions of click vs view events — computed *exactly*.
+
+    D = max|F₁(x) − F₂(x)| evaluated on the merged ECDF: per distinct
+    value the two cumulative counts, and the supremum of
+    ``|cum1·m − cum2·n|`` — an integer, divided by n·m once at the
+    end. No floating-point accumulation anywhere, so the statistic is
+    identical in any engine at any parallelism (ties handled by
+    grouping equal values before the cumsum). Shape: one aggregate to
+    |distinct values| cells, one ordered window over the cells, one
+    max — the raw scan shuffles once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("in2"),
+    )
+    pts = s.groupBy("value").agg(
+        F.sum("in1").cast("bigint").alias("c1"),
+        F.sum("in2").cast("bigint").alias("c2"),
+    )
+    w_ord = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ecdf = pts.select(
+        F.sum("c1").over(w_ord).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w_ord).cast("bigint").alias("cum2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n"),
+        F.sum("c2").over(w_all).cast("bigint").alias("m"),
+    )
+    d_num = F.max(
+        F.abs(F.col("cum1") * F.col("m") - F.col("cum2") * F.col("n"))
+    )
+    return ecdf.agg(
+        F.max("n").alias("n_click"),
+        F.max("m").alias("n_view"),
+        d_num.cast("bigint").alias("d_numer"),
+        (d_num.cast("double") / (F.max("n") * F.max("m"))).alias("ks_d"),
+    )
+
+
+@_q(
+    "q_gini",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM per_cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           2.0 * CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS DOUBLE)
+             / (count(*) * CAST(sum(cents) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    companion number to q_pareto_abc, computed exactly.
+
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted revenues.
+    Revenue is integer cents, the rank-weighted sum runs in
+    DECIMAL(38,0) (exact — i·x products reach ~10¹⁶ at sf0.1), and
+    the closed form touches floating point exactly once per operand.
+    The rank window orders the *per-customer rollup* with a total
+    order (cents, custkey) — same aggregate-before-window posture as
+    the other global-rank operators.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents_expr = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents_expr).alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    total = F.sum("cents").cast("bigint")
+    s_iw = F.sum(
+        (F.col("i") * F.col("cents")).cast("decimal(38,0)")
+    ).cast("double")
+    gini = (
+        F.lit(2.0) * s_iw / (n * F.sum("cents").cast("double"))
+        - (n + F.lit(1)).cast("double") / n
+    )
+    return ranked.agg(
+        n.cast("bigint").alias("n"),
+        total.alias("total_cents"),
+        gini.alias("gini"),
+    )
+
+
+@_q(
+    "q_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS seg, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, seg, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS ct,
+             CAST(sum(o) OVER () AS BIGINT) AS g
+      FROM cells
+    ), contrib AS (
+      SELECT round(
+               pow(o - CAST(rt AS DOUBLE) * ct / g, 2)
+                 / (CAST(rt AS DOUBLE) * ct / g), 6) AS c
+      FROM tot
+    )
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(c AS DECIMAL(27,6))) AS DOUBLE) AS chi2
+    FROM contrib
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event type vs user segment
+    (even/odd). Expected counts come from integer marginals, each
+    cell's contribution is deterministic scalar double math — and the
+    cross-cell sum is the dangerous part: engine-summed doubles are
+    order-dependent, so contributions are rounded to 6 decimals and
+    summed in DECIMAL (exact, order-independent — the q_tfidf
+    discipline). One shuffle to the contingency cells; the window
+    marginals run over |cells| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("rt"),
+        F.sum("o").over(Window.partitionBy("seg")).cast("bigint").alias(
+            "ct"
+        ),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("g"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("g")
+    contrib = tot.select(
+        F.round(F.pow(F.col("o") - e, 2) / e, 6).alias("c")
+    )
+    n_cells = cells.count()
+    return contrib.agg(
+        F.lit(n_cells).cast("bigint").alias("n_cells"),
+        F.sum(F.col("c").cast("decimal(27,6)")).cast("double").alias(
+            "chi2"
+        ),
+    )
+
+
+@_q(
+    "q_entropy_sources",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ), p AS (
+      SELECT source, lang, c,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS t
+      FROM cells
+    )
+    SELECT source,
+           CAST(max(t) AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / t)
+                                * ln(CAST(c AS DOUBLE) / t), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS entropy_nats
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def q_entropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language mix — the
+    corpus-diversity profile a multilingual training pipeline monitors
+    per ingest source.
+
+    p = c/t from integer counts (deterministic division), the −p·ln p
+    terms rounded to 6 decimals before the DECIMAL sum (Spark and
+    DuckDB libm ``ln`` agree except ~5% last-ulp cases — rounding
+    absorbs them; the discipline pinned by q_tfidf). Aggregation
+    collapses to |source × lang| cells first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    p = cells.select(
+        "source",
+        "c",
+        F.sum("c")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    frac = F.col("c").cast("double") / F.col("t")
+    term = F.round(-frac * F.log(frac), 6)
+    return (
+        p.groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum(term.cast("decimal(27,6)")).cast("double").alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "q_kl_divergence",
+    oracle="""
+    WITH gdist AS (
+      SELECT lang, count(*) AS gc FROM documents GROUP BY 1
+    ), gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS g FROM gdist),
+    cells AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ), p AS (
+      SELECT s.source, s.c,
+             CAST(sum(s.c) OVER (PARTITION BY s.source) AS BIGINT) AS t,
+             gl.gc, gt.g
+      FROM cells s JOIN gdist gl ON gl.lang = s.lang CROSS JOIN gtot gt
+    )
+    SELECT source,
+           CAST(sum(CAST(round((CAST(c AS DOUBLE) / t)
+                                * ln((CAST(c AS DOUBLE) / t)
+                                     / (CAST(gc AS DOUBLE) / g)), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS kl_nats
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's language mix from the corpus
+    mix — the drift score that flags an ingest source whose
+    distribution departs from the whole (the practical monitor for
+    training-mix regressions).
+
+    KL(P‖Q) = Σ p·ln(p/q); P has support ⊆ Q's by construction (every
+    source cell contributes to the global marginal, so q > 0 wherever
+    p > 0 — no smoothing needed). Same determinism treatment as
+    entropy: integer-count ratios, 6-dp rounding before the DECIMAL
+    sum. The global marginal is tiny and broadcasts into the per-cell
+    join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    glob = d.groupBy("lang").agg(F.count(F.lit(1)).alias("gc"))
+    gtot = glob.agg(F.sum("gc").cast("bigint").alias("g"))
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    p = (
+        cells.join(F.broadcast(glob), "lang")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "c",
+            F.sum("c")
+            .over(Window.partitionBy("source"))
+            .cast("bigint")
+            .alias("t"),
+            "gc",
+            "g",
+        )
+    )
+    frac = F.col("c").cast("double") / F.col("t")
+    qfrac = F.col("gc").cast("double") / F.col("g")
+    term = F.round(frac * F.log(frac / qfrac), 6)
+    return (
+        p.groupBy("source")
+        .agg(
+            F.sum(term.cast("decimal(27,6)")).cast("double").alias(
+                "kl_nats"
+            )
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,85 @@
+"""Semantics tests for the distributional-statistics suite
+(operators/stattests.py)."""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators.stattests import (
+    q_chi_square,
+    q_entropy_sources,
+    q_gini,
+    q_kl_divergence,
+    q_ks_test,
+)
+
+
+def test_ks_matches_bruteforce(spark):
+    r = q_ks_test(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.ks_d <= 1.0
+    ev = load_table(spark, SF_DIR, "events")
+    a = sorted(
+        x.value for x in ev.filter("event_type = 'click'").collect()
+    )
+    b = sorted(x.value for x in ev.filter("event_type = 'view'").collect())
+    assert (r.n_click, r.n_view) == (len(a), len(b))
+    import bisect
+
+    pts = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) * len(b)
+            - bisect.bisect_right(b, x) * len(a)
+        )
+        for x in pts
+    )
+    assert r.d_numer == d
+    assert abs(r.ks_d - d / (len(a) * len(b))) < 1e-15
+
+
+def test_gini_bounds_and_bruteforce(spark):
+    r = q_gini(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    orders = load_table(spark, SF_DIR, "orders")
+    cents = sorted(
+        x.c
+        for x in orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("c")
+        )
+        .collect()
+    )
+    n, tot = len(cents), sum(cents)
+    s_iw = sum((i + 1) * x for i, x in enumerate(cents))
+    want = 2.0 * s_iw / (n * tot) - (n + 1) / n
+    assert abs(r.gini - want) < 1e-12
+    assert r.n == n and r.total_cents == tot
+
+
+def test_chi_square_nonnegative_and_df(spark):
+    r = q_chi_square(spark, SF_DIR).collect()[0]
+    assert r.chi2 >= 0.0
+    # 5 event types x 2 segments
+    assert r.n_cells == 10
+
+
+def test_entropy_bounds(spark):
+    rows = q_entropy_sources(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_nats <= math.log(r.n_langs) + 1e-6
+
+
+def test_kl_nonnegative(spark):
+    rows = q_kl_divergence(spark, SF_DIR).collect()
+    assert rows
+    # Gibbs' inequality (up to the 6-dp rounding of each term)
+    assert all(r.kl_nats >= -1e-5 for r in rows)
