@@ -360,3 +360,70 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "q_agg_linreg",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS yi
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(xi) AS DOUBLE) AS sx,
+             CAST(sum(yi) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept_cents
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (extended price on quantity) from the
+    same exact integer-cent moments as q_agg_corr — slope and
+    intercept as deterministic closed forms, bitwise across engines.
+
+    Engines ship ``regr_slope``/``regr_intercept``, but like ``corr``
+    they accumulate co-moments in floating point and can never
+    cross-match; the moment sums here are exact integers. Note the
+    intercept is in *cents* (the x/y scaling cancels in the slope but
+    not the intercept — a unit honesty the docstring pins). One
+    shuffle, closed-form scalar math above it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    yi = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    cents = li.select("l_returnflag", xi.alias("xi"), yi.alias("yi"))
+    c_xi, c_yi = F.col("xi"), F.col("yi")
+    m = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c_xi).cast("double").alias("sx"),
+        F.sum(c_yi).cast("double").alias("sy"),
+        F.sum((c_xi * c_xi).cast("decimal(38,0)")).cast("double").alias(
+            "sxx"
+        ),
+        F.sum((c_xi * c_yi).cast("decimal(38,0)")).cast("double").alias(
+            "sxy"
+        ),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("l_returnflag")

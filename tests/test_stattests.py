@@ -83,3 +83,24 @@ def test_kl_nonnegative(spark):
     assert rows
     # Gibbs' inequality (up to the 6-dp rounding of each term)
     assert all(r.kl_nats >= -1e-5 for r in rows)
+
+
+def test_linreg_matches_builtin(spark):
+    from keycloak_event_stream_spark.operators.stattests import q_agg_linreg
+
+    rows = q_agg_linreg(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    builtin = {
+        r.l_returnflag: (r.s, r.i)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_slope(l_extendedprice, l_quantity)").alias("s"),
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("i"),
+        )
+        .collect()
+    }
+    for r in rows:
+        s, i = builtin[r.l_returnflag]
+        # slope is unit-invariant (cents cancel); intercept is in cents
+        assert abs(r.slope - s) < 1e-6
+        assert abs(r.intercept_cents / 100.0 - i) < 1e-3
