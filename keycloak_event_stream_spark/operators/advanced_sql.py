@@ -237,3 +237,45 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "sz", "n_parts")
         .orderBy("price", "sz")
     )
+
+
+@_q(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem
+    WHERE l_discount >= 0.05
+    GROUP BY 1, 2
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (``|>``): the linear dataflow form of
+    filter → aggregate → order, with the discount threshold supplied
+    as a *parameter marker* (``spark.sql(..., args=...)``) instead of
+    an inlined literal — the typed answer to the reference's manual
+    quote-doubling escape hatch (``AthenaEventQuery.java:200-205``).
+
+    Pipe stages compile to the identical Catalyst plan as the nested
+    SQL (the oracle is the classic form — same hash, same plan), so
+    the readability is free: no optimization fence, pushdown and
+    partial aggregation unchanged. New-engine surface worth pinning
+    because the reference's whole query layer was string assembly.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_discount >= :min_disc
+        |> AGGREGATE count(*) AS n,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus
+        """,
+        args={"min_disc": 0.05},
+    )
