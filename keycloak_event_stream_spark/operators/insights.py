@@ -1141,3 +1141,113 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(mid, F.col("ms"))).cast("bigint").alias("median_lo_ms"),
         F.max(F.when(mid, F.col("ms"))).cast("bigint").alias("median_hi_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-interval merge (coverage stitching)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 1800000 AS e,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island,
+             min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(me - ms) AS BIGINT) AS coverage_ms,
+           CAST(max(me - ms) AS BIGINT) AS longest_ms
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping activity intervals (each event opens a 30-min
+    window) into disjoint coverage spans per user — the
+    interval-stitching primitive behind uptime, ad-viewability, and
+    session-coverage metrics.
+
+    The sweep: order intervals by start, a new span begins exactly
+    when a start exceeds the running max of all previous ends
+    (``max(e) OVER (... 1 PRECEDING)``), and the running sum of that
+    flag is the span id — one window pass plus two aggregates, no
+    self-join, no explosion of overlap pairs (the naive overlap join
+    is quadratic per user). All arithmetic is integer epoch millis.
+    Strictly more general than gaps-and-islands (arbitrary interval
+    lengths, not unit days); same single-shuffle posture on
+    ``user_id``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + 1800000).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).cast("bigint").alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("me") - F.col("ms")).cast("bigint").alias(
+                "coverage_ms"
+            ),
+            F.max(F.col("me") - F.col("ms")).cast("bigint").alias(
+                "longest_ms"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -317,3 +317,31 @@ def test_time_to_convert_median_brackets(spark):
     assert n == r.n_converted
     mids = [lat[(n - 1) // 2], lat[n // 2]]
     assert r.median_lo_ms == min(mids) and r.median_hi_ms == max(mids)
+
+
+def test_interval_merge_bruteforce_one_user(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_interval_merge,
+    )
+
+    rows = q_interval_merge(spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    r0 = rows[0]
+    iv = sorted(
+        (int(x.ts.timestamp() * 1000), int(x.ts.timestamp() * 1000) + 1800000)
+        for x in ev.filter(F.col("user_id") == r0.user_id).collect()
+    )
+    merged = []
+    for s, e in iv:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    assert r0.n_intervals == len(merged)
+    assert r0.coverage_ms == sum(e - s for s, e in merged)
+    assert r0.longest_ms == max(e - s for s, e in merged)
+    # coverage can never exceed (events * 30min) nor be smaller than one
+    for r in rows:
+        assert r.longest_ms >= 1800000
+        assert r.coverage_ms >= r.longest_ms
