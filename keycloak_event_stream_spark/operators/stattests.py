@@ -427,3 +427,131 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept_cents"),
     ).orderBy("l_returnflag")
+
+
+@_q(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT d, count(*) AS c FROM digits GROUP BY d
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs)
+    SELECT o.d AS digit, o.c AS observed,
+           CAST(o.c AS DOUBLE) / t.n AS observed_p,
+           ln(1.0 + 1.0 / o.d) / ln(10.0) AS benford_p,
+           abs(CAST(o.c AS DOUBLE) / t.n
+               - ln(1.0 + 1.0 / o.d) / ln(10.0)) AS abs_dev
+    FROM obs o CROSS JOIN tot t
+    ORDER BY o.d
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the fraud /
+    synthetic-data smell test (fabricated amounts rarely follow the
+    log-uniform digit law).
+
+    The leading digit comes from the *integer cents* string (never
+    from double formatting — engine float→string rules differ);
+    observed shares are integer-count ratios and the Benford
+    expectation ln(1+1/d)/ln(10) is deterministic scalar math, so
+    every column hash-matches bitwise. One aggregate to 9 cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    tot = obs.agg(F.sum("c").cast("bigint").alias("n"))
+    benford_p = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    obs_p = F.col("c").cast("double") / F.col("n")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("c").alias("observed"),
+            obs_p.alias("observed_p"),
+            benford_p.alias("benford_p"),
+            F.abs(obs_p - benford_p).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@_q(
+    "q_outlier_iqr",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), quarts AS (
+      SELECT event_type,
+             min(CASE WHEN rn * 4 >= n + 1 THEN value END) AS q1,
+             min(CASE WHEN rn * 4 >= 3 * (n + 1) THEN value END) AS q3
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_outliers,
+           min(r.value) AS min_outlier,
+           max(r.value) AS max_outlier
+    FROM ranked r JOIN quarts q ON q.event_type = r.event_type
+    WHERE r.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR r.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event type: values beyond
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR.
+
+    Quartiles via *nearest-rank-above* arithmetic (``rn·4 ≥ k(n+1)``,
+    integer cross-multiplication — the q_winsorize discipline; engine
+    percentile interpolation can never cross-match), so the quartile
+    is an actual data value and the fence expression is deterministic
+    scalar math on it. Complements q_anomaly_zscore with the
+    rank-based (distribution-free) detector. One window shuffle on
+    the group key; fences broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    quarts = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") * 4 >= F.col("n") + 1, F.col("value"))
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("rn") * 4 >= 3 * (F.col("n") + 1), F.col("value")
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = ranked.join(F.broadcast(quarts), "event_type")
+    return (
+        joined.filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_outliers"),
+            F.min("value").alias("min_outlier"),
+            F.max("value").alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )

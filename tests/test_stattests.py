@@ -104,3 +104,37 @@ def test_linreg_matches_builtin(spark):
         # slope is unit-invariant (cents cancel); intercept is in cents
         assert abs(r.slope - s) < 1e-6
         assert abs(r.intercept_cents / 100.0 - i) < 1e-3
+
+
+def test_benford_shares_sum_to_one(spark):
+    from keycloak_event_stream_spark.operators.stattests import q_benford
+
+    rows = q_benford(spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, len(rows) + 1))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-12
+    # Benford expectations are the exact law values
+    for r in rows:
+        assert abs(r.benford_p - math.log10(1 + 1 / r.digit)) < 1e-15
+        assert abs(r.abs_dev - abs(r.observed_p - r.benford_p)) < 1e-15
+
+
+def test_iqr_outliers_beyond_fences(spark):
+    from keycloak_event_stream_spark.operators.stattests import (
+        q_outlier_iqr,
+    )
+
+    rows = q_outlier_iqr(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    for r in rows:
+        vals = sorted(
+            x.value
+            for x in ev.filter(F.col("event_type") == r.event_type).collect()
+        )
+        n = len(vals)
+        # nearest-rank-above quartiles, same arithmetic
+        q1 = vals[math.ceil((n + 1) / 4) - 1]
+        q3 = vals[math.ceil(3 * (n + 1) / 4) - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        want = [v for v in vals if v < lo or v > hi]
+        assert r.n_outliers == len(want)
+        assert r.min_outlier == min(want) and r.max_outlier == max(want)
