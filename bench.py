@@ -70,6 +70,11 @@ HEADLINE = [
     "q_market_basket",
     "q_anomaly_zscore",
     "q_yoy_growth",
+    "q_ks_test",
+    "q_gini",
+    "q_interval_merge",
+    "q_recursive_hierarchy",
+    "q_pipe_syntax",
 ]
 
 
