@@ -1251,3 +1251,68 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-band single-scan aggregate (TPC-DS Q88 shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_multiband_singlescan",
+    oracle="""
+    SELECT
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 0 AND 2
+                  AND event_type = 'view' THEN 1 END) AS h0_2_views,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 3 AND 5
+                  AND event_type = 'view' THEN 1 END) AS h3_5_views,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 6 AND 8
+                  AND event_type = 'click' THEN 1 END) AS h6_8_clicks,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 9 AND 11
+                  AND event_type = 'click' THEN 1 END) AS h9_11_clicks,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 12 AND 14
+                  AND event_type = 'purchase' THEN 1 END)
+        AS h12_14_purchases,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 15 AND 17
+                  AND event_type = 'purchase' THEN 1 END)
+        AS h15_17_purchases,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 18 AND 20
+                  AND event_type = 'error' THEN 1 END) AS h18_20_errors,
+      count(CASE WHEN extract(hour FROM ts) BETWEEN 21 AND 23
+                  AND event_type = 'signup' THEN 1 END) AS h21_23_signups
+    FROM events
+    """,
+)
+def q_multiband_singlescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight time-band × event-type counts in ONE scan (the TPC-DS Q88
+    shape) — conditional aggregation instead of eight filtered
+    subqueries.
+
+    The naive formulation (one scan + filter per band, cross-joined)
+    reads the fact table eight times; conditional ``count(CASE...)``
+    reads it once and keeps all eight accumulators in the same hash
+    agg — at 100 TB that is the difference between one pass and
+    eight. Catalyst does NOT fuse the eight-subquery form on its own
+    (each FROM is an independent scan), so this rewrite is the
+    engine-user's job and worth pinning as a named pattern. Integer
+    counts; bitwise for free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    t = F.col("event_type")
+
+    def band(lo: int, hi: int, typ: str):
+        return F.count(
+            F.when(h.between(lo, hi) & (t == typ), F.lit(1))
+        ).alias(f"h{lo}_{hi}_{typ}s")
+
+    return ev.agg(
+        band(0, 2, "view"),
+        band(3, 5, "view"),
+        band(6, 8, "click"),
+        band(9, 11, "click"),
+        band(12, 14, "purchase"),
+        band(15, 17, "purchase"),
+        band(18, 20, "error"),
+        band(21, 23, "signup"),
+    )
