@@ -138,3 +138,73 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "node"
     ).limit(50)
+
+
+@_q(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count in the co-purchase graph (parts linked when
+    ≥2 orders contain both) — the clustering-cohesion census.
+
+    The node-ordering discipline (every edge stored once as u < v,
+    triangles enumerated as u < v < w via two equi-joins) counts each
+    triangle exactly once with no post-hoc dedup — the standard trick
+    that turns an O(n³) enumeration into two hash joins on an
+    oriented edge list. Edge construction reuses the market-basket
+    pair pass (shuffle on l_orderkey, pair fan-out local); the
+    triangle joins shuffle on single node keys. At 100 TB the edge
+    list gets a degree-ordered orientation instead (high-degree nodes
+    last) to bound the join fan-out — noted here as the scale
+    escalation path.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    n_edges = pairs.count()
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"), "n_triangles"
+    )
