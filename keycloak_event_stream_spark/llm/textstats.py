@@ -639,3 +639,54 @@ def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logprob", "doc_id")
         .limit(100)
     )
+
+
+@_q(
+    "q_dataset_card",
+    oracle="""
+    WITH lang_counts AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ), top_lang AS (
+      SELECT lang FROM lang_counts ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(DISTINCT text) FROM documents) AS n_unique_texts,
+           (SELECT count(*) FROM lang_counts) AS n_langs,
+           (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+             AS total_chars,
+           (SELECT lang FROM top_lang) AS top_lang
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the header block of a corpus datasheet
+    (sizes, language/source breadth, exact-duplicate rate inputs,
+    dominant language with a deterministic tie-break).
+
+    All facts come from two scans' worth of aggregates (Spark fuses
+    the count-distinct pair into one pass per grouping); at 100 TB
+    this is the cheap always-on summary every ingest publishes next
+    to the data — the datasheet practice the reference has no
+    equivalent for. Counts are integers; ``top_lang`` ties break
+    (count DESC, lang ASC) so the card is reproducible.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lang_counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    top_lang = (
+        lang_counts.orderBy(F.desc("c"), "lang").limit(1).select("lang")
+    )
+    card = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return card.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_unique_texts",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        F.col("lang").alias("top_lang"),
+    )

@@ -1316,3 +1316,76 @@ def q_multiband_singlescan(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(18, 20, "error"),
         band(21, 23, "signup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total window (share-of-group BI shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_percent_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region,
+           CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER () AS BIGINT) AS share_of_total
+    FROM nat ORDER BY region, nation
+    """,
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group: each nation's revenue as a fraction of its
+    region and of the world — the percent-of-total window every BI
+    layer reduces to.
+
+    Integer-cent group sums (exact), window totals over the
+    |nation|-row rollup (25 rows — the aggregate-before-window
+    posture), one double division per share with identical shape in
+    both engines. The star join broadcasts all three dims; orders is
+    the only shuffled input.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents_expr = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    nat = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents_expr).alias("cents"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        "cents",
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_region).cast("bigint")
+        ).alias("share_of_region"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_all).cast("bigint")
+        ).alias("share_of_total"),
+    ).orderBy("region", "nation")

@@ -345,3 +345,29 @@ def test_interval_merge_bruteforce_one_user(spark):
     for r in rows:
         assert r.longest_ms >= 1800000
         assert r.coverage_ms >= r.longest_ms
+
+
+def test_percent_of_total_sums_to_one(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_percent_of_total,
+    )
+
+    rows = q_percent_of_total(spark, SF_DIR).collect()
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-9
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r.share_of_region)
+    for shares in by_region.values():
+        assert abs(sum(shares) - 1.0) < 1e-9
+
+
+def test_dataset_card_facts(spark):
+    from keycloak_event_stream_spark.llm.textstats import QUERIES
+
+    r = QUERIES["q_dataset_card"](spark, SF_DIR).collect()[0]
+    d = load_table(spark, SF_DIR, "documents")
+    assert r.n_docs == d.count()
+    assert 0 < r.n_unique_texts <= r.n_docs
+    assert r.n_langs == 5 and r.n_sources == 20
+    assert r.top_lang in {"de", "en", "es", "fr", "zh"}
+    assert r.total_chars == d.agg(F.sum("n_chars")).collect()[0][0]
