@@ -1389,3 +1389,148 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents").over(w_all).cast("bigint")
         ).alias("share_of_total"),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (completes the as-of family)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_join_asof_forward",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           t.event_id AS next_click_id, t.ts AS next_click_ts
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.event_id, c.ts FROM c
+      WHERE c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.ts, c.event_id LIMIT 1
+    ) t ON TRUE
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each purchase, the *earliest* click at-or-
+    after it by the same user (post-conversion behavior lookup —
+    the mirror of q_join_asof's latest-before).
+
+    Same union-tag idiom, reversed frame: one (user_id) shuffle, one
+    sort, ``first(..., ignorenulls)`` over [currentRow,
+    unboundedFollowing]. At equal timestamps the purchase row sorts
+    before the click (probe flag descending) so a click at exactly
+    purchase_ts stays inside the forward frame — the ``ts >=``
+    inclusivity pinned the opposite way round from the backward
+    variant. DuckDB lacks forward ASOF JOIN; the oracle is the
+    correlated LATERAL LIMIT 1 spec, proving the window plan
+    equivalent to the quadratic definition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_probe")
+    )
+    both = p.unionByName(c)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_probe").desc(), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("is_probe") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    enriched = both.withColumn(
+        "next_click_id", F.first(click_id, ignorenulls=True).over(w)
+    ).withColumn("next_click_ts", F.first(click_ts, ignorenulls=True).over(w))
+    return enriched.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_id",
+        "next_click_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank over rollup levels (GROUPING() composite)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_rollup_rank",
+    oracle="""
+    WITH r AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             GROUPING(r.r_name) + 2 * GROUPING(n.n_name) AS gid,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY ROLLUP (r.r_name, n.n_name)
+    )
+    SELECT region, nation, gid, revenue,
+           rank() OVER (PARTITION BY gid
+                        ORDER BY revenue DESC,
+                                 COALESCE(region, ''),
+                                 COALESCE(nation, '')) AS rnk
+    FROM r
+    ORDER BY gid, rnk, region NULLS LAST, nation NULLS LAST
+    """,
+)
+def q_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank within each ROLLUP level (nation / region / grand total),
+    labelled by GROUPING() — the TPC-DS Q67 composite: one multi-level
+    aggregate, then a per-level leaderboard, no second scan.
+
+    Spark's ``grouping()`` and DuckDB's ``GROUPING()`` agree on the
+    0/1 encoding, so the level id (g_region + 2·g_nation) is portable;
+    revenue stays DECIMAL; rank ties break on the full name key. The
+    rollup is one shuffle over the star join; the rank windows run on
+    the ~31-row aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    r = (
+        joined.rollup(F.col("r_name"), F.col("n_name"))
+        .agg(
+            (
+                F.grouping(F.col("r_name"))
+                + F.lit(2) * F.grouping(F.col("n_name"))
+            ).alias("gid"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "gid",
+            "revenue",
+        )
+    )
+    w = Window.partitionBy("gid").orderBy(
+        F.desc("revenue"),
+        F.coalesce(F.col("region"), F.lit("")),
+        F.coalesce(F.col("nation"), F.lit("")),
+    )
+    return r.select(
+        "region", "nation", "gid", "revenue", F.rank().over(w).alias("rnk")
+    ).orderBy(
+        "gid",
+        "rnk",
+        F.col("region").asc_nulls_last(),
+        F.col("nation").asc_nulls_last(),
+    )

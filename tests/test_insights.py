@@ -371,3 +371,47 @@ def test_dataset_card_facts(spark):
     assert r.n_langs == 5 and r.n_sources == 20
     assert r.top_lang in {"de", "en", "es", "fr", "zh"}
     assert r.total_chars == d.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_asof_forward_is_earliest_at_or_after(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_join_asof_forward,
+    )
+
+    rows = q_join_asof_forward(spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = {}
+    for c in ev.filter("event_type = 'click'").collect():
+        clicks.setdefault(c.user_id, []).append((c.ts, c.event_id))
+    for u in clicks:
+        clicks[u].sort()
+    for r in rows[:50]:
+        cand = [
+            (ts, eid)
+            for ts, eid in clicks.get(r.user_id, [])
+            if ts >= r.purchase_ts
+        ]
+        if not cand:
+            assert r.next_click_id is None
+        else:
+            assert (r.next_click_ts, r.next_click_id) == min(cand)
+
+
+def test_rollup_rank_levels(spark):
+    from keycloak_event_stream_spark.operators.insights import q_rollup_rank
+
+    rows = q_rollup_rank(spark, SF_DIR).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid 0 = (region, nation) leaves; 2 = region subtotals; 3 = grand
+    assert set(by_gid) == {0, 2, 3}
+    assert len(by_gid[3]) == 1 and by_gid[3][0].rnk == 1
+    assert len(by_gid[2]) == 5  # five regions
+    # grand total equals the sum of region subtotals
+    assert by_gid[3][0].revenue == sum(r.revenue for r in by_gid[2])
+    # ranks within each level are 1..n with desc revenue
+    for gid, rs in by_gid.items():
+        revs = [r.revenue for r in sorted(rs, key=lambda x: x.rnk)]
+        assert revs == sorted(revs, reverse=True)
