@@ -1534,3 +1534,64 @@ def q_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region").asc_nulls_last(),
         F.col("nation").asc_nulls_last(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis (top user journeys)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_funnel_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening user journeys: each user's first five events as
+    an ordered ``a>b>c`` path, counted across users — the
+    path-analysis staple behind onboarding and drop-off dashboards.
+
+    The path string is built from a sorted struct collect
+    (``array_sort`` on (rn, type) pairs, then join) — the same
+    determinism idiom as q_string_agg, equivalent to DuckDB's ordered
+    ``string_agg``. Two shuffles (user window, path count), top-10
+    via TakeOrderedAndProject with a full (count, path) tiebreak.
+    Path cardinality is bounded by |event_types|⁵, so the count
+    aggregate stays small no matter the row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )

@@ -415,3 +415,32 @@ def test_rollup_rank_levels(spark):
     for gid, rs in by_gid.items():
         revs = [r.revenue for r in sorted(rs, key=lambda x: x.rnk)]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_funnel_paths_shape(spark):
+    from keycloak_event_stream_spark.operators.insights import q_funnel_paths
+
+    rows = q_funnel_paths(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"click", "error", "purchase", "signup", "view"}
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 5
+        assert set(steps) <= types
+    # brute-force one user's opening path
+    ev = load_table(spark, SF_DIR, "events")
+    u0 = ev.select("user_id").distinct().orderBy("user_id").first().user_id
+    first5 = [
+        r.event_type
+        for r in ev.filter(F.col("user_id") == u0)
+        .orderBy("ts", "event_id")
+        .limit(5)
+        .collect()
+    ]
+    path0 = ">".join(first5)
+    # that path's count includes this user if it made the top 10
+    for r in rows:
+        if r.path == path0:
+            assert r.n_users >= 1
