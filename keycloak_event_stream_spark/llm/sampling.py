@@ -159,3 +159,46 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (start - 2048 * pack).alias("pack_offset"),
     )
+
+
+@_q(
+    "q_sample_weighted",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM scored
+    WHERE CAST(h AS DOUBLE) / 4294967296.0
+          < CAST(n_chars AS DOUBLE) / 2000.0
+    ORDER BY doc_id
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling: each document is
+    kept with probability ∝ its length (capped at 1) by comparing an
+    md5-derived uniform hash fraction against the weight — no RNG, no
+    seed coordination, reproducible on any engine and any partitioning.
+
+    This is how a 100 TB curation pipeline takes a length-weighted
+    subsample without a shuffle or a global pass: the decision is a
+    per-row pure function of the stable key (the same md5-fraction
+    trick as the train/test split). The first 8 hex chars give a
+    32-bit uniform in [0, 2³²); both engines parse hex identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    keep = (h.cast("double") / F.lit(4294967296.0)) < (
+        F.col("n_chars").cast("double") / F.lit(2000.0)
+    )
+    return (
+        d.select("doc_id", "n_chars", keep.alias("keep"))
+        .filter("keep")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

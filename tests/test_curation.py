@@ -152,3 +152,26 @@ def test_range_binned_join_avoids_bnlj(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(spark):
+    from keycloak_event_stream_spark.llm.sampling import QUERIES
+
+    from conftest import SF_DIR
+
+    a = {r.doc_id for r in QUERIES["q_sample_weighted"](spark, SF_DIR).collect()}
+    b = {r.doc_id for r in QUERIES["q_sample_weighted"](spark, SF_DIR).collect()}
+    assert a == b and a  # pure function of the key
+    from pyspark.sql import functions as F
+
+    from keycloak_event_stream_spark.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    mean_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    mean_kept = (
+        d.filter(F.col("doc_id").isin(list(a)))
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    # longer docs are kept proportionally more often
+    assert mean_kept > mean_all
