@@ -1595,3 +1595,84 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (Jaccard between event-type user sets)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_audience_overlap",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, count(*) AS n FROM m GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM m a JOIN m b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: Jaccard similarity between every pair
+    of event types' user sets — the segment-overlap census behind
+    "users who click also purchase" dashboards.
+
+    |A∩B| comes from a self-join on the *deduplicated* (type, user)
+    membership table (shuffle on user_id, pair fan-out bounded by
+    types-per-user²); |A∪B| = |A|+|B|−|A∩B| from integer sizes, so
+    the only float is one deterministic division per pair. The same
+    shape scales to segment×segment overlap at 10⁸ users because
+    nothing ever materializes a user set — only counts move.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    sizes = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

