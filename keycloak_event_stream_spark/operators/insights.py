@@ -1676,3 +1676,82 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame transpose (Spark 4 metrics-matrix pivot)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_transpose",
+    oracle="""
+    WITH reg AS (
+      SELECT r.r_name AS region,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1
+    )
+    SELECT 'revenue_cents' AS key,
+           max(CASE WHEN region = 'AFRICA' THEN revenue_cents END)
+             AS "AFRICA",
+           max(CASE WHEN region = 'AMERICA' THEN revenue_cents END)
+             AS "AMERICA",
+           max(CASE WHEN region = 'ASIA' THEN revenue_cents END)
+             AS "ASIA",
+           max(CASE WHEN region = 'EUROPE' THEN revenue_cents END)
+             AS "EUROPE",
+           max(CASE WHEN region = 'MIDDLE EAST' THEN revenue_cents END)
+             AS "MIDDLE EAST"
+    FROM reg
+    UNION ALL
+    SELECT 'n_orders',
+           max(CASE WHEN region = 'AFRICA' THEN n_orders END),
+           max(CASE WHEN region = 'AMERICA' THEN n_orders END),
+           max(CASE WHEN region = 'ASIA' THEN n_orders END),
+           max(CASE WHEN region = 'EUROPE' THEN n_orders END),
+           max(CASE WHEN region = 'MIDDLE EAST' THEN n_orders END)
+    FROM reg
+    ORDER BY key
+    """,
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose()``: the per-region metrics
+    rollup flipped into a metrics-matrix (one row per measure, one
+    column per region) — the report orientation finance/BI exports
+    want, previously a hand-written conditional-aggregation pivot
+    (which is exactly what the oracle spells out).
+
+    transpose() uses the first column as the new header and requires
+    a least-common type across the value columns — hence both
+    measures are bigint (revenue in integer cents). The input is the
+    5-row region rollup, so the driver-side flip is free; transpose
+    is a small-result operator by construction, never for fact-sized
+    frames.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents_expr = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    reg = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(cents_expr).alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("region")
+    )
+    return reg.transpose().orderBy("key")

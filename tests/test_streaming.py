@@ -278,3 +278,51 @@ def test_checkpoint_restart_picks_up_only_new_files(spark, tmp_path):
     # 150 rows total, each id exactly once - file a was NOT reprocessed
     assert got.count() == 150
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark horizon collapse even when their event times differ
+    slightly (dropDuplicates would treat them as distinct rows when
+    any non-key column differs; the watermark variant dedups by key
+    while bounding state — the production shape for at-least-once
+    sources feeding exactly-once sinks)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")]
+    dup_rows = [(1, "2024-01-01 10:00:30"), (3, "2024-01-01 10:10:00")]
+    spark.createDataFrame(rows, "event_id LONG, ts_s STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "batch"))
+
+    stream = (
+        spark.readStream.schema("event_id LONG, ts_s STRING")
+        .parquet(str(src / "batch"))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = tmp_path / "out"
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    spark.createDataFrame(
+        dup_rows, "event_id LONG, ts_s STRING"
+    ).coalesce(1).write.mode("append").parquet(str(src / "batch"))
+    run_once()
+    got = spark.read.parquet(str(out)).select("event_id").collect()
+    ids = sorted(r.event_id for r in got)
+    # id 1 arrived twice (30s apart, within the 1h watermark) -> once
+    assert ids == [1, 2, 3]
