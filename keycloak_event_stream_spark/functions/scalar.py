@@ -384,3 +384,42 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 50).alias("n_over50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_q(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value = 0 THEN NULL ELSE 100.0 / value END
+             AS safe_ratio,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             AS k_as_int,
+           TRY_CAST(event_type AS BIGINT) AS type_as_int
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` family: ``try_divide`` (NULL on zero
+    divisor instead of the ANSI DIVIDE_BY_ZERO error) and ``try_cast``
+    (NULL on malformed input instead of CAST_INVALID_INPUT).
+
+    Under ANSI mode (Spark 4's default) the plain operators *throw* —
+    a single bad row kills a 100 TB job hours in; the try-variants
+    turn poison rows into NULLs that flow to quarantine columns
+    (cf. q_variant_invalid for the JSON equivalent). The oracle
+    spells out the same semantics with CASE/TRY_CAST — proving the
+    try-functions are sugar, not different math. ``type_as_int`` is
+    NULL for every row (event types are words), pinning the
+    no-silent-zero behavior.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.lit(100.0), F.col("value")).alias("safe_ratio"),
+        F.get_json_object("props", "$.k")
+        .try_cast("bigint")
+        .alias("k_as_int"),
+        F.col("event_type").try_cast("bigint").alias("type_as_int"),
+    ).orderBy("event_id")

@@ -1755,3 +1755,46 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("region")
     )
     return reg.transpose().orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile (day-of-week × hour heatmap)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_seasonal_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+)
+def q_seasonal_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: event volume and distinct users per
+    (ISO day-of-week × hour) cell — the traffic-shape profile behind
+    capacity planning and anomaly baselines (the denominator
+    q_anomaly_zscore would use in production).
+
+    ISO day numbering (Mon=1..Sun=7) is the portable convention —
+    Spark's ``dayofweek`` is Sun=1 and would silently mis-join
+    against any ISO-based system; ``weekday()+1`` matches DuckDB's
+    ``isodow``. One shuffle to ≤168 cells, count-distinct fused into
+    the same aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )
