@@ -1798,3 +1798,68 @@ def q_seasonal_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded trailing-interval window (7-day rolling activity)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_window_trailing_7d",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+             ) AS c7,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(27,6)) AS v7
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(c7) AS BIGINT) AS peak_7d_events,
+           max(v7) AS peak_7d_value
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded trailing-interval window: each event's 7-day-back
+    rolling event count and value sum per user, fingerprinted by the
+    per-user peaks — "busiest week" analytics, the bounded-RANGE
+    complement to the unbounded frames in q_window_frame.
+
+    The frame is a true RANGE (bounded by the *ordering value*, epoch
+    seconds, not row position): two events 8 days apart never share a
+    frame no matter how few rows sit between them. Both engines order
+    by the same numeric epoch, so frame membership is identical;
+    value sums run in DECIMAL (order-independent). One shuffle on
+    ``user_id``; window state is a sliding deque bounded by events-
+    per-week, not history length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-604800, 0)
+    )
+    w = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w7).alias("c7"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w7)
+        .cast("decimal(27,6)")
+        .alias("v7"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.max("c7").cast("bigint").alias("peak_7d_events"),
+            F.max("v7").alias("peak_7d_value"),
+        )
+        .orderBy("user_id")
+    )
