@@ -423,3 +423,54 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k_as_int"),
         F.col("event_type").try_cast("bigint").alias("type_as_int"),
     ).orderBy("event_id")
+
+
+@_q(
+    "q_xml_parse",
+    oracle="""
+    WITH xml AS (
+      SELECT event_id,
+             '<event><type>' || event_type || '</type><user>'
+               || CAST(user_id AS VARCHAR) || '</user></event>' AS x
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           regexp_extract(x, '<type>(.*?)</type>', 1) AS xml_type,
+           CAST(regexp_extract(x, '<user>(.*?)</user>', 1) AS BIGINT)
+             AS xml_user
+    FROM xml ORDER BY event_id
+    """,
+)
+def q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: round-trip events through an XML string and
+    recover typed fields with ``from_xml`` — the third semi-structured
+    codec next to JSON (S6/S7) and VARIANT, for feeds that still speak
+    XML (SAML/SOAP identity payloads are the reference's world,
+    Keycloak included).
+
+    The oracle has no XML parser; it recovers the same fields with
+    regexes — proving the typed path agrees with the textual spec on
+    well-formed input. Schema-on-read (``a INT, b STRING``-style DDL)
+    mirrors from_json; malformed XML degrades to nulls the same way
+    (PERMISSIVE mode), which is the property that matters at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    xml = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<event><type>"),
+            F.col("event_type"),
+            F.lit("</type><user>"),
+            F.col("user_id").cast("string"),
+            F.lit("</user></event>"),
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml("x", "type STRING, user BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.type").alias("xml_type"),
+        F.col("p.user").alias("xml_user"),
+    ).orderBy("event_id")
