@@ -1863,3 +1863,85 @@ def q_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-p (nucleus) selection per group
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_top_p_nucleus",
+    oracle="""
+    WITH pc AS (
+      SELECT p.p_brand, l.l_partkey,
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT p_brand, l_partkey, cents,
+             CAST(sum(cents) OVER (PARTITION BY p_brand
+                                   ORDER BY cents DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER (PARTITION BY p_brand) AS BIGINT)
+               AS total
+      FROM pc
+    )
+    SELECT p_brand,
+           count(*) AS nucleus_size,
+           CAST(sum(cents) AS BIGINT) AS nucleus_cents,
+           CAST(max(total) AS BIGINT) AS brand_cents
+    FROM ranked
+    WHERE (cum - cents) * 5 < total * 4
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) selection per group: for each brand, the
+    minimal prefix of parts (by revenue, descending) whose cumulative
+    share reaches 80% — the same cutoff rule as nucleus sampling in
+    LLM decoding, here as the "which SKUs are the business" query.
+
+    A row belongs to the nucleus iff the cumulative sum *before* it
+    is under the threshold — the inclusive-crossing definition that
+    keeps the crossing row and nothing after — stated as the pure
+    integer cross-multiplication ``5·(cum − cents) < 4·total``: no
+    0.8·total float or cast anywhere (double→bigint casts ROUND in
+    DuckDB but TRUNCATE in Spark, an off-by-one at exact boundaries). One shuffle for the rollup, per-brand ordered windows
+    over the rollup, never over raw lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents_expr = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    pc = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(cents_expr).alias("cents"))
+    )
+    w_run = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("p_brand")
+    ranked = pc.select(
+        "p_brand",
+        "cents",
+        F.sum("cents").over(w_run).cast("bigint").alias("cum"),
+        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+    )
+    in_nucleus = (F.col("cum") - F.col("cents")) * 5 < F.col("total") * 4
+    return (
+        ranked.filter(in_nucleus)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("nucleus_size"),
+            F.sum("cents").cast("bigint").alias("nucleus_cents"),
+            F.max("total").cast("bigint").alias("brand_cents"),
+        )
+        .orderBy("p_brand")
+    )

@@ -383,3 +383,51 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(customer), stream.user_id == customer.c_custkey
     ).select("event_id", "user_id", "event_type", "customer_name", "nationkey")
     return _run_to_memory(joined, "append")
+
+
+@_q(
+    "s_stream_kl_monitor",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, count(*) AS c FROM events GROUP BY 1
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts)
+    SELECT CAST(sum(CAST(round((CAST(c.c AS DOUBLE) / tt.t)
+                                * ln((CAST(c.c AS DOUBLE) / tt.t)
+                                     / 0.2), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS kl_vs_uniform,
+           CAST(max(tt.t) AS BIGINT) AS n_events
+    FROM counts c CROSS JOIN tot tt
+    """,
+)
+def s_stream_kl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the event-type mix accumulates through
+    a streaming aggregation, and the landed state is scored as KL
+    divergence against the uniform expectation — the alarm wire for
+    "one event type is flooding the firehose".
+
+    The distributional state (5 counters) flows through the stream in
+    complete mode; the KL scoring runs batch-side on the tiny final
+    state — the right split at 100 TB/day, where the monitor's
+    streaming footprint must be O(|types|), not O(rows). Scoring uses
+    the stattests discipline (integer-count ratios, 6-dp-rounded ln
+    terms, decimal sum); the oracle replays the same recurrence on
+    the full table, exact because bounded replay sees exactly the
+    full table.
+    """
+    stream = read_stream_events(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    landed = _run_to_memory(counts, "complete")
+    tot = landed.agg(F.sum("c").cast("bigint").alias("t"))
+    frac = F.col("c").cast("double") / F.col("t")
+    term = F.round(frac * F.log(frac / F.lit(0.2)), 6)
+    return (
+        landed.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(term.cast("decimal(27,6)"))
+            .cast("double")
+            .alias("kl_vs_uniform"),
+            F.max("t").cast("bigint").alias("n_events"),
+        )
+    )
