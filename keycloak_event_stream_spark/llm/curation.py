@@ -366,3 +366,93 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _SAMPLE_K)
     )
+
+
+@_q(
+    "q_pit_training_set",
+    oracle="""
+    WITH feats AS (
+      SELECT user_id,
+             count(*) AS n_events_before,
+             count(CASE WHEN event_type = 'click' THEN 1 END)
+               AS n_clicks_before,
+             count(CASE WHEN event_type = 'error' THEN 1 END)
+               AS n_errors_before,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6))
+               AS value_before,
+             max(ts) AS last_seen
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    ), labels AS (
+      SELECT user_id, 1 AS label
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT f.user_id, f.n_events_before, f.n_clicks_before,
+           f.n_errors_before, f.value_before, f.last_seen,
+           COALESCE(l.label, 0) AS label
+    FROM feats f LEFT JOIN labels l ON l.user_id = f.user_id
+    ORDER BY f.user_id
+    """,
+)
+def q_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training set: features computed ONLY from
+    events strictly before the cutoff (2024-01-15), label = any
+    purchase in the following 7-day window — the no-data-leakage
+    constructor every supervised pipeline over event data needs, and
+    the query shape feature stores exist to get right.
+
+    The discipline is in the predicates, not the operators: the
+    feature scan's ``ts < T`` and the label scan's ``[T, T+7d)`` are
+    disjoint by construction, so no future information reaches a
+    feature (leakage = the silent model-killer at any scale). Both
+    scans prune on the time predicate; the label side reduces to a
+    tiny per-user flag broadcast into the feature rollup. Value
+    features stay DECIMAL; counts are integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    horizon = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    feats = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_before"),
+            F.count(
+                F.when(F.col("event_type") == "click", F.lit(1))
+            ).alias("n_clicks_before"),
+            F.count(
+                F.when(F.col("event_type") == "error", F.lit(1))
+            ).alias("n_errors_before"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(27,6)")
+            .alias("value_before"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+    labels = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= cutoff)
+            & (F.col("ts") < horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("label"))
+    )
+    return (
+        feats.join(F.broadcast(labels), "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_before",
+            "n_clicks_before",
+            "n_errors_before",
+            "value_before",
+            "last_seen",
+            F.coalesce(F.col("label"), F.lit(0)).alias("label"),
+        )
+        .orderBy("user_id")
+    )
