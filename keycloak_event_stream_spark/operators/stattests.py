@@ -555,3 +555,86 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             min(CASE WHEN rn * 2 >= n + 1 THEN value END) AS median
+      FROM ranked GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.median) AS d, e.event_id
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ), dranked AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    )
+    SELECT dr.event_type,
+           max(m.median) AS median,
+           min(CASE WHEN dr.rn * 2 >= dr.n + 1 THEN dr.d END) AS mad
+    FROM dranked dr JOIN med m ON m.event_type = dr.event_type
+    GROUP BY dr.event_type ORDER BY dr.event_type
+    """,
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust scale
+    estimate (50% breakdown point vs 0% for the standard deviation),
+    computed as two nested *exact* medians.
+
+    Both medians use nearest-rank-above arithmetic (``2·rn ≥ n+1``,
+    integer cross-multiplication — no interpolation, so the result is
+    an actual data value and bitwise portable). The deviation pass
+    re-joins the per-type median (broadcast, 5 rows) and re-ranks —
+    two window shuffles on the group key total, the unavoidable cost
+    of an exact nested rank statistic; at 100 TB the drop-in
+    approximation is per-type t-digest quantiles (cf.
+    q_sketch_quantiles), with this exact form as its audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("value"))
+        ).alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("median")).alias("d"),
+        "event_id",
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        dranked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("median").alias("median"),
+            F.min(
+                F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("d"))
+            ).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
