@@ -327,3 +327,75 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_spent"),
     )
     return merged.orderBy("o_custkey")
+
+
+@_q(
+    "q_skew_diagnosis",
+    oracle="""
+    WITH freq AS (
+      SELECT l_orderkey AS key, count(*) AS c
+      FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM freq
+    ), top AS (
+      SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rn
+      FROM freq
+    )
+    SELECT s.n_keys, s.n_rows, s.max_c,
+           CAST(s.max_c AS DOUBLE) * s.n_keys / s.n_rows
+             AS skew_ratio,
+           CAST(sum(CASE WHEN t.rn <= 10 THEN t.c END) AS BIGINT)
+             AS top10_rows
+    FROM top t CROSS JOIN stats s
+    GROUP BY s.n_keys, s.n_rows, s.max_c
+    """,
+)
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: key cardinality, hottest-key weight,
+    and skew ratio (max key count ÷ mean key count) for the shuffle
+    key ``l_orderkey`` — the number you read BEFORE deciding between
+    a plain shuffle join, AQE skew splitting, or a manual salt
+    (q_join_salted_skew).
+
+    A skew_ratio near 1 means uniform keys; ≥ an order of magnitude
+    means the hot key serializes one reducer and salting pays. One
+    aggregate to |keys| rows, a top-10 window over that, integer
+    counts plus one deterministic division. This operationalizes the
+    scale posture: measure skew, then pick the join strategy — not
+    the other way round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    top = freq.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), "key"))
+        .alias("rn"),
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .groupBy("n_keys", "n_rows", "max_c")
+        .agg(
+            F.first(
+                F.col("max_c").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+            ).alias("skew_ratio"),
+            F.sum(F.when(F.col("rn") <= 10, F.col("c")))
+            .cast("bigint")
+            .alias("top10_rows"),
+        )
+        .select(
+            "n_keys", "n_rows", "max_c", "skew_ratio", "top10_rows"
+        )
+    )
