@@ -30,6 +30,7 @@ _MODULES = [
     "keycloak_event_stream_spark.functions.scalar",
     "keycloak_event_stream_spark.functions.udfs",
     "keycloak_event_stream_spark.functions.variant",
+    "keycloak_event_stream_spark.functions.funcmatrix",
     "keycloak_event_stream_spark.functions.udtf",
     "keycloak_event_stream_spark.plans.event_query",
     "keycloak_event_stream_spark.streaming.queries",
