@@ -1,0 +1,261 @@
+"""BI composites: cohort lifetime value, interpolated percentiles,
+item-item collaborative filtering, URL decomposition.
+
+North-star analytics the reference cannot express (it has no joins or
+aggregations at all, SURVEY.md §2.2). Each is a standard
+business-intelligence / recommender shape re-expressed as one or two
+shuffles over the star schema.
+
+Determinism playbook:
+- Money is summed in exact integer cents (DECIMAL path), never doubles.
+- The interpolated percentile is computed from the two exact order
+  statistics with integer-tenths weighting — no float `(n-1)*p`
+  arithmetic anywhere, so lo/hi/frac are bitwise identical across
+  engines.
+- Cosine similarity is a single scalar expression over exact integer
+  counts (`c_ij / sqrt(c_i*c_j)`) — IEEE sqrt/divide are correctly
+  rounded, so even the double column cross-matches bitwise.
+- Top-k requires a total order: (count desc, part_i, part_j).
+
+Scale: LTV reduces orders→(cohort×age) (tiny); the CF pair fan-out is
+local to the orderkey shuffle and bounded by basket size squared;
+percentiles use one window over per-group sorted runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@_q(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), facts AS (
+      SELECT f.cohort_month,
+             (year(o.o_orderdate) - year(f.cohort_month)) * 12
+               + (month(o.o_orderdate) - month(f.cohort_month)) AS age_months,
+             {_CENTS} AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ), agg AS (
+      SELECT cohort_month, age_months,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM facts GROUP BY cohort_month, age_months
+    )
+    SELECT cohort_month, age_months, revenue_cents,
+           CAST(sum(revenue_cents) OVER (PARTITION BY cohort_month
+                ORDER BY age_months) AS BIGINT) AS cum_ltv_cents
+    FROM agg
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month,
+    revenue accumulated by cohort age in months. The cumulative window
+    runs over the tiny (cohort × age) aggregate, never raw orders —
+    the aggregate-before-window ordering that survives 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).alias("age_months"),
+        cents.alias("cents"),
+    )
+    agg = facts.groupBy("cohort_month", "age_months").agg(
+        F.sum("cents").alias("revenue_cents")
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return agg.select(
+        "cohort_month",
+        "age_months",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_ltv_cents"),
+    )
+
+
+@_q(
+    "q_percentile_interp",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus, {_CENTS} AS cents,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY {_CENTS}, o_orderkey) - 1 AS idx,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(sum(CASE
+             WHEN idx = (n - 1) * 5 // 10
+               THEN cents * (10 - (n - 1) * 5 % 10)
+             WHEN idx = (n - 1) * 5 // 10 + 1
+               THEN cents * ((n - 1) * 5 % 10)
+             ELSE 0 END) AS BIGINT) AS p50_cents_x10,
+           CAST(sum(CASE
+             WHEN idx = (n - 1) * 9 // 10
+               THEN cents * (10 - (n - 1) * 9 % 10)
+             WHEN idx = (n - 1) * 9 // 10 + 1
+               THEN cents * ((n - 1) * 9 % 10)
+             ELSE 0 END) AS BIGINT) AS p90_cents_x10
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
+def q_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT-style linear interpolation done exactly: the
+    target position (n-1)·p is kept as integer tenths (p ∈ {0.5,
+    0.9}), the two bracketing order statistics are weighted by the
+    integer remainder, and the result is reported in exact tenths of a
+    cent (no division at all) — exact and engine-portable,
+    which the engines' own percentile_cont (float position
+    arithmetic) is not."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderstatus").orderBy(cents, "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        cents.alias("cents"),
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def interp(tenths: int, alias: str):
+        pos = (F.col("n") - 1) * tenths
+        lo, rem = F.floor(pos / 10), pos % 10
+        num = F.sum(
+            F.when(F.col("idx") == lo, F.col("cents") * (10 - rem))
+            .when(F.col("idx") == lo + 1, F.col("cents") * rem)
+            .otherwise(F.lit(0))
+        )
+        return num.cast("bigint").alias(alias)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        interp(5, "p50_cents_x10"), interp(9, "p90_cents_x10")
+    )
+
+
+@_q(
+    "q_item_item_cf",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets
+      GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_i, b.l_partkey AS part_j,
+             CAST(count(*) AS BIGINT) AS c_ij
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_i, part_j, c_ij, ci.c AS c_i, cj.c AS c_j,
+           c_ij / sqrt(CAST(ci.c * cj.c AS DOUBLE)) AS cosine
+    FROM pairs JOIN item ci ON part_i = ci.l_partkey
+               JOIN item cj ON part_j = cj.l_partkey
+    ORDER BY c_ij DESC, part_i, part_j LIMIT 50
+    """,
+)
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: pair
+    co-occurrence counts normalized to cosine similarity
+    c_ij/√(c_i·c_j). All counts are exact integers; the cosine is one
+    IEEE expression over them, so even the double column is bitwise.
+    The pair fan-out happens inside the orderkey shuffle (bounded by
+    basket size²); per-item counts broadcast back onto the pair
+    table. Top-k by (count, keys) compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_i"),
+            F.col("b.l_partkey").alias("part_j"),
+        )
+        .agg(F.count("*").alias("c_ij"))
+    )
+    ci = item.select(F.col("l_partkey").alias("part_i"), F.col("c").alias("c_i"))
+    cj = item.select(F.col("l_partkey").alias("part_j"), F.col("c").alias("c_j"))
+    return (
+        pairs.join(F.broadcast(ci), "part_i")
+        .join(F.broadcast(cj), "part_j")
+        .select(
+            "part_i",
+            "part_j",
+            "c_ij",
+            "c_i",
+            "c_j",
+            (
+                F.col("c_ij") / F.sqrt((F.col("c_i") * F.col("c_j")).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("c_ij"), "part_i", "part_j")
+        .limit(50)
+    )
+
+
+@_q(
+    "q_url_funcs",
+    oracle="""
+    SELECT p_partkey,
+           'shop.example.com' AS host,
+           '/' || lower(replace(p_brand, '#', '-')) || '/'
+               || CAST(p_partkey AS VARCHAR) AS path,
+           CAST(p_size AS VARCHAR) AS size_param
+    FROM part
+    """,
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via parse_url (HOST / PATH / QUERY-param) on
+    deterministically synthesized product URLs. DuckDB has no
+    parse_url, so the oracle states the spec directly from the same
+    inputs — a specification oracle, still value-checked bitwise."""
+    p = load_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
+        F.lit("/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
+    )
