@@ -638,3 +638,240 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q_spearman",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+               + count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+               + count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+      FROM cents
+    ), m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(rx) AS DOUBLE) AS sx,
+             CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS spearman_rho
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return flag — Pearson over
+    tie-averaged ranks, held exact end-to-end.
+
+    The fractional average rank for a tie group is avoided by doubling:
+    ``2·rank() + tie_count − 1`` IS twice the average rank, an integer
+    computable from two windows. The doubling cancels in the closed
+    form, so rho is Pearson over integer "double-ranks" with the exact
+    integer-moment discipline of q_agg_corr (DECIMAL(38,0) sums, one
+    cast to double). Rank windows sort within each group partition —
+    at 100 TB this is the same range-partitioned sort every window
+    operator pays, with no extra shuffle beyond the group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    rx = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("x"))
+        + F.count("*").over(Window.partitionBy("l_returnflag", "x"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("y"))
+        + F.count("*").over(Window.partitionBy("l_returnflag", "y"))
+        - 1
+    )
+    ranked = cents.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    c_rx, c_ry = F.col("rx"), F.col("ry")
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c_rx).cast("double").alias("sx"),
+        F.sum(c_ry).cast("double").alias("sy"),
+        F.sum((c_rx * c_rx).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((c_ry * c_ry).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((c_rx * c_ry).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("l_returnflag", "n", rho.alias("spearman_rho")).orderBy(
+        "l_returnflag"
+    )
+
+
+@_q(
+    "q_mannwhitney",
+    oracle="""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in1
+      FROM events WHERE event_type IN ('click', 'view')
+    ), ranked AS (
+      SELECT in1,
+             2 * rank() OVER (ORDER BY value)
+               + count(*) OVER (PARTITION BY value) - 1 AS r2,
+             count(*) OVER (PARTITION BY value) AS t
+      FROM s
+    ), m AS (
+      SELECT CAST(sum(in1) AS BIGINT) AS n1,
+             CAST(sum(1 - in1) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN in1 = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r1_x2,
+             CAST(sum(t * t - 1) AS BIGINT) AS tie_sum
+      FROM ranked
+    )
+    SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2 * sqrt((CAST(n1 * n2 AS DOUBLE) / 12.0)
+                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                    - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+             AS z
+    FROM m
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test, click vs view event values —
+    the distribution-free companion to q_ks_test.
+
+    Tie-averaged ranks are doubled into integers (2·rank+t−1); the
+    rank sum, U statistic and the tie-correction term Σ(t³−t) =
+    Σ_rows(t²−1) are all exact integer aggregates in ONE pass over the
+    ranked rows. The normal-approximation z is then a single fixed
+    IEEE expression over those integers — written with identical shape
+    in both engines, so even the double matches bitwise. The global
+    rank is one total-order sort; at 100 TB it becomes a
+    range-partitioned sort (rank windows with empty PARTITION BY are
+    the known scale hazard — acceptable for a 2-sample test statistic
+    whose output is one row).
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in1"),
+    )
+    r2 = (
+        2 * F.rank().over(Window.orderBy("value"))
+        + F.count("*").over(Window.partitionBy("value"))
+        - 1
+    )
+    t = F.count("*").over(Window.partitionBy("value"))
+    ranked = s.select("in1", r2.alias("r2"), t.alias("t"))
+    m = ranked.agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("in1")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("in1") == 1, F.col("r2")).otherwise(0))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") - 1).cast("bigint").alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    nd = (n1 + n2).cast("double")
+    z = (u1_x2.cast("double") - (n1 * n2).cast("double")) / (
+        2
+        * F.sqrt(
+            ((n1 * n2).cast("double") / 12.0)
+            * ((nd + 1.0) - F.col("tie_sum").cast("double") / (nd * (nd - 1.0)))
+        )
+    )
+    return m.select("n1", "n2", u1_x2.alias("u1_x2"), z.alias("z"))
+
+
+@_q(
+    "q_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), pos AS (
+      SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+      FROM toks
+    ), big AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), pair AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM big
+      GROUP BY w1, w2
+    ), lm AS (
+      SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM pair GROUP BY w1
+    ), rm AS (
+      SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM pair GROUP BY w2
+    ), tot AS (
+      SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM pair
+    )
+    SELECT pair.w1, pair.w2, c_xy, c_x, c_y,
+           CAST(c_xy * n AS DOUBLE) / CAST(c_x * c_y AS DOUBLE) AS lift
+    FROM pair, lm, rm, tot
+    WHERE pair.w1 = lm.w1 AND pair.w2 = rm.w2 AND c_xy >= 3
+    ORDER BY c_xy DESC, pair.w1, pair.w2 LIMIT 100
+    """,
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-token bigram counts with PMI-style
+    lift p(xy)/(p(x)p(y)) against the bigram marginals.
+
+    The lift is reported as the raw ratio, not ln(ratio): it is one
+    correctly-rounded IEEE division over exact integer counts (bitwise
+    portable), whereas ln differs between JVM and libm in the last ulp
+    — and the ratio is monotone in PMI, so ranking is unchanged.
+    Bigrams are generated positionally (sequence/transform in Spark,
+    an ordinality self-join in DuckDB) — explicitly guarded to
+    documents with ≥2 tokens because Spark's sequence(1,0) would count
+    DOWN. Marginals are tiny aggregates broadcast back onto the pair
+    table; top-k has a total order (c_xy desc, w1, w2).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("l")).filter(F.size("l") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(l[i - 1] AS w1, l[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    lm = pair.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    rm = pair.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    tot = pair.agg(F.sum("c_xy").alias("n"))
+    return (
+        pair.join(F.broadcast(lm), "w1")
+        .join(F.broadcast(rm), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_xy") >= 3)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("n")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_xy"), "w1", "w2")
+        .limit(100)
+    )
