@@ -1,0 +1,351 @@
+"""Time-series statistics as exact relational programs: EWMA smoothing,
+lag-1 autocorrelation, CUSUM change-point detection, Mann-Kendall trend.
+
+North-star surface (the reference computes nothing over time beyond an
+``ORDER BY time`` — `AthenaEventQuery.java:148`): an event firehose at
+100 TB needs drift/trend/level-shift monitors over its daily rollups.
+Every operator here reduces the raw scan to a tiny daily/monthly series
+first (one shuffle to ~10^3 rows), so the statistical pass is free at
+any scale — the pattern that keeps these monitors viable on a
+1000-executor cluster.
+
+Determinism playbook (what makes each oracle-checkable bitwise):
+
+- Money lives in exact integer cents (the q_agg_corr discipline) —
+  DECIMAL(18,2) multiply, exact integer-valued cast to BIGINT.
+- EWMA is a *sequential left fold* over a day-ordered list: Spark
+  ``aggregate(transform(array_sort(collect_list(struct(...)))))`` ==
+  DuckDB ``list_reduce(list_prepend(init, list(... ORDER BY day)))`` —
+  identical IEEE op order, bitwise-equal smoothed value.
+- CUSUM avoids the mean entirely: the deviation partial sum is the
+  integer cross-product ``n * cumsum_t - t * total`` (no float at all
+  until the one output division).
+- Mann-Kendall's S and the tie-corrected variance numerator are pure
+  integer counts; z is one closed-form double expression with identical
+  shape in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keycloak_event_stream_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents_col() -> F.Column:
+    return (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+
+
+@_q(
+    "q_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_days,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(cents AS DOUBLE) ORDER BY day)),
+             (acc, x) -> x * 0.2 + acc * 0.8) AS ewma_cents
+    FROM daily GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.2) of daily
+    revenue per order priority — the classic smoothed-level monitor.
+
+    The fold runs over a *day-ordered* list, so the IEEE operation
+    sequence is pinned: Spark's ``aggregate`` over
+    ``array_sort(collect_list(struct(day, cents)))`` performs exactly
+    the same multiply-add chain as DuckDB's ``list_reduce`` over
+    ``list(... ORDER BY day)`` — bitwise-equal output with zero
+    rounding slop. Scale shape: one shuffle to |priorities| x |days|
+    (~12k rows at any SF), then a per-group fold over ~2.4k elements;
+    the collect_list state is bounded by the calendar, not the data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    return (
+        daily.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(day, cents))),"
+                " s -> cast(s.cents as double)), cast(0.0 as double),"
+                " (acc, x) -> x * 0.2 + acc * 0.8)"
+            ).alias("ewma_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q_autocorr_lag1",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT cents AS x,
+             lead(cents) OVER (ORDER BY day) AS y
+      FROM daily
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT n AS n_pairs,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS autocorr_lag1
+    FROM m
+    """,
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue: Pearson r between
+    (x_t, x_{t+1}), from exact integer-cent moments.
+
+    Same discipline as q_agg_corr: the five moments are integer sums
+    (exact, order-independent), cast to double once each, and the
+    closed-form r is deterministic scalar IEEE math with identical
+    expression shape in both engines. The lag pairing is one window
+    over the ~2.4k-row daily rollup — a single-partition window over an
+    *aggregate*, never over raw rows, which is what keeps it legal at
+    100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("cents").alias("x"), F.lead("cents").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(n.alias("n_pairs"), r.alias("autocorr_lag1"))
+
+
+@_q(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT day,
+             CAST(sum(cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumsum,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(cents) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ), dev AS (
+      SELECT day, n, t,
+             abs(n * cumsum - t * total) AS s_abs
+      FROM cum
+    )
+    SELECT day AS change_day, n AS n_days,
+           CAST(s_abs AS BIGINT) AS s_abs,
+           CAST(s_abs AS DOUBLE) / n AS cusum_cents
+    FROM dev
+    ORDER BY s_abs DESC, day ASC
+    LIMIT 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point: the day t maximizing |S_t|, where S_t is the
+    cumulative deviation of daily revenue from its global mean.
+
+    The float-free trick: S_t = cumsum_t - t*mean would need the mean
+    as a fraction, so we maximize ``|n*cumsum_t - t*total|`` instead —
+    the same argmax scaled by n, in exact integers end to end
+    (``n*cumsum`` peaks ~1e16 at sf0.1, comfortably inside BIGINT).
+    The one division (back to cents units) happens on the single output
+    row. Two windows over the ~2.4k-row daily rollup, then a top-1 —
+    ``TakeOrderedAndProject``, no global sort materialized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.sum("cents").over(wrun).alias("cumsum"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dev = cum.select(
+        "day",
+        F.col("n"),
+        F.col("t"),
+        F.abs(F.col("n") * F.col("cumsum") - F.col("t") * F.col("total")).alias(
+            "s_abs"
+        ),
+    )
+    return (
+        dev.orderBy(F.col("s_abs").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n").alias("n_days"),
+            F.col("s_abs"),
+            (F.col("s_abs").cast("double") / F.col("n")).alias("cusum_cents"),
+        )
+    )
+
+
+@_q(
+    "q_mann_kendall",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents,
+             CAST(row_number() OVER (
+               ORDER BY date_trunc('month', CAST(o_orderdate AS DATE)))
+               AS BIGINT) AS i
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM monthly a JOIN monthly b ON b.i > a.i
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM monthly
+    ), ties AS (
+      SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_corr
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM monthly GROUP BY cents HAVING count(*) > 1)
+    )
+    SELECT nn.n AS n_months, s.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_corr
+                AS BIGINT) AS var_numer,
+           CASE WHEN s.s_stat > 0 THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+                  / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                              - ties.tie_corr AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0 THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+                  / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                              - ties.tie_corr AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z_stat
+    FROM s, nn, ties
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue: S = sum of pairwise
+    signs, tie-corrected variance, continuity-corrected z.
+
+    S and the variance numerator are pure *integer* counts (pairwise
+    sign comparisons on exact cents over the ~84-month rollup — 3.5k
+    pairs however big the raw data), so the only float math is the one
+    closed-form z expression, identical in shape across engines. The
+    self-join is on the aggregated series — O(months^2), never
+    O(rows^2); the monthly rollup is the single data-sized shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+                "month"
+            )
+        )
+        .agg(F.sum(_cents_col()).alias("cents"))
+        .select(
+            "month",
+            "cents",
+            F.row_number()
+            .over(Window.orderBy("month"))
+            .cast("bigint")
+            .alias("i"),
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    s = (
+        a.join(b, F.col("b.i") > F.col("a.i"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = F.col("t")
+    ties = (
+        monthly.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint"), F.lit(0)
+            ).alias("tie_corr")
+        )
+    )
+    joined = s.crossJoin(nn).crossJoin(ties)
+    n, s_stat, tie = F.col("n"), F.col("s_stat"), F.col("tie_corr")
+    var_numer = (n * (n - 1) * (2 * n + 5) - tie).cast("bigint")
+    denom = F.sqrt(var_numer.cast("double") / 18.0)
+    z = (
+        F.when(s_stat > 0, (s_stat.cast("double") - 1.0) / denom)
+        .when(s_stat < 0, (s_stat.cast("double") + 1.0) / denom)
+        .otherwise(0.0)
+    )
+    return joined.select(
+        n.alias("n_months"),
+        s_stat,
+        var_numer.alias("var_numer"),
+        z.alias("z_stat"),
+    )

@@ -24,6 +24,7 @@ _MODULES = [
     "keycloak_event_stream_spark.operators.advanced_sql",
     "keycloak_event_stream_spark.operators.insights",
     "keycloak_event_stream_spark.operators.stattests",
+    "keycloak_event_stream_spark.operators.timeseries",
     "keycloak_event_stream_spark.operators.layout",
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",
