@@ -690,3 +690,187 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.col("lang").alias("top_lang"),
     )
+
+
+@_q(
+    "q_doc_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l
+      FROM documents
+    ), base AS (
+      SELECT doc_id, source,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+             list_transform(generate_series(1, len(l) - 1),
+                            i -> l[i] || ' ' || l[i + 1]) AS bigrams
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, unnest(bigrams) AS bigram FROM base
+    ), bgtop AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt
+      FROM (SELECT doc_id, bigram, count(*) AS cnt
+            FROM bg GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(b.n_distinct) AS BIGINT) AS total_distinct,
+           1.0 - CAST(sum(b.n_distinct) AS DOUBLE) / sum(b.n_tokens)
+             AS dup_token_frac,
+           CAST(sum(CASE WHEN t.top_bigram_cnt * 5 > b.n_tokens - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM base b JOIN bgtop t ON b.doc_id = t.doc_id
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per source: duplicate-token
+    fraction and the count of docs whose single most frequent bigram
+    covers >20% of the doc (``top_cnt * 5 > n_bigrams`` — integer
+    cross-multiplication, never a float threshold).
+
+    This is the repetition-removal gate of an LLM data pipeline
+    (Gopher/MassiveText rules 4-8): excessive n-gram repetition is the
+    strongest single predictor of low-quality machine-generated text.
+    Shape: the bigram fan-out (per-doc explode -> count -> max) keys
+    every shuffle by doc_id, so partial aggregation absorbs it
+    map-side; the final rollup is |sources| rows. The duplicate-token
+    fraction aggregates exact integer token counts — the one division
+    happens per source row.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("l"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("l").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("l")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "transform(slice(l, 1, size(l) - 1),"
+            " (x, i) -> concat(x, ' ', l[i + 1]))"
+        ).alias("bigrams"),
+    )
+    bg = base.select("doc_id", F.explode("bigrams").alias("bigram"))
+    bgtop = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("bigint").alias("top_bigram_cnt"))
+    )
+    joined = base.join(bgtop, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_distinct").cast("bigint").alias("total_distinct"),
+            (
+                F.lit(1.0)
+                - F.sum("n_distinct").cast("double") / F.sum("n_tokens")
+            ).alias("dup_token_frac"),
+            F.sum(
+                F.when(
+                    F.col("top_bigram_cnt") * 5 > F.col("n_tokens") - 1, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "q_zipf_fit",
+    oracle="""
+    WITH cnt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ), top AS (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS rank
+      FROM cnt ORDER BY cnt DESC, term LIMIT 100
+    ), pts AS (
+      SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+             round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+      FROM top
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(round(x * y, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS sxy
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS zipf_intercept
+    FROM m
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 vocabulary: OLS slope of
+    ln(freq) ~ ln(rank). A natural corpus has slope near -1; synthetic
+    or templated text drifts far from it — a one-number corpus-health
+    gauge.
+
+    Portability discipline: each ln (and each product of lns) is
+    rounded to 6 decimals before the DECIMAL sum — libm vs JVM ``ln``
+    differ in the last ulp, and engine-managed double sums are
+    order-dependent (the q_tfidf/q_bm25 rule). The vocabulary rollup is
+    the only data-sized shuffle; the regression runs on 100 rows with a
+    (cnt DESC, term) total order for a deterministic top-k.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = (
+        cnt.orderBy(F.desc("cnt"), "term")
+        .limit(100)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), "term"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
+    pts = top.select(
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum(F.round(x * x, 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(x * y, 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("zipf_intercept"),
+    )
