@@ -875,3 +875,275 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_xy"), "w1", "w2")
         .limit(100)
     )
+
+
+@_q(
+    "q_welch_ttest",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), m AS (
+      SELECT
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN x
+                           ELSE 0 END) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+        CAST(CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN x
+                           ELSE 0 END) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN CAST(x * x AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS q1,
+        CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                      THEN CAST(x * x AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS q2
+      FROM cents
+    )
+    SELECT n1, n2,
+           (s1 / n1 - s2 / n2)
+             / sqrt((n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1
+                    + (n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2)
+             AS t_stat,
+           pow((n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1
+               + (n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2, 2.0)
+             / (pow((n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1, 2.0)
+                  / (n1 - 1.0)
+                + pow((n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2, 2.0)
+                  / (n2 - 1.0)) AS welch_df
+    FROM m
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: BUILDING vs MACHINERY customer
+    account balances, with the Welch-Satterthwaite degrees of freedom.
+
+    One conditional-aggregation scan produces both groups' exact
+    integer-cent moments (n, Σx, Σx²) — no second pass, no join; t and
+    df are then closed-form scalar IEEE expressions with identical
+    shape in both engines (the q_agg_corr discipline), so the raw
+    doubles hash-match bitwise. The classic A/B significance gate,
+    computable over arbitrarily large groups in one shuffle-free
+    reduction.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    x = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    is1 = F.col("c_mktsegment") == "BUILDING"
+    zero38 = F.lit(0).cast("decimal(38,0)")
+    m = cust.select(x.alias("x"), is1.alias("is1")).agg(
+        F.sum(F.when(F.col("is1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~F.col("is1"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("is1"), F.col("x")).otherwise(0))
+        .cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(F.when(~F.col("is1"), F.col("x")).otherwise(0))
+        .cast("decimal(38,0)").cast("double").alias("s2"),
+        F.sum(
+            F.when(
+                F.col("is1"), (F.col("x") * F.col("x")).cast("decimal(38,0)")
+            ).otherwise(zero38)
+        ).cast("double").alias("q1"),
+        F.sum(
+            F.when(
+                ~F.col("is1"), (F.col("x") * F.col("x")).cast("decimal(38,0)")
+            ).otherwise(zero38)
+        ).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = F.col("s1"), F.col("s2"), F.col("q1"), F.col("q2")
+    se1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - F.lit(1.0))) / n1
+    se2 = (n2 * q2 - s2 * s2) / (n2 * (n2 - F.lit(1.0))) / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(se1 + se2)
+    df_w = F.pow(se1 + se2, 2.0) / (
+        F.pow(se1, 2.0) / (n1 - F.lit(1.0))
+        + F.pow(se2, 2.0) / (n2 - F.lit(1.0))
+    )
+    return m.select(n1, n2, t.alias("t_stat"), df_w.alias("welch_df"))
+
+
+@_q(
+    "q_kendall_tau",
+    oracle="""
+    WITH pernation AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM customer GROUP BY c_nationkey
+    ), pairs AS (
+      SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+               AS cx,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+               AS cy
+      FROM pernation a JOIN pernation b ON b.nk > a.nk
+    ), c AS (
+      SELECT
+        CAST(sum(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS concordant,
+        CAST(sum(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS discordant,
+        CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+        CAST(count(*) AS BIGINT) AS n0
+      FROM pairs
+    )
+    SELECT concordant, discordant, n0,
+           CAST(concordant - discordant AS DOUBLE)
+             / sqrt(CAST(n0 - ties_x AS DOUBLE)
+                    * CAST(n0 - ties_y AS DOUBLE)) AS tau_b
+    FROM c
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between per-nation total
+    account balance and customer count — the tie-corrected,
+    outlier-robust companion to q_spearman.
+
+    The O(n^2) pairwise comparison runs on the *aggregated* 25-row
+    nation rollup (300 pairs), never on raw rows — the aggregate-first
+    pattern that makes rank statistics viable at 100 TB. Concordant /
+    discordant / tie counts are pure integers off exact cents; tau-b is
+    one closed-form double expression.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    per = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum(cents).cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    sgn = lambda col_b, col_a: (  # noqa: E731
+        F.when(col_b > col_a, 1).when(col_b < col_a, -1).otherwise(0)
+    )
+    pairs = a.join(b, F.col("b.nk") > F.col("a.nk")).select(
+        sgn(F.col("b.x"), F.col("a.x")).alias("cx"),
+        sgn(F.col("b.y"), F.col("a.y")).alias("cy"),
+    )
+    cx, cy = F.col("cx"), F.col("cy")
+    c = pairs.agg(
+        F.sum(F.when(cx * cy == 1, 1).otherwise(0))
+        .cast("bigint").alias("concordant"),
+        F.sum(F.when(cx * cy == -1, 1).otherwise(0))
+        .cast("bigint").alias("discordant"),
+        F.sum(F.when(cx == 0, 1).otherwise(0)).cast("bigint").alias("ties_x"),
+        F.sum(F.when(cy == 0, 1).otherwise(0)).cast("bigint").alias("ties_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("ties_x")).cast("double")
+        * (F.col("n0") - F.col("ties_y")).cast("double")
+    )
+    return c.select("concordant", "discordant", "n0", tau.alias("tau_b"))
+
+
+@_q(
+    "q_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY cents, day) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ), med AS (
+      SELECT max(cents) AS med FROM ranked WHERE rk * 2 <= n + 1
+    ), lab AS (
+      SELECT day, CASE WHEN cents > med THEN 1 ELSE 0 END AS above
+      FROM ranked, med WHERE cents <> med
+    ), runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                    OR lag(above) OVER (ORDER BY day) <> above
+                  THEN 1 ELSE 0 END AS new_run
+      FROM lab
+    )
+    SELECT CAST(sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(new_run) AS BIGINT) AS n_runs,
+           (CAST(sum(new_run) AS DOUBLE)
+             - (2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                    * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                / (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)) + 1.0))
+           / sqrt(2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                      * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                  * (2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                         * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN above = 0 THEN 1 ELSE 0 END))
+                  / (pow(CAST(sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                              + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                              AS DOUBLE), 2.0)
+                     * (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                        - 1.0))) AS z_stat
+    FROM runs
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median: too few runs = trending, too many = oscillating.
+
+    The median is the nearest-rank lower median over a (cents, day)
+    total order — ``rk * 2 <= n + 1`` is the integer-arithmetic form of
+    rk <= (n+1)/2 (no float thresholds); median-equal days are dropped
+    per the classical definition. Run boundaries come from one lag
+    window over the ~2.4k-row daily rollup; n_above/n_below/n_runs are
+    exact integers and z is a single closed-form expression. The only
+    data-sized operation is the daily rollup shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "day"))
+        .cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy())
+        .cast("bigint").alias("n"),
+    )
+    med = ranked.filter(F.col("rk") * 2 <= F.col("n") + 1).agg(
+        F.max("cents").alias("med")
+    )
+    lab = (
+        ranked.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("med"), 1).otherwise(0)
+            .alias("above"),
+        )
+    )
+    prev = F.lag("above").over(Window.orderBy("day"))
+    runs = lab.select(
+        "above",
+        F.when(prev.isNull() | (prev != F.col("above")), 1).otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("above") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_above"),
+        F.sum(F.when(F.col("above") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_below"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (F.pow((n1 + n2).cast("double"), 2.0) * (n1 + n2 - F.lit(1.0)))
+    )
+    z = (r.cast("double") - mu) / F.sqrt(var)
+    return agg.select("n_above", "n_below", "n_runs", z.alias("z_stat"))

@@ -138,3 +138,57 @@ def test_iqr_outliers_beyond_fences(spark):
         want = [v for v in vals if v < lo or v > hi]
         assert r.n_outliers == len(want)
         assert r.min_outlier == min(want) and r.max_outlier == max(want)
+
+
+def test_welch_ttest_against_scipy_formula(spark):
+    from keycloak_event_stream_spark.operators.stattests import q_welch_ttest
+
+    row = q_welch_ttest(spark, SF_DIR).collect()[0]
+    cust = load_table(spark, SF_DIR, "customer")
+    import statistics
+
+    g = {
+        seg: [
+            int(round(r.c_acctbal * 100))
+            for r in cust.filter(F.col("c_mktsegment") == seg).collect()
+        ]
+        for seg in ("BUILDING", "MACHINERY")
+    }
+    x1, x2 = g["BUILDING"], g["MACHINERY"]
+    assert row.n1 == len(x1) and row.n2 == len(x2)
+    m1, m2 = statistics.fmean(x1), statistics.fmean(x2)
+    v1 = statistics.variance(x1)  # sample variance
+    v2 = statistics.variance(x2)
+    import math
+
+    t = (m1 - m2) / math.sqrt(v1 / len(x1) + v2 / len(x2))
+    assert abs(row.t_stat - t) < 1e-6
+    df = (v1 / len(x1) + v2 / len(x2)) ** 2 / (
+        (v1 / len(x1)) ** 2 / (len(x1) - 1)
+        + (v2 / len(x2)) ** 2 / (len(x2) - 1)
+    )
+    assert abs(row.welch_df - df) / df < 1e-9
+
+
+def test_kendall_tau_bounds_and_pair_count(spark):
+    from keycloak_event_stream_spark.operators.stattests import q_kendall_tau
+
+    row = q_kendall_tau(spark, SF_DIR).collect()[0]
+    n_nations = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_nationkey").distinct().count()
+    )
+    assert row.n0 == n_nations * (n_nations - 1) // 2
+    assert row.concordant + row.discordant <= row.n0
+    assert -1.0 <= row.tau_b <= 1.0
+
+
+def test_runs_test_counts_reconcile(spark):
+    from keycloak_event_stream_spark.operators.stattests import q_runs_test
+
+    row = q_runs_test(spark, SF_DIR).collect()[0]
+    # runs bounded by labeled days; both sides non-empty on this data
+    assert row.n_above > 0 and row.n_below > 0
+    assert 1 <= row.n_runs <= row.n_above + row.n_below
+    # lower-median split: below count >= above count (ties dropped)
+    assert abs(row.n_above - row.n_below) <= max(row.n_above, row.n_below)
