@@ -172,3 +172,92 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor((x - mn) * 255.0 / (mx - mn)), 255.0d) as int) - 128)"
         ).alias("q8"),
     )
+
+
+@_q(
+    "q_embed_pq",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), dists AS (
+      SELECT vecs.vec_id, subs.s, cents.cid,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, 8),
+                   i -> (v[subs.s * 8 + i] - cv[subs.s * 8 + i])
+                        * (v[subs.s * 8 + i] - cv[subs.s * 8 + i]))),
+               (a, b) -> a + b) AS dist
+      FROM vecs
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) subs
+      CROSS JOIN cents
+    ), best AS (
+      SELECT vec_id, s, cid,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, cid) AS rn
+      FROM dists
+    )
+    SELECT vec_id,
+           list(CAST(cid AS INTEGER) ORDER BY s) AS pq_codes
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: each 64-dim embedding compressed to
+    8 one-byte centroid ids (8 subspaces x 16-centroid codebook) — the
+    memory layout behind IVF-PQ ANN indexes (8 bytes/vector instead of
+    256, a 32x shrink that lets a 100 TB corpus' index fit in RAM).
+
+    The codebook is deterministic (the first 16 vectors — a stand-in
+    for trained k-means centroids, which would come from
+    q_embed_centroid iterations). Per (vector, subspace, centroid) the
+    squared L2 distance is a *fixed-order sequential fold* over the 8
+    dims (1-based ``element_at`` mirrors DuckDB list indexing), so the
+    doubles are bitwise-identical across engines and the argmin —
+    tie-broken by centroid id — picks the same code. Assignment is a
+    broadcast of the 16-row codebook against the vector scan: no
+    shuffle until the 8-row-per-vector regroup, which partial-aggregates
+    map-side.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    subs = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s")
+    dists = (
+        e.select("vec_id", "v", subs)
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "s",
+            "cid",
+            F.expr(
+                "aggregate(transform(sequence(1, 8),"
+                " i -> (element_at(v, s * 8 + i) - element_at(cv, s * 8 + i))"
+                "      * (element_at(v, s * 8 + i) - element_at(cv, s * 8 + i))),"
+                " cast(0.0 as double), (a, b) -> a + b)"
+            ).alias("dist"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    best = dists.select(
+        "vec_id",
+        "s",
+        "cid",
+        F.row_number()
+        .over(W.partitionBy("vec_id", "s").orderBy("dist", "cid"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, cid))),"
+            " x -> cast(x.cid as int))"
+        ).alias("pq_codes")
+    )

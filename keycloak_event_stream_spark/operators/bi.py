@@ -259,3 +259,65 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
     )
+
+
+@_q(
+    "q_lorenz_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), tiled AS (
+      SELECT cents,
+             CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS INTEGER)
+               AS decile
+      FROM per_cust
+    ), agg AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM tiled GROUP BY decile
+    )
+    SELECT decile, n_customers, revenue_cents,
+           CAST(sum(revenue_cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / sum(revenue_cents) OVER () AS cum_share
+    FROM agg ORDER BY decile
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer-revenue decile: the 10 cumulative-share
+    points behind the q_gini coefficient — "the bottom 50% of customers
+    hold X% of revenue".
+
+    ntile(10) runs over the *per-customer rollup* with a (cents,
+    custkey) total order (deterministic tiling, the q_rfm discipline);
+    cents stay exact integers until the one cumulative-share division
+    over the 10-row aggregate. Beyond ~10^8 customers the single
+    ordered window would be replaced by a percentile-threshold join —
+    same output contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    tiled = per.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey"))
+        .cast("int").alias("decile"),
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.sum("revenue_cents").over(wcum).cast("double") / F.sum(
+        "revenue_cents"
+    ).over(Window.partitionBy())
+    return agg.select(
+        "decile", "n_customers", "revenue_cents", share.alias("cum_share")
+    ).orderBy("decile")

@@ -52,3 +52,20 @@ def test_embed_quantize_bounds_and_monotonic(spark):
         # extremes map to the ends of the range
         assert max(r["q8"]) == 127
         assert min(r["q8"]) == -128
+
+
+def test_pq_codes_shape_and_self_encoding(spark):
+    from keycloak_event_stream_spark.catalog import load_table
+    from keycloak_event_stream_spark.llm.vectors import q_embed_pq
+
+    rows = q_embed_pq(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.pq_codes) == 8
+        assert all(0 <= c < 16 for c in r.pq_codes)
+    # codebook vectors must encode to themselves (distance 0, tiebreak
+    # by centroid id can only matter on exact duplicates)
+    own = {r.vec_id: r.pq_codes for r in rows if r.vec_id < 16}
+    for vid, codes in own.items():
+        assert codes == [vid] * 8
