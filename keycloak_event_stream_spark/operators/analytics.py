@@ -590,3 +590,100 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zdist", "user_a", "user_b")
         .limit(20)
     )
+
+
+@_q(
+    "q_geo_nearest",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 37) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 91) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    ), supp AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 37) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+             CAST((s_suppkey * 91) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      FROM supplier
+    ), pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round(2.0 * 6371.0 * asin(sqrt(round(
+               sin(radians((s.lat - c.lat) / 2.0))
+                 * sin(radians((s.lat - c.lat) / 2.0))
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * sin(radians((s.lon - c.lon) / 2.0))
+                 * sin(radians((s.lon - c.lon) / 2.0)), 12))), 3)
+               AS dist_km
+      FROM cust c CROSS JOIN supp s
+    ), best AS (
+      SELECT c_custkey, s_suppkey, dist_km,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_km, s_suppkey) AS rn
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_km
+    FROM best WHERE rn = 1
+    """,
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-supplier spatial join: haversine distance from every
+    customer to its closest supplier (coordinates derived
+    deterministically from keys — the fixtures carry no geo columns;
+    the *pattern* is the point).
+
+    This is the broadcast-NN-join shape: the small side (suppliers)
+    broadcasts, the big side streams through a cross product + windowed
+    argmin — no shuffle of the large table at all. At 100 TB the cross
+    product is bounded by geohash/S2-cell pre-bucketing (join on cell,
+    compare within cell +/- neighbors), the same escalation as
+    q_join_range_binned. Portability: the haversine operand is rounded
+    to 12 dp before ``asin`` and the distance to 3 dp before the
+    argmin (trig last-ulp behavior is libm-specific — the q_tfidf ln
+    discipline); ties break on supplier key, so the winner is
+    deterministic in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 180 - 90).cast("double").alias("clat"),
+        ((F.col("c_custkey") * 91) % 360 - 180).cast("double").alias("clon"),
+    ).select(
+        "c_custkey",
+        (F.col("clat") + 0.5).alias("clat"),
+        (F.col("clon") + 0.5).alias("clon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37) % 180 - 90).cast("double").alias("slat"),
+        ((F.col("s_suppkey") * 91) % 360 - 180).cast("double").alias("slon"),
+    ).select(
+        "s_suppkey",
+        (F.col("slat") + 0.5).alias("slat"),
+        (F.col("slon") + 0.5).alias("slon"),
+    )
+    dphi = F.radians((F.col("slat") - F.col("clat")) / 2.0)
+    dlam = F.radians((F.col("slon") - F.col("clon")) / 2.0)
+    h = F.round(
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.col("clat")))
+        * F.cos(F.radians(F.col("slat")))
+        * F.sin(dlam)
+        * F.sin(dlam),
+        12,
+    )
+    dist = F.round(2.0 * 6371.0 * F.asin(F.sqrt(h)), 3)
+    pairs = cust.join(F.broadcast(supp)).select(
+        "c_custkey", "s_suppkey", dist.alias("dist_km")
+    )
+    best = pairs.select(
+        "c_custkey",
+        "s_suppkey",
+        "dist_km",
+        F.row_number()
+        .over(W.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "c_custkey",
+        F.col("s_suppkey").alias("nearest_suppkey"),
+        "dist_km",
+    )

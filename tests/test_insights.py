@@ -459,3 +459,39 @@ def test_audience_overlap_jaccard_identity(spark):
         want = r.n_both / (r.n_a + r.n_b - r.n_both)
         assert abs(r.jaccard - want) < 1e-15
         assert 0 < r.jaccard <= 1
+
+
+def test_geo_nearest_is_true_argmin(spark):
+    import math
+
+    from keycloak_event_stream_spark.operators.analytics import q_geo_nearest
+
+    rows = {r.c_custkey: r for r in q_geo_nearest(spark, SF_DIR).collect()}
+    cust = load_table(spark, SF_DIR, "customer")
+    supp = load_table(spark, SF_DIR, "supplier").collect()
+    assert len(rows) == cust.count()
+
+    def coords(key):
+        return (key * 37) % 180 - 90 + 0.5, (key * 91) % 360 - 180 + 0.5
+
+    def hav(c, s):
+        clat, clon = coords(c)
+        slat, slon = coords(s)
+        dphi = math.radians((slat - clat) / 2.0)
+        dlam = math.radians((slon - clon) / 2.0)
+        h = round(
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(clat))
+            * math.cos(math.radians(slat))
+            * math.sin(dlam) ** 2,
+            12,
+        )
+        return round(2.0 * 6371.0 * math.asin(math.sqrt(h)), 3)
+
+    # spot-check 5 customers: reported supplier is the true argmin
+    for ck in list(rows)[:5]:
+        got = rows[ck]
+        best = min(
+            ((hav(ck, s.s_suppkey), s.s_suppkey) for s in supp),
+        )
+        assert (got.dist_km, got.nearest_suppkey) == best
