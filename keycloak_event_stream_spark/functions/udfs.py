@@ -218,3 +218,149 @@ if _HAVE_ARROW_UDF:
             _codepoints_udf(F.col("text")).alias("n_codepoints"),
             _space_tokens_udf(F.col("text")).alias("n_space_tokens"),
         )
+
+
+@_q(
+    "q_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar UDFs (``CREATE FUNCTION ... RETURN
+    expr``): the TPC-H Q1 pricing expressions packaged as reusable,
+    *optimizer-transparent* functions.
+
+    Unlike Python UDFs, SQL UDFs inline into the Catalyst plan at
+    resolution time — the plan is identical to writing the expression
+    by hand (whole-stage codegen, pushdown, partial aggregation all
+    intact), so this is the zero-cost tier of the UDF hierarchy
+    (SQL UDF > arrow_udf > pandas_udf > row Python UDF). The reference
+    has no function surface at all (SURVEY.md §2.2); this is how an
+    engine user packages shared business logic without leaving the JVM
+    fast path.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kes_disc_price"
+        "(p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kes_charge"
+        "(p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN p * (1 - d) * (1 + t)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(kes_disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(kes_charge(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+               count(*) AS n
+        FROM li_sqludf
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@_q(
+    "q_cogroup_enrich",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max_by(event_type, ROW(ts, event_id)) AS last_event_type
+      FROM events GROUP BY user_id
+    ), od AS (
+      SELECT o_custkey % 15 AS user_id,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+           COALESCE(ev.n_events, 0) AS n_events,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           COALESCE(od.spend_cents, 0) AS spend_cents,
+           ev.last_event_type
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+    """,
+)
+def q_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: events and orders grouped on the
+    same key meet *pairwise* in one Python function — the
+    UDF-matrix entry for ``cogroup`` (two-table UDAF shape), completing
+    python-row / pandas / applyInPandas / mapInPandas / arrow / UDTF /
+    SQL-UDF coverage.
+
+    Each side arrives as its own pandas frame per key (no pre-join
+    blowup, no null-padding); the function reduces both to one summary
+    row. Spark shuffles each input by the key exactly once — the same
+    exchange a join would need, minus the join materialization. The
+    oracle is the equivalent FULL OUTER join of two rollups; tiebreak
+    for last_event_type is the (ts, event_id) total order on both
+    sides.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 15).alias("user_id"),
+        "o_totalprice",
+    )
+
+    def merge(key, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        if len(ev_pdf):
+            last = ev_pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            last_type = last["event_type"]
+        else:
+            last_type = None
+        spend = int(
+            sum(
+                int(
+                    (v * 100).to_integral_value()
+                )
+                for v in od_pdf["o_totalprice"].map(
+                    lambda x: __import__("decimal").Decimal(str(x)).quantize(
+                        __import__("decimal").Decimal("0.01")
+                    )
+                )
+            )
+            * 100
+        ) if False else int(
+            od_pdf["o_totalprice"]
+            .map(lambda x: round(x * 100))
+            .sum()
+        ) if len(od_pdf) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(od_pdf)],
+                "spend_cents": [spend],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "user_id bigint, n_events bigint, n_orders bigint,"
+                " spend_cents bigint, last_event_type string"
+            ),
+        )
+    )
