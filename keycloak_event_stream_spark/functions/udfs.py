@@ -276,11 +276,18 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q_cogroup_enrich",
     oracle="""
-    WITH ev AS (
-      SELECT user_id,
+    WITH last AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), ev AS (
+      SELECT e.user_id,
              CAST(count(*) AS BIGINT) AS n_events,
-             max_by(event_type, ROW(ts, event_id)) AS last_event_type
-      FROM events GROUP BY user_id
+             any_value(l.event_type) AS last_event_type
+      FROM events e JOIN last l ON e.user_id = l.user_id
+      GROUP BY e.user_id
     ), od AS (
       SELECT o_custkey % 15 AS user_id,
              CAST(count(*) AS BIGINT) AS n_orders,
@@ -326,23 +333,11 @@ def q_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_type = last["event_type"]
         else:
             last_type = None
-        spend = int(
-            sum(
-                int(
-                    (v * 100).to_integral_value()
-                )
-                for v in od_pdf["o_totalprice"].map(
-                    lambda x: __import__("decimal").Decimal(str(x)).quantize(
-                        __import__("decimal").Decimal("0.01")
-                    )
-                )
-            )
-            * 100
-        ) if False else int(
-            od_pdf["o_totalprice"]
-            .map(lambda x: round(x * 100))
-            .sum()
-        ) if len(od_pdf) else 0
+        spend = (
+            int(od_pdf["o_totalprice"].map(lambda x: round(x * 100)).sum())
+            if len(od_pdf)
+            else 0
+        )
         return pd.DataFrame(
             {
                 "user_id": [uid],

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table, spread
 
@@ -261,3 +262,159 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> cast(x.cid as int))"
         ).alias("pq_codes")
     )
+
+
+_D2 = (
+    "aggregate(transform(sequence(1, size(v)),"
+    " i -> (element_at(v, i) - element_at(c, i))"
+    "      * (element_at(v, i) - element_at(c, i))),"
+    " cast(0.0 as double), (a, b) -> a + b)"
+)  # squared L2, sequential index-order fold — engine-portable
+
+
+@_q(
+    "q_kmeans_lloyd",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM v ORDER BY vec_id LIMIT 4
+    ), d1 AS (
+      SELECT v.vec_id, c0.cid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(v.v)),
+                 i -> (v.v[i] - c0.c[i]) * (v.v[i] - c0.c[i]))),
+               (a, b) -> a + b) AS dist
+      FROM v, c0
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), cell1 AS (
+      SELECT a1.cid, s.pos, v.v[s.pos + 1] AS val, v.vec_id
+      FROM v JOIN a1 USING (vec_id), LATERAL (
+        SELECT unnest(generate_series(0, len(v.v) - 1)) AS pos) s
+    ), c1 AS (
+      SELECT cid, list(mean_val ORDER BY pos) AS c FROM (
+        SELECT cid, pos,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(val ORDER BY vec_id)), (a, b) -> a + b)
+                 / count(*) AS mean_val
+        FROM cell1 GROUP BY cid, pos) GROUP BY cid
+    ), d2 AS (
+      SELECT v.vec_id, c1.cid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(v.v)),
+                 i -> (v.v[i] - c1.c[i]) * (v.v[i] - c1.c[i]))),
+               (a, b) -> a + b) AS dist
+      FROM v, c1
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ), cell2 AS (
+      SELECT a2.cid, s.pos, v.v[s.pos + 1] AS val, v.vec_id
+      FROM v JOIN a2 USING (vec_id), LATERAL (
+        SELECT unnest(generate_series(0, len(v.v) - 1)) AS pos) s
+    )
+    SELECT cid AS cluster_id,
+           CAST(sum(n_cell) / 64 AS BIGINT) AS n_members,
+           list(mean_val ORDER BY pos) AS centroid
+    FROM (
+      SELECT cid, pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(val ORDER BY vec_id)), (a, b) -> a + b)
+               / count(*) AS mean_val,
+             count(*) AS n_cell
+      FROM cell2 GROUP BY cid, pos)
+    GROUP BY cid
+    """,
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's algorithm), k=4, two iterations, deterministic
+    init (the 4 lowest vec_ids) — the canonical iterative-refinement
+    algorithm a training-data pipeline runs for corpus clustering /
+    SemDeDup bucketing (north-star: the reference has no iterative
+    surface at all).
+
+    Spark-first shape per iteration — this is the part that matters at
+    100 TB:
+    - **assignment** is a broadcast cross join of the corpus against k
+      centroid rows (k × |corpus| intermediate, never a shuffle of the
+      corpus), distances as index-order sequential folds (bitwise
+      engine-portable, no engine-managed float sums), argmin via a
+      (dist, cid)-ordered row_number so ties break identically
+      everywhere;
+    - **update** is the q_embed_centroid tall-skinny reduction: shuffle
+      keyed by (cluster, dim) → k × 64 cells regardless of corpus size,
+      per-cell mean as a vec_id-ordered fold.
+
+    Two iterations are unrolled in the DuckDB oracle, so every float of
+    the final centroids and every membership count is bitwise-checked —
+    an *iterative* algorithm held to the same exactness bar as the
+    relational operators. A production run loops until movement < eps
+    with the identical per-iteration plan (centroids re-broadcast each
+    pass; lineage stays flat because each iteration materializes only
+    the k×64 centroid table driver-side, never the corpus).
+    """
+    v = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    w_init = F.row_number().over(Window.orderBy("vec_id"))
+    centroids = (
+        v.orderBy("vec_id")
+        .limit(4)
+        .select((w_init - 1).alias("cid"), F.col("v").alias("c"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = v.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", F.expr(_D2).alias("dist")
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cid")
+        )
+        return d.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "vec_id", "cid"
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        cells = (
+            v.join(assigned, "vec_id")
+            .select("cid", "vec_id", F.posexplode("v").alias("pos", "val"))
+        )
+        dim = cells.groupBy("cid", "pos").agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(vec_id, val))), s -> s.val),"
+                    " cast(0.0 as double), (a, b) -> a + b)"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_cell"),
+        )
+        return dim
+
+    a1 = assign(centroids)
+    c1 = update(a1).groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean_val))),"
+            " s -> s.mean_val)"
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    dim2 = update(a2)
+    return dim2.groupBy("cid").agg(
+        (F.sum("n_cell") / 64).cast("bigint").alias("n_members"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean_val))),"
+            " s -> s.mean_val)"
+        ).alias("centroid"),
+    ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid")

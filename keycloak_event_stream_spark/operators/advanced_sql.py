@@ -279,3 +279,151 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_disc": 0.05},
     )
+
+
+@_q(
+    "q_sql_scripting",
+    oracle="""
+    WITH powers AS (
+      SELECT CAST(pow(2, range) AS BIGINT) AS thr FROM range(0, 31)
+    ), counted AS (
+      SELECT p.thr,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE o.o_totalprice > p.thr) AS n_above
+      FROM powers p
+    )
+    SELECT thr AS threshold, n_above
+    FROM counted
+    WHERE n_above < 100
+    ORDER BY thr
+    LIMIT 1
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (``BEGIN … WHILE … END``): procedural
+    control flow executed entirely engine-side — find the smallest
+    power-of-two price threshold with fewer than 100 orders above it.
+
+    The reference's only "procedure" is a Java poll loop around Athena
+    (``AbstractAthenaQuery.java:108-142``); SQL scripting moves that
+    class of driver-side orchestration into the engine, where each
+    iteration is a planned query (pushdown intact) and no result rows
+    cross the driver boundary between steps. The loop here scans a
+    pre-aggregated per-power rollup shape (O(log max_price)
+    iterations); the oracle is the declarative closed form over the
+    same power spine — the scripted and set-based programs must agree
+    exactly. At 100 TB each iteration's count would run over the same
+    pre-aggregated extract, not the raw fact table.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1;
+          DECLARE n_above BIGINT DEFAULT 0;
+          SET n_above = (SELECT count(*) FROM _script_orders
+                         WHERE o_totalprice > thr);
+          WHILE n_above >= 100 DO
+            SET thr = thr * 2;
+            SET n_above = (SELECT count(*) FROM _script_orders
+                           WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT thr AS threshold, n_above;
+        END
+        """
+    )
+
+
+@_q(
+    "q_collation_group",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 2 = 0
+                      THEN upper(substr(c_mktsegment, 1, 1))
+                             || lower(substr(c_mktsegment, 2))
+                      ELSE c_mktsegment END) AS seg_lc,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM customer
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: case-insensitive grouping via
+    ``COLLATE UTF8_LCASE`` over a deliberately mixed-case segment
+    column (half the rows are title-cased) — the engine-native answer
+    to dirty categorical metadata, where the classic workaround
+    (``lower()`` everywhere) loses the original values and has to be
+    remembered at every predicate.
+
+    The group-by key carries the collation, so 'BUILDING' and
+    'Building' hash and compare equal inside the aggregate itself —
+    no normalization pass over 100 TB, and comparisons stay inside
+    whole-stage codegen. The oracle is the lower()-normalized classic
+    form; output keys are lowercased explicitly so both engines emit
+    identical strings.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        cust.select(
+            F.expr(
+                "CAST(CASE WHEN c_custkey % 2 = 0 "
+                "THEN initcap(lower(c_mktsegment)) "
+                "ELSE c_mktsegment END AS STRING COLLATE UTF8_LCASE)"
+            ).alias("seg"),
+            cents.alias("cents"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.lower(F.col("seg").cast("string")).alias("seg_lc"),
+            "n",
+            "sum_cents",
+        )
+        .orderBy("seg_lc")
+    )
+
+
+@_q(
+    "q_approx_topk",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``approx_top_k``: heavy-hitter sketch as a single
+    aggregate — here sized (k=32, maxItemsTracked default) above the
+    event-type cardinality, where the sketch is *provably exact*, so
+    the full distribution hash-matches the plain GROUP BY oracle.
+
+    This is the honest framing of sketch correctness: below capacity
+    the answer is exact and checkable; past capacity (true 100 TB
+    heavy-hitter use) the same one-pass mergeable sketch degrades to
+    approximate counts with bounded error instead of a giant shuffle —
+    the q_sketch_cms/q_sketch_hll posture with an engine-native
+    operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_atk_events")
+    return spark.sql(
+        """
+        SELECT t.item AS item, CAST(t.count AS BIGINT) AS cnt
+        FROM (
+          SELECT explode(approx_top_k(event_type, 32)) AS t
+          FROM _atk_events
+        )
+        """
+    )

@@ -121,17 +121,23 @@ def q_filter_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(load_table(spark, sf_dir, "events"))
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-20 23:59:59").cast("timestamp")
-    # redundant raw-nanos bounds: the decoded-ts predicate is expression-
-    # wrapped and cannot push to parquet; these twins reach the reader's
-    # row-group stats (see catalog._NANO_TS_COLS)
-    lo_ns = _dt.datetime(2024, 1, 10)
-    hi_ns = _dt.datetime(2024, 1, 20, 23, 59, 59)
-    return ev.filter(
-        (F.col("ts") >= lo)
-        & (F.col("ts") <= hi)
-        & (F.col("ts_nanos") >= F.lit(nanos_bound(lo_ns)))
-        & (F.col("ts_nanos") <= F.lit(nanos_bound(hi_ns) + 999))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    cond = (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    if "ts_nanos" in ev.columns:
+        # fixture wrote TIMESTAMP(NANOS): the decoded-ts predicate is
+        # expression-wrapped and cannot push to parquet; these raw-domain
+        # twins reach the reader's row-group stats (catalog._NANO_TS_COLS).
+        # With native timestamp[us] fixtures the plain predicate above
+        # already pushes down and no twin exists.
+        lo_ns = _dt.datetime(2024, 1, 10)
+        hi_ns = _dt.datetime(2024, 1, 20, 23, 59, 59)
+        cond = (
+            cond
+            & (F.col("ts_nanos") >= F.lit(nanos_bound(lo_ns)))
+            & (F.col("ts_nanos") <= F.lit(nanos_bound(hi_ns) + 999))
+        )
+    return ev.filter(cond).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 @_q(

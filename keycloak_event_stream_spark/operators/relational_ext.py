@@ -798,9 +798,12 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tests/test_plans.py` pins the no-BNLJ promise.
     """
     ev = spread(load_table(spark, sf_dir, "events"))
-    bin_of = lambda c: (F.unix_micros(c) / F.lit(_BIN_SECONDS * 1_000_000)).cast(
-        "bigint"
-    )
+    # cast("timestamp") tolerates TIMESTAMP_NTZ inputs (parquet without
+    # timezone metadata); session tz is pinned UTC so the instant is
+    # unchanged and unix_micros stays a monotone bin key either way.
+    bin_of = lambda c: (
+        F.unix_micros(c.cast("timestamp")) / F.lit(_BIN_SECONDS * 1_000_000)
+    ).cast("bigint")
     e = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
         F.col("ts").alias("error_ts"),
@@ -1022,7 +1025,11 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive theta join."""
     ev = spread(load_table(spark, sf_dir, "events"))
     width_us = _IVL_MINUTES * 60 * 1_000_000
-    bin_of = lambda c: (F.unix_micros(c) / F.lit(width_us)).cast("bigint")
+    # NTZ-tolerant (see q_join_range_binned): cast is value-preserving
+    # under the pinned UTC session timezone.
+    bin_of = lambda c: (
+        F.unix_micros(c.cast("timestamp")) / F.lit(width_us)
+    ).cast("bigint")
     ivl = F.expr(f"INTERVAL {_IVL_MINUTES} MINUTE")
 
     def side(tag: str, etype: str) -> DataFrame:

@@ -1147,3 +1147,240 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (r.cast("double") - mu) / F.sqrt(var)
     return agg.select("n_above", "n_below", "n_runs", z.alias("z_stat"))
+
+
+@_q(
+    "q_anova_oneway",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM customer
+    ), g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q
+      FROM cents GROUP BY seg
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(s) AS DOUBLE) AS s_tot,
+             CAST(sum(q) AS DOUBLE) AS q_tot,
+             CAST(sum(CAST(round(
+               pow(CAST(s AS DOUBLE), 2) / n, 6) AS DECIMAL(38,6)))
+               AS DOUBLE) AS t1
+      FROM g
+    )
+    SELECT k, n_tot,
+           t1 - s_tot * s_tot / n_tot AS ss_between,
+           q_tot - t1 AS ss_within,
+           ((t1 - s_tot * s_tot / n_tot) / (k - 1.0))
+             / ((q_tot - t1) / (n_tot - k)) AS f_stat
+    FROM m
+    """,
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean account balance differ across market
+    segments? (north-star statistics surface; the reference computes no
+    statistics, SURVEY.md §2.2).
+
+    Two-level reduction: per-group exact integer-cent moments
+    (n, Σx, Σx²) in one shuffle, then a |groups|-row global fold. The
+    cross-group sum of s²/n is the only order-sensitive float sum, so
+    each group's term is rounded to 6 decimals and summed in DECIMAL
+    (the q_chi_square discipline); Σx and Σx² stay exact end-to-end.
+    F = (SSB/(k−1)) / (SSW/(N−k)) is one closed-form IEEE expression
+    identical in both engines — bitwise oracle-checkable.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    g = (
+        cust.select(F.col("c_mktsegment").alias("seg"), x.alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("double").alias("s_tot"),
+        F.sum("q").cast("double").alias("q_tot"),
+        F.sum(
+            F.round(
+                F.pow(F.col("s").cast("double"), 2) / F.col("n"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("t1"),
+    )
+    k, n_tot = F.col("k"), F.col("n_tot")
+    ssb = F.col("t1") - F.col("s_tot") * F.col("s_tot") / n_tot
+    ssw = F.col("q_tot") - F.col("t1")
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n_tot - k))
+    return m.select(
+        "k",
+        "n_tot",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )
+
+
+@_q(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS a, c_nationkey % 5 AS b, count(*) AS o
+      FROM customer GROUP BY 1, 2
+    ), tot AS (
+      SELECT o,
+             CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS rt,
+             CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS ct,
+             CAST(sum(o) OVER () AS BIGINT) AS g
+      FROM cells
+    ), chi AS (
+      SELECT CAST(sum(CAST(round(
+               pow(o - CAST(rt AS DOUBLE) * ct / g, 2)
+                 / (CAST(rt AS DOUBLE) * ct / g), 6) AS DECIMAL(27,6)))
+               AS DOUBLE) AS chi2,
+             CAST(max(g) AS BIGINT) AS n
+      FROM tot
+    ), dims AS (
+      SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c
+      FROM cells
+    )
+    SELECT chi2, n, r, c,
+           sqrt(chi2 / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))
+             AS cramers_v
+    FROM chi, dims
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the market-segment × nation-bucket
+    contingency table — chi-square alone grows with N, V ∈ [0,1] is the
+    scale-free association strength (the feature-redundancy screen a
+    training-data pipeline runs over categorical metadata columns).
+
+    Same determinism discipline as q_chi_square (6-dp decimal-summed
+    cell contributions, integer marginals from windows over the |cells|
+    aggregate); V adds only scalar math. One shuffle to the cells.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_mktsegment").alias("a"),
+        (F.col("c_nationkey") % 5).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).cast("bigint").alias("rt"),
+        F.sum("o").over(Window.partitionBy("b")).cast("bigint").alias("ct"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("g"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("g")
+    chi = tot.agg(
+        F.sum(
+            F.round(F.pow(F.col("o") - e, 2) / e, 6).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("chi2"),
+        F.max("g").cast("bigint").alias("n"),
+    )
+    dims = cells.agg(
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("c"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        )
+    )
+    return chi.crossJoin(dims).select(
+        "chi2", "n", "r", "c", v.alias("cramers_v")
+    )
+
+
+@_q(
+    "q_acf_multi",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS rn, c FROM daily
+    ), lags AS (
+      SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)
+    ), pairs AS (
+      SELECT l.lag, a.c AS x, b.c AS y
+      FROM lags l
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.rn = a.rn - l.lag
+    ), m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n,
+           (n * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (n * syy - CAST(sy AS DOUBLE) * sy)) AS acf
+    FROM m
+    """,
+)
+def q_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1–7 (generalizes q_autocorr_lag1): the weekly-seasonality probe a
+    pipeline runs before choosing resampling windows.
+
+    The raw table reduces to ~|days| rows in one shuffle; the lag
+    pairing is a self-join on the row index of the *observed* series
+    (robust to missing days; lag counts observations, not calendar
+    days) against a 7-row lag spine — both sides tiny, broadcast. All
+    moments are exact integer sums; Pearson r per lag is one scalar
+    IEEE expression, so results hash-match DuckDB bitwise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"), "c"
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.rn") == F.col("a.rn") - F.col("lag"),
+            "inner",
+        )
+        .select("lag", F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select("lag", "n", (num / den).alias("acf"))

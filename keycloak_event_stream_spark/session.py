@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
         # --- correctness-relevant semantics -------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-naive parquet timestamps (timestamp[us] with no timezone
+        # metadata) read as TIMESTAMP (LTZ), not TIMESTAMP_NTZ: under
+        # the pinned UTC session tz the instants are identical, and the
+        # full function surface (unix_millis/unix_micros, window(), ...)
+        # accepts LTZ while several reject NTZ. Keeps one timestamp
+        # type end-to-end regardless of how fixtures were written.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- python boundary ----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- storage ------------------------------------------------

@@ -73,12 +73,20 @@ def test_whole_stage_codegen_covers_scan_pipeline(spark, queries):
 
 
 def test_event_time_range_pushes_raw_bounds_to_scan(spark, queries):
-    # the decoded-ts predicate cannot push through timestamp_micros();
-    # the redundant raw-nanos twin must reach the parquet reader
-    # the alias resolves back to the raw scan column `ts` (bigint nanos)
+    # The ts range predicate must reach the parquet reader either as a
+    # native timestamp bound (timestamp[us] fixtures — pushes directly)
+    # or as the redundant raw-nanos twin (TIMESTAMP(NANOS) fixtures,
+    # where the decoded-ts predicate is wrapped in timestamp_micros()
+    # and cannot push; see catalog._NANO_TS_COLS).
     plan = _plan(queries["q_filter_range_time"](spark, SF))
-    assert "GreaterThanOrEqual(ts,17" in plan  # epoch-nanos literal
-    assert "LessThanOrEqual(ts,17" in plan
+    assert (
+        "GreaterThanOrEqual(ts,17" in plan  # epoch-nanos literal
+        or "GreaterThanOrEqual(ts,2024-01-10" in plan  # native timestamp
+    )
+    assert (
+        "LessThanOrEqual(ts,17" in plan
+        or "LessThanOrEqual(ts,2024-01-20" in plan
+    )
 
 
 def test_builder_time_range_pushes_raw_bounds(spark):
@@ -92,7 +100,11 @@ def test_builder_time_range_pushes_raw_bounds(spark):
         .to_df()
     )
     assert "ts_nanos" not in q.columns  # helper column dropped from output
-    assert "GreaterThanOrEqual(ts,17" in _plan(q)
+    plan = _plan(q)
+    assert (
+        "GreaterThanOrEqual(ts,17" in plan
+        or "GreaterThanOrEqual(ts,2024-01-05" in plan
+    )
 
 
 def test_join_strategy_hints_respected(spark, queries):
