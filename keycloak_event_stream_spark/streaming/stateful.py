@@ -86,3 +86,120 @@ def running_user_profile(events_stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful-processor API) -----
+
+try:  # Spark >= 4.0, and protobuf present (the state-server protocol
+    # between the JVM and the Python worker is protobuf-serialized, so
+    # the runtime needs `google.protobuf` even though our code never
+    # imports it directly)
+    import google.protobuf  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark / no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+TYPE_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_distinct_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+
+class UserTypeProfileProcessor(StatefulProcessor):
+    """Per-user profile with *typed, composable state variables* — the
+    Spark 4 ``transformWithStateInPandas`` successor to the single
+    opaque tuple of ``applyInPandasWithState`` (see
+    :func:`running_user_profile` for the v1 API).
+
+    Two state variables per user key:
+    - a ``ValueState`` (n_events, last_us) for the scalar running
+      profile;
+    - a ``MapState`` event_type → count, incrementally maintained —
+      a per-key sub-collection the old API could only fake by pickling
+      a dict into a blob column (unmergeable, full rewrite per batch;
+      MapState updates touch only the changed sub-keys in the state
+      store — the property that matters when each user has thousands
+      of sub-keys at 100 TB).
+
+    Emits one row per user per micro-batch the user appears in: total
+    events, distinct types seen, modal type (count desc, name asc —
+    deterministic), last event time. The reference has no stateful
+    surface at all (SURVEY.md §2.2).
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events BIGINT, last_us BIGINT"
+        )
+        self._type_counts = handle.getMapState(
+            "type_counts", "event_type STRING", "cnt BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        (user_id,) = key
+        n, last_us = (
+            self._totals.get() if self._totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_us = max(last_us, int(batch_max.value // 1_000))
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._type_counts.getValue((etype,))
+                    if self._type_counts.containsKey((etype,))
+                    else (0,)
+                )
+                self._type_counts.updateValue((etype,), (prev[0] + int(cnt),))
+        self._totals.update((n, last_us))
+        counts = [
+            (k[0], v[0]) for k, v in self._type_counts.iterator()
+        ]
+        counts.sort(key=lambda t: (-t[1], t[0]))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_distinct_types": [len(counts)],
+                "top_type": [counts[0][0] if counts else None],
+                "last_ts": [pd.Timestamp(last_us * 1_000)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_type_profile(events_stream: DataFrame) -> DataFrame:
+    """Attach the transformWithStateInPandas profile operator to an
+    event stream with columns (user_id long, ts timestamp,
+    event_type string)."""
+    if not _HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0 and the"
+            " google.protobuf package (its JVM<->Python state protocol"
+            " is protobuf-serialized)"
+        )
+    return (
+        events_stream.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTypeProfileProcessor(),
+            outputStructType=TYPE_PROFILE_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -326,3 +326,140 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     ids = sorted(r.event_id for r in got)
     # id 1 arrived twice (30s apart, within the 1h watermark) -> once
     assert ids == [1, 2, 3]
+
+
+def test_transform_with_state_typed_variables(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4): ValueState + MapState
+    accumulate across micro-batches — batch 2's emission reflects
+    batch 1's counts, and the modal type flips when a later type
+    overtakes."""
+    import os
+    import time as _t
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+
+    from keycloak_event_stream_spark.streaming.stateful import (
+        running_user_type_profile,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "user_id long, ts string, event_type string"
+
+    def write(n, rows):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "CAST(ts AS timestamp) ts", "event_type"
+        ).coalesce(1).write.parquet(f"{src}/f={n}")
+        _t.sleep(1.1)
+
+    write(1, [(1, "2024-01-01 10:00:00", "click"),
+              (1, "2024-01-01 10:01:00", "view"),
+              (2, "2024-01-01 10:02:00", "click")])
+    write(2, [(1, "2024-01-01 11:00:00", "view"),
+              (1, "2024-01-01 11:01:00", "view")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    q = (
+        running_user_type_profile(stream)
+        .writeStream.format("memory")
+        .queryName("type_profile_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("type_profile_sink").collect()
+    u1 = sorted(
+        (r.n_events, r.n_distinct_types, r.top_type, r.last_ts.hour)
+        for r in rows
+        if r.user_id == 1
+    )
+    # batch1: 2 events, tie click/view -> 'click' (name asc);
+    # batch2: 4 events, view=3 overtakes -> 'view'
+    assert u1 == [(2, 2, "click", 10), (4, 2, "view", 11)]
+    u2 = [
+        (r.n_events, r.n_distinct_types, r.top_type)
+        for r in rows
+        if r.user_id == 2
+    ]
+    assert u2 == [(1, 1, "click")]
+
+
+def test_transform_with_state_processor_logic():
+    """The StatefulProcessor's per-key fold is plain Python — pin its
+    semantics (count accumulation, modal tie-break, last-ts max) with
+    stub state, independent of the protobuf-backed runtime."""
+    import pandas as pd
+
+    from keycloak_event_stream_spark.streaming.stateful import (
+        UserTypeProfileProcessor,
+    )
+
+    class StubValue:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class StubMap:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d.get(k)
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    p = UserTypeProfileProcessor()
+    p._totals = StubValue()
+    p._type_counts = StubMap()
+
+    batch1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:01:00"]
+            ),
+            "event_type": ["click", "view"],
+        }
+    )
+    (out1,) = list(p.handleInputRows((1,), iter([batch1]), None))
+    assert out1["n_events"].iloc[0] == 2
+    assert out1["top_type"].iloc[0] == "click"  # tie -> name asc
+
+    batch2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 11:00:00", "2024-01-01 11:01:00"]
+            ),
+            "event_type": ["view", "view"],
+        }
+    )
+    (out2,) = list(p.handleInputRows((1,), iter([batch2]), None))
+    assert out2["n_events"].iloc[0] == 4
+    assert out2["n_distinct_types"].iloc[0] == 2
+    assert out2["top_type"].iloc[0] == "view"  # overtaken
+    assert out2["last_ts"].iloc[0].hour == 11
