@@ -456,3 +456,132 @@ def q_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "q_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             s.t || ' ' || lead(s.t, 1) OVER w || ' '
+                 || lead(s.t, 2) OVER w AS g
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS i) s
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s.i)
+      QUALIFY lead(s.t, 2) OVER w IS NOT NULL
+    ), first_seen AS (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM grams
+      GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM grams gr JOIN first_seen fs ON gr.g = fs.g
+    GROUP BY gr.doc_id
+    ORDER BY novelty, gr.doc_id
+    LIMIT 100
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each document, the fraction of its
+    distinct 3-grams whose *first* corpus appearance (min doc_id, i.e.
+    ingestion order) is this document. Low-novelty docs are recombined
+    boilerplate — the saturation signal used to decide when more data
+    from a source stops adding information (and the 100 stalest docs
+    are the first drop candidates).
+
+    3-grams assemble in-row from the split array; one explode feeds
+    (a) the per-doc distinct gram set and (b) the min-doc first-seen
+    table, which join back on the gram key — two shuffles keyed by
+    gram, counts exact, one double division at the end. At 100 TB the
+    first-seen table is the dedup-scale object (|distinct grams|), the
+    same cardinality MinHash pipelines already shuffle.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ',"
+                    "   element_at(split(text, ' '), i),"
+                    "   element_at(split(text, ' '), i + 1),"
+                    "   element_at(split(text, ' '), i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(100)
+    )
+
+
+@_q(
+    "q_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT row_number() OVER (ORDER BY rk, source, doc_id) AS position,
+           doc_id, source, rk AS rank_in_source
+    FROM ranked
+    ORDER BY position
+    LIMIT 100
+    """,
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing schedule: rank documents inside each
+    source by a quality proxy (length desc), then interleave sources
+    round-robin by that rank — every source's best documents surface
+    first and no source starves, which is the mixing discipline a
+    multi-source training run uses instead of naive concatenation
+    (source-ordered batches destabilize training).
+
+    Two windows: rank within source, then the global interleave order
+    (rank, source, doc_id) — both deterministic total orders, so the
+    schedule is reproducible run-to-run and engine-to-engine (the
+    property that makes a training run restartable mid-epoch). The
+    first 100 positions are returned; at scale the schedule is written
+    back partitioned by position-range, never collected.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+    )
+    ranked = d.select("doc_id", "source", "n_chars", rk.alias("rk"))
+    pos = F.row_number().over(W.orderBy("rk", "source", "doc_id"))
+    return (
+        ranked.select(
+            pos.alias("position"),
+            "doc_id",
+            "source",
+            F.col("rk").alias("rank_in_source"),
+        )
+        .orderBy("position")
+        .limit(100)
+    )

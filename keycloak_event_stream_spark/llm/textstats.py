@@ -874,3 +874,106 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((sy - slope * sx) / n).alias("zipf_intercept"),
     )
+
+
+@_q(
+    "q_bigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, s.i, s.t
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS i) s
+    ), big AS (
+      SELECT doc_id, t AS w1,
+             lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM tok
+    ), bg AS (
+      SELECT doc_id, w1, w2, count(*) AS tf
+      FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+    ), cbig AS (
+      SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb
+      FROM bg GROUP BY 1, 2
+    ), cuni AS (
+      SELECT w1, CAST(sum(tf) AS BIGINT) AS cu
+      FROM bg GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok
+    ), contrib AS (
+      SELECT bg.doc_id, bg.tf,
+             round(bg.tf * ln((cb + 1.0) / (cu + v)), 6) AS c
+      FROM bg JOIN cbig ON bg.w1 = cbig.w1 AND bg.w2 = cbig.w2
+              JOIN cuni ON bg.w1 = cuni.w1
+              CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(c AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE) AS avg_logprob
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY avg_logprob, doc_id
+    LIMIT 100
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-one smoothing, scoring each
+    document's mean bigram log-probability against the corpus model —
+    the step up from q_perplexity_unigram that actually sees word
+    *order* (catches shuffled/templated spam that unigram stats pass).
+
+    Bigrams are built in-row from the split array (no window over the
+    exploded token table on the Spark side — the pair never leaves its
+    document), then one explode feeds per-doc tf, corpus bigram counts
+    and left-context counts; the two count tables join back by bigram /
+    context key. p(w2|w1) = (C(w1,w2)+1)/(C(w1)+V). Per-occurrence
+    ``tf·ln p`` rounds at 6 decimals and sums in decimal (libm-ulp
+    discipline); the 100 most surprising docs come out with full
+    (score, doc_id) tiebreak.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                "             element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bg = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cbig = bg.groupBy("w1", "w2").agg(F.sum("tf").cast("bigint").alias("cb"))
+    cuni = bg.groupBy("w1").agg(F.sum("tf").cast("bigint").alias("cu"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t").cast("bigint").alias("v"))
+    )
+    contrib = (
+        bg.join(cbig, ["w1", "w2"])
+        .join(F.broadcast(cuni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "c",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))),
+                6,
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("c").cast("decimal(27,6)")).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("avg_logprob"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+        .limit(100)
+    )
