@@ -1,0 +1,368 @@
+"""Model-evaluation operators: confusion matrix with per-class
+precision/recall/F1, exact ROC-AUC, and calibration (reliability)
+bins.
+
+North-star surface: a training-data pipeline is judged by the models
+it feeds, so the eval loop — score a classifier's predictions at
+corpus scale — is first-class engine work, not a notebook
+afterthought. The reference computes nothing of the sort (SURVEY.md
+§2.2).
+
+Determinism playbook (what keeps these bitwise oracle-checkable):
+
+- Confusion counts, TP/FP/FN, rank sums: pure integers.
+- AUC: the Mann–Whitney identity computed per *distinct score* over
+  the merged score distribution — ``2·AUC·n⁺·n⁻ = Σ_s neg(s)·(2·
+  pos_above(s) + pos(s))`` — so the whole statistic is one integer
+  until a single final division (the q_ks_test cross-product
+  discipline; no average-rank floats anywhere).
+- Calibration: bin indexes from one shared min/max (identical IEEE
+  arithmetic both engines), per-bin mean scores summed as 6-dp
+  decimals (the q_tfidf libm-ulp discipline), hit rates as exact
+  integer ratios.
+
+Scale: every statistic reduces per distinct score / class / bin —
+|distinct| rows of state after one shuffle, independent of corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared heuristic classifier (same rule as q_lang_id) — the engine's
+# running example of a cheap per-row featurizer whose quality we now
+# *measure* instead of just emitting.
+_PRED_SQL = """
+    CASE WHEN (CAST(length(text) AS DOUBLE)
+               - length(replace(text, 'e', '')))
+              / CAST(length(text) AS DOUBLE) >= 0.10 THEN 'en'
+         WHEN (CAST(length(text) AS DOUBLE)
+               - length(replace(text, 'e', '')))
+              / CAST(length(text) AS DOUBLE) >= 0.08 THEN 'fr'
+         WHEN (CAST(length(text) AS DOUBLE)
+               - length(replace(text, 'a', '')))
+              / CAST(length(text) AS DOUBLE) >= 0.10 THEN 'es'
+         WHEN (CAST(length(text) AS DOUBLE)
+               - length(replace(text, 'a', '')))
+              / CAST(length(text) AS DOUBLE) >= 0.08 THEN 'de'
+         ELSE 'zh' END
+"""
+
+
+def _predicted_col() -> F.Column:
+    ln = F.length("text").cast("double")
+    e_ratio = (
+        ln - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+    ) / ln
+    a_ratio = (
+        ln - F.length(F.replace(F.col("text"), F.lit("a"), F.lit("")))
+    ) / ln
+    return (
+        F.when(e_ratio >= 0.10, F.lit("en"))
+        .when(e_ratio >= 0.08, F.lit("fr"))
+        .when(a_ratio >= 0.10, F.lit("es"))
+        .when(a_ratio >= 0.08, F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+
+
+@_q(
+    "q_confusion_matrix",
+    oracle=f"""
+    SELECT lang AS actual, {_PRED_SQL} AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-id heuristic vs ground-truth
+    labels: one row per (actual, predicted) cell. Featurization is
+    per-row at scan speed; the matrix is one shuffle to at most
+    |classes|² cells — the eval reduction whose cost is independent
+    of corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            F.col("lang").alias("actual"),
+            _predicted_col().alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+@_q(
+    "q_classifier_prf1",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS actual, {_PRED_SQL} AS predicted FROM documents
+    ), classes AS (
+      SELECT actual AS cls FROM scored
+      UNION SELECT predicted FROM scored
+    ), m AS (
+      SELECT c.cls,
+             CAST(sum(CASE WHEN s.actual = c.cls AND s.predicted = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.actual <> c.cls AND s.predicted = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s.actual = c.cls AND s.predicted <> c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM classes c CROSS JOIN scored s
+      GROUP BY c.cls
+    )
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE 2.0 * tp / (2 * tp + fp + fn) END AS f1
+    FROM m
+    ORDER BY cls
+    """,
+)
+def q_classifier_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the lang-id heuristic.
+
+    TP/FP/FN come from one conditional aggregation per class over the
+    scored rows (the small |classes| side broadcasts into the scan-
+    sized side, so the corpus is read once); the three metrics are
+    closed-form ratios of exact integers — zero-denominator classes
+    pinned to 0.0 identically in both engines."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        F.col("lang").alias("actual"), _predicted_col().alias("predicted")
+    )
+    classes = (
+        scored.select(F.col("actual").alias("cls"))
+        .union(scored.select("predicted"))
+        .distinct()
+    )
+    s = scored.crossJoin(F.broadcast(classes))
+    m = s.groupBy("cls").agg(
+        F.sum(
+            F.when(
+                (F.col("actual") == F.col("cls"))
+                & (F.col("predicted") == F.col("cls")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("actual") != F.col("cls"))
+                & (F.col("predicted") == F.col("cls")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("actual") == F.col("cls"))
+                & (F.col("predicted") != F.col("cls")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = F.when(tp + fp == 0, F.lit(0.0)).otherwise(
+        tp.cast("double") / (tp + fp)
+    )
+    recall = F.when(tp + fn == 0, F.lit(0.0)).otherwise(
+        tp.cast("double") / (tp + fn)
+    )
+    f1 = F.when(2 * tp + fp + fn == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * tp / (2 * tp + fp + fn)
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    ).orderBy("cls")
+
+
+@_q(
+    "q_auc_roc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[2] AS DOUBLE) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ), per_score AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS p,
+             CAST(sum(1 - pos) AS BIGINT) AS ng
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT score, p, ng,
+             CAST(sum(p) OVER () AS BIGINT) AS tot_p,
+             CAST(sum(ng) OVER () AS BIGINT) AS tot_n,
+             CAST(COALESCE(sum(p) OVER (
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW), 0) AS BIGINT) AS cum_p
+      FROM per_score
+    )
+    SELECT CAST(max(tot_p) AS BIGINT) AS n_pos,
+           CAST(max(tot_n) AS BIGINT) AS n_neg,
+           CAST(sum(ng * (2 * tot_p - 2 * cum_p + p)) AS BIGINT)
+             AS auc_num2,
+           CAST(sum(ng * (2 * tot_p - 2 * cum_p + p)) AS DOUBLE)
+             / (2.0 * max(tot_p) * max(tot_n)) AS auc
+    FROM cum
+    """,
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scalar score (embedding dim 2) against a
+    binary label (label < 5), via the Mann–Whitney identity computed
+    per *distinct score*:
+
+        2·AUC·n⁺·n⁻ = Σ_s  neg(s) · (2·pos_above(s) + pos(s))
+
+    — pairs where the positive outranks the negative count 2, ties
+    count 1. The whole statistic is integer arithmetic over the
+    |distinct scores| aggregate (one shuffle, then a window over the
+    sorted score distribution); a single final division produces the
+    double. No average-rank floats, no approximate trapezoid — this
+    is the exact probability a random positive outscores a random
+    negative, at any corpus size."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 2).alias(
+            "score"
+        ),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("ng"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "p",
+        "ng",
+        F.sum("p").over(w_all).cast("bigint").alias("tot_p"),
+        F.sum("ng").over(w_all).cast("bigint").alias("tot_n"),
+        F.sum("p").over(w_cum).cast("bigint").alias("cum_p"),
+    )
+    # pos strictly above this score = tot_p - cum_p; ties at this score = p
+    num2 = F.sum(
+        F.col("ng")
+        * (2 * (F.col("tot_p") - F.col("cum_p")) + F.col("p"))
+    ).cast("bigint")
+    return cum.agg(
+        F.max("tot_p").cast("bigint").alias("n_pos"),
+        F.max("tot_n").cast("bigint").alias("n_neg"),
+        num2.alias("auc_num2"),
+        (
+            num2.cast("double")
+            / (2.0 * F.max("tot_p") * F.max("tot_n"))
+        ).alias("auc"),
+    )
+
+
+@_q(
+    "q_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ), ext AS (
+      SELECT min(s) AS lo, max(s) AS hi FROM scored
+    ), binned AS (
+      SELECT LEAST(CAST(floor((s - lo) / (hi - lo) * 10) AS BIGINT), 9)
+               AS bin,
+             s, pos
+      FROM scored CROSS JOIN ext
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(round(s, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             / count(*) AS mean_score,
+           CAST(sum(pos) AS DOUBLE) / count(*) AS frac_pos
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: scores (embedding dim 1) split into 10
+    equal-width bins over the observed [min, max]; per bin, mean score
+    vs empirical positive rate — a calibrated scorer tracks the
+    diagonal. The min/max extent is a one-row broadcast back onto the
+    scan; bin assignment is identical IEEE arithmetic in both engines;
+    per-bin mean scores sum as 6-dp decimals (order-independent) and
+    hit rates are exact integer ratios. One shuffle to 10 cells."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias(
+            "s"
+        ),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    ext = scored.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    binned = scored.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("s") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        "s",
+        "pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (
+                F.sum(F.round(F.col("s"), 6).cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+            (F.sum("pos").cast("double") / F.count(F.lit(1))).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -29,6 +29,7 @@ _MODULES = [
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",
     "keycloak_event_stream_spark.operators.bi",
+    "keycloak_event_stream_spark.operators.mleval",
     "keycloak_event_stream_spark.functions.scalar",
     "keycloak_event_stream_spark.functions.udfs",
     "keycloak_event_stream_spark.functions.variant",
