@@ -75,6 +75,10 @@ HEADLINE = [
     "q_interval_merge",
     "q_recursive_hierarchy",
     "q_pipe_syntax",
+    "q_kmeans_lloyd",
+    "q_bigram_lm",
+    "q_auc_roc",
+    "q_ngram_novelty",
 ]
 
 

@@ -585,3 +585,61 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position")
         .limit(100)
     )
+
+
+@_q(
+    "q_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_individuals,
+           class_size < 5 AS violates_k5
+    FROM classes
+    GROUP BY class_size
+    ORDER BY class_size
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): the release-gating check a
+    training-data pipeline runs before shipping user-adjacent records
+    — every equivalence class smaller than k is a re-identification
+    risk (its members are distinguishable by the quasi-identifiers
+    alone).
+
+    Two cheap aggregations: rows → equivalence classes (one shuffle on
+    the QI tuple), classes → a class-size histogram labelled with the
+    k=5 verdict (|distinct sizes| rows). All counts exact integers; at
+    100 TB the first aggregate is the only data-sized pass, and the
+    violating classes themselves are one extra filter away for the
+    suppression/generalization step (the q_pii_scrub companion).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "bal_band"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_individuals"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_individuals",
+            (F.col("class_size") < 5).alias("violates_k5"),
+        )
+        .orderBy("class_size")
+    )

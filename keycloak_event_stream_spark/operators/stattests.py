@@ -1384,3 +1384,108 @@ def q_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return m.select("lag", "n", (num / den).alias("acf"))
+
+
+@_q(
+    "q_corr_matrix",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS p,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
+        CAST(sum(CAST(q*q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+        CAST(sum(CAST(p*p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+        CAST(sum(CAST(d*d AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
+        CAST(sum(CAST(t*t AS DECIMAL(38,0))) AS DOUBLE) AS stt,
+        CAST(sum(CAST(q*p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+        CAST(sum(CAST(q*d AS DECIMAL(38,0))) AS DOUBLE) AS sqd,
+        CAST(sum(CAST(q*t AS DECIMAL(38,0))) AS DOUBLE) AS sqt,
+        CAST(sum(CAST(p*d AS DECIMAL(38,0))) AS DOUBLE) AS spd,
+        CAST(sum(CAST(p*t AS DECIMAL(38,0))) AS DOUBLE) AS spt,
+        CAST(sum(CAST(d*t AS DECIMAL(38,0))) AS DOUBLE) AS sdt
+      FROM cents
+    )
+    SELECT col_x, col_y, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+    FROM (
+      SELECT 'quantity' AS col_x, 'extendedprice' AS col_y, n,
+             sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, sqp AS sxy FROM m
+      UNION ALL SELECT 'quantity', 'discount', n,
+             sq, sd, sqq, sdd, sqd FROM m
+      UNION ALL SELECT 'quantity', 'tax', n, sq, st, sqq, stt, sqt FROM m
+      UNION ALL SELECT 'extendedprice', 'discount', n,
+             sp, sd, spp, sdd, spd FROM m
+      UNION ALL SELECT 'extendedprice', 'tax', n,
+             sp, st, spp, stt, spt FROM m
+      UNION ALL SELECT 'discount', 'tax', n, sd, st, sdd, stt, sdt FROM m
+    )
+    ORDER BY col_x, col_y
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over four lineitem
+    measures in ONE scan: all 14 moments (4 sums, 4 squares, 6
+    cross-products) accumulate as exact integer-cent sums in a single
+    aggregation, then the 6 upper-triangle pairs unfold from the
+    one-row moment table — the single-pass feature-redundancy profile
+    a pipeline runs before model training, at 1/6 the scans of
+    pairwise ``corr`` calls.
+
+    Exactness: the q_agg_corr discipline (integer cents, DECIMAL(38,0)
+    sums, one single-rounded cast to double per moment); each r is
+    closed-form IEEE math with identical shape in both engines —
+    bitwise parity on all six coefficients.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cent = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+    cents = li.select(
+        cent("l_quantity").alias("q"),
+        cent("l_extendedprice").alias("p"),
+        cent("l_discount").alias("d"),
+        cent("l_tax").alias("t"),
+    )
+    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("double")
+    cols = {"q": "quantity", "p": "extendedprice", "d": "discount",
+            "t": "tax"}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("double").alias(f"s_{c}"))
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"),
+             ("d", "t")]
+    for c in cols:
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"s_{c}{c}"))
+    for a, b in pairs:
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+    m = cents.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(cols[a]).alias("col_x"),
+                F.lit(cols[b]).alias("col_y"),
+                F.col("n").alias("n"),
+                F.col(f"s_{a}").alias("sx"),
+                F.col(f"s_{b}").alias("sy"),
+                F.col(f"s_{a}{a}").alias("sxx"),
+                F.col(f"s_{b}{b}").alias("syy"),
+                F.col(f"s_{a}{b}").alias("sxy"),
+            )
+            for a, b in pairs
+        ]
+    )
+    exp = m.select(F.explode(rows).alias("e")).select("e.*")
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return exp.select("col_x", "col_y", "n", r.alias("r")).orderBy(
+        "col_x", "col_y"
+    )

@@ -116,3 +116,57 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="orc_rt_")
     ev.write.mode("overwrite").option("compression", "zlib").orc(out)
     return spark.read.schema(ev.schema).orc(out)
+
+
+@_q(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: the multimodal ingest path. Fifty
+    documents are materialized as standalone ``<doc_id>.bin`` files
+    (standing in for images/audio), read back through Spark's
+    binary-file data source (one row per file: path, length, raw
+    ``content`` bytes), keyed by parsing the id out of the path, and
+    fingerprinted with sha2 over the bytes.
+
+    The oracle recomputes byte length + sha256 from the source table,
+    so the round-trip proves the binary column arrives bit-exact —
+    the property every downstream decode UDF (q_multimodal_media)
+    silently assumes. At scale the same reader ingests million-file
+    image trees with partition-parallel listing; ``pathGlobFilter``
+    and ``modifiedAfter`` give it incremental-load semantics without
+    a manifest.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="binfiles_")
+    for row in docs:
+        with open(os.path.join(out, f"{row.doc_id}.bin"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(out)
+    return (
+        bf.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha"),
+        )
+        .orderBy("doc_id")
+    )
