@@ -39,6 +39,7 @@ _MODULES = [
     "keycloak_event_stream_spark.streaming.queries",
     "keycloak_event_stream_spark.sources.formats",
     "keycloak_event_stream_spark.sources.pushgen",
+    "keycloak_event_stream_spark.sources.pysink",
     "keycloak_event_stream_spark.llm.dedup",
     "keycloak_event_stream_spark.llm.simsearch",
     "keycloak_event_stream_spark.llm.textstats",

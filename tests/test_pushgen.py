@@ -42,3 +42,52 @@ def test_row_formula_deterministic():
     assert a == b
     assert a[1] == (12345 * 2654435761) % 100
     assert a[2] == "LOGOUT"  # 12345 % 4 == 1
+
+
+def test_pydatasource_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python sink: published output is part-N files plus a
+    _SUCCESS manifest with the exact row count; no temp files survive
+    a successful commit."""
+    import json
+    import os
+
+    from keycloak_event_stream_spark.sources.pysink import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "CAST(id % 7 AS STRING) AS event_type"
+    ).repartition(4)
+    df.write.format("ndjson_sink").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert parts == [f"part-{i:05d}.jsonl" for i in range(len(parts))]
+    assert not any(f.startswith("_tmp-") for f in files)
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 100
+    n_lines = sum(
+        sum(1 for _ in open(os.path.join(out, p))) for p in parts
+    )
+    assert n_lines == 100
+
+
+def test_pydatasource_sink_abort_cleans_temps(tmp_path):
+    """abort() removes every temp file named in the task messages —
+    a failed job publishes nothing."""
+    from keycloak_event_stream_spark.sources.pysink import (
+        NdjsonSinkWriter,
+        _Committed,
+    )
+
+    out = str(tmp_path / "aborted")
+    w = NdjsonSinkWriter({"path": out}, overwrite=False)
+    import os
+
+    os.makedirs(out)
+    for pid in (0, 1):
+        with open(os.path.join(out, f"_tmp-{pid}.jsonl"), "w") as fh:
+            fh.write("{}\n")
+    w.abort([_Committed("_tmp-0.jsonl", 1), _Committed("_tmp-1.jsonl", 1)])
+    assert os.listdir(out) == []
