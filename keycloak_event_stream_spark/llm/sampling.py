@@ -202,3 +202,62 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "q_shard_plan",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (rk // 8) % 2 = 0
+                  THEN rk % 8
+                  ELSE 7 - (rk % 8) END AS shard
+      FROM ranked
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard plan for corpus export (the WebDataset/TFRecord
+    packing step): documents ranked by size descending are dealt onto
+    8 shards in boustrophedon ("snake") order — shard 0..7 then 7..0 —
+    so every pass hands each shard one document and alternating
+    direction cancels the within-pass size skew. Deterministic (rank
+    tiebreak on doc_id), one window pass + one 8-cell aggregate; the
+    per-shard byte totals this emits are the manifest a downstream
+    writer consumes. At 100 TB the same rank→shard arithmetic runs on
+    the metadata-only (doc_id, size) projection — the plan never
+    touches document bodies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rk = (
+        F.row_number().over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        - 1
+    )
+    pass_no = (F.col("rk") / 8).cast("bigint")
+    pos = F.col("rk") % 8
+    shard = F.when(pass_no % 2 == 0, pos).otherwise(7 - pos)
+    assigned = d.select("doc_id", "n_chars", rk.alias("rk")).select(
+        "doc_id", "n_chars", shard.alias("shard")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("shard")
+    )

@@ -977,3 +977,69 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logprob", "doc_id")
         .limit(100)
     )
+
+
+@_q(
+    "q_logsumexp_sources",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             CAST(n_chars AS DOUBLE) / 1000 AS s
+      FROM documents
+    ), mx AS (
+      SELECT source, max(s) AS m FROM scored GROUP BY source
+    ), terms AS (
+      SELECT scored.source, mx.m,
+             round(exp(scored.s - mx.m), 6) AS t
+      FROM scored JOIN mx ON scored.source = mx.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           round(m + ln(CAST(sum(CAST(t AS DECIMAL(27,6))) AS DOUBLE)), 6)
+             AS logsumexp
+    FROM terms
+    GROUP BY source, m
+    ORDER BY source
+    """,
+)
+def q_logsumexp_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically stable log-sum-exp per source over per-document
+    scores (length/1000 as the stand-in logit) — the normalization
+    constant behind softmax source-mixing weights and importance
+    sampling, computed the way it must be at scale: subtract the
+    per-group max BEFORE exponentiating, so no term overflows however
+    large the logits.
+
+    Two aggregations (max, then sum of shifted exponentials — the max
+    side is a tiny broadcast back onto the scan) instead of one
+    unstable pass. Each exp term rounds at 6 decimals and sums in
+    decimal (the libm-ulp discipline), leaving ``m + ln(S)`` as one
+    deterministic scalar expression — bitwise parity on a float
+    reduction that naive engine ``sum(exp(x))`` could never
+    cross-match.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "source", (F.col("n_chars").cast("double") / 1000).alias("s")
+    )
+    mx = scored.groupBy("source").agg(F.max("s").alias("m"))
+    terms = scored.join(F.broadcast(mx), "source").select(
+        "source",
+        "m",
+        F.round(F.exp(F.col("s") - F.col("m")), 6).alias("t"),
+    )
+    return (
+        terms.groupBy("source", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.col("m")
+                + F.log(
+                    F.sum(F.col("t").cast("decimal(27,6)")).cast("double")
+                ),
+                6,
+            ).alias("logsumexp"),
+        )
+        .select("source", "n", "logsumexp")
+        .orderBy("source")
+    )

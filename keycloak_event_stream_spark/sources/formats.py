@@ -170,3 +170,49 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "q_source_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: the corpus lands in two generations —
+    an old batch written *before* the ``source`` column existed (even
+    doc_ids) and a new batch carrying it (odd doc_ids). Reading the
+    directory with ``mergeSchema`` unions the file schemas; rows from
+    the older generation surface NULL for the added column instead of
+    failing the scan.
+
+    This is the lakehouse contract for additive schema change (the
+    reference's posture too: its Glue DDL is fixed, but Firehose would
+    simply land nulls for absent JSON keys). The oracle reconstructs
+    the same null pattern from the source table, so the merge
+    semantics — column union, by-name matching, null backfill — are
+    hash-checked, not assumed. Footer merging is a one-time planning
+    cost; per-file pruning still applies (each generation's scan reads
+    only its own columns).
+    """
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    d.filter(F.col("doc_id") % 2 == 0).drop("source").write.mode(
+        "overwrite"
+    ).parquet(out + "/gen=0")
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        out + "/gen=1"
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out + "/gen=0", out + "/gen=1")
+        .select("doc_id", "lang", "n_chars", "source")
+        .orderBy("doc_id")
+    )
