@@ -107,3 +107,36 @@ def test_resize_stub_raises_without_codec():
         pass
     with _pytest.raises(NotImplementedError):
         mm.resize_image(b"xx", 8, 8)
+
+
+def test_audio_windowing_semantics(spark):
+    """window_audio: 16-bit LE PCM framing — window/hop arithmetic,
+    integer energy, peak magnitude — pinned on a constructed payload."""
+    import numpy as np
+    import pandas as pd
+
+    from keycloak_event_stream_spark.llm.multimodal import window_audio
+
+    pcm = np.array([1, -2, 3, -4, 5, -6, 7, -8], dtype="<i2")
+    pdf = pd.DataFrame({"doc_id": [7], "audio": [pcm.tobytes()]})
+    (out,) = list(window_audio(iter([pdf]), window=4, hop=2))
+    # windows: [1,-2,3,-4], [3,-4,5,-6], [5,-6,7,-8]
+    assert list(out["window_idx"]) == [0, 1, 2]
+    assert list(out["n_samples"]) == [4, 4, 4]
+    assert list(out["energy"]) == [
+        1 + 4 + 9 + 16,
+        9 + 16 + 25 + 36,
+        25 + 36 + 49 + 64,
+    ]
+    assert list(out["peak"]) == [4, 6, 8]
+    assert all(out["doc_id"] == 7)
+
+
+def test_audio_query_runs(spark):
+    from keycloak_event_stream_spark.registry import collect
+
+    qs, _ = collect()
+    df = qs["q_multimodal_audio"](spark, "/root/testdata/sf0.001")
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    assert all(r.energy > 0 for r in rows)
