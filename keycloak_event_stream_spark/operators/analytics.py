@@ -687,3 +687,104 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("nearest_suppkey"),
         "dist_km",
     )
+
+
+@_q(
+    "q_late_data_quantify",
+    oracle="""
+    WITH delivered AS (
+      SELECT event_id, ts,
+             ts + to_seconds((event_id * 2654435761) % 600) AS arrival_ts
+      FROM events
+    ), arr AS (
+      SELECT event_id, ts,
+             max(ts) OVER (ORDER BY arrival_ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS high_wm
+      FROM delivered
+    ), late AS (
+      SELECT CAST(floor(date_diff('second', ts, high_wm) / 60)
+                  AS BIGINT) AS late_minutes
+      FROM arr
+    )
+    SELECT late_minutes,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(count(*)) OVER (ORDER BY late_minutes
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cumulative
+    FROM late
+    GROUP BY late_minutes
+    ORDER BY late_minutes
+    LIMIT 50
+    """,
+)
+def q_late_data_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateness profile: how far behind the running event-time
+    high-water mark does each event arrive? Arrival time is event time
+    plus a deterministic delivery jitter of up to 10 minutes (Knuth
+    multiplicative hash of the event id — the fixture's ingest order
+    is perfectly sorted, so the jitter stands in for the network/buffer
+    reordering a real feed has; same constant as sources/pushgen). The
+    minute-bucketed histogram with cumulative counts IS the
+    watermark-sizing curve — pick the delay that covers the tail
+    you're willing to wait for.
+
+    This is the *measurement* the reference never takes: it files
+    events by arrival time (SURVEY §1.4 Q4), so event-time partitions
+    silently leak across folders with no way to know how much. Here
+    one ordered window computes the running max (the same high-water
+    mark Structured Streaming tracks), and the histogram reduces to
+    |distinct lateness| rows. At 100 TB the window runs per ingest
+    shard and the histograms merge — lateness against a global clock
+    needs no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    delivered = ev.select(
+        "event_id",
+        "ts",
+        (
+            F.col("ts")
+            + F.make_interval(
+                secs=((F.col("event_id") * F.lit(2654435761)) % 600).cast(
+                    "double"
+                )
+            )
+        ).alias("arrival_ts"),
+    )
+    arr = delivered.select(
+        "ts",
+        F.max("ts")
+        .over(
+            W.orderBy("arrival_ts", "event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("high_wm"),
+    )
+    late = arr.select(
+        F.floor(
+            (
+                F.unix_timestamp("high_wm") - F.unix_timestamp("ts")
+            )
+            / 60
+        )
+        .cast("bigint")
+        .alias("late_minutes")
+    )
+    hist = late.groupBy("late_minutes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    cum = F.sum("n_events").over(
+        W.orderBy("late_minutes").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    return (
+        hist.select(
+            "late_minutes",
+            "n_events",
+            cum.cast("bigint").alias("n_cumulative"),
+        )
+        .orderBy("late_minutes")
+        .limit(50)
+    )
