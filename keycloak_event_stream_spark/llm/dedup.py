@@ -167,6 +167,39 @@ _DUCK_MINHASH_LSH = f"""
 """
 
 
+def band_keys(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, bkey): the LSH band-key table —
+    the bytes-per-doc signature that candidate joins (batch self-join,
+    or the streaming filter's store lookup) run on. Pure per-row array
+    exprs; no shuffle. Docs shorter than one shingle produce no rows
+    (they cannot near-dup by this measure)."""
+    docs = (
+        docs_df.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    )
+    hashed = docs.select(
+        "doc_id",
+        *[
+            F.expr(_spark_hash_arr(g)).alias(f"h{g}")
+            for g in range(_N_GROUPS)
+        ],
+    )
+    sig_cols = [
+        F.concat_ws(
+            "|", *[F.expr(_spark_minhash(i)) for i in _band_indices(b)]
+        ).alias(f"bk{b}")
+        for b in range(_B)
+    ]
+    sigs = hashed.select("doc_id", *sig_cols)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(_B)])
+        ).alias("band", "bkey"),
+    )
+
+
 @_q("q_dedup_near_minhash", oracle=_DUCK_MINHASH_LSH)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: word-{3}-gram shingles -> B*R

@@ -89,3 +89,70 @@ def test_embed_cosine_blocked_pairs(spark, tmp_path):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs  # orthogonal below threshold
     assert (0, 3) not in pairs  # blocked: different label never compared
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """foreachBatch MinHash intake filter: batch 2's near-copy of a
+    batch-1 doc is rejected by the signature store, its novel doc is
+    admitted; intra-batch near-copies keep the lowest doc_id."""
+    import os
+    import time as _t
+
+    from keycloak_event_stream_spark.streaming.dedup_stream import (
+        streaming_near_dup_filter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the owl watches from the tree"
+    )
+    novel = (
+        "completely different content about spark partitions shuffles "
+        "and broadcast joins at terabyte scale with adaptive execution"
+    )
+    near_copy = base.replace("warm fire", "warm stove")  # high overlap
+    intra_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    intra_b = intra_a.replace("upsilon", "phi")  # near-dup in same batch
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+
+    def write(n, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={n}"
+        )
+        _t.sleep(1.1)
+
+    write(1, [(1, base), (2, novel)])
+    write(2, [(3, near_copy), (4, intra_a), (5, intra_b)])
+
+    store = str(tmp_path / "store")
+    sink = str(tmp_path / "sink")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    q = (
+        streaming_near_dup_filter(stream, store, sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(sink).collect()
+    )
+    # doc 3 (near-copy of 1) rejected by store; doc 5 (near-copy of 4
+    # within the batch) loses to the lower id
+    assert admitted == [1, 2, 4]
+    # store holds signatures only for admitted docs
+    store_docs = {
+        r.doc_id for r in spark.read.parquet(store).collect()
+    }
+    assert store_docs == {1, 2, 4}
