@@ -359,3 +359,60 @@ def q_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "q_sql_table_fn",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars
+    FROM ranked WHERE rk <= 3
+    ORDER BY lang, n_chars DESC, doc_id
+    """,
+)
+def q_sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL **table** functions (``CREATE FUNCTION ... RETURNS
+    TABLE``): a parameterized relational view — "top-k longest docs for
+    a language" — invoked per language via LATERAL-style table
+    reference, with the parameter flowing into the body's WHERE.
+
+    Like scalar SQL UDFs, table functions inline into the Catalyst
+    plan at resolution time: each invocation below is just the
+    underlying windowed query with the literal substituted — pushdown,
+    codegen, and the TakeOrderedAndProject specialization all intact,
+    zero interpretation overhead. This is the engine-native form of
+    the reference's parameterized query builder (a Java method gluing
+    a WHERE string, ``AthenaEventQuery.java:161-198``) — typed,
+    composable, optimizer-visible.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_tblfn"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION kes_top_docs(lg STRING)
+        RETURNS TABLE(lang STRING, doc_id BIGINT, n_chars BIGINT)
+        RETURN
+          SELECT lang, doc_id, n_chars
+          FROM (SELECT lang, doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                         AS rk
+                FROM docs_tblfn WHERE lang = lg)
+          WHERE rk <= 3
+        """
+    )
+    return spark.sql(
+        """
+        SELECT * FROM kes_top_docs('de')
+        UNION ALL SELECT * FROM kes_top_docs('en')
+        UNION ALL SELECT * FROM kes_top_docs('es')
+        UNION ALL SELECT * FROM kes_top_docs('fr')
+        UNION ALL SELECT * FROM kes_top_docs('zh')
+        ORDER BY lang, n_chars DESC, doc_id
+        """
+    )

@@ -349,3 +349,122 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_numer.alias("var_numer"),
         z.alias("z_stat"),
     )
+
+
+@_q(
+    "q_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE user_id % 3 = 0
+      GROUP BY 1
+      HAVING dayofmonth(CAST(ts AS DATE)) % 4 <> 1
+    ), ext AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM daily
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM ext
+    ), joined AS (
+      SELECT s.day, d.c FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ), bounded AS (
+      SELECT day, c,
+        last_value(c IGNORE NULLS) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        first_value(c IGNORE NULLS) OVER (ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+        CAST(date_diff('day',
+          max(CASE WHEN c IS NOT NULL THEN day END) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), day)
+          AS BIGINT) AS gap_prev,
+        CAST(date_diff('day', day,
+          min(CASE WHEN c IS NOT NULL THEN day END) OVER (ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          AS BIGINT) AS gap_next
+      FROM joined
+    )
+    SELECT day, c AS observed,
+           CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+                WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+                ELSE prev_c + (next_c - prev_c)
+                     * (CAST(gap_prev AS DOUBLE) / (gap_prev + gap_next))
+           END AS filled
+    FROM bounded
+    ORDER BY day
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over gaps in a sparse daily series (a
+    user-cohort's event counts): build the full calendar spine, carry
+    the nearest observation from each side with IGNORE NULLS windows,
+    and fill each missing day at the distance-weighted blend of its
+    neighbors (edges extend the nearest value). The companion to
+    q_timeseries_resample's LOCF — LOCF answers "state as of", linear
+    fill answers "best estimate at" (the feature-engineering default
+    for sensor/metric series). The fixture series is fully dense at
+    every scale factor, so days with day-of-month ≡ 1 (mod 4) are
+    deterministically held out — the op reconstructs them, keeping the
+    interpolation branch exercised (and oracle-checked) rather than
+    vacuously passing on gap-free input.
+
+    Exactness: observed counts are integers; the blend is one
+    deterministic IEEE expression per row from integer inputs
+    (prev + (next−prev)·(gap/(gap_prev+gap_next))) — bitwise equal in
+    both engines, no accumulation anywhere. Two ordered windows over
+    the |days| spine; the raw-event pass is one shuffle to daily
+    cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.dayofmonth("day") % 4 != 1)
+    )
+    ext = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = ext.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, "day", "left")
+    w_back = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("c").isNotNull(), F.col("day"))
+    bounded = joined.select(
+        "day",
+        "c",
+        F.last("c", ignorenulls=True).over(w_back).alias("prev_c"),
+        F.first("c", ignorenulls=True).over(w_fwd).alias("next_c"),
+        F.datediff(
+            F.col("day"), F.max(obs_day).over(w_back)
+        ).cast("bigint").alias("gap_prev"),
+        F.datediff(
+            F.min(obs_day).over(w_fwd), F.col("day")
+        ).cast("bigint").alias("gap_next"),
+    )
+    filled = (
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .when(F.col("prev_c").isNull(), F.col("next_c").cast("double"))
+        .when(F.col("next_c").isNull(), F.col("prev_c").cast("double"))
+        .otherwise(
+            F.col("prev_c")
+            + (F.col("next_c") - F.col("prev_c"))
+            * (
+                F.col("gap_prev").cast("double")
+                / (F.col("gap_prev") + F.col("gap_next"))
+            )
+        )
+    )
+    return (
+        bounded.select(
+            "day", F.col("c").alias("observed"), filled.alias("filled")
+        )
+        .orderBy("day")
+    )
