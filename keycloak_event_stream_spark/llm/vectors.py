@@ -418,3 +418,71 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.mean_val)"
         ).alias("centroid"),
     ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid")
+
+
+@_q(
+    "q_embed_covariance",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cells AS (
+      SELECT p.i, q.j, v.v[p.i] AS xi, v.v[q.j] AS xj
+      FROM v,
+           LATERAL (SELECT unnest(generate_series(1, 8)) AS i) p,
+           LATERAL (SELECT unnest(generate_series(1, 8)) AS j) q
+      WHERE p.i <= q.j
+    ), m AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(xi, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(round(xj, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(round(xi * xj, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE) AS sxy
+      FROM cells GROUP BY i, j
+    )
+    SELECT i, j, n,
+           (sxy - sx * sy / n) / (n - 1) AS cov
+    FROM m
+    ORDER BY i, j
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the first 8 embedding dimensions,
+    computed as a *relational* tall-skinny reduction: each vector
+    explodes to its upper-triangle (i, j) cell products, one shuffle
+    keyed by (i, j) reduces to dim²/2 cells regardless of corpus size
+    — the whitening/PCA front half expressed so it scales like any
+    aggregate (the full 64-dim matrix is the same plan with 2080
+    cells; 8 dims keep the oracle result compact).
+
+    Determinism: per-cell contributions (xi, xj, xi·xj) round at 6
+    decimals and sum in DECIMAL — float products summed in engine
+    order can never cross-match — and the covariance is one closed-
+    form IEEE expression from the exact decimal moments.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v = e.select(F.col("embedding").cast("array<double>").alias("v"))
+    cells = v.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 8), i ->"
+                " transform(sequence(i, 8), j ->"
+                " struct(i AS i, j AS j,"
+                " element_at(v, i) AS xi, element_at(v, j) AS xj))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.xi", "c.xj")
+    d6 = lambda col: F.sum(
+        F.round(col, 6).cast("decimal(27,6)")
+    ).cast("double")
+    m = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d6(F.col("xi")).alias("sx"),
+        d6(F.col("xj")).alias("sy"),
+        d6(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return m.select("i", "j", "n", cov.alias("cov")).orderBy("i", "j")

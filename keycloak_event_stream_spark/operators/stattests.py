@@ -1489,3 +1489,55 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exp.select("col_x", "col_y", "n", r.alias("r")).orderBy(
         "col_x", "col_y"
     )
+
+
+@_q(
+    "q_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(rank() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           CAST(rk AS DOUBLE) / (n + 1) AS q_uniform
+    FROM ranked
+    ORDER BY c_acctbal, c_custkey
+    LIMIT 200
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-to-uniform quantile transform (the distribution-free
+    normalization feature pipelines apply before models that assume
+    bounded inputs): each value maps to rank/(n+1) ∈ (0,1). Ties share
+    a rank (``rank()``, not row_number), so equal inputs get equal
+    outputs — the property that makes the transform a function of the
+    value. Integer rank arithmetic + one exact division; the global
+    ordered window is the honest cost (at 100 TB: range-partition by
+    value, rank within partitions, add per-partition offsets — same
+    two-pass trick as q_pareto_abc's running totals).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(Window.orderBy("c_acctbal")).cast("bigint").alias(
+            "rk"
+        ),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    return (
+        ranked.select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("rk").cast("double") / (F.col("n") + 1)).alias(
+                "q_uniform"
+            ),
+        )
+        .orderBy("c_acctbal", "c_custkey")
+        .limit(200)
+    )
