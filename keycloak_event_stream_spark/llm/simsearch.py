@@ -299,3 +299,114 @@ def q_sim_search_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "vec_id", "cosine", "rank")
     )
+
+
+@_q(
+    "q_ann_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id < {_N_QUERIES}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {duck_cosine('q.qv', 'e.v')} DESC, e.vec_id)
+                 AS rn
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+      WHERE rn <= {_TOP_K}
+    ),
+    b AS (SELECT vec_id, {_duck_bucket('v')} AS bucket FROM e),
+    qb AS (SELECT q.q_id, b.bucket AS q_bucket FROM q
+           JOIN b ON b.vec_id = q.q_id),
+    cand AS (
+      SELECT qb.q_id, b.vec_id
+      FROM qb JOIN b ON b.bucket = qb.q_bucket
+      WHERE b.vec_id <> qb.q_id
+    ),
+    stats AS (
+      SELECT e2.q_id,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM exact e2
+      LEFT JOIN cand c ON c.q_id = e2.q_id AND c.vec_id = e2.vec_id
+      GROUP BY e2.q_id
+    ), nc AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY q_id
+    )
+    SELECT s.q_id, COALESCE(nc.n_candidates, 0) AS n_candidates,
+           s.hits, CAST(s.hits AS DOUBLE) / s.k AS recall_at_k
+    FROM stats s LEFT JOIN nc ON nc.q_id = s.q_id
+    ORDER BY s.q_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH index against exact brute force — the
+    accept/reject gate for any ANN deployment, computed entirely
+    in-engine: exact top-{_TOP_K} per query (one broadcast scan) LEFT
+    JOINs the LSH candidate set (bucket equi-join); recall is the hit
+    fraction. Everything is deterministic (md5-derived hyperplanes,
+    full tiebreaks), so even this *evaluation of an approximation* is
+    bitwise oracle-checkable. The same pattern tunes bits/bands
+    against recall targets before committing an index layout at
+    corpus scale — candidate-set size (the cost) rides along per
+    query.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    b = e.withColumn("bucket", F.expr(_spark_bucket("v"))).select(
+        "vec_id", "bucket"
+    )
+    qb = q.join(
+        b.select(F.col("vec_id").alias("q_id"), "bucket"), "q_id"
+    ).select("q_id", F.col("bucket").alias("q_bucket"))
+    cand = (
+        b.join(F.broadcast(qb), b.bucket == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    hit = cand.withColumn("hit", F.lit(1))
+    stats = (
+        exact.join(hit, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )
+    nc = cand.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        stats.join(nc, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "hits",
+            (F.col("hits").cast("double") / F.col("k")).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )
