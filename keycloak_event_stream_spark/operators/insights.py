@@ -267,12 +267,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 part pairs most often ordered together (co-occurrence
     counts over the order "basket").
 
-    One shuffle total: lineitem groups straight to per-order item sets
-    (``collect_set`` dedups multi-line repeats of a part, so no
-    DISTINCT pre-pass), pairs are generated *inside* each aggregated
-    row by a sorted-array comprehension (pa < pb once each, fan-out
-    bounded by items-per-order²), and the pair counts ride the same
-    aggregation pipeline. This replaces the classic self-equi-join
+    One data-sized shuffle: lineitem groups straight to per-order item
+    sets (``collect_set`` dedups multi-line repeats of a part, so no
+    DISTINCT pre-pass) and pairs are generated *inside* each
+    aggregated row by a sorted-array comprehension (pa < pb once each,
+    fan-out bounded by items-per-order²). The pair-count exchange that
+    follows carries only map-side-combined partials (distinct pairs
+    per partition), not raw pairs. This replaces the classic
+    self-equi-join
     formulation — measured 2.4s → 1.6s warm at sf0.1, and the win
     grows with scale because the basket array never crosses the wire
     twice. Counts are integers (exact); the top-50 is a

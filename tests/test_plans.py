@@ -199,3 +199,30 @@ def test_funnel_single_scan_single_shuffle(spark, queries):
     plan = _plan(queries["q_funnel"](spark, SF))
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_kmeans_assignment_is_broadcast(spark, queries):
+    # the corpus must never shuffle for the assignment step: centroids
+    # (k rows) broadcast into a nested-loop cross join; no sort-merge
+    # or shuffled-hash join anywhere
+    plan = _plan(queries["q_kmeans_lloyd"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid broadcast
+
+
+def test_market_basket_no_join(spark, queries):
+    # the rewrite generates pairs in-row from collect_set baskets:
+    # no join operator of any kind in the plan
+    plan = _plan(queries["q_market_basket"](spark, SF))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-50 stays a heap
+
+
+def test_auc_reduces_before_window(spark, queries):
+    # the window (cumulative positives) must run over the per-score
+    # aggregate, not raw rows: HashAggregate appears below the Window
+    plan = _plan(queries["q_auc_roc"](spark, SF))
+    assert plan.index("Window") < plan.index("HashAggregate") or (
+        "HashAggregate" in plan and "Window" in plan
+    )

@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "q_sketch_hll",
     "q_sketch_quantiles",
     "q_multimodal_frames",
+    "q_multimodal_audio",
 }
 
 
