@@ -643,3 +643,63 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size")
     )
+
+
+@_q(
+    "q_pseudonymize",
+    oracle="""
+    WITH mapped AS (
+      SELECT event_id, user_id,
+             substr(sha256('kes-salt-2026:' || CAST(user_id AS VARCHAR)),
+                    1, 16) AS pseudo_id
+      FROM events
+    )
+    SELECT pseudo_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_real_ids
+    FROM mapped
+    GROUP BY pseudo_id
+    ORDER BY pseudo_id
+    LIMIT 100
+    """,
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of user identifiers: replace ``user_id``
+    with a truncated salted SHA-256 — referential integrity preserved
+    (same user → same pseudonym, so joins/sessionization still work on
+    the pseudonymized table) while the raw id never leaves the trusted
+    boundary. The per-pseudonym ``n_real_ids`` column is the built-in
+    collision audit: any value > 1 means the truncation is too short
+    for the id space and the mapping silently merged two users.
+
+    Per-row hash at scan speed plus one aggregate for the audit; the
+    salt would come from a secret store in production (a literal here
+    keeps both engines bit-identical). The q_pii_scrub companion for
+    structured identifiers — scrub redacts free text, this keeps
+    referential utility.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mapped = ev.select(
+        "event_id",
+        "user_id",
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("kes-salt-2026:"),
+                    F.col("user_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("pseudo_id"),
+    )
+    return (
+        mapped.groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_real_ids"),
+        )
+        .orderBy("pseudo_id")
+        .limit(100)
+    )

@@ -1541,3 +1541,77 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_acctbal", "c_custkey")
         .limit(200)
     )
+
+
+@_q(
+    "q_agg_skew_kurtosis",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM orders
+    ), m AS (
+      SELECT st, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s3,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))
+                      * CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      FROM cents GROUP BY st
+    )
+    SELECT st, n,
+           (s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * CAST(n AS DOUBLE)))
+             / n
+             / pow((s2 - s1 * s1 / n) / n, 1.5) AS skewness,
+           (s4 - 4 * s1 * s3 / n
+               + 6 * s1 * s1 * s2 / (n * CAST(n AS DOUBLE))
+               - 3 * s1 * s1 * s1 * s1
+                 / (n * CAST(n AS DOUBLE) * n))
+             / n
+             / pow((s2 - s1 * s1 / n) / n, 2.0) - 3.0 AS excess_kurtosis
+    FROM m
+    ORDER BY st
+    """,
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per order status from
+    exact integer-cent raw moments (Σx … Σx⁴) — completing the moment
+    family (q_agg_stats stops at variance). Engine built-ins
+    (``skewness``/``kurtosis``) accumulate central moments in floats
+    and can never cross-match; raw integer moments are exact, summed
+    in DECIMAL(38,0), single-rounded on one cast each, and the
+    central-moment algebra is identical IEEE scalar math in both
+    engines — bitwise parity on 3rd/4th-order statistics.
+
+    Capacity note: Σx⁴ in cents reaches ~2·10³⁶ at sf1 — inside
+    DECIMAL(38,0); beyond ~sf10, rescale to whole currency units (the
+    moments are scale-covariant, skew/kurtosis scale-free).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = o.select(F.col("o_orderstatus").alias("st"), x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).cast("decimal(38,0)")
+    m = cents.groupBy("st").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x2 * F.col("x")).cast("double").alias("s3"),
+        F.sum(x2 * x2).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    s1, s2, s3, s4 = (F.col(c) for c in ("s1", "s2", "s3", "s4"))
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * nd)) / n
+    m4 = (
+        s4
+        - 4 * s1 * s3 / n
+        + 6 * s1 * s1 * s2 / (n * nd)
+        - 3 * s1 * s1 * s1 * s1 / (n * nd * n)
+    ) / n
+    return m.select(
+        "st",
+        "n",
+        (m3 / F.pow(m2, 1.5)).alias("skewness"),
+        (m4 / F.pow(m2, 2.0) - 3.0).alias("excess_kurtosis"),
+    ).orderBy("st")
