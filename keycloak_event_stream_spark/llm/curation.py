@@ -703,3 +703,72 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pseudo_id")
         .limit(100)
     )
+
+
+@_q(
+    "q_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), powered AS (
+      SELECT source, n_docs, n_tokens,
+             round(pow(n_tokens, 0.7), 6) AS w_raw
+      FROM per_source
+    ), tot AS (
+      SELECT CAST(sum(CAST(w_raw AS DECIMAL(27,6))) AS DOUBLE) AS z
+      FROM powered
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.w_raw,
+           p.w_raw / t.z AS weight
+    FROM powered p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source under the standard
+    size-tempered power law w ∝ tokens^0.7 — the sampling temperature
+    between proportional (α=1, big sources dominate) and uniform
+    (α=0, small sources overfit) that multi-source pretraining runs
+    use instead of naive concatenation.
+
+    Token totals are exact integers from one rollup; each source's
+    tempered weight rounds at 6 decimals (pow is libm — ulp-divergent
+    raw) and the normalizer sums those decimals exactly, so the final
+    shares are bitwise engine-portable. |sources| rows of state; the
+    weights feed q_curriculum_interleave / q_sample_weighted directly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    powered = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), 0.7), 6).alias(
+            "w_raw"
+        ),
+    )
+    tot = powered.agg(
+        F.sum(F.col("w_raw").cast("decimal(27,6)")).cast("double").alias(
+            "z"
+        )
+    )
+    return (
+        powered.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w_raw",
+            (F.col("w_raw") / F.col("z")).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -1043,3 +1043,67 @@ def q_logsumexp_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n", "logsumexp")
         .orderBy("source")
     )
+
+
+@_q(
+    "q_token_histogram_log2",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), binned AS (
+      SELECT CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT) AS bucket,
+             n_tokens
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT bucket,
+           CAST(pow(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(sum(n_tokens)) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+    FROM binned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_token_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in powers-of-two buckets with
+    cumulative token mass — the dataset-card length profile that
+    drives context-length and packing decisions (how much of the
+    corpus' token budget lives in short docs?). The log2 bucket index
+    is floor(ln n / ln 2): identical IEEE arithmetic in both engines,
+    and exact integer counts everywhere else. One shuffle to
+    |buckets| ≈ 30 cells at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    binned = t.select(
+        F.floor(F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("bucket"),
+        "n_tokens",
+    )
+    hist = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    cum = F.sum("total_tokens").over(
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        hist.select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias(
+                "bucket_lo"
+            ),
+            "n_docs",
+            "total_tokens",
+            cum.cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -788,3 +788,63 @@ def q_late_data_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("late_minutes")
         .limit(50)
     )
+
+
+@_q(
+    "q_user_lifecycle",
+    oracle="""
+    WITH monthly AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+      FROM events
+    ), labelled AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM monthly
+    ), states AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN date_diff('day', prev_wk, wk) = 7 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM labelled
+    )
+    SELECT CAST(wk AS DATE) AS week, state,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM states
+    GROUP BY wk, state
+    ORDER BY week, state
+    """,
+)
+def q_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle states: each active (user, week) is
+    labelled ``new`` (first week ever), ``retained`` (also active the
+    prior week) or ``resurrected`` (returning after a gap) from one
+    lag over the per-user activity timeline — the WAU decomposition
+    every growth dashboard runs (churn is the complement: retained +
+    resurrected vs the prior week's actives).
+
+    Plan: distinct (user, week) first (the only data-sized shuffle),
+    then the lag window runs over |user-weeks| — the aggregate, not
+    the raw events; the final rollup is |weeks|×3 cells. Calendar
+    arithmetic (date_trunc week, 7-day adjacency) is exact in both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("date")).alias("wk")
+    ).distinct()
+    prev = F.lag("wk").over(W.partitionBy("user_id").orderBy("wk"))
+    labelled = weekly.select("wk", prev.alias("prev_wk"))
+    state = (
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.datediff(F.col("wk"), F.col("prev_wk")) == 7, "retained")
+        .otherwise("resurrected")
+    )
+    return (
+        labelled.select("wk", state.alias("state"))
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("wk").cast("date").alias("week"), "state", "n_users"
+        )
+        .orderBy("week", "state")
+    )
