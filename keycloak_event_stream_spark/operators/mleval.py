@@ -366,3 +366,63 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_q(
+    "q_target_encoding",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM customer
+    ), g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM cents GROUP BY seg
+    )
+    SELECT c.c_custkey, c.seg, c.y,
+           CAST(g.s - c.y AS DOUBLE) / (g.n - 1) AS loo_mean_cents
+    FROM cents c JOIN g ON c.seg = g.seg
+    ORDER BY c.c_custkey
+    LIMIT 500
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: replace a categorical feature
+    (market segment) with the mean target (balance, cents) of the
+    *other* members of its category — the standard high-cardinality
+    encoder, with the leave-one-out correction that prevents a row
+    from leaking its own target into its feature (the classic
+    target-encoding overfit).
+
+    One aggregation to per-category (n, Σy) in exact integer cents,
+    broadcast back onto the scan; each row's encoding is
+    (Σy − y)/(n−1) — one exact integer subtraction and one IEEE
+    division, bitwise in both engines. Per-category state is
+    |categories| rows at any scale; no smoothing prior is needed here
+    (all segments are large), and adding one is the same closed form
+    with two more exact terms.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    y = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"), y.alias("y")
+    )
+    g = cents.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    return (
+        cents.join(F.broadcast(g), "seg")
+        .select(
+            "c_custkey",
+            "seg",
+            "y",
+            (
+                (F.col("s") - F.col("y")).cast("double")
+                / (F.col("n") - 1)
+            ).alias("loo_mean_cents"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )

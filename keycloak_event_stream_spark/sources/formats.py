@@ -216,3 +216,82 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "source")
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "q_source_corrupt_tolerant",
+    oracle="""
+    SELECT 'good' AS kind, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                         AS BIGINT)) AS BIGINT) AS n_clicks
+    FROM events WHERE event_id < 200
+    UNION ALL
+    SELECT 'corrupt', 3, 0
+    ORDER BY kind
+    """,
+)
+def q_source_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-tolerant ingestion: an NDJSON batch with three malformed
+    lines spliced in is read in PERMISSIVE mode with a
+    ``_corrupt_record`` column — bad lines become quarantine rows
+    instead of failing the job (the engine-side version of Firehose's
+    S3 error prefix, ``terraform/main.tf:195``, but queryable in the
+    same pass). The output is the ingestion audit: good-row count +
+    a payload aggregate, corrupt-row count.
+
+    The oracle reconstructs both from the source of truth (the
+    malformed-line count is a constant of the test harness), so the
+    tolerance semantics — parse what parses, null out and quarantine
+    what doesn't, never drop silently — are hash-checked. FAILFAST
+    and DROPMALFORMED remain one option away; production routes the
+    quarantine rows to a dead-letter sink with the same filter.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "event_type")
+    )
+    out = tempfile.mkdtemp(prefix="corrupt_rt_")
+    ev.coalesce(1).write.mode("overwrite").json(out)
+    part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+    with open(os.path.join(out, part), "a") as fh:
+        fh.write('{"event_id": "not-a-number", "event_type": 7\n')
+        fh.write("garbage line\n")
+        fh.write('{"event_id": }\n')
+    for f in os.listdir(out):  # appended bytes invalidate the Hadoop
+        if f.endswith(".crc"):  # .crc sidecars — drop them
+            os.remove(os.path.join(out, f))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).agg(
+        F.lit("good").alias("kind"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clicks"),
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("corrupt").alias("kind"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.lit(0).cast("bigint").alias("n_clicks"),
+    )
+    return good.unionByName(bad).orderBy("kind")
