@@ -174,3 +174,93 @@ def q_udtf_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+def _register_normalize_any(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NormalizeAny:
+        """Polymorphic mapping UDTF: output columns are derived from
+        the *input expression's* struct type at plan time (the
+        ``analyze`` static method — Spark 4's polymorphic-UDTF hook).
+        Strings lowercase+trim, numerics pass through as double,
+        everything else stringifies; names are preserved."""
+
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            fields = []
+            for f in row.dataType.fields:
+                if isinstance(f.dataType, (DoubleType, LongType)):
+                    fields.append(StructField(f.name, DoubleType()))
+                else:
+                    fields.append(StructField(f.name, StringType()))
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, row):
+            out = []
+            for v in row:
+                if isinstance(v, str):
+                    out.append(v.strip().lower())
+                elif isinstance(v, (int, float)) and not isinstance(
+                    v, bool
+                ):
+                    out.append(float(v))
+                else:
+                    out.append(None if v is None else str(v))
+            yield tuple(out)
+
+    spark.udtf.register("t_normalize_any", NormalizeAny)
+
+
+@_q(
+    "q_udtf_polymorphic",
+    oracle="""
+    SELECT o_orderkey,
+           lower(trim(o_orderstatus)) AS o_orderstatus,
+           lower(trim(o_orderpriority)) AS o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    """,
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): one normalizer
+    works against ANY struct shape — the output schema (names and
+    per-field types) is computed from the input expression's type
+    during analysis, not declared up front. The call below hands it
+    (status, priority, totalprice); pointing the same function at a
+    different table re-derives a different schema with zero code
+    change — the engine-native form of "normalize every string column
+    of whatever lands today", which schema-drifting ingest feeds need
+    weekly.
+
+    The oracle is the hand-written per-column normalization, so the
+    derived schema and the per-type rules are hash-checked. Python
+    runs after column pruning (three columns in), and the lateral join
+    keys the output back by o_orderkey.
+    """
+    _register_normalize_any(spark)
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 400
+    ).createOrReplaceTempView("orders_poly")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, u.o_orderstatus, u.o_orderpriority,
+               u.o_totalprice
+        FROM orders_poly o,
+             LATERAL t_normalize_any(
+               struct(o.o_orderstatus, o.o_orderpriority,
+                      o.o_totalprice)) u
+        ORDER BY o.o_orderkey
+        """
+    )
