@@ -526,3 +526,94 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_q(
+    "q_null_imputation",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS v_cents,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type
+             END AS etype_dirty
+      FROM events
+    ), mean_by_type AS (
+      SELECT event_type,
+             CAST(sum(v_cents) AS BIGINT) AS s,
+             CAST(count(v_cents) AS BIGINT) AS n
+      FROM masked GROUP BY event_type
+    ), mode_type AS (
+      SELECT etype_dirty AS m FROM masked
+      WHERE etype_dirty IS NOT NULL
+      GROUP BY etype_dirty
+      ORDER BY count(*) DESC, etype_dirty
+      LIMIT 1
+    )
+    SELECT ma.event_id,
+           COALESCE(CAST(ma.v_cents AS DOUBLE),
+                    CAST(mb.s AS DOUBLE) / mb.n) AS v_imputed,
+           ma.v_cents IS NULL AS v_was_null,
+           COALESCE(ma.etype_dirty, mt.m) AS etype_imputed
+    FROM masked ma
+    JOIN mean_by_type mb ON ma.event_type = mb.event_type
+    CROSS JOIN mode_type mt
+    ORDER BY ma.event_id
+    LIMIT 500
+    """,
+)
+def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation, the feature-prep default: numeric gaps filled
+    with the *within-group* mean (per event type, exact integer-cent
+    sums — so the imputed value is one single-rounded division),
+    categorical gaps with the global mode under a deterministic
+    (count desc, value asc) tie-break. Nulls are injected by a
+    deterministic mask (the fixture has none), and an audit flag marks
+    imputed rows — the downstream model can weight them.
+
+    Group means are |types| rows broadcast back onto the scan; the
+    mode is a 1-row broadcast. Both joins are map-side; one shuffle
+    each for the two tiny aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(cents)
+        .alias("v_cents"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("etype_dirty"),
+    )
+    mean_by_type = masked.groupBy("event_type").agg(
+        F.sum("v_cents").cast("bigint").alias("s"),
+        F.count("v_cents").cast("bigint").alias("n"),
+    )
+    mode_type = (
+        masked.filter(F.col("etype_dirty").isNotNull())
+        .groupBy("etype_dirty")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "etype_dirty")
+        .limit(1)
+        .select(F.col("etype_dirty").alias("m"))
+    )
+    return (
+        masked.join(F.broadcast(mean_by_type), "event_type")
+        .crossJoin(F.broadcast(mode_type))
+        .select(
+            "event_id",
+            F.coalesce(
+                F.col("v_cents").cast("double"),
+                F.col("s").cast("double") / F.col("n"),
+            ).alias("v_imputed"),
+            F.col("v_cents").isNull().alias("v_was_null"),
+            F.coalesce(F.col("etype_dirty"), F.col("m")).alias(
+                "etype_imputed"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
