@@ -772,3 +772,75 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "q_curation_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             md5(text) AS fp
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored
+      WHERE n_words BETWEEN 20 AND 5000 AND lang IN ('en', 'fr')
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp
+                                     ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, n_words,
+           round(0.6 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
+                 + 0.4 * least(CAST(n_chars AS DOUBLE) / 500, 1.0), 6)
+             AS quality
+    FROM deduped
+    ORDER BY quality DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite — the chain a corpus actually
+    runs, as ONE lazy plan: quality gate (length band + language
+    allowlist) → exact dedup (md5 fingerprint, keep lowest doc_id) →
+    quality scoring → top-100 selection. Catalyst fuses the gate into
+    the scan (pushdown), the dedup is the only data-sized shuffle
+    (fingerprint key), and the final top-k is a heap, not a sort —
+    composing operators does not stack their costs.
+
+    This is the "user could run their whole pipeline" proof: every
+    stage exists standalone (q_quality_gopher, q_dedup_exact,
+    q_quality_score, q_topk) and the composition stays one
+    oracle-checked query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.md5("text").alias("fp"),
+    )
+    gated = scored.filter(
+        F.col("n_words").between(20, 5000)
+        & F.col("lang").isin("en", "fr")
+    )
+    keep = F.row_number().over(
+        W.partitionBy("fp").orderBy("doc_id")
+    )
+    deduped = gated.withColumn("rn", keep).filter(F.col("rn") == 1)
+    quality = F.round(
+        0.6 * F.least(F.col("n_words").cast("double") / 100, F.lit(1.0))
+        + 0.4
+        * F.least(F.col("n_chars").cast("double") / 500, F.lit(1.0)),
+        6,
+    )
+    return (
+        deduped.select(
+            "doc_id", "lang", "source", "n_words", quality.alias("quality")
+        )
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .limit(100)
+    )

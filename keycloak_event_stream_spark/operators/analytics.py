@@ -848,3 +848,53 @@ def q_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "state")
     )
+
+
+@_q(
+    "q_dedup_proximity",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM lagged
+    WHERE prev_ts IS NULL
+       OR date_diff('second', prev_ts, ts) > 60
+    ORDER BY user_id, event_type, ts, event_id
+    LIMIT 1000
+    """,
+)
+def q_dedup_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity dedup: collapse bursts of the same (user, type) —
+    repeats within 60 s of the previous *kept-or-not* event are
+    dropped, keeping each burst's opener. This is telemetry
+    double-fire suppression (retry storms, double clicks), the fuzzy
+    sibling of exact-id dedup that an event store needs and the
+    reference cannot express at all.
+
+    One lag window per (user, type) partition — a single shuffle on
+    the composite key, no self-join. Note the documented semantics:
+    the gap tests against the immediately *previous* event (chained
+    bursts collapse to their opener only if each link is ≤ 60 s);
+    both engines evaluate the identical window so the row set is
+    hash-checked. Streaming twin:
+    dropDuplicatesWithinWatermark-with-bucketed-ts, or the
+    applyInPandasWithState operator for exact burst semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    prev = F.lag("ts").over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    lagged = ev.select(
+        "event_id", "user_id", "event_type", "ts", prev.alias("prev_ts")
+    )
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    return (
+        lagged.filter(F.col("prev_ts").isNull() | (gap_s > 60))
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+        .limit(1000)
+    )
