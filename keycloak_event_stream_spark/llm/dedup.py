@@ -623,3 +623,122 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@_q(
+    "q_minhash_eval",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id < 300)
+      WHERE len(w) >= {_SHINGLE}
+    ), truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles))
+            >= {_JACCARD_MIN}
+    ), sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))} AS bk{b}" for b in range(_B))}
+      FROM (
+        SELECT doc_id,
+               {", ".join(f"{_duck_hash_arr(g)} AS h{g}" for g in range(_N_GROUPS))}
+        FROM docs)
+    ), bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM sigs" for b in range(_B))}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), m AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand c
+          JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+          AS n_hit
+    )
+    SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_cand = 0 THEN 1.0
+                ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall
+    FROM m
+    """,
+)
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH banding scheme against
+    exact all-pairs Jaccard ground truth (bounded to doc_id < 300 so
+    the quadratic truth side stays a calibration set, which is exactly
+    how banding is tuned in practice: measure on a sample, deploy the
+    (B, R) that meets the recall target corpus-wide).
+
+    Candidates come from the production band join; truth from the
+    exact shingle-set Jaccard. Both sides are deterministic (md5
+    minhashes), so the quality of the approximation itself
+    hash-matches the oracle — the q_ann_recall pattern applied to the
+    dedup pipeline. Every count is an integer; two final divisions.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    docs = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+        .persist()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    jaccard = F.size(F.array_intersect("sa", "sb")).cast(
+        "double"
+    ) / F.size(F.array_union("sa", "sb"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jaccard >= _JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    bands = band_keys(d)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"], "inner")
+    m = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        )
+        .crossJoin(
+            hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        )
+    )
+    precision = F.when(F.col("n_cand") == 0, F.lit(1.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_cand")
+    )
+    recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_true")
+    )
+    return m.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        precision.alias("precision"),
+        recall.alias("recall"),
+    )
