@@ -898,3 +898,60 @@ def q_dedup_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_type", "ts", "event_id")
         .limit(1000)
     )
+
+
+@_q(
+    "q_session_window_native",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_no
+      FROM marks
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native ``session_window`` in BATCH mode: per-user
+    sessions with a 30-minute inactivity gap, expressed as a single
+    groupBy on the session-window generator — no lag window, no
+    gaps-and-islands arithmetic (that hand-rolled formulation is
+    q_sessionize; this is the one-line engine form, and the same
+    expression powers s_session_windows in streaming, so batch
+    backfill and live sessionization share semantics by construction).
+
+    Spark's session_window end = last event + gap; the oracle
+    reproduces exactly that from the classic new-session-flag /
+    running-sum construction, so the built-in's merge semantics are
+    cross-checked against first principles rather than trusted. One
+    shuffle on (user, session); at 100 TB identical in shape to any
+    keyed aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
