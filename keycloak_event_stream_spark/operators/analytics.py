@@ -955,3 +955,47 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@_q(
+    "q_window_tumbling_batch",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native tumbling ``window()`` generator in BATCH mode:
+    6-hour buckets per event type — the same expression that powers
+    s_tumbling_counts in streaming, run over history (the
+    batch-backfill / live-query symmetry argument as
+    q_session_window_native, for the time-bucket family). The oracle
+    maps window.start to DuckDB's time_bucket, cross-checking Spark's
+    epoch-aligned bucket arithmetic. One keyed aggregation; exact
+    decimal value sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

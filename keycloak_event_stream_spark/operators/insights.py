@@ -1950,3 +1950,62 @@ def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@_q(
+    "q_attribution_first_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT touch, count(*) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
+             AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+    GROUP BY touch ORDER BY touch
+    """,
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the acquisition-side complement of
+    q_attribution_last_touch: each purchase's value credits the
+    EARLIEST non-purchase event in the user's history (``first(...,
+    ignorenulls)`` over the same 1-PRECEDING frame; the two models
+    bracket multi-touch schemes like linear/U-shaped, which are the
+    same window pass collecting the touch list instead of one value).
+    Identical cost profile: one shuffle on user_id, one window, exact
+    decimal value sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    tagged = ev.select(
+        "user_id", "event_type", "value", touch.alias("touch")
+    )
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch").isNotNull()
+        )
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(18,2)")
+            .alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )
