@@ -1152,3 +1152,48 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@_q(
+    "q_grouping_sets_distinct",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                            (event_type), ())
+    ORDER BY event_type, day
+    """,
+)
+def q_grouping_sets_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) across GROUPING SETS — the BI shape where
+    multi-level aggregation meets distinct counting: per (type, day),
+    per type, and the grand total, each with its own exact distinct
+    user count (distincts don't roll up — a user active on two days is
+    one user at the type level, so every set needs its own distinct
+    pass over the expanded rows; Spark plans this as Expand + a
+    two-phase distinct aggregate).
+
+    NULL grouping keys are disambiguated to '(all)' labels in both
+    engines (COALESCE over the grouping columns), keeping the
+    hash-compare honest where a real NULL day could collide with the
+    rollup row. At 100 TB the Expand multiplies rows by |sets| before
+    the shuffle — the documented cost; the mergeable-sketch
+    alternative (q_sketch_hll) trades exactness for one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gsd_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(CAST(ts AS DATE) AS STRING), '(all)') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM _gsd_events
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                                (event_type), ())
+        ORDER BY event_type, day
+        """
+    )
