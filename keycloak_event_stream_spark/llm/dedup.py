@@ -742,3 +742,50 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         precision.alias("precision"),
         recall.alias("recall"),
     )
+
+
+@_q(
+    "q_dedup_bow",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS bow_fp
+      FROM documents
+    )
+    SELECT bow_fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fps
+    GROUP BY bow_fp
+    ORDER BY n_docs DESC, bow_fp
+    LIMIT 100
+    """,
+)
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: documents identical up to word ORDER share a
+    fingerprint (md5 over the sorted token multiset) — the cheap
+    catch for shuffled/templated spam that exact hashing misses
+    entirely and MinHash only scores as near (these are Jaccard-1.0
+    pairs; q_bigram_lm flags the same pathology, this one dedups it).
+    Sits between q_dedup_exact and the MinHash tier in the dedup
+    ladder: still a 16-byte shuffle key, still exact grouping, one
+    per-row sort of the token array at scan speed. Output: the top
+    fingerprint groups (collisions sort first; this synthetic fixture
+    happens to contain none, so the count column doubles as the
+    it-is-clean audit) with their keep-lowest-id survivors.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.split("text", " ")))
+    )
+    return (
+        d.select("doc_id", fp.alias("bow_fp"))
+        .groupBy("bow_fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_docs").desc(), "bow_fp")
+        .limit(100)
+    )
