@@ -1615,3 +1615,203 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / F.pow(m2, 1.5)).alias("skewness"),
         (m4 / F.pow(m2, 2.0) - 3.0).alias("excess_kurtosis"),
     ).orderBy("st")
+
+
+@_q(
+    "q_ab_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM per_user
+    ), theta AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th
+      FROM m
+    ), adj AS (
+      SELECT p.grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(round(p.y - t.th * (p.x - t.sx / t.n), 6)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS s_adj,
+             CAST(sum(p.y) AS DOUBLE) AS s_raw
+      FROM per_user p CROSS JOIN theta t
+      GROUP BY p.grp
+    )
+    SELECT grp, n_g,
+           s_raw / n_g AS mean_raw_cents,
+           s_adj / n_g AS mean_cuped_cents
+    FROM adj
+    ORDER BY grp
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B readouts: each user's
+    experiment-period metric y is adjusted by their PRE-period
+    covariate x — ŷ = y − θ·(x − x̄) with θ = cov(x,y)/var(x) — which
+    removes the between-user variance x explains and shrinks
+    confidence intervals at identical sample size (the standard
+    trick in industrial experimentation since Deng et al. 2013).
+    Periods split at day 16; groups by user-id parity (the
+    deterministic assignment q_ab_test_proportions uses).
+
+    Exactness: per-user sums in integer cents; θ's moments are exact
+    DECIMAL(38,0) sums single-rounded to double; each adjusted value
+    rounds at 6 dp and the group sums run in decimal — so both the
+    raw and CUPED group means hash-match bitwise. Two keyed
+    aggregations plus a 1-row θ broadcast; nothing scales with raw
+    event count but the first rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("grp"), "x", "y"
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    theta = m.select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+    )
+    adj_val = F.round(
+        F.col("y") - F.col("th") * (F.col("x") - F.col("sx") / F.col("n")),
+        6,
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(adj_val.cast("decimal(27,6)")).cast("double").alias(
+                "s_adj"
+            ),
+            F.sum("y").cast("double").alias("s_raw"),
+        )
+    )
+    return adj.select(
+        "grp",
+        "n_g",
+        (F.col("s_raw") / F.col("n_g")).alias("mean_raw_cents"),
+        (F.col("s_adj") / F.col("n_g")).alias("mean_cuped_cents"),
+    ).orderBy("grp")
+
+
+@_q(
+    "q_psi_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS half,
+             LEAST(CAST(floor(value / 10) AS BIGINT), 9) AS bin
+      FROM events
+    ), cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM halves GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+             CAST(sum(n_cur) AS BIGINT) AS tc
+      FROM cells
+    ), terms AS (
+      SELECT c.bin, c.n_ref, c.n_cur,
+             round((CAST(c.n_cur AS DOUBLE) / t.tc
+                    - CAST(c.n_ref AS DOUBLE) / t.tr)
+                   * ln((CAST(c.n_cur AS DOUBLE) / t.tc)
+                        / (CAST(c.n_ref AS DOUBLE) / t.tr)), 6)
+               AS psi_term
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT bin, n_ref, n_cur, psi_term,
+           CAST(sum(CAST(psi_term AS DECIMAL(27,6))) OVER ()
+                AS DOUBLE) AS psi_total
+    FROM terms
+    ORDER BY bin
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month's value distribution — the ML-monitoring staple for
+    feature/score drift (rule of thumb: PSI < 0.1 stable, > 0.25
+    retrain), symmetric where KL (q_kl_divergence) is directional:
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref).
+
+    One conditional aggregation produces both halves' bin counts in a
+    single scan (no self-join of time slices); shares and per-bin
+    terms are deterministic scalar math rounded at 6 dp, the total
+    sums those decimals over 10 cells — bitwise. Every bin here is
+    populated in both halves; sparse bins take the standard +0.5
+    smoothing, same closed form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    halves = ev.select(
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("half"),
+        F.least(
+            F.floor(F.col("value") / 10).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+    )
+    cells = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p_cur = F.col("n_cur").cast("double") / F.col("tc")
+    p_ref = F.col("n_ref").cast("double") / F.col("tr")
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_term"
+        ),
+    )
+    total = (
+        F.sum(F.col("psi_term").cast("decimal(27,6)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    return terms.select(
+        "bin", "n_ref", "n_cur", "psi_term", total.alias("psi_total")
+    ).orderBy("bin")
