@@ -1815,3 +1815,96 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "bin", "n_ref", "n_cur", "psi_term", total.alias("psi_total")
     ).orderBy("bin")
+
+
+@_q(
+    "q_outlier_mahalanobis",
+    oracle="""
+    WITH cents AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM cents
+    ), cov AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vxx,
+             (syy - sy * sy / n) / (n - 1) AS vyy,
+             (sxy - sx * sy / n) / (n - 1) AS vxy
+      FROM m
+    )
+    SELECT c.l_orderkey, c.l_linenumber,
+           (  (c.x - v.mx) * (v.vyy * (c.x - v.mx) - v.vxy * (c.y - v.my))
+            + (c.y - v.my) * (v.vxx * (c.y - v.my) - v.vxy * (c.x - v.mx))
+           ) / (v.vxx * v.vyy - v.vxy * v.vxy) AS d2
+    FROM cents c CROSS JOIN cov v
+    ORDER BY d2 DESC, c.l_orderkey, c.l_linenumber
+    LIMIT 20
+    """,
+)
+def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection: Mahalanobis distance of each
+    (quantity, price) pair from the corpus distribution — the
+    correlation-aware generalization of q_anomaly_zscore (a high price
+    is not anomalous for a high quantity; the inverse-covariance form
+    knows that, per-axis z-scores do not).
+
+    The 2×2 covariance comes from one scan's exact integer-cent
+    moments (the q_corr_matrix discipline) and inverts in closed form
+    inside the distance expression — no matrix library, no second
+    pass; d² per row is deterministic scalar IEEE from exact inputs,
+    so the top-20 ranking hash-matches bitwise. Scaling to k
+    dimensions keeps the same shape: k(k+1)/2 exact moments, one
+    closed-form (or precomputed driver-side k×k) inverse broadcast
+    into the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cx = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    cy = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    cents = li.select(
+        "l_orderkey", "l_linenumber", cx.alias("x"), cy.alias("y")
+    )
+    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("double")
+    m = cents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = m.select(
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sy") / n).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias(
+            "vxx"
+        ),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias(
+            "vyy"
+        ),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias(
+            "vxy"
+        ),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        dx * (F.col("vyy") * dx - F.col("vxy") * dy)
+        + dy * (F.col("vxx") * dy - F.col("vxy") * dx)
+    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    return (
+        cents.crossJoin(F.broadcast(cov))
+        .select("l_orderkey", "l_linenumber", d2.alias("d2"))
+        .orderBy(F.col("d2").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
