@@ -468,3 +468,91 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT day, obs,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(sum(obs) OVER w AS DOUBLE) / 7 END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detrended AS (
+      SELECT day, obs, trend,
+             CAST(dayofweek(day) AS BIGINT) AS dow,
+             round(obs - trend, 6) AS dt
+      FROM trended
+    ), seasonal AS (
+      SELECT dow,
+             CAST(sum(CAST(dt AS DECIMAL(27,6))) AS DOUBLE)
+               / count(dt) AS s
+      FROM detrended WHERE dt IS NOT NULL GROUP BY dow
+    )
+    SELECT d.day, d.obs, d.trend, s.s AS seasonal,
+           round(d.dt - s.s, 6) AS remainder
+    FROM detrended d JOIN seasonal s ON d.dow = s.dow
+    ORDER BY d.day
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    (classical decomposition, the STL precursor): trend = 7-day
+    centered moving average (full windows only — edges stay null
+    rather than biased), seasonal = day-of-week mean of the detrended
+    series, remainder = what neither explains. The pre-model sanity
+    pass for any metric with weekly rhythm — anomaly thresholds
+    (q_anomaly_zscore) belong on the REMAINDER, not the raw series.
+
+    Exactness: observations are integers, the trend is a 7-integer sum
+    with one division, detrended values round at 6 dp before the
+    decimal-summed seasonal means, and the remainder rounds the same
+    way — every float single-rounded or decimal-accumulated, bitwise
+    across engines. Two ordered windows over |days| rows; the raw
+    pass is one shuffle to daily cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "obs",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("obs").over(w).cast("double") / 7,
+        ).alias("trend"),
+    )
+    detrended = trended.select(
+        "day",
+        "obs",
+        "trend",
+        F.dayofweek("day").cast("bigint").alias("dow"),
+        F.round(F.col("obs") - F.col("trend"), 6).alias("dt"),
+    )
+    seasonal = (
+        detrended.filter(F.col("dt").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum(F.col("dt").cast("decimal(27,6)")).cast("double")
+                / F.count("dt")
+            ).alias("s")
+        )
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            "obs",
+            "trend",
+            F.col("s").alias("seasonal"),
+            F.round(F.col("dt") - F.col("s"), 6).alias("remainder"),
+        )
+        .orderBy("day")
+    )
