@@ -427,3 +427,55 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@_q(
+    "q_execute_immediate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+      AND event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE``: dynamic SQL with *parameter
+    markers* — the SQL text is assembled at runtime (here: a rollup
+    whose filters arrive as named parameters) but the VALUES never
+    are, which is the engine-native answer to the reference's
+    quote-doubling string escape (``AthenaEventQuery.java:200-205``,
+    its only injection defense). Same plan as the static query —
+    parameters bind before analysis, pushdown intact.
+
+    Paired with q_pipe_syntax (parameter markers in static SQL) and
+    q_sql_scripting (procedural blocks), this completes the dynamic-
+    SQL triangle: generated text, safe values, zero string-splicing
+    of user input anywhere.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_ei_events"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) AS BIGINT) AS cents
+           FROM _ei_events
+           WHERE ts >= CAST(:lo AS TIMESTAMP)
+             AND ts <= CAST(:hi AS TIMESTAMP)
+             AND event_type IN (:t1, :t2)
+           GROUP BY event_type
+           ORDER BY event_type'
+          USING ('2024-01-10 00:00:00' AS lo,
+                 '2024-01-20 23:59:59' AS hi,
+                 'click' AS t1, 'purchase' AS t2)
+        """
+    )
