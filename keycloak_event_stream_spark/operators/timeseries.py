@@ -556,3 +556,83 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3  # level / trend smoothing constants
+
+
+@_q(
+    "q_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily
+    ), fold AS (
+      SELECT 2 AS i, v[1] AS l, v[2] - v[1] AS b FROM series
+      UNION ALL
+      SELECT f.i + 1,
+             {_HOLT_A} * s.v[f.i + 1] + {1 - _HOLT_A} * (f.l + f.b),
+             {_HOLT_B} * (({_HOLT_A} * s.v[f.i + 1]
+                           + {1 - _HOLT_A} * (f.l + f.b)) - f.l)
+               + {1 - _HOLT_B} * f.b
+      FROM fold f, series s WHERE f.i < s.n_days
+    )
+    SELECT n_days, l AS level, b AS trend,
+           l + 1 * b AS forecast_1,
+           l + 2 * b AS forecast_2,
+           l + 3 * b AS forecast_3
+    FROM fold, series WHERE i = n_days
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over the daily
+    event-count series, fit as a *sequential left fold in SQL*: the
+    (level, trend) state threads through ``aggregate`` with a struct
+    accumulator — the recurrence lives entirely engine-side, and the
+    3-step-ahead forecasts are closed-form from the final state. The
+    capacity-planning companion to q_ewma (which smooths level only
+    and cannot see drift).
+
+    Bitwise portability for a genuinely *recursive* statistic: Spark
+    folds the day-ordered array with a struct-accumulator
+    ``aggregate``; the oracle iterates the identical IEEE recurrence
+    as a recursive CTE (DuckDB's ``list_reduce`` mutates struct
+    accumulators field-by-field — the 'b' expression would see the
+    already-updated 'l' — so the row-per-step form is the faithful
+    one), and level, trend, and every forecast hash-match exactly. The fold's state is 2 doubles regardless of
+    series length; the raw pass is one shuffle to daily cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> cast(s.c as double))"
+        ).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    a, b = _HOLT_A, _HOLT_B
+    new_l = f"{a} * x + {1 - a} * (acc.l + acc.b)"
+    fold = (
+        f"aggregate(slice(v, 3, size(v) - 2),"
+        f" named_struct('l', element_at(v, 1),"
+        f"              'b', element_at(v, 2) - element_at(v, 1)),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {new_l},"
+        f"   'b', {b} * ({new_l} - acc.l) + {1 - b} * acc.b))"
+    )
+    fitted = series.select("n_days", F.expr(fold).alias("st"))
+    return fitted.select(
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + 1 * F.col("st.b")).alias("forecast_1"),
+        (F.col("st.l") + 2 * F.col("st.b")).alias("forecast_2"),
+        (F.col("st.l") + 3 * F.col("st.b")).alias("forecast_3"),
+    )
