@@ -999,3 +999,125 @@ def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@_q(
+    "q_funnel_rates",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT s.user_id, min(e.ts) AS t_click
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click'
+       AND e.ts > s.t_signup
+      GROUP BY s.user_id
+    ), p AS (
+      SELECT c.user_id, min(e.ts) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t_click
+      GROUP BY c.user_id
+    ), m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n3
+    )
+    SELECT stage, n_users, conv_from_prev, conv_from_top FROM (
+      SELECT 'signup' AS stage, n1 AS n_users,
+             1.0 AS conv_from_prev, 1.0 AS conv_from_top, 1 AS ord
+      FROM m
+      UNION ALL
+      SELECT 'click', n2, CAST(n2 AS DOUBLE) / n1,
+             CAST(n2 AS DOUBLE) / n1, 2 FROM m
+      UNION ALL
+      SELECT 'purchase', n3, CAST(n3 AS DOUBLE) / n2,
+             CAST(n3 AS DOUBLE) / n1, 3 FROM m
+    ) ORDER BY ord
+    """,
+)
+def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-rate report: the per-stage user counts with
+    step conversion (vs the previous stage) and overall conversion
+    (vs the top) — the reporting layer over q_funnel's per-user
+    stage table, reusing its single-scan formulation (one
+    groupBy(user_id) with ordered stage arrays, then a 3-row
+    reduction; the oracle keeps the per-stage-join spec form since
+    clarity is its job). All counts exact; rates are single
+    divisions of bigints.
+    """
+    ev = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            )
+        ).alias("clicks"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchases"),
+    )
+    staged = (
+        agg.filter(F.col("t_signup").isNotNull())
+        .withColumn(
+            "t_click",
+            F.expr("element_at(filter(clicks, c -> c > t_signup), 1)"),
+        )
+        .withColumn(
+            "t_purchase",
+            F.expr(
+                "element_at(filter(purchases, p -> p > t_click), 1)"
+            ),
+        )
+    )
+    m = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.count("t_click").cast("bigint").alias("n2"),
+        F.count("t_purchase").cast("bigint").alias("n3"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("signup").alias("stage"),
+            F.col("n1").alias("n_users"),
+            F.lit(1.0).alias("conv_from_prev"),
+            F.lit(1.0).alias("conv_from_top"),
+            F.lit(1).alias("ord"),
+        ),
+        F.struct(
+            F.lit("click").alias("stage"),
+            F.col("n2").alias("n_users"),
+            (F.col("n2").cast("double") / F.col("n1")).alias(
+                "conv_from_prev"
+            ),
+            (F.col("n2").cast("double") / F.col("n1")).alias(
+                "conv_from_top"
+            ),
+            F.lit(2).alias("ord"),
+        ),
+        F.struct(
+            F.lit("purchase").alias("stage"),
+            F.col("n3").alias("n_users"),
+            (F.col("n3").cast("double") / F.col("n2")).alias(
+                "conv_from_prev"
+            ),
+            (F.col("n3").cast("double") / F.col("n1")).alias(
+                "conv_from_top"
+            ),
+            F.lit(3).alias("ord"),
+        ),
+    )
+    return (
+        m.select(F.explode(rows).alias("r"))
+        .select("r.stage", "r.n_users", "r.conv_from_prev",
+                "r.conv_from_top", "r.ord")
+        .orderBy("ord")
+        .drop("ord")
+    )
