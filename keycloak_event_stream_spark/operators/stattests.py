@@ -1908,3 +1908,96 @@ def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("d2").desc(), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+_BOOT_B = 200  # resamples
+
+
+@_q(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ), means AS (
+      SELECT n,
+             list_sort(list_transform(generate_series(1, {_BOOT_B}),
+               r -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(generate_series(1, CAST(n AS INTEGER)),
+                        i -> v[CAST(CAST(('0x' || substr(
+                               md5(r || ':' || i), 1, 6)) AS BIGINT)
+                               % n + 1 AS INTEGER)])),
+                      (a, b) -> a + b) / n)) AS ms
+      FROM series
+    )
+    SELECT n AS n_days, {_BOOT_B} AS n_resamples,
+           ms[CAST(ceil(0.025 * {_BOOT_B}) AS INTEGER)] AS ci_lo,
+           ms[CAST(ceil(0.975 * {_BOOT_B}) AS INTEGER)] AS ci_hi,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms),
+                       (a, b) -> a + b) / {_BOOT_B} AS boot_mean
+    FROM means
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean daily event count —
+    with *deterministic* resampling: resample r's i-th draw indexes
+    the series by an md5-derived hash of (r, i), so the "random"
+    bootstrap is a pure function of the data and replays identically
+    in any engine (the q_sample_weighted no-RNG discipline applied to
+    resampling; swap the hash for a seeded RNG stream and nothing
+    else changes). 200 resample means, nearest-rank 2.5th/97.5th
+    percentiles as the interval.
+
+    Everything happens in one row's array expressions after the daily
+    rollup: per-resample means are index-order sequential folds
+    (bitwise-portable), the percentile picks are integer ranks over
+    the sorted mean list. The heavy version (bootstrapping a 100 TB
+    row-level statistic) distributes the same way as q_kmeans_lloyd:
+    resample id becomes a key column, draws become hash-filtered
+    scans, one shuffle per statistic family — this fixture-sized form
+    pins the semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> cast(s.c as double))"
+        ).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    draw = (
+        "element_at(v, cast(cast(conv(substr(md5(concat(r, ':', i)),"
+        " 1, 6), 16, 10) as bigint) % n + 1 as int))"
+    )
+    mean_r = (
+        f"aggregate(transform(sequence(1, cast(n as int)), i -> {draw}),"
+        f" cast(0.0 as double), (a, b) -> a + b) / n"
+    )
+    means = series.select(
+        "n",
+        F.expr(
+            f"array_sort(transform(sequence(1, {_BOOT_B}),"
+            f" r -> {mean_r}))"
+        ).alias("ms"),
+    )
+    import math
+
+    lo_rank = math.ceil(0.025 * _BOOT_B)
+    hi_rank = math.ceil(0.975 * _BOOT_B)
+    return means.select(
+        F.col("n").alias("n_days"),
+        F.lit(_BOOT_B).alias("n_resamples"),
+        F.expr(f"element_at(ms, {lo_rank})").alias("ci_lo"),
+        F.expr(f"element_at(ms, {hi_rank})").alias("ci_hi"),
+        F.expr(
+            f"aggregate(ms, cast(0.0 as double), (a, b) -> a + b)"
+            f" / {_BOOT_B}"
+        ).alias("boot_mean"),
+    )
