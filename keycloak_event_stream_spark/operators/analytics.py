@@ -1121,3 +1121,139 @@ def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
     )
+
+
+@_q(
+    "q_survival_km",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, min(e.ts) AS t1
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.t0
+      GROUP BY s.user_id
+    ), horizon AS (
+      SELECT max(ts) AS t_end FROM events
+    ), durs AS (
+      SELECT s.user_id,
+             CASE WHEN p.t1 IS NOT NULL
+                  THEN date_diff('day', s.t0, p.t1)
+                  ELSE date_diff('day', s.t0, h.t_end) END AS d,
+             (p.t1 IS NOT NULL) AS event
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN horizon h
+    ), times AS (
+      SELECT d AS t,
+             CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_events
+      FROM durs GROUP BY d HAVING sum(CASE WHEN event THEN 1 ELSE 0 END) > 0
+    ), risk AS (
+      SELECT t, d_events,
+             (SELECT CAST(count(*) AS BIGINT) FROM durs WHERE d >= t)
+               AS n_risk
+      FROM times
+    )
+    SELECT t AS day, n_risk, d_events,
+           CASE WHEN max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(CAST(sum(CAST(round(
+                  ln(CASE WHEN d_events < n_risk
+                     THEN 1.0 - CAST(d_events AS DOUBLE) / n_risk
+                     ELSE 1.0 END), 6)
+                  AS DECIMAL(27,6)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE)), 6) END AS survival
+    FROM risk
+    ORDER BY day
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→first-purchase: users
+    who never convert are right-censored at the observation horizon —
+    the estimator that uses censored users correctly (they stay in
+    the risk set until their censor time) instead of dropping them
+    (which biases conversion fast) or counting them as non-converters
+    forever (which biases it slow). The time-to-event companion of
+    q_retention_cohort / q_time_to_convert.
+
+    S(t) = Π(1 − d/n) over event days: each factor's ln rounds at 6
+    decimals, the running product is a decimal cumsum of those logs
+    re-exponentiated and rounded — order-safe and bitwise across
+    engines (the q_tfidf discipline applied to a cumulative product).
+    The risk-set counts join the |event-days| aggregate against the
+    |users| duration table — both tiny after the two keyed rollups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t1"))
+    )
+    horizon = ev.agg(F.max("ts").alias("t_end"))
+    durs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.datediff(F.col("t1"), F.col("t0")),
+            )
+            .otherwise(F.datediff(F.col("t_end"), F.col("t0")))
+            .alias("d"),
+            F.col("t1").isNotNull().alias("event"),
+        )
+    )
+    times = (
+        durs.groupBy(F.col("d").alias("t"))
+        .agg(
+            F.sum(F.when(F.col("event"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("d_events")
+        )
+        .filter(F.col("d_events") > 0)
+    )
+    risk = times.join(
+        durs.select("d"), F.col("d") >= F.col("t"), "left"
+    ).groupBy("t", "d_events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_risk")
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the day the last at-risk user converts contributes a zero factor
+    # (ln undefined): carry a died-out flag instead and pin S(t)=0 from
+    # there on; the log-sum runs over the d < n factors only
+    safe_arg = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        1.0 - F.col("d_events").cast("double") / F.col("n_risk"),
+    ).otherwise(F.lit(1.0))
+    ln_term = F.round(F.log(safe_arg), 6).cast("decimal(27,6)")
+    died = F.max(
+        F.when(F.col("d_events") == F.col("n_risk"), 1).otherwise(0)
+    ).over(wcum)
+    cum = F.sum(ln_term).over(wcum).cast("double")
+    survival = F.when(died == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(cum), 6)
+    )
+    return (
+        risk.select(
+            F.col("t").alias("day"),
+            "n_risk",
+            "d_events",
+            survival.alias("survival"),
+        )
+        .orderBy("day")
+    )

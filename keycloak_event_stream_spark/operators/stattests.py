@@ -2001,3 +2001,142 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {_BOOT_B}"
         ).alias("boot_mean"),
     )
+
+
+_PERM_B = 200  # label permutations
+
+
+@_q(
+    "q_permutation_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), arrs AS (
+      SELECT list(CAST(y AS DOUBLE) ORDER BY user_id) AS ys,
+             list(grp ORDER BY user_id) AS gs,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM per_user
+    ), obs AS (
+      SELECT n, n1, ys, gs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(n AS INTEGER)),
+                 i -> CASE WHEN gs[i] = 1 THEN ys[i] ELSE 0 END)),
+               (a, b) -> a + b) / n1
+             - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, CAST(n AS INTEGER)),
+                   i -> CASE WHEN gs[i] = 0 THEN ys[i] ELSE 0 END)),
+                 (a, b) -> a + b) / (n - n1) AS d_obs
+      FROM arrs
+    ), perms AS (
+      SELECT n, n1, d_obs,
+             list_transform(generate_series(1, {_PERM_B}), p ->
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, CAST(n AS INTEGER)),
+                   i -> CASE WHEN CAST(('0x' || substr(
+                            md5(p || ':' || i), 1, 6)) AS BIGINT) % 2 = 1
+                        THEN ys[i] ELSE -ys[i] * n1 / (n - n1) END)),
+                 (a, b) -> a + b) / n1) AS d_perm
+      FROM obs
+    )
+    SELECT n, n1, d_obs,
+           CAST(len(list_filter(d_perm, d -> abs(d) >= abs(d_obs)))
+                AS BIGINT) AS n_extreme,
+           CAST(len(list_filter(d_perm, d -> abs(d) >= abs(d_obs)))
+                AS DOUBLE) / {_PERM_B} AS p_value
+    FROM perms
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the group difference in per-user purchase
+    spend — the distribution-free alternative to the t-test
+    (q_welch_ttest): re-randomize group labels {_PERM_B} times,
+    p-value = share of permuted differences at least as extreme as
+    the observed one. Permutations are md5-derived (the q_bootstrap_ci
+    no-RNG discipline — permutation i's label for user slot j is a
+    hash parity), so the test replays bit-identically in any engine.
+
+    Everything after the per-user rollup is one row's array math:
+    index-order folds for every mean (bitwise-portable), integer
+    extreme counts, one final division. The hash re-labels ~half the
+    slots; the signed-rebalancing form keeps each permuted statistic
+    a single fold rather than two passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        "user_id", (F.col("user_id") % 2).cast("bigint").alias("grp"), "y"
+    )
+    arrs = per_user.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(user_id, y))),"
+            " s -> cast(s.y as double))"
+        ).alias("ys"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(user_id, grp))),"
+            " s -> s.grp)"
+        ).alias("gs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    fold = (
+        "aggregate(transform(sequence(1, cast(n as int)), i -> {body}),"
+        " cast(0.0 as double), (a, b) -> a + b)"
+    )
+    d_obs = (
+        F.expr(
+            fold.format(
+                body="CASE WHEN element_at(gs, i) = 1"
+                " THEN element_at(ys, i) ELSE cast(0.0 as double) END"
+            )
+        )
+        / F.col("n1")
+        - F.expr(
+            fold.format(
+                body="CASE WHEN element_at(gs, i) = 0"
+                " THEN element_at(ys, i) ELSE cast(0.0 as double) END"
+            )
+        )
+        / (F.col("n") - F.col("n1"))
+    )
+    obs = arrs.select("n", "n1", "ys", "gs", d_obs.alias("d_obs"))
+    perm_body = (
+        "CASE WHEN cast(conv(substr(md5(concat(p, ':', i)), 1, 6),"
+        " 16, 10) as bigint) % 2 = 1"
+        " THEN element_at(ys, i)"
+        " ELSE -element_at(ys, i) * n1 / (n - n1) END"
+    )
+    perm_fold = fold.format(body=perm_body)
+    perms = obs.select(
+        "n",
+        "n1",
+        "d_obs",
+        F.expr(
+            f"transform(sequence(1, {_PERM_B}),"
+            f" p -> ({perm_fold}) / n1)"
+        ).alias("d_perm"),
+    )
+    n_extreme = F.expr(
+        "size(filter(d_perm, d -> abs(d) >= abs(d_obs)))"
+    ).cast("bigint")
+    return perms.select(
+        "n",
+        "n1",
+        "d_obs",
+        n_extreme.alias("n_extreme"),
+        (n_extreme.cast("double") / _PERM_B).alias("p_value"),
+    )
