@@ -1257,3 +1257,72 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "q_peak_concurrency",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id, min(ts) AS t_start, max(ts) AS t_end
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    ), edges AS (
+      SELECT t_start AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT t_end, -1 FROM sessions
+    ), swept AS (
+      SELECT t,
+             CAST(sum(sum(delta)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS concurrent
+      FROM edges GROUP BY t
+    )
+    SELECT CAST(t AS DATE) AS day,
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+    FROM swept
+    GROUP BY CAST(t AS DATE)
+    ORDER BY day
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic +1/−1 sweep:
+    each per-user daily session contributes a start edge and an end
+    edge; the running edge-sum at any instant IS the concurrency, and
+    the per-day max is the capacity-planning number (connection pools,
+    license seats, autoscaling floors). No interval self-join — the
+    O(n²) overlap formulation becomes one sort of 2·|sessions| edges
+    (ties resolve +1 before −1 within an instant by summing per
+    timestamp first, counting touching sessions as concurrent —
+    stated, so both engines agree).
+
+    All integers end-to-end. The global ordered sweep is the honest
+    cost; at 100 TB it range-partitions by time with per-partition
+    offsets (the q_quantile_normalize escalation), since edge counts,
+    not raw events, hit the sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    edges = sessions.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = edges.groupBy("t").agg(F.sum("delta").alias("net"))
+    running = per_t.select(
+        "t",
+        F.sum("net")
+        .over(
+            W.orderBy("t").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("concurrent"),
+    )
+    return (
+        running.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )
