@@ -69,6 +69,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(f"{col}_nanos", F.col(col)).withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Session-independence boundary: cast any TIMESTAMP_NTZ column to
+    TIMESTAMP (LTZ).
+
+    Spark 4 infers tz-naive parquet timestamps as TIMESTAMP_NTZ by
+    default (``spark.sql.parquet.inferTimestampNTZ.enabled``), and much
+    of the time-function surface (``withWatermark``/``window()``/
+    ``unix_millis``/``session_window``) rejects NTZ. The engine session
+    disables the inference (``session.py``), but queries must be correct
+    on *any* caller-supplied session — the reference makes the same
+    choice by storing UTC-instant epoch millis end-to-end
+    (``EventToJSON.java``: ``event.getTime()``). Under the engine
+    session this is a no-op (no NTZ columns exist), so plans and
+    parquet pushdown are unchanged there.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -129,9 +129,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, n_tokens,
            CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
-           cum_tokens - n_tokens
+           CAST(cum_tokens - n_tokens
              - 2048 * CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT)
-             AS pack_offset
+             AS BIGINT) AS pack_offset
     FROM run
     """,
 )

@@ -139,7 +139,7 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT depth, count(*) AS n_members,
            count(DISTINCT root) AS n_roots,
-           sum(custkey) AS key_checksum
+           CAST(sum(custkey) AS BIGINT) AS key_checksum
     FROM chain GROUP BY depth ORDER BY depth
     """,
 )

@@ -233,9 +233,9 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -534,9 +534,10 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,

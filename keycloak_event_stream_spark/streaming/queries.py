@@ -76,6 +76,12 @@ def read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Session-independence: under a default Spark 4 session the declared
+    # schema carries TIMESTAMP_NTZ, which withWatermark()/window()
+    # reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Same boundary cast
+    # as catalog.normalize_ntz; no-op under the engine session.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

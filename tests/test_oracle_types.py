@@ -1,0 +1,39 @@
+"""Oracle type hygiene: no DuckDB HUGEINT output columns.
+
+DuckDB widens ``sum`` over integers to HUGEINT (int128). Spark's
+``sum`` stays BIGINT. Values compare equal, but the driver's *typed*
+value-hash distinguishes them (round-1 q_pivot red row), so every
+integer-sum oracle must ``CAST(... AS BIGINT)``. This sweep pins the
+whole registry via ``DESCRIBE`` — no data is scanned, so it's cheap.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from keycloak_event_stream_spark.catalog import TABLE_NAMES, table_path
+from keycloak_event_stream_spark.registry import collect
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    return con
+
+
+def test_no_hugeint_oracle_columns(oracle_con):
+    _, oracle = collect()
+    flagged = {}
+    for name, sql in oracle.items():
+        desc = oracle_con.execute(f"DESCRIBE ({sql})").fetchall()
+        huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        if huge:
+            flagged[name] = huge
+    assert not flagged, f"oracles returning HUGEINT (add CAST AS BIGINT): {flagged}"
