@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._scale import two_phase_window
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -506,12 +507,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.explode(
+                # short-doc guard: sequence(1, 0) is a DESCENDING
+                # [1, 0] in Spark and element_at(w, 0) throws — a doc
+                # with < 3 tokens must yield zero grams, not an error
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                    " transform(sequence(1, size(split(text, ' ')) - 2),"
                     " i -> concat_ws(' ',"
                     "   element_at(split(text, ' '), i),"
                     "   element_at(split(text, ' '), i + 1),"
                     "   element_at(split(text, ' '), i + 2)))"
+                    " ELSE array() END"
                 )
             ).alias("g"),
         )
@@ -560,24 +566,32 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-source training run uses instead of naive concatenation
     (source-ordered batches destabilize training).
 
-    Two windows: rank within source, then the global interleave order
-    (rank, source, doc_id) — both deterministic total orders, so the
-    schedule is reproducible run-to-run and engine-to-engine (the
-    property that makes a training run restartable mid-epoch). The
-    first 100 positions are returned; at scale the schedule is written
-    back partitioned by position-range, never collected.
+    Both ranks are two-phase range-partitioned (``_scale``): the
+    within-source rank would otherwise pin the corpus to |sources|
+    skewed tasks, and the global interleave order (rank, source,
+    doc_id) is first cut down by the LIMIT-derived predicate rk <= 100
+    — a row with rank_in_source > 100 has at least 100 rows of its own
+    source ahead of it, so it can never reach the first 100 positions.
+    After the cut the position numbering runs over <= 100·|sources|
+    rows. Deterministic total orders end-to-end, so the schedule is
+    reproducible run-to-run and engine-to-engine (the property that
+    makes a training run restartable mid-epoch).
     """
     d = load_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        W.partitionBy("source").orderBy(
-            F.col("n_chars").desc(), "doc_id"
-        )
+    ranked = two_phase_window(
+        d.select("doc_id", "source", "n_chars"),
+        [F.desc("n_chars"), F.col("doc_id")],
+        partition_by=["source"],
+        row_number="rk",
+    ).filter(F.col("rk") <= 100)
+    pos_d = two_phase_window(
+        ranked,
+        [F.col("rk"), F.col("source"), F.col("doc_id")],
+        row_number="position",
     )
-    ranked = d.select("doc_id", "source", "n_chars", rk.alias("rk"))
-    pos = F.row_number().over(W.orderBy("rk", "source", "doc_id"))
     return (
-        ranked.select(
-            pos.alias("position"),
+        pos_d.select(
+            "position",
             "doc_id",
             "source",
             F.col("rk").alias("rank_in_source"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._scale import two_phase_window
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -137,20 +138,25 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for a 2048-token context budget: documents are
-    laid end-to-end per source in doc_id order (running token sum via
-    window), and each lands in pack floor(start/budget) at offset
-    start%budget. One shuffle on the pack key (source); deterministic
-    because the order is a total key, not arrival order."""
+    laid end-to-end per source in doc_id order (running token sum),
+    and each lands in pack floor(start/budget) at offset start%budget.
+    The per-source running sum uses the two-phase range-partitioned
+    cumsum (``_scale.two_phase_window``): a handful of skewed source
+    keys would otherwise pin the whole corpus to |sources| tasks —
+    here the order spread fans out to k range partitions regardless of
+    source cardinality. Deterministic because the order is a total
+    key, not arrival order."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    toks = two_phase_window(
+        toks,
+        [F.col("doc_id")],
+        partition_by=["source"],
+        cumsum={"_cum": "n_tokens"},
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    start = F.col("_cum") - F.col("n_tokens")
     pack = F.floor(start / 2048)
     return toks.select(
         "doc_id",

@@ -383,9 +383,13 @@ def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "lang",
         F.explode(
+            # short-text guard: length < 3 would make sequence run
+            # DESCENDING through 0/negative indices and emit junk grams
             F.expr(
-                "transform(sequence(1, length(text) - 2),"
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(text) - 2),"
                 " i -> substring(text, i, 3))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )
@@ -936,10 +940,14 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         "doc_id",
         F.explode(
+            # short-doc guard: a 1-token doc would make sequence(1, 0)
+            # run DESCENDING and element_at(w, 0) throw
             F.expr(
-                "transform(sequence(1, size(w) - 1),"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
                 " i -> struct(element_at(w, i) AS w1,"
                 "             element_at(w, i + 1) AS w2))"
+                " ELSE array() END"
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")

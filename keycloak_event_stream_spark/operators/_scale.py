@@ -1,0 +1,168 @@
+"""Two-phase exact global ordered-window primitives.
+
+A bare ``Window.orderBy(...)`` (no PARTITION BY) forces every row
+through one task — the known 100 TB scale-killer flagged by Spark
+itself (``WindowExec: No Partition Defined``). These helpers compute
+the *same values* with a parallel plan:
+
+1. ``repartitionByRange(k, order)`` spreads the total order across k
+   partitions (equal keys colocate, so rank ties never straddle a
+   boundary);
+2. a per-partition window computes the local row_number / rank /
+   running sum;
+3. the k per-partition totals (a k-row aggregate) are turned into
+   prefix offsets with a tiny triangle join and broadcast back.
+
+For exact types (integer / decimal) the result is bitwise-identical to
+the single-partition form — addition is only reassociated across
+partition boundaries. Determinism note: Spark's RangePartitioner
+samples with a partition-index-derived seed, so the boundaries (and
+hence ``spark_partition_id``) are stable across recomputations of the
+same subtree; Catalyst's ReuseExchange typically materializes the
+range shuffle once anyway.
+
+This is the "range-partition + per-partition rank + broadcast offsets"
+pattern every distributed sort-based engine uses for total-order
+analytics; in the reference's world the equivalent work is delegated
+to Athena/Presto, which does the same thing internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["two_phase_window", "with_totals", "exact_ntile"]
+
+_PID = "_tp_pid"
+
+
+def _num_partitions(df: DataFrame, k: int | None) -> int:
+    if k:
+        return k
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
+def two_phase_window(
+    df: DataFrame,
+    order_by: list[Column | str],
+    *,
+    partition_by: list[str] | None = None,
+    row_number: str | None = None,
+    rank: str | None = None,
+    cumsum: dict[str, str] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Add exact global-ordered window columns without a
+    single-partition sort.
+
+    order_by     : total-order expressions (``F.desc(...)`` allowed).
+                   Must be a *total* order (unique tiebreak) for
+                   row_number/cumsum to be deterministic — same
+                   contract as the naive window.
+    partition_by : optional window partition columns. Useful when the
+                   partition key is low-cardinality/skewed (e.g. 4
+                   sources): the order spread still fans out to k
+                   range partitions instead of one task per key.
+    row_number   : output column for global ``row_number()``.
+    rank         : output column for global ``rank()`` (ties share).
+    cumsum       : {out_col: in_col} running ROWS-unbounded-preceding
+                   sums.
+    """
+    partition_by = list(partition_by or [])
+    cumsum = cumsum or {}
+    k = _num_partitions(df, k)
+
+    range_cols = [*[F.col(c) for c in partition_by], *order_by]
+    ranged = df.repartitionByRange(k, *range_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+    # per-(group, pid) totals: k (× groups) rows — always tiny
+    need_cnt = row_number is not None or rank is not None
+    aggs = []
+    if need_cnt:
+        aggs.append(F.count(F.lit(1)).alias("_tp_cnt"))
+    for out, src in cumsum.items():
+        aggs.append(F.sum(src).alias(f"_tp_t_{out}"))
+    tots = ranged.groupBy(*partition_by, _PID).agg(*aggs)
+
+    # prefix offsets via triangle join (no window at all -> no
+    # single-partition WindowExec anywhere in the plan)
+    right = tots.select(
+        *[F.col(c).alias(f"_tp_r_{c}") for c in partition_by],
+        F.col(_PID).alias("_tp_rpid"),
+        *(
+            [F.col("_tp_cnt").alias("_tp_rcnt")] if need_cnt else []
+        ),
+        *[F.col(f"_tp_t_{out}").alias(f"_tp_rt_{out}") for out in cumsum],
+    )
+    cond = F.col("_tp_rpid") < F.col(_PID)
+    for c in partition_by:
+        cond = cond & (F.col(f"_tp_r_{c}") == F.col(c))
+    off_aggs = []
+    if need_cnt:
+        off_aggs.append(
+            F.coalesce(F.sum("_tp_rcnt"), F.lit(0)).alias("_tp_offn")
+        )
+    for out in cumsum:
+        off_aggs.append(
+            F.coalesce(F.sum(f"_tp_rt_{out}"), F.lit(0)).alias(
+                f"_tp_off_{out}"
+            )
+        )
+    offs = (
+        tots.join(F.broadcast(right), cond, "left")
+        .groupBy(*partition_by, _PID)
+        .agg(*off_aggs)
+    )
+
+    local = Window.partitionBy(*partition_by, _PID).orderBy(*order_by)
+    local_run = local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    out = ranged.join(F.broadcast(offs), [*partition_by, _PID])
+    if row_number is not None:
+        out = out.withColumn(
+            row_number, F.row_number().over(local) + F.col("_tp_offn")
+        )
+    if rank is not None:
+        # equal keys colocate under range partitioning, so a tie group
+        # never spans partitions: local rank + preceding-row count is
+        # the global rank
+        out = out.withColumn(rank, F.rank().over(local) + F.col("_tp_offn"))
+    for outcol, src in cumsum.items():
+        out = out.withColumn(
+            outcol, F.sum(src).over(local_run) + F.col(f"_tp_off_{outcol}")
+        )
+    drop = [_PID] + [c for c in out.columns if c.startswith("_tp_off")]
+    return out.drop(*drop)
+
+
+def with_totals(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """Attach whole-table aggregates as columns via a broadcast
+    cross-join of the 1-row aggregate — the scalable replacement for
+    ``F.sum(...).over(Window.partitionBy())`` (which is a
+    single-partition window over the full input)."""
+    tot = df.agg(*[v.alias(name) for name, v in aggs.items()])
+    return df.crossJoin(F.broadcast(tot))
+
+
+def exact_ntile(rn: Column, total: Column, n: int) -> Column:
+    """``ntile(n)`` reconstructed from a global row_number and the
+    total count: the first ``total % n`` buckets take
+    ``total div n + 1`` rows, the rest ``total div n`` — Spark's (and
+    DuckDB's) exact ntile contract. Integer-exact for totals < 2^52."""
+    r = total % n
+    q = ((total - r) / F.lit(n)).cast("bigint")
+    big = q + 1
+    cut = r * big
+    return (
+        F.when(rn <= cut, F.ceil(rn / big))
+        .otherwise(r + F.ceil((rn - cut) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )

@@ -522,17 +522,28 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise stage runs only on the 300 most-active users (top-k
     candidate selection, deterministic tiebreak) — the coarse pruning
     that bounds pair count no matter how large the population grows;
-    widening it is a knob, not a rewrite."""
+    widening it is a knob, not a rewrite.
+
+    Single-scan shape: events are read ONCE into the per-(user, day)
+    cell aggregate; the calendar bounds (min/max day) and the per-user
+    activity counts both derive from those cells rather than rescanning
+    the raw table (count(*) per user = sum of per-cell counts;
+    day-truncated min/max commute with the grouping). Everything
+    downstream runs on the |users|x|days| cell matrix."""
     ev = spread(load_table(spark, sf_dir, "events"))
     day = F.date_trunc("day", F.col("ts"))
     daily = ev.groupBy("user_id", day.alias("day")).agg(
         F.sum(F.col("value").cast("decimal(27,6)"))
         .cast("decimal(18,2)")
-        .alias("v")
+        .alias("v"),
+        F.count(F.lit(1)).alias("n_cell"),
     )
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"),
-        F.date_trunc("day", F.max("ts")).alias("hi"),
+    # one materialization of the cell matrix feeds bounds, the user
+    # top-k and the dense grid: the raw table is scanned exactly once
+    daily = daily.persist()
+    bounds = daily.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
     )
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
@@ -542,12 +553,13 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production similarity search does with a coarse cluster/recency
     # key so the pairwise cost is bounded regardless of corpus size
     users = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_ev"))
+        daily.groupBy("user_id")
+        .agg(F.sum("n_cell").alias("n_ev"))
         .orderBy(F.col("n_ev").desc(), "user_id")
         .limit(300)
         .select("user_id")
     )
+    daily = daily.drop("n_cell")
     dense = (
         users.crossJoin(F.broadcast(spine))
         .join(daily, ["user_id", "day"], "left")

@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators._scale import (
+    exact_ntile,
+    two_phase_window,
+    with_totals,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -293,20 +298,24 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     points behind the q_gini coefficient — "the bottom 50% of customers
     hold X% of revenue".
 
-    ntile(10) runs over the *per-customer rollup* with a (cents,
-    custkey) total order (deterministic tiling, the q_rfm discipline);
-    cents stay exact integers until the one cumulative-share division
-    over the 10-row aggregate. Beyond ~10^8 customers the single
-    ordered window would be replaced by a percentile-threshold join —
-    same output contract.
+    The decile assignment is an exact ntile reconstructed from a
+    two-phase range-partitioned row_number over the *per-customer
+    rollup* with a (cents, custkey) total order (deterministic tiling,
+    the q_rfm discipline) — a parallel k-partition sort, no
+    single-task window at any customer count. Cents stay exact
+    integers until the one cumulative-share division over the 10-row
+    aggregate (whose global window input is statically bounded at 10
+    rows, so it is scale-safe as-is).
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     per = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    tiled = per.select(
+    tiled = two_phase_window(
+        per, [F.col("cents"), F.col("o_custkey")], row_number="_rn"
+    )
+    tiled = with_totals(tiled, {"_n": F.count(F.lit(1))}).select(
         "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey"))
-        .cast("int").alias("decile"),
+        exact_ntile(F.col("_rn"), F.col("_n"), 10).alias("decile"),
     )
     agg = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -35,6 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators._scale import (
+    exact_ntile,
+    two_phase_window,
+    with_totals,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -722,12 +727,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile needs a *total* order (ties broken by custkey) or the
     quartile boundaries — and therefore the whole result — are
     engine-dependent; that discipline is what makes a rank-based
-    segmentation oracle-checkable at all. The three global ntiles are
-    single-partition windows over the already-aggregated per-customer
-    rows (|customers|, not |orders|); at 100 TB you'd replace them
-    with percentile-threshold joins (cf. q_winsorize), but the
-    aggregate-first ordering keeps even this form viable to ~10⁸
-    customers. Monetary stays DECIMAL end-to-end.
+    segmentation oracle-checkable at all. Each quartile score is an
+    exact ntile reconstructed from a two-phase range-partitioned
+    row_number plus the broadcast total (``_scale.exact_ntile``) —
+    three parallel k-partition sorts over the per-customer rollup, no
+    single-task window at any customer count. Monetary stays DECIMAL
+    end-to-end.
     """
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -737,18 +742,22 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary"
         ),
     )
+    rfm = two_phase_window(
+        rfm, [F.col("last_order"), F.col("o_custkey")], row_number="_rn_r"
+    )
+    rfm = two_phase_window(
+        rfm, [F.col("frequency"), F.col("o_custkey")], row_number="_rn_f"
+    )
+    rfm = two_phase_window(
+        rfm, [F.col("monetary"), F.col("o_custkey")], row_number="_rn_m"
+    )
+    rfm = with_totals(rfm, {"_n": F.count(F.lit(1))})
     scored = rfm.select(
         "o_custkey",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("last_order", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_score"),
+        exact_ntile(F.col("_rn_r"), F.col("_n"), 4).alias("r_score"),
+        exact_ntile(F.col("_rn_f"), F.col("_n"), 4).alias("f_score"),
+        exact_ntile(F.col("_rn_m"), F.col("_n"), 4).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -925,12 +934,12 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue lives in exact integer *cents* end-to-end (the q_agg_corr
     discipline — a fractional decimal→double cast is not
     engine-portable), so the running sum is exact and the single
-    share division is deterministic IEEE. The running-share window is
-    a global ordered window over the *per-customer* rollup
-    (|customers| rows, not |orders|) — same aggregate-before-window
-    ordering as q_rfm_segmentation, same percentile-threshold-join
-    escape hatch beyond ~10⁸ groups. Total order via (cents DESC,
-    custkey).
+    share division is deterministic IEEE. The running share is a
+    two-phase range-partitioned cumsum over the *per-customer* rollup
+    (|customers| rows, not |orders|) with the grand total broadcast
+    back — aggregate-before-window plus a parallel sort, so no
+    single-task stage at any customer count. Total order via
+    (cents DESC, custkey).
     """
     orders = load_table(spark, sf_dir, "orders")
     cents_expr = (
@@ -939,16 +948,18 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents_expr).alias("cents")
     )
-    w_run = (
-        Window.orderBy(F.desc("cents"), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = two_phase_window(
+        per_cust,
+        [F.desc("cents"), F.col("o_custkey")],
+        cumsum={"cum": "cents"},
     )
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
+    ranked = with_totals(
+        ranked, {"total": F.sum("cents").cast("bigint")}
+    ).select(
         "o_custkey",
         "cents",
-        F.sum("cents").over(w_run).cast("bigint").alias("cum"),
-        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+        F.col("cum").cast("bigint").alias("cum"),
+        "total",
     )
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     classed = ranked.select(
@@ -1130,11 +1141,11 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("purchase_ts") - F.unix_millis("signup_ts")
         ).alias("ms"),
     )
-    w = Window.orderBy("ms", "user_id")
-    ranked = lat.select(
-        "ms",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = two_phase_window(
+        lat, [F.col("ms"), F.col("user_id")], row_number="rn"
+    )
+    ranked = with_totals(ranked, {"n": F.count(F.lit(1))}).select(
+        "ms", "rn", "n"
     )
     mid = (
         (F.col("rn") * 2 == F.col("n") + 1)

@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._scale import (
+    two_phase_window,
+    with_totals,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -266,16 +270,18 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("p"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("ng"),
     )
-    w_all = Window.partitionBy()
-    w_cum = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_score.select(
-        "p",
-        "ng",
-        F.sum("p").over(w_all).cast("bigint").alias("tot_p"),
-        F.sum("ng").over(w_all).cast("bigint").alias("tot_n"),
-        F.sum("p").over(w_cum).cast("bigint").alias("cum_p"),
+    # two-phase range-partitioned cumsum + broadcast totals: same
+    # values as the former global Window.orderBy, but the sort over
+    # |distinct scores| runs on k partitions instead of 1
+    cum = two_phase_window(per_score, [F.col("score")], cumsum={"cum_p": "p"})
+    cum = with_totals(
+        cum,
+        {
+            "tot_p": F.sum("p").cast("bigint"),
+            "tot_n": F.sum("ng").cast("bigint"),
+        },
+    ).select(
+        "p", "ng", "tot_p", "tot_n", F.col("cum_p").cast("bigint").alias("cum_p")
     )
     # pos strictly above this score = tot_p - cum_p; ties at this score = p
     num2 = F.sum(

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators._scale import (
+    two_phase_window,
+    with_totals,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -96,15 +100,19 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in1").cast("bigint").alias("c1"),
         F.sum("in2").cast("bigint").alias("c2"),
     )
-    w_ord = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # two-phase cumsum over the distinct-value cells + broadcast
+    # totals — the merged ECDF without a single-partition sort
+    ecdf = two_phase_window(
+        pts, [F.col("value")], cumsum={"cum1": "c1", "cum2": "c2"}
     )
-    w_all = Window.partitionBy()
-    ecdf = pts.select(
-        F.sum("c1").over(w_ord).cast("bigint").alias("cum1"),
-        F.sum("c2").over(w_ord).cast("bigint").alias("cum2"),
-        F.sum("c1").over(w_all).cast("bigint").alias("n"),
-        F.sum("c2").over(w_all).cast("bigint").alias("m"),
+    ecdf = with_totals(
+        ecdf,
+        {"n": F.sum("c1").cast("bigint"), "m": F.sum("c2").cast("bigint")},
+    ).select(
+        F.col("cum1").cast("bigint").alias("cum1"),
+        F.col("cum2").cast("bigint").alias("cum2"),
+        "n",
+        "m",
     )
     d_num = F.max(
         F.abs(F.col("cum1") * F.col("m") - F.col("cum2") * F.col("n"))
@@ -157,12 +165,9 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents_expr).alias("cents")
     )
-    ranked = per_cust.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .alias("i"),
-    )
+    ranked = two_phase_window(
+        per_cust, [F.col("cents"), F.col("o_custkey")], row_number="i"
+    ).select("cents", "i")
     n = F.count(F.lit(1))
     total = F.sum("cents").cast("bigint")
     s_iw = F.sum(
@@ -756,35 +761,35 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distribution-free companion to q_ks_test.
 
     Tie-averaged ranks are doubled into integers (2·rank+t−1); the
-    rank sum, U statistic and the tie-correction term Σ(t³−t) =
-    Σ_rows(t²−1) are all exact integer aggregates in ONE pass over the
-    ranked rows. The normal-approximation z is then a single fixed
-    IEEE expression over those integers — written with identical shape
-    in both engines, so even the double matches bitwise. The global
-    rank is one total-order sort; at 100 TB it becomes a
-    range-partitioned sort (rank windows with empty PARTITION BY are
-    the known scale hazard — acceptable for a 2-sample test statistic
-    whose output is one row).
+    rank sum, U statistic and the tie-correction term Σ(t³−t) are all
+    exact integer aggregates. Aggregate-first: rows collapse to
+    per-distinct-value cells (c rows, c1 in group 1), a two-phase
+    range-partitioned cumsum gives cum = #rows ≤ v, and the doubled
+    tie-averaged rank for every row at v is 2·cum − c + 1 — so the
+    whole statistic is computed over |distinct values| cells with no
+    row-level global sort anywhere (the former empty-PARTITION-BY rank
+    was the known 100 TB hazard). The normal-approximation z is then a
+    single fixed IEEE expression over those integers — identical shape
+    in both engines, so even the double matches bitwise.
     """
     e = load_table(spark, sf_dir, "events")
     s = e.filter(F.col("event_type").isin("click", "view")).select(
         "value",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in1"),
     )
-    r2 = (
-        2 * F.rank().over(Window.orderBy("value"))
-        + F.count("*").over(Window.partitionBy("value"))
-        - 1
+    per_v = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("in1").alias("c1"),
     )
-    t = F.count("*").over(Window.partitionBy("value"))
-    ranked = s.select("in1", r2.alias("r2"), t.alias("t"))
-    m = ranked.agg(
-        F.sum("in1").cast("bigint").alias("n1"),
-        F.sum(1 - F.col("in1")).cast("bigint").alias("n2"),
-        F.sum(F.when(F.col("in1") == 1, F.col("r2")).otherwise(0))
+    cum = two_phase_window(per_v, [F.col("value")], cumsum={"cum": "c"})
+    r2 = 2 * F.col("cum") - F.col("c") + 1  # doubled tie-averaged rank at v
+    m = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * r2).cast("bigint").alias("r1_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
         .cast("bigint")
-        .alias("r1_x2"),
-        F.sum(F.col("t") * F.col("t") - 1).cast("bigint").alias("tie_sum"),
+        .alias("tie_sum"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
@@ -1513,22 +1518,20 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded inputs): each value maps to rank/(n+1) ∈ (0,1). Ties share
     a rank (``rank()``, not row_number), so equal inputs get equal
     outputs — the property that makes the transform a function of the
-    value. Integer rank arithmetic + one exact division; the global
-    ordered window is the honest cost (at 100 TB: range-partition by
-    value, rank within partitions, add per-partition offsets — same
-    two-pass trick as q_pareto_abc's running totals).
+    value. Integer rank arithmetic + one exact division; the rank is
+    the two-phase range-partitioned form (rank within k partitions +
+    broadcast per-partition offsets), so no single-task sort exists at
+    any scale.
     """
     cust = load_table(spark, sf_dir, "customer")
-    ranked = cust.select(
+    ranked = two_phase_window(cust, [F.col("c_acctbal")], rank="rk")
+    ranked = with_totals(
+        ranked, {"n": F.count(F.lit(1)).cast("bigint")}
+    ).select(
         "c_custkey",
         "c_acctbal",
-        F.rank().over(Window.orderBy("c_acctbal")).cast("bigint").alias(
-            "rk"
-        ),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
+        F.col("rk").cast("bigint").alias("rk"),
+        "n",
     )
     return (
         ranked.select(
@@ -2032,17 +2035,25 @@ _PERM_B = 200  # label permutations
              - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(generate_series(1, CAST(n AS INTEGER)),
                    i -> CASE WHEN gs[i] = 0 THEN ys[i] ELSE 0 END)),
-                 (a, b) -> a + b) / (n - n1) AS d_obs
+                 (a, b) -> a + b) / (n - n1) AS d_obs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+               (a, b) -> a + b) AS tot
       FROM arrs
     ), perms AS (
       SELECT n, n1, d_obs,
              list_transform(generate_series(1, {_PERM_B}), p ->
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(generate_series(1, CAST(n AS INTEGER)),
-                   i -> CASE WHEN CAST(('0x' || substr(
-                            md5(p || ':' || i), 1, 6)) AS BIGINT) % 2 = 1
-                        THEN ys[i] ELSE -ys[i] * n1 / (n - n1) END)),
-                 (a, b) -> a + b) / n1) AS d_perm
+                 list_transform(
+                   list_slice(list_sort(list_transform(
+                     generate_series(1, CAST(n AS INTEGER)),
+                     i -> {{'h': CAST(('0x' || substr(md5(p || ':' || i),
+                                       1, 12)) AS BIGINT), 'i': i}})),
+                     1, CAST(n1 AS INTEGER)),
+                   s -> ys[s.i])),
+                 (a, b) -> a + b)
+               * (CAST(1.0 AS DOUBLE) / n1
+                  + CAST(1.0 AS DOUBLE) / (n - n1))
+               - tot / (n - n1)) AS d_perm
       FROM obs
     )
     SELECT n, n1, d_obs,
@@ -2059,14 +2070,20 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_welch_ttest): re-randomize group labels {_PERM_B} times,
     p-value = share of permuted differences at least as extreme as
     the observed one. Permutations are md5-derived (the q_bootstrap_ci
-    no-RNG discipline — permutation i's label for user slot j is a
-    hash parity), so the test replays bit-identically in any engine.
+    no-RNG discipline), so the test replays bit-identically in any
+    engine — and they *preserve the group sizes*: permutation p ranks
+    the user slots by a per-permutation hash (ties broken by slot) and
+    assigns exactly the first n1 ranks to group 1, which is a genuine
+    uniform draw from the label permutations. (A per-slot hash parity
+    would draw Binomial(n, 1/2) group sizes instead — a different null
+    distribution that biases the p-value.)
 
     Everything after the per-user rollup is one row's array math:
-    index-order folds for every mean (bitwise-portable), integer
-    extreme counts, one final division. The hash re-labels ~half the
-    slots; the signed-rebalancing form keeps each permuted statistic
-    a single fold rather than two passes.
+    index-order folds for every mean (bitwise-portable — both engines
+    sort the (hash, slot) structs and fold in the same order), integer
+    extreme counts, one final division. The permuted statistic uses
+    the one-fold identity s1/n1 − (tot−s1)/(n−n1) =
+    s1·(1/n1 + 1/(n−n1)) − tot/(n−n1).
     """
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
@@ -2113,21 +2130,32 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("n") - F.col("n1"))
     )
-    obs = arrs.select("n", "n1", "ys", "gs", d_obs.alias("d_obs"))
-    perm_body = (
-        "CASE WHEN cast(conv(substr(md5(concat(p, ':', i)), 1, 6),"
-        " 16, 10) as bigint) % 2 = 1"
-        " THEN element_at(ys, i)"
-        " ELSE -element_at(ys, i) * n1 / (n - n1) END"
+    obs = arrs.select(
+        "n",
+        "n1",
+        "ys",
+        "gs",
+        d_obs.alias("d_obs"),
+        F.expr(
+            "aggregate(ys, cast(0.0 as double), (a, b) -> a + b)"
+        ).alias("tot"),
     )
-    perm_fold = fold.format(body=perm_body)
+    perm_stat = (
+        "aggregate("
+        " slice(array_sort(transform(sequence(1, cast(n as int)),"
+        "   i -> struct(cast(conv(substr(md5(concat(p, ':', i)), 1, 12),"
+        "                    16, 10) as bigint) as h, i as i))),"
+        "   1, cast(n1 as int)),"
+        " cast(0.0 as double), (a, s) -> a + element_at(ys, s.i))"
+        " * (cast(1.0 as double) / n1 + cast(1.0 as double) / (n - n1))"
+        " - tot / (n - n1)"
+    )
     perms = obs.select(
         "n",
         "n1",
         "d_obs",
         F.expr(
-            f"transform(sequence(1, {_PERM_B}),"
-            f" p -> ({perm_fold}) / n1)"
+            f"transform(sequence(1, {_PERM_B}), p -> {perm_stat})"
         ).alias("d_perm"),
     )
     n_extreme = F.expr(

@@ -50,6 +50,72 @@ _MODULES = [
 ]
 
 
+# Registration order is part of the driver contract: the driver's
+# correctness report caps at the first N registered queries, so each
+# round's NEW or RISKIEST operators must register first. Keep this list
+# to roughly the cap (~50); everything else follows in module order
+# (the relational core sits there — it has been driver-green since r1).
+_PRIORITY = [
+    # round-1 red rows + their family (session-independence fix)
+    "q_sessionize",
+    "q_pivot",
+    "q_time_to_convert",
+    "q_interval_merge",
+    # core streaming (formerly failed under a default driver session)
+    "s_ingest_flatten",
+    "s_tumbling_counts",
+    "s_sliding_agg",
+    "s_session_windows",
+    "s_watermark_late",
+    "s_stream_dedup",
+    "s_stream_stream_join",
+    # oracle-typing fixes (HUGEINT -> BIGINT)
+    "q_tpch_q12",
+    "q_recursive_hierarchy",
+    "q_pack_sequences",
+    # global-window de-bottlenecking (two-phase rewrites)
+    "q_auc_roc",
+    "q_ks_test",
+    "q_gini",
+    "q_mannwhitney",
+    "q_quantile_normalize",
+    "q_rfm_segmentation",
+    "q_pareto_abc",
+    "q_lorenz_deciles",
+    "q_curriculum_interleave",
+    # correctness-fix follow-ups
+    "q_permutation_test",
+    "q_ngram_novelty",
+    "q_bigram_lm",
+    "q_char_ngram_profile",
+    "q_sink_pydatasource_roundtrip",
+    # LLM pipeline core (first driver look at these families)
+    "q_dedup_exact",
+    "q_dedup_near_minhash",
+    "q_dedup_simhash",
+    "q_dedup_embed_cosine",
+    "q_dedup_semantic",
+    "q_dedup_components",
+    "q_minhash_eval",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_text_stats",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_tfidf",
+    "q_bm25",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q_quality_gopher",
+    "q_chunk_documents",
+    "q_train_test_split",
+    "q_sample_weighted",
+    "q_kmeans_lloyd",
+]
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
@@ -66,4 +132,11 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 raise ValueError(f"duplicate query name {name} in {modname}")
             queries[name] = fn
         oracle.update(getattr(mod, "ORACLE", {}))
-    return queries, oracle
+    ordered: dict[str, QueryFn] = {}
+    for name in _PRIORITY:
+        if name in queries:
+            ordered[name] = queries[name]
+    for name, fn in queries.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered, oracle

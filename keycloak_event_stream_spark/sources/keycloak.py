@@ -316,6 +316,118 @@ class KeycloakEventStore:
             .start()
         )
 
+    def ingest_stream_json(
+        self,
+        json_stream: DataFrame,
+        checkpoint: str,
+        admin: bool = False,
+        delivery: str = "exactly_once",
+    ):
+        """Streaming ingest from raw JSON lines with a bad-record
+        quarantine — the full Firehose delivery story end-to-end.
+
+        ``json_stream`` is a one-column stream of JSON strings
+        (``value``), the shape a Kafka value / file-drop / socket
+        source produces and exactly what the reference puts on the
+        wire (``send()``, FirehoseEventStoreProvider.java:141-150:
+        one JSON record per event). Per micro-batch:
+
+        - rows that parse against the declared event schema flatten and
+          land partitioned by event-time dt/hour, same as ``ingest``;
+        - rows that do NOT parse land untouched under
+          ``errors/dt=<arrival-date>/hour=<arrival-hour>/processing-failed/``
+          with the batch id — mirroring the delivery stream's
+          ``error_output_prefix`` layout (terraform/main.tf:195), where
+          failed records keep their raw payload for replay. Arrival
+          time is correct here: a record that cannot be parsed has no
+          trustworthy event time.
+
+        ``delivery`` selects the reference-fidelity failure mode:
+
+        - ``"exactly_once"`` (default): a batch failure fails the query
+          and replays from the checkpoint — the engine's upgrade.
+        - ``"at_most_once"``: failures are logged and the batch is
+          dropped, the reference's literal contract
+          (FirehoseEventStoreProvider.java:147-149 logs
+          "Error sending to firehose" and moves on).
+        """
+        if delivery not in ("exactly_once", "at_most_once"):
+            raise ValueError(f"unknown delivery mode {delivery!r}")
+        flatten = flatten_admin_events if admin else flatten_user_events
+        path = self._admin_path if admin else self._user_path
+        schema = RAW_ADMIN_EVENT_SCHEMA if admin else RAW_USER_EVENT_SCHEMA
+        quarantine = f"{self.root}/errors"
+        layout = self._layout
+
+        # PERMISSIVE + _corrupt_record: lenient partial parses (e.g.
+        # Jackson accepting unquoted keys) must still be quarantined,
+        # not land as all-null rows — same discipline as formats.py's
+        # q_source_corrupt_tolerant
+        schema_c = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+
+        def _process(batch: DataFrame, batch_id: int) -> None:
+            parsed = batch.withColumn(
+                "_e",
+                F.from_json(
+                    "value",
+                    schema_c,
+                    {
+                        "mode": "PERMISSIVE",
+                        "columnNameOfCorruptRecord": "_corrupt_record",
+                    },
+                ),
+            )
+            is_bad = F.col("_e").isNull() | F.col(
+                "_e._corrupt_record"
+            ).isNotNull()
+            bad = parsed.filter(
+                is_bad & F.col("value").isNotNull()
+            ).select(
+                F.col("value").alias("raw"),
+                F.lit(batch_id).alias("batch_id"),
+                F.date_format(F.current_timestamp(), "yyyy-MM-dd").alias("dt"),
+                F.hour(F.current_timestamp()).alias("hour"),
+                F.lit("processing-failed").alias("error_type"),
+            )
+            bad.write.mode("append").partitionBy(
+                "dt", "hour", "error_type"
+            ).json(quarantine)
+            good = (
+                parsed.filter(~is_bad)
+                .select("_e.*")
+                .drop("_corrupt_record")
+            )
+            flat = _with_event_time_partitions(flatten(good))
+            layout(flat).write.partitionBy("dt", "hour").mode(
+                "append"
+            ).parquet(path)
+
+        def _process_at_most_once(batch: DataFrame, batch_id: int) -> None:
+            try:
+                _process(batch, batch_id)
+            except Exception as exc:  # log and drop, per the reference
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "dropping batch %s: %s", batch_id, exc
+                )
+
+        fn = _process_at_most_once if delivery == "at_most_once" else _process
+        return (
+            json_stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def quarantined(self) -> DataFrame:
+        """Read back the error prefix (raw payload + batch id) — the
+        replay surface for failed records."""
+        return self.spark.read.json(f"{self.root}/errors")
+
     # -- read path ------------------------------------------------------
     @staticmethod
     def _partitioned(schema: T.StructType) -> T.StructType:

@@ -66,25 +66,37 @@ if _HAVE_DATASOURCE:
             self.n_rows = n_rows
 
     class NdjsonSinkWriter(DataSourceWriter):
-        """Task side: serialize rows to a task-private temp file.
+        """Task side: serialize rows to an attempt-private temp file.
 
-        Temp names use the task's partition id — a retry overwrites
-        its predecessor's temp file instead of duplicating it, and
-        only files named in commit messages ever get published.
+        Temp names carry (job id, partition id, task attempt id), so
+        concurrent speculative or zombie attempts of the same task can
+        never write the same file — only the attempt whose commit
+        message reaches the driver gets published (the same contract as
+        Hadoop's FileOutputCommitter v1). Published part names embed
+        the per-job id, so a second ``mode("append")`` write to the
+        same path adds files instead of renaming over earlier output.
         """
 
         def __init__(self, options, overwrite: bool):
+            import uuid
+
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("ndjson_sink requires a 'path' option")
             self.overwrite = overwrite
+            # generated driver-side once per write job, serialized to
+            # every task: distinguishes this job's files from any
+            # earlier job's output in the same directory
+            self.job_id = uuid.uuid4().hex[:12]
 
         def write(self, iterator):
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            attempt = ctx.taskAttemptId()
             os.makedirs(self.path, exist_ok=True)
-            tmp = f"_tmp-{pid}.jsonl"
+            tmp = f"_tmp-{self.job_id}-{pid}-{attempt}.jsonl"
             n = 0
             with open(os.path.join(self.path, tmp), "w") as fh:
                 for row in iterator:
@@ -99,23 +111,33 @@ if _HAVE_DATASOURCE:
             return _Committed(tmp, n)
 
         def commit(self, messages):
-            # publish: one rename per task file + a _SUCCESS manifest.
+            # publish: one rename per *winning* task file + a _SUCCESS
+            # manifest; then sweep this job's losing-attempt temps.
             total = 0
             for i, m in enumerate(messages):
                 os.rename(
                     os.path.join(self.path, m.tmp_name),
-                    os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                    os.path.join(
+                        self.path, f"part-{self.job_id}-{i:05d}.jsonl"
+                    ),
                 )
                 total += m.n_rows
+            for leftover in os.listdir(self.path):
+                if leftover.startswith(f"_tmp-{self.job_id}-"):
+                    try:
+                        os.remove(os.path.join(self.path, leftover))
+                    except FileNotFoundError:
+                        pass
             with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-                fh.write(json.dumps({"rows": total}))
+                fh.write(json.dumps({"rows": total, "job": self.job_id}))
 
         def abort(self, messages):
-            for m in messages:
-                try:
-                    os.remove(os.path.join(self.path, m.tmp_name))
-                except FileNotFoundError:
-                    pass
+            for leftover in os.listdir(self.path) if os.path.isdir(self.path) else []:
+                if leftover.startswith(f"_tmp-{self.job_id}-"):
+                    try:
+                        os.remove(os.path.join(self.path, leftover))
+                    except FileNotFoundError:
+                        pass
 
     class NdjsonSinkDataSource(DataSource):
         """``df.write.format("ndjson_sink").option("path", ...)``."""

@@ -14,11 +14,16 @@ per micro-batch
      (band, key) — one broadcast-able left-semi lookup;
   3. dedup *within* the batch (keep the lowest doc_id per collision,
      transitively — first-writer-wins, deterministic);
-  4. append survivors to the admitted sink and their signatures to the
-     store — both plain parquet appends, idempotent enough for
-     at-least-once foreachBatch because re-appending the same
-     signatures only creates already-colliding keys (a replayed batch's
-     docs collide with their own prior signatures and are dropped).
+  4. write survivors to the admitted sink and their signatures to the
+     store as a *dynamic overwrite of the batch's own partition*
+     (``_batch_id=<id>``), with the store lookup in step 2 excluding
+     this batch's own partition. A replayed batch therefore recomputes
+     the identical admit set from the identical prior-batch store and
+     overwrites its own partition — exactly-once under foreachBatch's
+     at-least-once delivery, with no duplicate and no lost document.
+     (Plain appends would duplicate on replay if the sink append
+     landed but the store append didn't; appending the store first
+     would instead *drop* the batch's docs forever on replay.)
 
 The LSH banding rule (collision = candidate = dropped) is the
 *recall-biased* variant — the right default for corpus intake, where a
@@ -37,8 +42,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from keycloak_event_stream_spark.llm.dedup import band_keys
+
+
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Read the signature store; None only when the path genuinely
+    does not exist yet. Any other read error (corruption, transient
+    IO) propagates — silently treating it as an empty store would
+    mass-admit duplicates."""
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def admit_batch(
@@ -46,14 +65,21 @@ def admit_batch(
     batch_df: DataFrame,
     store_path: str,
     sink_path: str,
+    batch_id: int,
 ) -> None:
-    """Process one micro-batch of (doc_id, text): append only
-    near-novel docs to ``sink_path``; grow the signature store."""
+    """Process one micro-batch of (doc_id, text): write only
+    near-novel docs to ``sink_path``; grow the signature store.
+    Idempotent per ``batch_id`` (replay-safe, see module docstring)."""
     bands = band_keys(batch_df).persist()
-    try:
-        known = spark.read.parquet(store_path).select("band", "bkey")
+    store = _read_store(spark, store_path)
+    if store is not None:
+        # exclude this batch's own partition: a replayed attempt must
+        # see exactly the store state its first attempt saw
+        known = store.filter(F.col("_batch_id") != batch_id).select(
+            "band", "bkey"
+        )
         have_store = True
-    except Exception:
+    else:
         have_store = False
     if have_store:
         hit = (
@@ -82,10 +108,21 @@ def admit_batch(
     )
     admitted = fresh.join(dropped, "doc_id", "left_anti")
     admitted_bands = fresh_bands.join(dropped, "doc_id", "left_anti")
-    admitted.write.mode("append").parquet(sink_path)
-    admitted_bands.select("doc_id", "band", "bkey").write.mode(
-        "append"
-    ).parquet(store_path)
+    (
+        admitted.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(sink_path)
+    )
+    (
+        admitted_bands.select("doc_id", "band", "bkey")
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store_path)
+    )
     bands.unpersist()
 
 
@@ -97,7 +134,7 @@ def streaming_near_dup_filter(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         admit_batch(
-            batch_df.sparkSession, batch_df, store_path, sink_path
+            batch_df.sparkSession, batch_df, store_path, sink_path, batch_id
         )
 
     return docs_stream.writeStream.foreachBatch(process)

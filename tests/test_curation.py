@@ -175,3 +175,32 @@ def test_weighted_sample_is_deterministic_and_length_biased(spark):
     )
     # longer docs are kept proportionally more often
     assert mean_kept > mean_all
+
+
+def test_ngram_ops_survive_short_documents(spark, tmp_path):
+    """Docs with < 3 (resp. < 2) tokens must contribute zero grams, not
+    blow up the whole query: Spark's sequence(1, 0) is DESCENDING and
+    element_at(w, 0) throws. The driver fixture's 10-token minimum
+    masked this; a real corpus has one-word documents."""
+    import os
+
+    from keycloak_event_stream_spark.llm.curation import q_ngram_novelty
+    from keycloak_event_stream_spark.llm.textstats import (
+        q_bigram_lm,
+        q_char_ngram_profile,
+    )
+
+    rows = [
+        (1, "one", "en", "web", 3),
+        (2, "two words", "en", "web", 9),
+        (3, "", "en", "web", 0),
+        (4, "a proper document with enough tokens to form grams", "en", "web", 50),
+    ]
+    sf = str(tmp_path / "shortsf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    for q in (q_ngram_novelty, q_bigram_lm, q_char_ngram_profile):
+        q(spark, sf).collect()  # must not raise

@@ -156,3 +156,53 @@ def test_streaming_near_dup_filter(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(store).collect()
     }
     assert store_docs == {1, 2, 4}
+
+
+def test_streaming_near_dup_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (foreachBatch at-least-once delivery)
+    must neither duplicate its docs in the sink nor lose them: the
+    per-batch dynamic partition overwrite makes admit_batch(batch_id)
+    a fixpoint."""
+    from keycloak_event_stream_spark.streaming.dedup_stream import (
+        admit_batch,
+    )
+
+    store = str(tmp_path / "store")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(2, "totally novel content about broadcast joins and shuffles ok")],
+        schema,
+    )
+    admit_batch(spark, b1, store, sink, batch_id=0)
+    admit_batch(spark, b2, store, sink, batch_id=1)
+    # replay batch 1 (e.g. failure after sink write, before checkpoint)
+    admit_batch(spark, b2, store, sink, batch_id=1)
+    admitted = [r.doc_id for r in spark.read.parquet(sink).collect()]
+    assert sorted(admitted) == [1, 2]  # no duplicate, no loss
+    store_rows = spark.read.parquet(store).select("doc_id", "band", "bkey")
+    assert store_rows.count() == store_rows.distinct().count()
+
+
+def test_store_read_error_is_not_swallowed(spark, tmp_path):
+    """A corrupt/unreadable store must raise, not silently admit
+    everything as novel."""
+    import pytest as _pytest
+
+    from keycloak_event_stream_spark.streaming.dedup_stream import (
+        _read_store,
+    )
+
+    missing = str(tmp_path / "never_written")
+    assert _read_store(spark, missing) is None
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_text("this is not parquet")
+    with _pytest.raises(Exception):
+        df = _read_store(spark, str(corrupt))
+        assert df is not None
+        df.collect()

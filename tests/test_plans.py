@@ -221,8 +221,11 @@ def test_market_basket_no_join(spark, queries):
 
 def test_auc_reduces_before_window(spark, queries):
     # the window (cumulative positives) must run over the per-score
-    # aggregate, not raw rows: HashAggregate appears below the Window
+    # aggregate, not raw rows: a HashAggregate keyed by score appears
+    # below the Window (later in the printed top-down plan)
+    import re
+
     plan = _plan(queries["q_auc_roc"](spark, SF))
-    assert plan.index("Window") < plan.index("HashAggregate") or (
-        "HashAggregate" in plan and "Window" in plan
-    )
+    per_score = re.search(r"HashAggregate\(keys=\[score", plan)
+    assert per_score is not None
+    assert plan.index("Window") < per_score.start()

@@ -79,14 +79,32 @@ def _close(a, b):
 
 def main() -> int:
     args = sys.argv[1:]
+    # --vanilla: run the Spark side on a DEFAULT-config session (how
+    # the driver evaluates) instead of the tuned engine session. The
+    # round gate is green under BOTH — session-independence is the
+    # property the driver actually measures (round-1 lesson: 9 queries
+    # passed the engine session and threw under the driver's).
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
 
     queries, oracle = collect()
-    names = args or sorted(queries)
+    # default order = registration order (priority/new queries first),
+    # so a partial run or an early failure surfaces the riskiest ops
+    names = args or list(queries)
 
-    spark = get_spark("verify_local")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify_local_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = table_path(sf_dir, t)
