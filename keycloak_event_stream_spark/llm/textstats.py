@@ -16,6 +16,7 @@ from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._exact import davg, sql_davg
+from keycloak_event_stream_spark.operators._scale import two_phase_window
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -432,9 +433,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication (cum*10 vs total*9), not a float compare, so
     the emitted prefix is engine-exact.
 
-    The ORDER BY over the whole vocabulary is a single-partition window
-    — correct here because the input is the *aggregated* vocabulary
-    (orders smaller than the corpus), never the raw token stream."""
+    The ORDER BY runs over the aggregated vocabulary (orders smaller
+    than the corpus) but a web-scale vocabulary is still billions of
+    distinct terms, so the rank + running sum use the two-phase
+    range-partitioned form (``_scale.two_phase_window``) — no
+    single-task sort at any vocabulary size."""
     d = spread(load_table(spark, sf_dir, "documents"))
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
@@ -442,14 +445,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tot = vocab.agg(F.sum("cnt").alias("total"))
-    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
-    ranked = vocab.select(
-        "term",
-        "cnt",
-        F.row_number().over(w).alias("rk"),
-        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
-            "cum_cnt"
-        ),
+    ranked = two_phase_window(
+        vocab,
+        [F.desc("cnt"), F.col("term")],
+        row_number="_rk",
+        cumsum={"cum_cnt": "cnt"},
+    ).select(
+        "term", "cnt", F.col("_rk").cast("int").alias("rk"), "cum_cnt"
     )
     return (
         ranked.crossJoin(F.broadcast(tot))

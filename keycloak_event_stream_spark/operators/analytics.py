@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._scale import two_phase_window
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -1196,8 +1197,11 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals, the running product is a decimal cumsum of those logs
     re-exponentiated and rounded — order-safe and bitwise across
     engines (the q_tfidf discipline applied to a cumulative product).
-    The risk-set counts join the |event-days| aggregate against the
-    |users| duration table — both tiny after the two keyed rollups.
+    Risk-set counts come from suffix arithmetic over the per-day
+    duration rollup (n_risk(t) = total − users-before-t), NOT from a
+    theta join of users against event days — the O(|users|·|days|)
+    nested-loop the naive formulation implies. The remaining windows
+    run over |distinct duration days| (calendar-bounded), never rows.
     """
     ev = load_table(spark, sf_dir, "events")
     s = (
@@ -1230,19 +1234,25 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t1").isNotNull().alias("event"),
         )
     )
-    times = (
-        durs.groupBy(F.col("d").alias("t"))
-        .agg(
-            F.sum(F.when(F.col("event"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("d_events")
+    dur_counts = durs.groupBy(F.col("d").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum(F.when(F.col("event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_events"),
+    )
+    w_at = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = dur_counts.agg(F.sum("n_at").alias("_total"))
+    risk = (
+        dur_counts.withColumn("_cum_at", F.sum("n_at").over(w_at))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("_total") - F.col("_cum_at") + F.col("n_at")).cast(
+                "bigint"
+            ),
         )
         .filter(F.col("d_events") > 0)
-    )
-    risk = times.join(
-        durs.select("d"), F.col("d") >= F.col("t"), "left"
-    ).groupBy("t", "d_events").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_risk")
+        .select("t", "d_events", "n_risk")
     )
     wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
     # the day the last at-risk user converts contributes a zero factor
@@ -1307,10 +1317,10 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp first, counting touching sessions as concurrent —
     stated, so both engines agree).
 
-    All integers end-to-end. The global ordered sweep is the honest
-    cost; at 100 TB it range-partitions by time with per-partition
-    offsets (the q_quantile_normalize escalation), since edge counts,
-    not raw events, hit the sort.
+    All integers end-to-end. The ordered sweep over the distinct edge
+    timestamps is the two-phase range-partitioned cumsum
+    (``_scale.two_phase_window``) — edge counts scale with sessions, so
+    this is a row-level total order, not a bounded aggregate.
     """
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.groupBy(
@@ -1322,17 +1332,9 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
     )
     per_t = edges.groupBy("t").agg(F.sum("delta").alias("net"))
-    running = per_t.select(
-        "t",
-        F.sum("net")
-        .over(
-            W.orderBy("t").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        )
-        .cast("bigint")
-        .alias("concurrent"),
-    )
+    running = two_phase_window(
+        per_t, [F.col("t")], cumsum={"concurrent": "net"}
+    ).select("t", F.col("concurrent").cast("bigint").alias("concurrent"))
     return (
         running.groupBy(F.col("t").cast("date").alias("day"))
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))

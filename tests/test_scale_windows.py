@@ -141,6 +141,8 @@ DEBOTTLENECKED = {
     "q_lorenz_deciles": 2,
     "q_pack_sequences": 0,
     "q_curriculum_interleave": 0,
+    "q_peak_concurrency": 0,
+    "q_vocab_coverage": 0,
 }
 
 
