@@ -158,6 +158,72 @@ def test_fixed_queries_have_no_global_window(spark, name):
     assert len(global_window_specs(df)) <= DEBOTTLENECKED[name]
 
 
+# Queries whose plans legitimately keep an unpartitioned window: the
+# window input has a STATIC bound (calendar days, histogram bins,
+# contingency cells, k centroids, top-N after LIMIT), so one partition
+# is the correct plan at any data volume. A new query with a global
+# window must either be rewritten on _scale.two_phase_window or be
+# added here with its bound — test_registry_window_hygiene enforces it.
+BOUNDED_GLOBAL_WINDOWS = {
+    "q_acf_multi": "daily-series lags (calendar-bounded)",
+    "q_autocorr_lag1": "daily series",
+    "q_chi_square": "contingency cells (|event_types| x 2)",
+    "q_compaction_bins": "file-size bins",
+    "q_cramers_v": "contingency cells",
+    "q_cusum_changepoint": "daily series",
+    "q_interpolate_linear": "daily series",
+    "q_kmeans_lloyd": "k centroids",
+    "q_late_data_quantify": "watermark-delay histogram bins",
+    "q_lorenz_deciles": "10 deciles",
+    "q_mann_kendall": "daily series",
+    "q_percent_of_total": "|nation| = 25-row rollup",
+    "q_psi_drift": "drift bins",
+    "q_runs_test": "daily series",
+    "q_seasonal_decompose": "daily series",
+    "q_shard_plan": "|shards|",
+    "q_skew_diagnosis": "per-partition stats (k partitions)",
+    "q_skyline": "skyline candidates after dominance prune",
+    "q_sql_table_fn": "daily series via SQL TVF",
+    "q_survival_km": "distinct duration days (calendar-bounded)",
+    "q_token_histogram_log2": "log2 length bins (<64)",
+    "q_woe_binning": "score bins",
+    "q_zipf_fit": "top-100 after LIMIT",
+}
+
+
+def test_registry_window_hygiene(spark):
+    """Every registered batch query either has no unpartitioned
+    WindowExec, was rewritten two-phase (DEBOTTLENECKED), or is
+    documented above with the static bound that justifies one
+    partition. Catches regressions AND new queries that sneak in a
+    row-level global sort."""
+    import os
+
+    from keycloak_event_stream_spark.registry import collect
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    queries, _ = collect()
+    offenders = {}
+    for name, fn in queries.items():
+        if name.startswith("s_"):
+            continue  # streaming entries execute on build; plan-check n/a
+        try:
+            df = fn(spark, sf)
+        except Exception:
+            continue  # runtime failures are the oracle suite's job
+        n = len(global_window_specs(df))
+        allowed = DEBOTTLENECKED.get(name, 0) if name in DEBOTTLENECKED else 0
+        if name in BOUNDED_GLOBAL_WINDOWS:
+            continue
+        if n > allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"unpartitioned WindowExec in row-level queries: {offenders} — "
+        "rewrite with _scale.two_phase_window or document the static "
+        "bound in BOUNDED_GLOBAL_WINDOWS"
+    )
+
+
 def test_no_global_window_in_plan(spark, data):
     fast = two_phase_window(
         data, [F.col("v"), F.col("id")], row_number="rn", cumsum={"cs": "x"}
