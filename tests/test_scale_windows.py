@@ -231,3 +231,53 @@ def test_no_global_window_in_plan(spark, data):
     assert global_window_specs(fast) == []
     naive = data.select(F.row_number().over(Window.orderBy("v", "id")).alias("rn"))
     assert global_window_specs(naive) != []  # heuristic detects the bad shape
+
+
+def test_two_phase_property_random(spark):
+    """Property: for arbitrary integer data with heavy ties and any
+    partition count, two-phase row_number/rank/cumsum equal the naive
+    single-partition window. (Deterministic seeds; hypothesis's
+    function-scoped Spark work is too slow per example, so this drives
+    the same shrink space explicitly.)"""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.choice([1, 2, 7, 100, 353])
+        tie_card = rng.choice([1, 2, 5, 50])
+        k = rng.choice([1, 2, 3, 16, 64])
+        rows = [
+            (i, rng.randrange(tie_card), rng.randrange(-1000, 1000))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, v long, x long").repartition(
+            rng.choice([1, 3, 8])
+        )
+        naive_w = Window.orderBy("v", "id")
+        naive = {
+            r.id: (r.rn, r.rk, r.cs)
+            for r in df.select(
+                "id",
+                F.row_number().over(naive_w).alias("rn"),
+                F.rank().over(Window.orderBy("v")).alias("rk"),
+                F.sum("x")
+                .over(
+                    naive_w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .alias("cs"),
+            ).collect()
+        }
+        fast_rn = two_phase_window(
+            df, [F.col("v"), F.col("id")], row_number="rn", cumsum={"cs": "x"}, k=k
+        )
+        fast_rk = two_phase_window(df, [F.col("v")], rank="rk", k=k)
+        got_rn = {r.id: (r.rn, r.cs) for r in fast_rn.select("id", "rn", "cs").collect()}
+        got_rk = {r.id: r.rk for r in fast_rk.select("id", "rk").collect()}
+        for i, (rn, rk, cs) in naive.items():
+            assert got_rn[i] == (rn, cs), f"seed={seed} id={i}"
+            assert got_rk[i] == rk, f"seed={seed} id={i}"
