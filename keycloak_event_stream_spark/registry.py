@@ -69,6 +69,7 @@ _PRIORITY = [
     "s_watermark_late",
     "s_stream_dedup",
     "s_stream_stream_join",
+    "s_quarantine_ingest",
     # oracle-typing fixes (HUGEINT -> BIGINT)
     "q_tpch_q12",
     "q_recursive_hierarchy",

@@ -437,3 +437,67 @@ def s_stream_kl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t").cast("bigint").alias("n_events"),
         )
     )
+
+
+@_q(
+    "s_quarantine_ingest",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           event_type AS eventtype,
+           'r1' AS realmid,
+           CAST(user_id AS VARCHAR) AS userid,
+           CAST(epoch_ms(ts) AS BIGINT) AS time
+    FROM events
+    """,
+)
+def s_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Firehose delivery story through the store, end-to-end:
+    fixture events serialized to the wire format (one JSON per record,
+    ``send()`` in FirehoseEventStoreProvider.java:141-150) with POISON
+    lines spliced in, streamed through
+    ``KeycloakEventStore.ingest_stream_json`` — bad records land under
+    the errors/ prefix (terraform/main.tf:195 layout), good records
+    flatten and land partitioned by event-time dt/hour.
+
+    Result = the landed user-event table; the oracle is the original
+    events fixture (every valid record must survive, no poison may
+    leak through, nothing may be dropped). The quarantine contents and
+    the at-most-once delivery twin are pinned by
+    ``tests/test_keycloak.py``.
+    """
+    import tempfile
+
+    from keycloak_event_stream_spark.catalog import load_table
+    from keycloak_event_stream_spark.sources.keycloak import (
+        KeycloakEventStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("id"),
+                F.col("event_type").alias("type"),
+                F.lit("r1").alias("realmId"),
+                F.col("user_id").cast("string").alias("userId"),
+                F.unix_millis("ts").alias("time"),
+            )
+        ).alias("value")
+    )
+    poison = spark.createDataFrame(
+        [("{broken json",), ("not json at all",)], "value string"
+    )
+    wire = tempfile.mkdtemp(prefix="s_quarantine_wire_")
+    lines.unionAll(poison).write.mode("overwrite").text(wire)
+
+    store = KeycloakEventStore(
+        spark, tempfile.mkdtemp(prefix="s_quarantine_store_")
+    )
+    q = store.ingest_stream_json(
+        spark.readStream.text(wire),
+        checkpoint=tempfile.mkdtemp(prefix="s_quarantine_ckpt_"),
+    )
+    q.awaitTermination()
+    return store.user_events().select(
+        "id", "eventtype", "realmid", "userid", "time"
+    )
