@@ -168,8 +168,8 @@ def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * 1000000 + c_custkey) AS richest,
            arg_min(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                            * 1000000 + c_custkey) AS poorest,
-           max(CAST(c_acctbal AS DECIMAL(18,2))) AS max_bal,
-           min(CAST(c_acctbal AS DECIMAL(18,2))) AS min_bal
+           CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+           CAST(min(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal
     FROM customer GROUP BY c_nationkey
     """,
 )
@@ -186,8 +186,12 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_name", key).alias("richest"),
         F.min_by("c_name", key).alias("poorest"),
-        F.max(F.col("c_acctbal").cast("decimal(18,2)")).alias("max_bal"),
-        F.min(F.col("c_acctbal").cast("decimal(18,2)")).alias("min_bal"),
+        F.max(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_bal"),
+        F.min(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_bal"),
     )
 
 

@@ -393,17 +393,19 @@ def q_sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "docs_tblfn"
     )
+    # body uses ORDER BY + LIMIT, not a row_number window: the inlined
+    # plan per invocation is a TakeOrderedAndProject (per-partition
+    # heaps + merge of 3-row candidates) — scale-safe where an
+    # unpartitioned rank window would single-task the language's rows
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION kes_top_docs(lg STRING)
         RETURNS TABLE(lang STRING, doc_id BIGINT, n_chars BIGINT)
         RETURN
           SELECT lang, doc_id, n_chars
-          FROM (SELECT lang, doc_id, n_chars,
-                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
-                         AS rk
-                FROM docs_tblfn WHERE lang = lg)
-          WHERE rk <= 3
+          FROM docs_tblfn WHERE lang = lg
+          ORDER BY n_chars DESC, doc_id
+          LIMIT 3
         """
     )
     return spark.sql(

@@ -379,7 +379,8 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_clicks_before,
              count(CASE WHEN event_type = 'error' THEN 1 END)
                AS n_errors_before,
-             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6))
+             CAST(CAST(sum(CAST(value AS DECIMAL(27,6)))
+                        AS DECIMAL(27,6)) AS DOUBLE)
                AS value_before,
              max(ts) AS last_seen
       FROM events
@@ -431,6 +432,7 @@ def q_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_errors_before"),
             F.sum(F.col("value").cast("decimal(27,6)"))
             .cast("decimal(27,6)")
+            .cast("double")
             .alias("value_before"),
             F.max("ts").alias("last_seen"),
         )

@@ -242,21 +242,22 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction cancels the within-pass size skew. Deterministic (rank
     tiebreak on doc_id), one window pass + one 8-cell aggregate; the
     per-shard byte totals this emits are the manifest a downstream
-    writer consumes. At 100 TB the same rank→shard arithmetic runs on
-    the metadata-only (doc_id, size) projection — the plan never
-    touches document bodies.
+    writer consumes. The size rank is the two-phase range-partitioned
+    form (``_scale``): it runs on the metadata-only (doc_id, size)
+    projection, but that projection still has one row per DOCUMENT —
+    corpus scale, not manifest scale — so a single-task sort would
+    gate the whole export.
     """
     d = load_table(spark, sf_dir, "documents")
-    rk = (
-        F.row_number().over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
-        - 1
-    )
+    ranked = two_phase_window(
+        d.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.col("doc_id")],
+        row_number="_rn",
+    ).withColumn("rk", F.col("_rn") - 1)
     pass_no = (F.col("rk") / 8).cast("bigint")
     pos = F.col("rk") % 8
     shard = F.when(pass_no % 2 == 0, pos).otherwise(7 - pos)
-    assigned = d.select("doc_id", "n_chars", rk.alias("rk")).select(
-        "doc_id", "n_chars", shard.alias("shard")
-    )
+    assigned = ranked.select("doc_id", "n_chars", shard.alias("shard"))
     return (
         assigned.groupBy("shard")
         .agg(

@@ -56,6 +56,8 @@ def two_phase_window(
     row_number: str | None = None,
     rank: str | None = None,
     cumsum: dict[str, str] | None = None,
+    cummax: dict[str, str] | None = None,
+    cummax_excl: dict[str, str] | None = None,
     k: int | None = None,
 ) -> DataFrame:
     """Add exact global-ordered window columns without a
@@ -73,9 +75,20 @@ def two_phase_window(
     rank         : output column for global ``rank()`` (ties share).
     cumsum       : {out_col: in_col} running ROWS-unbounded-preceding
                    sums.
+    cummax       : {out_col: in_col} running ROWS-unbounded-preceding
+                   maxima (max is associative, so the per-partition
+                   maxima combine by greatest() just like sums by +).
+    cummax_excl  : like ``cummax`` but over the EXCLUSIVE frame
+                   (unbounded preceding .. 1 preceding) — NULL for the
+                   globally first row, matching the naive window.
     """
     partition_by = list(partition_by or [])
     cumsum = cumsum or {}
+    cummax = dict(cummax or {})
+    cummax_excl = dict(cummax_excl or {})
+    if set(cummax) & set(cummax_excl):
+        raise ValueError("cummax and cummax_excl share an output column")
+    all_cummax = {**cummax, **cummax_excl}
     k = _num_partitions(df, k)
 
     range_cols = [*[F.col(c) for c in partition_by], *order_by]
@@ -90,6 +103,8 @@ def two_phase_window(
         aggs.append(F.count(F.lit(1)).alias("_tp_cnt"))
     for out, src in cumsum.items():
         aggs.append(F.sum(src).alias(f"_tp_t_{out}"))
+    for out, src in all_cummax.items():
+        aggs.append(F.max(src).alias(f"_tp_m_{out}"))
     tots = ranged.groupBy(*partition_by, _PID).agg(*aggs)
 
     # prefix offsets via triangle join (no window at all -> no
@@ -101,6 +116,10 @@ def two_phase_window(
             [F.col("_tp_cnt").alias("_tp_rcnt")] if need_cnt else []
         ),
         *[F.col(f"_tp_t_{out}").alias(f"_tp_rt_{out}") for out in cumsum],
+        *[
+            F.col(f"_tp_m_{out}").alias(f"_tp_rm_{out}")
+            for out in all_cummax
+        ],
     )
     cond = F.col("_tp_rpid") < F.col(_PID)
     for c in partition_by:
@@ -116,6 +135,10 @@ def two_phase_window(
                 f"_tp_off_{out}"
             )
         )
+    for out in all_cummax:
+        # no neutral element for max of arbitrary types: keep NULL for
+        # the first partition and coalesce at combine time
+        off_aggs.append(F.max(f"_tp_rm_{out}").alias(f"_tp_offm_{out}"))
     offs = (
         tots.join(F.broadcast(right), cond, "left")
         .groupBy(*partition_by, _PID)
@@ -138,6 +161,32 @@ def two_phase_window(
     for outcol, src in cumsum.items():
         out = out.withColumn(
             outcol, F.sum(src).over(local_run) + F.col(f"_tp_off_{outcol}")
+        )
+    for outcol, src in cummax.items():
+        local_max = F.max(src).over(local_run)
+        out = out.withColumn(
+            outcol,
+            F.greatest(
+                local_max, F.coalesce(F.col(f"_tp_offm_{outcol}"), local_max)
+            ),
+        )
+    for outcol, src in cummax_excl.items():
+        # exclusive frame locally; the offset (max of strictly earlier
+        # partitions) is exclusive by construction. Both may be NULL
+        # for the globally first row — result stays NULL there.
+        local_max = F.max(src).over(
+            local.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = F.col(f"_tp_offm_{outcol}")
+        out = out.withColumn(
+            outcol,
+            F.when(
+                local_max.isNull() & off.isNull(), F.lit(None)
+            ).otherwise(
+                F.greatest(
+                    F.coalesce(local_max, off), F.coalesce(off, local_max)
+                )
+            ),
         )
     drop = [_PID] + [c for c in out.columns if c.startswith("_tp_off")]
     return out.drop(*drop)

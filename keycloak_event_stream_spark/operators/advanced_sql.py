@@ -216,19 +216,25 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding points. On sorted distinct points, any preceding point
     has price <= current — so a preceding size >= current's size is
     exactly dominance. The DuckDB oracle runs the quadratic NOT EXISTS
-    definition, proving the sweep equivalent. At 100 TB the sweep is a
-    groupBy + one single-partition window over *distinct pairs* (tiny);
-    the quadratic form would be a self-cross-join of the base table.
+    definition, proving the sweep equivalent. The running max is the
+    two-phase range-partitioned exclusive cummax (``_scale``) over the
+    distinct pairs — |distinct (price, size)| grows with the catalog,
+    so the sweep parallelizes instead of funneling one task; the
+    quadratic form would be a self-cross-join of the base table.
     """
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window,
+    )
+
     part = load_table(spark, sf_dir, "part")
     pts = part.groupBy(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
     ).agg(F.count(F.lit(1)).alias("n_parts"))
-    w = (
-        Window.orderBy(F.asc("price"), F.desc("sz"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    flagged = two_phase_window(
+        pts,
+        [F.asc("price"), F.desc("sz")],
+        cummax_excl={"prev_max_sz": "sz"},
     )
-    flagged = pts.withColumn("prev_max_sz", F.max("sz").over(w))
     return (
         flagged.filter(
             F.col("prev_max_sz").isNull()
@@ -244,7 +250,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_discount >= 0.05
     GROUP BY 1, 2
@@ -272,7 +278,8 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _pipe_lineitem
         |> WHERE l_discount >= :min_disc
         |> AGGREGATE count(*) AS n,
-                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_qty
            GROUP BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, n, sum_qty
         |> ORDER BY l_returnflag, l_linestatus

@@ -744,12 +744,14 @@ def q_late_data_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the *measurement* the reference never takes: it files
     events by arrival time (SURVEY §1.4 Q4), so event-time partitions
-    silently leak across folders with no way to know how much. Here
-    one ordered window computes the running max (the same high-water
-    mark Structured Streaming tracks), and the histogram reduces to
-    |distinct lateness| rows. At 100 TB the window runs per ingest
-    shard and the histograms merge — lateness against a global clock
-    needs no global sort.
+    silently leak across folders with no way to know how much. The
+    running max (the same high-water mark Structured Streaming tracks)
+    is the two-phase range-partitioned cummax over arrival order —
+    max is associative, so per-partition maxima combine by greatest()
+    exactly like the prefix-sum offsets; no single-task sort over the
+    event stream. The minute histogram then reduces to |distinct
+    lateness| rows and its small cumulative window is bounded by the
+    50-minute LIMIT domain.
     """
     ev = load_table(spark, sf_dir, "events")
     delivered = ev.select(
@@ -764,16 +766,11 @@ def q_late_data_quantify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("arrival_ts"),
     )
-    arr = delivered.select(
-        "ts",
-        F.max("ts")
-        .over(
-            W.orderBy("arrival_ts", "event_id").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        )
-        .alias("high_wm"),
-    )
+    arr = two_phase_window(
+        delivered,
+        [F.col("arrival_ts"), F.col("event_id")],
+        cummax={"high_wm": "ts"},
+    ).select("ts", "high_wm")
     late = arr.select(
         F.floor(
             (
@@ -976,8 +973,8 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
-             AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -1002,6 +999,7 @@ def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("value").cast("decimal(27,6)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(

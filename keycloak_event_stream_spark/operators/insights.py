@@ -72,7 +72,8 @@ def _q(name: str, oracle: str | None = None):
     )
     SELECT s.d AS month,
            COALESCE(o.n_orders, 0) AS n_orders,
-           COALESCE(o.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue
+           CAST(COALESCE(o.revenue, CAST(0 AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
     FROM spine s
     LEFT JOIN (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
@@ -118,7 +119,8 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT s.d AS month,
                COALESCE(o.n_orders, 0) AS n_orders,
-               COALESCE(o.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue
+               CAST(COALESCE(o.revenue, CAST(0 AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
         FROM spine s
         LEFT JOIN (
           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
@@ -200,8 +202,8 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT touch, count(*) AS n_conversions,
-           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
-             AS attributed_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
+                AS DOUBLE) AS attributed_value
     FROM tagged
     WHERE event_type = 'purchase' AND touch IS NOT NULL
     GROUP BY touch ORDER BY touch
@@ -244,6 +246,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_conversions"),
             F.sum(F.col("value").cast("decimal(27,6)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("attributed_value"),
         )
         .orderBy("touch")
@@ -636,9 +639,9 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1, 2
     )
-    SELECT n_name, yr, revenue,
-           lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)
-             AS prev_revenue,
+    SELECT n_name, yr, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)
+                AS DOUBLE) AS prev_revenue,
            CAST(revenue AS DOUBLE)
              / CAST(lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)
                     AS DOUBLE) - 1.0 AS yoy
@@ -682,8 +685,8 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.select(
         "n_name",
         "yr",
-        "revenue",
-        prev.alias("prev_revenue"),
+        F.col("revenue").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
         (
             F.col("revenue").cast("double") / prev.cast("double") - 1.0
         ).alias("yoy"),
@@ -713,7 +716,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_score, f_score, m_score,
            count(*) AS n_customers,
-           sum(monetary) AS segment_value
+           CAST(sum(monetary) AS DOUBLE) AS segment_value
     FROM scored
     GROUP BY 1, 2, 3
     ORDER BY r_score, f_score, m_score
@@ -763,7 +766,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("monetary").alias("segment_value"),
+            F.sum("monetary").cast("double").alias("segment_value"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -1488,7 +1491,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region r ON r.r_regionkey = n.n_regionkey
       GROUP BY ROLLUP (r.r_name, n.n_name)
     )
-    SELECT region, nation, gid, revenue,
+    SELECT region, nation, gid, CAST(revenue AS DOUBLE) AS revenue,
            rank() OVER (PARTITION BY gid
                         ORDER BY revenue DESC,
                                  COALESCE(region, ''),
@@ -1543,7 +1546,11 @@ def q_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("nation"), F.lit("")),
     )
     return r.select(
-        "region", "nation", "gid", "revenue", F.rank().over(w).alias("rnk")
+        "region",
+        "nation",
+        "gid",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.rank().over(w).alias("rnk"),
     ).orderBy(
         "gid",
         "rnk",
@@ -1838,7 +1845,7 @@ def q_seasonal_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(max(c7) AS BIGINT) AS peak_7d_events,
-           max(v7) AS peak_7d_value
+           CAST(max(v7) AS DOUBLE) AS peak_7d_value
     FROM w GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -1875,7 +1882,7 @@ def q_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("user_id")
         .agg(
             F.max("c7").cast("bigint").alias("peak_7d_events"),
-            F.max("v7").alias("peak_7d_value"),
+            F.max("v7").cast("double").alias("peak_7d_value"),
         )
         .orderBy("user_id")
     )
@@ -1976,8 +1983,8 @@ def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT touch, count(*) AS n_conversions,
-           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
-             AS attributed_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DECIMAL(18,2))
+                AS DOUBLE) AS attributed_value
     FROM tagged
     WHERE event_type = 'purchase' AND touch IS NOT NULL
     GROUP BY touch ORDER BY touch
@@ -2016,6 +2023,7 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_conversions"),
             F.sum(F.col("value").cast("decimal(27,6)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("attributed_value"),
         )
         .orderBy("touch")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators._scale import two_phase_window
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -189,20 +190,22 @@ def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-offset division — the coalesce plan a compactor would
     execute.
 
-    The window is a global prefix sum, which is fine *because the input
-    is a manifest*: at 100 TB the manifest has one row per file
-    (millions, not billions) — metadata scale. The plan keeps input
-    order (contiguous runs), so compaction preserves any clustering
-    already present (see ``q_cluster_zorder``).
+    The prefix sum is the two-phase range-partitioned cumsum
+    (``_scale``): a manifest is metadata-scale (one row per file), but
+    "millions of files" is exactly where a single-task running sum
+    starts to hurt, and the two-phase form costs nothing extra. The
+    plan keeps input order (contiguous runs), so compaction preserves
+    any clustering already present (see ``q_cluster_zorder``).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    manifest = docs.select(
+    manifest = two_phase_window(
+        docs.select("doc_id", F.col("n_chars").alias("bytes")),
+        [F.col("doc_id")],
+        cumsum={"_cum": "bytes"},
+    ).select(
         "doc_id",
-        F.col("n_chars").alias("bytes"),
-        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+        "bytes",
+        (F.col("_cum") - F.col("bytes")).alias("start_off"),
     )
     return (
         manifest.groupBy(
@@ -223,7 +226,8 @@ def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(o_orderdate) AS yr,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
     FROM orders
     WHERE year(o_orderdate) IN (1996, 1997)
     GROUP BY 1 ORDER BY yr
@@ -259,9 +263,9 @@ def q_layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.groupBy(F.col("yr").cast("int").alias("yr"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "revenue"
-            ),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("yr")
     )

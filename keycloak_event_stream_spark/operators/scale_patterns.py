@@ -362,10 +362,13 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A skew_ratio near 1 means uniform keys; ≥ an order of magnitude
     means the hot key serializes one reducer and salting pays. One
-    aggregate to |keys| rows, a top-10 window over that, integer
-    counts plus one deterministic division. This operationalizes the
-    scale posture: measure skew, then pick the join strategy — not
-    the other way round.
+    aggregate to |keys| rows; the hottest-10 weight comes from a
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort —
+    |keys| scales with the fact table, so a rank window over it would
+    be the very bottleneck this query diagnoses); integer counts plus
+    one deterministic division. This operationalizes the scale
+    posture: measure skew, then pick the join strategy — not the other
+    way round.
     """
     li = load_table(spark, sf_dir, "lineitem")
     freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(
@@ -376,26 +379,19 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_rows"),
         F.max("c").cast("bigint").alias("max_c"),
     )
-    top = freq.select(
-        "c",
-        F.row_number()
-        .over(W.orderBy(F.desc("c"), "key"))
-        .alias("rn"),
+    top10 = (
+        freq.orderBy(F.desc("c"), "key")
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("top10_rows"))
     )
-    return (
-        top.crossJoin(F.broadcast(stats))
-        .groupBy("n_keys", "n_rows", "max_c")
-        .agg(
-            F.first(
-                F.col("max_c").cast("double")
-                * F.col("n_keys")
-                / F.col("n_rows")
-            ).alias("skew_ratio"),
-            F.sum(F.when(F.col("rn") <= 10, F.col("c")))
-            .cast("bigint")
-            .alias("top10_rows"),
-        )
-        .select(
-            "n_keys", "n_rows", "max_c", "skew_ratio", "top10_rows"
-        )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        (
+            F.col("max_c").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows")
+        ).alias("skew_ratio"),
+        "top10_rows",
     )

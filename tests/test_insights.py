@@ -192,14 +192,18 @@ def test_rfm_segments_partition_customers(spark):
         1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
         for r in rows
     )
-    # total segment value reconciles with the table total
-    total = sum(r.segment_value for r in rows)
-    from decimal import Decimal
+    # total segment value reconciles with the table total (the segment
+    # sums are exact decimals internally, DOUBLE at the query surface —
+    # so the reconciliation is float-tolerant)
+    import math
 
-    want = orders.agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-    ).collect()[0][0]
-    assert Decimal(total) == want
+    total = sum(r.segment_value for r in rows)
+    want = float(
+        orders.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        ).collect()[0][0]
+    )
+    assert math.isclose(total, want, rel_tol=1e-9)
 
 
 def test_agg_mode_is_true_maximum(spark):

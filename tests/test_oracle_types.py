@@ -37,3 +37,20 @@ def test_no_hugeint_oracle_columns(oracle_con):
         if huge:
             flagged[name] = huge
     assert not flagged, f"oracles returning HUGEINT (add CAST AS BIGINT): {flagged}"
+
+
+def test_no_decimal_oracle_columns(oracle_con):
+    """Boundary-type discipline: DECIMAL is the engine's *internal*
+    exact-arithmetic type; result surfaces must be DOUBLE/BIGINT.
+    Engines convert DECIMAL results differently on the way to a typed
+    hash (Python Decimal objects vs float64 columns), so a DECIMAL
+    output column is a latent driver hash mismatch even when values
+    are identical — same failure class as round 1's q_pivot HUGEINT."""
+    _, oracle = collect()
+    flagged = {}
+    for name, sql in oracle.items():
+        desc = oracle_con.execute(f"DESCRIBE ({sql})").fetchall()
+        dec = [(c, t) for c, t, *_ in desc if t.upper().startswith("DECIMAL")]
+        if dec:
+            flagged[name] = dec
+    assert not flagged, f"oracles returning DECIMAL (CAST AS DOUBLE): {flagged}"

@@ -143,6 +143,14 @@ DEBOTTLENECKED = {
     "q_curriculum_interleave": 0,
     "q_peak_concurrency": 0,
     "q_vocab_coverage": 0,
+    "q_shard_plan": 0,
+    "q_compaction_bins": 0,
+    "q_skew_diagnosis": 0,
+    "q_skyline": 0,
+    "q_sql_table_fn": 0,
+    # bounded remnant: the minute-bucket histogram cumulative (LIMIT 50
+    # domain); the row-level watermark cummax is two-phase
+    "q_late_data_quantify": 1,
 }
 
 
@@ -173,17 +181,12 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_cusum_changepoint": "daily series",
     "q_interpolate_linear": "daily series",
     "q_kmeans_lloyd": "k centroids",
-    "q_late_data_quantify": "watermark-delay histogram bins",
     "q_lorenz_deciles": "10 deciles",
     "q_mann_kendall": "daily series",
     "q_percent_of_total": "|nation| = 25-row rollup",
     "q_psi_drift": "drift bins",
     "q_runs_test": "daily series",
     "q_seasonal_decompose": "daily series",
-    "q_shard_plan": "|shards|",
-    "q_skew_diagnosis": "per-partition stats (k partitions)",
-    "q_skyline": "skyline candidates after dominance prune",
-    "q_sql_table_fn": "daily series via SQL TVF",
     "q_survival_km": "distinct duration days (calendar-bounded)",
     "q_token_histogram_log2": "log2 length bins (<64)",
     "q_woe_binning": "score bins",
@@ -281,3 +284,32 @@ def test_two_phase_property_random(spark):
         for i, (rn, rk, cs) in naive.items():
             assert got_rn[i] == (rn, cs), f"seed={seed} id={i}"
             assert got_rk[i] == rk, f"seed={seed} id={i}"
+        # running max, inclusive and exclusive frames
+        naive_mx = {
+            r.id: (r.mi, r.me)
+            for r in df.select(
+                "id",
+                F.max("x")
+                .over(
+                    naive_w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .alias("mi"),
+                F.max("x")
+                .over(naive_w.rowsBetween(Window.unboundedPreceding, -1))
+                .alias("me"),
+            ).collect()
+        }
+        fast_mx = two_phase_window(
+            df,
+            [F.col("v"), F.col("id")],
+            cummax={"mi": "x"},
+            cummax_excl={"me": "x"},
+            k=k,
+        )
+        got_mx = {
+            r.id: (r.mi, r.me)
+            for r in fast_mx.select("id", "mi", "me").collect()
+        }
+        assert got_mx == naive_mx, f"seed={seed}"
