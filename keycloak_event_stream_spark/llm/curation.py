@@ -860,3 +860,97 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("quality").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5/UL2 denoising objective preparation)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_span_corruption",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(doc_id % 10 AS BIGINT) AS o
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(list_transform(
+             generate_series(1, len(w)),
+             i -> CASE
+                WHEN ((i - 1 + o) % 10) < 3
+                     AND (i = 1 OR ((i - 2 + o) % 10) >= 3)
+                  THEN '<extra_id_' || ((i - 1 + o) // 10) || '>'
+                WHEN ((i - 1 + o) % 10) < 3 THEN ''
+                ELSE w[i] END),
+             s -> s <> ''), ' ') AS input_text,
+           array_to_string(list_filter(list_transform(
+             generate_series(1, len(w)),
+             i -> CASE
+                WHEN ((i - 1 + o) % 10) < 3
+                     AND (i = 1 OR ((i - 2 + o) % 10) >= 3)
+                  THEN '<extra_id_' || ((i - 1 + o) // 10) || '>'
+                       || ' ' || w[i]
+                WHEN ((i - 1 + o) % 10) < 3 THEN w[i]
+                ELSE '' END),
+             s -> s <> ''), ' ') AS target_text,
+           CAST(len(list_filter(generate_series(1, len(w)),
+             i -> ((i - 1 + o) % 10) < 3)) AS BIGINT) AS n_masked
+    FROM toks
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption: replace token spans with sentinel
+    tokens in the input and emit the masked spans (prefixed by their
+    sentinels) as the target — the (input_text, target_text) pair a
+    denoising-objective trainer consumes.
+
+    Spans are DETERMINISTIC, not RNG: a 3-token span opens every 10
+    positions, phase-shifted per document by doc_id % 10 (so the mask
+    pattern varies across documents but replays bit-identically on any
+    engine/partitioning — the q_train_test_split no-RNG discipline;
+    ~30% corruption rate, T5's default neighborhood). Sentinels are
+    numbered by period index, so input and target sentinels align by
+    construction.
+
+    Pure per-row array math (sequence -> transform -> filter -> join):
+    no shuffle at all — a 100 TB corpus corrupts at scan speed and the
+    output inherits the input partitioning. The whole op stays in
+    whole-stage codegen; the oracle runs the identical expressions, so
+    even the string assembly is bitwise-checked.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.col("doc_id") % 10).cast("bigint").alias("o"),
+    )
+    mk = (
+        "array_join(filter(transform(sequence(1, size(w)),"
+        " i -> CASE"
+        "   WHEN ((i - 1 + o) % 10) < 3"
+        "        AND (i = 1 OR ((i - 2 + o) % 10) >= 3)"
+        "     THEN concat('<extra_id_', cast((i - 1 + o) div 10 as string),"
+        "                 '>'{target_head})"
+        "   WHEN ((i - 1 + o) % 10) < 3 THEN {masked}"
+        "   ELSE {unmasked} END),"
+        " s -> s != ''), ' ')"
+    )
+    input_expr = mk.format(
+        target_head="", masked="''", unmasked="element_at(w, i)"
+    )
+    target_expr = mk.format(
+        target_head=", ' ', element_at(w, i)",
+        masked="element_at(w, i)",
+        unmasked="''",
+    )
+    n_masked = (
+        "size(filter(sequence(1, size(w)), i -> ((i - 1 + o) % 10) < 3))"
+    )
+    return base.select(
+        "doc_id",
+        F.expr(input_expr).alias("input_text"),
+        F.expr(target_expr).alias("target_text"),
+        F.expr(n_masked).cast("bigint").alias("n_masked"),
+    )

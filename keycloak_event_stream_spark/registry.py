@@ -91,6 +91,7 @@ _PRIORITY = [
     "q_char_ngram_profile",
     "q_sink_pydatasource_roundtrip",
     # LLM pipeline core (first driver look at these families)
+    "q_span_corruption",
     "q_dedup_exact",
     "q_dedup_near_minhash",
     "q_dedup_simhash",

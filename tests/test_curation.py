@@ -204,3 +204,38 @@ def test_ngram_ops_survive_short_documents(spark, tmp_path):
 
     for q in (q_ngram_novelty, q_bigram_lm, q_char_ngram_profile):
         q(spark, sf).collect()  # must not raise
+
+
+def test_span_corruption_roundtrip(spark):
+    """Substituting each target span back at its sentinel in the input
+    reconstructs the original document — the invariant that makes the
+    (input, target) pair a valid denoising example."""
+    import re
+
+    from keycloak_event_stream_spark.llm.curation import q_span_corruption
+    from keycloak_event_stream_spark.catalog import load_table
+
+    rows = q_span_corruption(spark, SF_DIR).collect()
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    assert rows
+    for r in rows[:50]:
+        # parse target into {sentinel: span tokens}
+        spans = {}
+        cur = None
+        for tok in r.target_text.split(" "):
+            if re.fullmatch(r"<extra_id_\d+>", tok):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r.input_text.split(" "):
+            if re.fullmatch(r"<extra_id_\d+>", tok):
+                rebuilt.extend(spans[tok])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == orig[r.doc_id], r.doc_id
+        assert r.n_masked == sum(len(v) for v in spans.values())
