@@ -954,3 +954,91 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(target_expr).alias("target_text"),
         F.expr(n_masked).cast("bigint").alias("n_masked"),
     )
+
+
+@_q(
+    "q_fim_transform",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), cuts AS (
+      SELECT doc_id, w, n,
+             1 + CAST(('0x' || substr(md5(doc_id || ':a'), 1, 6)) AS BIGINT)
+                 % greatest(n - 1, 1) AS c1span,
+             1 + CAST(('0x' || substr(md5(doc_id || ':b'), 1, 6)) AS BIGINT)
+                 % greatest(n - 1, 1) AS c2span
+      FROM toks
+    ), bounds AS (
+      SELECT doc_id, w, n,
+             least(c1span, c2span) AS lo,
+             greatest(c1span, c2span) AS hi
+      FROM cuts
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_slice(w, 1, lo), ' '), '')
+             AS prefix,
+           COALESCE(array_to_string(list_slice(w, lo + 1, hi), ' '), '')
+             AS middle,
+           COALESCE(array_to_string(list_slice(w, hi + 1, n), ' '), '')
+             AS suffix,
+           '<PRE> '
+             || COALESCE(array_to_string(list_slice(w, 1, lo), ' '), '')
+             || ' <SUF> '
+             || COALESCE(array_to_string(list_slice(w, hi + 1, n), ' '), '')
+             || ' <MID> '
+             || COALESCE(array_to_string(list_slice(w, lo + 1, hi), ' '), '')
+             AS psm_text
+    FROM bounds
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (PSM order): each document splits
+    at two deterministic cut points into prefix/middle/suffix, emitted
+    both as columns and as the sentinel-delimited
+    ``<PRE> prefix <SUF> suffix <MID> middle`` training string — the
+    infilling objective code models train on alongside left-to-right.
+
+    Cut points are md5-derived from doc_id (the no-RNG discipline):
+    uniform over token boundaries, bit-identical on any engine and any
+    partitioning, and distinct salts (':a'/':b') decorrelate the two
+    cuts. Pure per-row array slicing — no shuffle, scan-speed, stays
+    in whole-stage codegen; both engines assemble the identical string
+    so the transform is oracle-checked bitwise.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    cut = (
+        "1 + cast(conv(substr(md5(concat(doc_id, ':{salt}')), 1, 6),"
+        " 16, 10) as bigint) % greatest(n - 1, 1)"
+    )
+    bounds = base.select(
+        "doc_id",
+        "w",
+        "n",
+        F.least(
+            F.expr(cut.format(salt="a")), F.expr(cut.format(salt="b"))
+        ).alias("lo"),
+        F.greatest(
+            F.expr(cut.format(salt="a")), F.expr(cut.format(salt="b"))
+        ).alias("hi"),
+    )
+    part = "array_join(slice(w, {start}, {length}), ' ')"
+    prefix = part.format(start="1", length="lo")
+    middle = part.format(start="lo + 1", length="hi - lo")
+    suffix = part.format(start="hi + 1", length="n - hi")
+    return bounds.select(
+        "doc_id",
+        F.expr(prefix).alias("prefix"),
+        F.expr(middle).alias("middle"),
+        F.expr(suffix).alias("suffix"),
+        F.expr(
+            f"concat('<PRE> ', {prefix}, ' <SUF> ', {suffix},"
+            f" ' <MID> ', {middle})"
+        ).alias("psm_text"),
+    )

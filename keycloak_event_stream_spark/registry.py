@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_sink_pydatasource_roundtrip",
     # LLM pipeline core (first driver look at these families)
     "q_span_corruption",
+    "q_fim_transform",
     "q_dedup_exact",
     "q_dedup_near_minhash",
     "q_dedup_simhash",

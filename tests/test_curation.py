@@ -239,3 +239,21 @@ def test_span_corruption_roundtrip(spark):
                 rebuilt.append(tok)
         assert " ".join(rebuilt) == orig[r.doc_id], r.doc_id
         assert r.n_masked == sum(len(v) for v in spans.values())
+
+
+def test_fim_reconstructs_document(spark):
+    """prefix + middle + suffix must be a partition of the original
+    token sequence."""
+    from keycloak_event_stream_spark.catalog import load_table
+    from keycloak_event_stream_spark.llm.curation import q_fim_transform
+
+    rows = q_fim_transform(spark, SF_DIR).collect()
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    assert rows
+    for r in rows[:50]:
+        parts = [p for p in (r.prefix, r.middle, r.suffix) if p]
+        assert " ".join(parts) == orig[r.doc_id]
+        assert r.psm_text == f"<PRE> {r.prefix} <SUF> {r.suffix} <MID> {r.middle}"
