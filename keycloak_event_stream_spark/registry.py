@@ -70,6 +70,7 @@ _PRIORITY = [
     "s_stream_dedup",
     "s_stream_stream_join",
     "s_quarantine_ingest",
+    "s_upsert_latest",
     # oracle-typing fixes (HUGEINT -> BIGINT)
     "q_tpch_q12",
     "q_recursive_hierarchy",

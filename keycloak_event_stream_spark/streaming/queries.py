@@ -501,3 +501,83 @@ def s_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.user_events().select(
         "id", "eventtype", "realmid", "userid", "time"
     )
+
+
+@_q(
+    "s_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style upsert: maintain the latest row per key
+    (user) as micro-batches arrive — the materialized "current state"
+    table every event-sourced system derives from its append log.
+
+    foreachBatch reduces each batch to its per-user argmax
+    (``max(struct(ts, event_id, value))`` — lexicographic struct max =
+    latest by (ts, event_id), no window needed) and lands it under the
+    batch's own partition with dynamic overwrite — the
+    ``dedup_stream`` replay-idempotency recipe, so at-least-once
+    delivery still yields exactly-once state. The read side folds the
+    per-batch snapshots with the same argmax; a periodic compaction
+    job would fold old partitions the same way (the
+    parquet-without-lakehouse upsert pattern; with Delta/Iceberg the
+    fold becomes MERGE INTO, same semantics).
+
+    Scale: per-batch state is |active keys in batch| rows; the fold is
+    one keyed aggregation. The argmax never sorts anything globally.
+    """
+    import tempfile
+
+    stream = read_stream_events(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="s_upsert_state_")
+
+    latest_struct = F.max(
+        F.struct("ts", "event_id", "value")
+    ).alias("latest")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy("user_id")
+            .agg(latest_struct)
+            .select(
+                "user_id",
+                F.col("latest.ts").alias("ts"),
+                F.col("latest.event_id").alias("event_id"),
+                F.col("latest.value").alias("value"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="s_upsert_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state)
+        .groupBy("user_id")
+        .agg(latest_struct)
+        .select(
+            "user_id",
+            F.col("latest.event_id").alias("last_event_id"),
+            F.col("latest.ts").alias("last_ts"),
+            F.col("latest.value").alias("last_value"),
+        )
+    )

@@ -463,3 +463,82 @@ def test_transform_with_state_processor_logic():
     assert out2["n_distinct_types"].iloc[0] == 2
     assert out2["top_type"].iloc[0] == "view"  # overtaken
     assert out2["last_ts"].iloc[0].hour == 11
+
+
+def test_upsert_latest_takes_newest_across_batches(spark, tmp_path):
+    """Multi-batch upsert: a later batch's row replaces the earlier
+    state for the same key; untouched keys survive."""
+    import os
+    import time as _t
+
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props map<string,string>"
+    )
+
+    def write(n, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={n}"
+        )
+        _t.sleep(1.1)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    write(1, [(1, t0, 7, "click", 1.0, None), (2, t0, 8, "view", 2.0, None)])
+    write(2, [(3, t1, 7, "purchase", 9.0, None)])  # newer row for user 7
+
+    import tempfile
+
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    latest_struct = F.max(F.struct("ts", "event_id", "value")).alias("latest")
+
+    def upsert(batch, batch_id):
+        (
+            batch.groupBy("user_id")
+            .agg(latest_struct)
+            .select(
+                "user_id",
+                F.col("latest.ts").alias("ts"),
+                F.col("latest.event_id").alias("event_id"),
+                F.col("latest.value").alias("value"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {
+        r.user_id: (r.event_id, r.value)
+        for r in spark.read.parquet(state)
+        .groupBy("user_id")
+        .agg(latest_struct)
+        .select(
+            "user_id",
+            F.col("latest.event_id").alias("event_id"),
+            F.col("latest.value").alias("value"),
+        )
+        .collect()
+    }
+    assert final[7] == (3, 9.0)  # batch-2 row won
+    assert final[8] == (2, 2.0)  # untouched key survives
