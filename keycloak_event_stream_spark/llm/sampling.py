@@ -268,3 +268,69 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@_q(
+    "q_length_batching",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+      FROM toks
+    )
+    SELECT CAST(rk // 16 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           1.0 - CAST(sum(n_tokens) AS DOUBLE)
+               / (count(*) * max(n_tokens)) AS padding_frac
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: documents sorted by token
+    count are dealt into fixed-size batches of 16, so each batch holds
+    similar-length sequences and the per-batch padding waste
+    (1 − Σlen / (B·maxlen)) collapses — the dynamic-batching step a
+    training dataloader applies to cut padding FLOPs, planned here as
+    a deterministic table instead of at iteration time.
+
+    The total order (n_tokens, doc_id) is the two-phase
+    range-partitioned row_number (``_scale``) — corpus-scale input,
+    no single-task sort; batch membership is then pure integer
+    arithmetic and the report is one keyed aggregation. The padding
+    fraction is a single exact division per batch.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    ranked = two_phase_window(
+        toks, [F.col("n_tokens"), F.col("doc_id")], row_number="_rn"
+    ).withColumn("rk", F.col("_rn") - 1)
+    return (
+        ranked.groupBy(F.floor(F.col("rk") / 16).alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            (
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * F.col("max_tokens"))
+            ).alias("padding_frac"),
+        )
+        .orderBy("batch_id")
+    )

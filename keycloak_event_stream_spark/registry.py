@@ -94,6 +94,7 @@ _PRIORITY = [
     # LLM pipeline core (first driver look at these families)
     "q_span_corruption",
     "q_fim_transform",
+    "q_length_batching",
     "q_dedup_exact",
     "q_dedup_near_minhash",
     "q_dedup_simhash",
