@@ -1117,3 +1117,136 @@ def q_token_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_q(
+    "q_dataset_card",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM toks
+    ), core AS (
+      SELECT source,
+             CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(min(CASE WHEN rn = (n * 50 + 99) // 100
+                           THEN n_tokens END) AS BIGINT) AS p50_tokens,
+             CAST(min(CASE WHEN rn = (n * 90 + 99) // 100
+                           THEN n_tokens END) AS BIGINT) AS p90_tokens
+      FROM ranked GROUP BY source
+    ), langs AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY source, lang
+    ), lang_sum AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+      FROM langs GROUP BY source
+    ), top_lang AS (
+      SELECT source, lang AS top_lang, cnt AS top_cnt
+      FROM langs
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC, lang DESC) = 1
+    )
+    SELECT c.source, c.n_docs, c.total_tokens,
+           CAST(c.total_tokens AS DOUBLE) / c.n_docs AS mean_tokens,
+           c.p50_tokens, c.p90_tokens,
+           l.n_langs, t.top_lang,
+           CAST(t.top_cnt AS DOUBLE) / c.n_docs AS top_lang_share
+    FROM core c
+    JOIN lang_sum l ON l.source = c.source
+    JOIN top_lang t ON t.source = c.source
+    ORDER BY c.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the datasheet rollup a curation
+    pipeline publishes with each corpus drop — document and token
+    counts, exact nearest-rank p50/p90 lengths, language diversity and
+    the dominant language's share.
+
+    The within-source length rank is the two-phase range-partitioned
+    row_number with ``partition_by`` (a handful of skewed sources would
+    otherwise pin the corpus to |sources| tasks); percentiles are
+    nearest-rank order statistics via integer arithmetic (the
+    q_winsorize discipline — no interpolation, engine-exact). Language
+    dominance is a (source x lang) cell aggregate with a deterministic
+    (count DESC, lang DESC) tiebreak. Everything reduces to |sources|
+    rows; the two ratio columns are single exact divisions.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    ranked = two_phase_window(
+        toks.select("doc_id", "source", "n_tokens"),
+        [F.col("n_tokens"), F.col("doc_id")],
+        partition_by=["source"],
+        row_number="rn",
+    )
+    counts = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = ranked.join(F.broadcast(counts), "source")
+    p50_rank = ((F.col("n") * 50 + 99) / 100).cast("bigint")
+    p90_rank = ((F.col("n") * 90 + 99) / 100).cast("bigint")
+    core = ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(F.when(F.col("rn") == p50_rank, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("p50_tokens"),
+        F.min(F.when(F.col("rn") == p90_rank, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("p90_tokens"),
+    )
+    langs = toks.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    lang_sum = langs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs")
+    )
+    top_lang = (
+        langs.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.desc("cnt"), F.desc("lang")
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    return (
+        core.join(F.broadcast(lang_sum), "source")
+        .join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs")
+            ).alias("mean_tokens"),
+            "p50_tokens",
+            "p90_tokens",
+            "n_langs",
+            "top_lang",
+            (F.col("top_cnt").cast("double") / F.col("n_docs")).alias(
+                "top_lang_share"
+            ),
+        )
+        .orderBy("source")
+    )
