@@ -145,7 +145,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
-    starts = F.sequence(F.lit(0), F.size(words) - F.lit(_DECON_N))
+    # short-doc guard: sequence(0, n - N) runs DESCENDING for n < N in
+    # Spark (slice start 0 then throws), while DuckDB's generate_series
+    # yields [] — a sub-N-token doc must contribute zero grams
+    starts = F.when(
+        F.size(words) >= _DECON_N,
+        F.sequence(F.lit(0), F.size(words) - F.lit(_DECON_N)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     grams = d.select(
         "doc_id",
         "source",

@@ -202,7 +202,14 @@ def test_ngram_ops_survive_short_documents(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.parquet(os.path.join(sf, "documents.parquet"))
 
-    for q in (q_ngram_novelty, q_bigram_lm, q_char_ngram_profile):
+    from keycloak_event_stream_spark.llm.curation import q_decontaminate
+
+    for q in (
+        q_ngram_novelty,
+        q_bigram_lm,
+        q_char_ngram_profile,
+        q_decontaminate,
+    ):
         q(spark, sf).collect()  # must not raise
 
 
