@@ -1048,3 +1048,106 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ' <MID> ', {middle})"
         ).alias("psm_text"),
     )
+
+
+@_q(
+    "q_source_overlap",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+               generate_series(0, CAST(len(string_split(text, ' '))
+                                       AS INTEGER) - {_DECON_N}),
+               i -> array_to_string(
+                 list_slice(string_split(text, ' '), i + 1, i + {_DECON_N}),
+                 ' '))) AS gram
+      FROM documents
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared_grams,
+           sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+           CAST(p.shared_grams AS DOUBLE)
+             / (sa.n_grams + sb.n_grams - p.shared_grams) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: pairwise 8-gram overlap and
+    Jaccard between every source pair — the generalization of
+    q_decontaminate from "train vs one eval set" to the full
+    source-by-source audit a corpus report publishes (which crawls
+    duplicate each other, whether a vendor drop is a re-crawl).
+
+    Shape: per-row shingling (short-doc-guarded) -> per-source
+    distinct gram sets -> self-equi-join keyed on the gram -> pair
+    counts. The join is gram-keyed, so a gram shared by s sources
+    contributes s·(s-1)/2 pair rows — bounded by |sources|² per gram,
+    and the output is |sources|² rows. At 100 TB you'd pre-hash grams
+    to 16 bytes (the dedup discipline) — the shuffle then carries
+    hashes, not text.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    starts = F.when(
+        F.size(words) >= _DECON_N,
+        F.sequence(F.lit(0), F.size(words) - F.lit(_DECON_N)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(
+                    F.slice(words, i + 1, _DECON_N), " "
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = grams.select(F.col("source").alias("src_a"), "gram")
+    b = grams.select(F.col("source").alias("src_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("shared_grams").cast("double")
+                / (
+                    F.col("n_grams_a")
+                    + F.col("n_grams_b")
+                    - F.col("shared_grams")
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

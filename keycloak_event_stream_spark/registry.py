@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_fim_transform",
     "q_length_batching",
     "q_dataset_card",
+    "q_source_overlap",
     "q_dedup_exact",
     "q_dedup_near_minhash",
     "q_dedup_simhash",
