@@ -1120,7 +1120,7 @@ def q_token_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q_dataset_card",
+    "q_source_card",
     oracle="""
     WITH toks AS (
       SELECT doc_id, source, lang,
@@ -1164,7 +1164,7 @@ def q_token_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c.source
     """,
 )
-def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card: the datasheet rollup a curation
     pipeline publishes with each corpus drop — document and token
     counts, exact nearest-rank p50/p90 lengths, language diversity and

@@ -95,7 +95,7 @@ _PRIORITY = [
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
-    "q_dataset_card",
+    "q_source_card",
     "q_source_overlap",
     "q_dedup_exact",
     "q_dedup_near_minhash",

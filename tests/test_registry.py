@@ -74,3 +74,24 @@ def test_priority_queries_register_first():
     names = list(queries)
     assert names[: len(_PRIORITY)] == _PRIORITY
     assert not set(_PRIORITY) - set(queries)
+
+
+def test_no_duplicate_query_names_within_a_module():
+    """registry.collect() raises on cross-module duplicates, but a
+    name registered twice in the SAME module silently overwrites the
+    first (dict assignment) — which is how a round-2 addition once
+    clobbered an existing operator. Scan the decorator sites."""
+    import glob
+    import os
+    import re
+    from collections import Counter
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "keycloak_event_stream_spark",
+    )
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        names = re.findall(r'@_q\(\s*\n?\s*"([^"]+)"', src)
+        dups = [n for n, c in Counter(names).items() if c > 1]
+        assert not dups, f"{path}: duplicate @_q registrations {dups}"
