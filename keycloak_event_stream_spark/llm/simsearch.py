@@ -410,3 +410,139 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@_q(
+    "q_ndcg_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {_duck_bucket('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+          FROM b WHERE vec_id < {_N_QUERIES}),
+    exact AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {duck_cosine('q.qv', 'e.v')} DESC, e.vec_id)
+                 AS rn
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+      WHERE rn <= {_TOP_K}
+    ),
+    retrieved AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q.q_id, b.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {duck_cosine('q.qv', 'b.v')} DESC, b.vec_id)
+                 AS rn
+        FROM q JOIN b ON b.bucket = q.q_bucket
+        WHERE b.vec_id <> q.q_id)
+      WHERE rn <= {_TOP_K}
+    ),
+    gain AS (
+      SELECT r.q_id,
+             round(CAST(COALESCE({_TOP_K} - x.rn + 1, 0) AS DOUBLE)
+                   / log2(CAST(r.rn + 1 AS DOUBLE)), 6) AS g
+      FROM retrieved r
+      LEFT JOIN exact x ON x.q_id = r.q_id AND x.vec_id = r.vec_id
+    ),
+    dcg AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(CAST(g AS DECIMAL(27,6))) AS DOUBLE) AS dcg
+      FROM gain GROUP BY q_id
+    ),
+    ideal AS (
+      SELECT CAST(sum(CAST(round(
+               CAST({_TOP_K} - i + 1 AS DOUBLE)
+               / log2(CAST(i + 1 AS DOUBLE)), 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS idcg
+      FROM (SELECT unnest(generate_series(1, {_TOP_K})) AS i)
+    )
+    SELECT d.q_id, d.n_retrieved, d.dcg, ideal.idcg,
+           d.dcg / ideal.idcg AS ndcg
+    FROM dcg d CROSS JOIN ideal
+    ORDER BY d.q_id
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the LSH retriever against the exact cosine ranking —
+    the graded-relevance companion to q_ann_recall (which only counts
+    hits): an exact neighbor found at retrieved rank 1 is worth more
+    than the same neighbor surfaced at rank 10. Relevance of a
+    retrieved item = (k − exact_rank + 1) if it is in the exact top-k,
+    else 0; DCG discounts by log2(rank + 1); IDCG is the perfect-
+    ranking constant, computed *inside each engine* with the same 6-dp
+    rounding so the division is bitwise-portable.
+
+    Determinism: integer relevance grades; each DCG term rounded to
+    6 dp then summed as DECIMAL(27,6) (order-independent), one final
+    double division. Scale: exact ranking is the broadcast-query
+    map-side scan of q_sim_search; the retrieved side touches only the
+    query's bucket; everything downstream is |queries|·k rows."""
+    e = _emb(spark, sf_dir)
+    b = e.withColumn("bucket", F.expr(_spark_bucket("v")))
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q.select("q_id", "qv")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("x_vec"), F.col("rn").alias("x_rn"))
+    )
+    retrieved = (
+        b.join(F.broadcast(q), b.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    gain = retrieved.join(
+        exact,
+        (retrieved.q_id == exact.q_id) & (retrieved.vec_id == exact.x_vec),
+        "left",
+    ).select(
+        retrieved.q_id.alias("q_id"),
+        F.round(
+            F.coalesce(F.lit(_TOP_K) - F.col("x_rn") + 1, F.lit(0)).cast(
+                "double"
+            )
+            / F.log2(F.col("rn").cast("double") + F.lit(1.0)),
+            6,
+        ).alias("g"),
+    )
+    dcg = gain.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+        F.sum(F.col("g").cast("decimal(27,6)")).cast("double").alias("dcg"),
+    )
+    ideal = (
+        spark.range(1, _TOP_K + 1)
+        .select(
+            F.round(
+                (F.lit(_TOP_K) - F.col("id") + 1).cast("double")
+                / F.log2(F.col("id").cast("double") + F.lit(1.0)),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            "q_id",
+            "n_retrieved",
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

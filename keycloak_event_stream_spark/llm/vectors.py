@@ -486,3 +486,129 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") - 1
     )
     return m.select("i", "j", "n", cov.alias("cov")).orderBy("i", "j")
+
+
+# --- Johnson–Lindenstrauss sign random projection ---------------------
+
+_RP_K = 8  # projected dimensionality
+_RP_DIM = 64
+
+
+def _rp_signs(j: int) -> list[float]:
+    """Deterministic ±1 projection row j: sign of dim d derived from
+    md5(f"rp:{j}:{d}") — the no-RNG discipline of simsearch's
+    hyperplanes, distinct seed prefix so the two fixtures differ."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+        for d in range(_RP_DIM)
+    ]
+
+
+def _spark_project(vcol: str) -> str:
+    rows = []
+    for j in range(_RP_K):
+        arr = ", ".join(f"CAST({s} AS DOUBLE)" for s in _rp_signs(j))
+        dot = (
+            f"aggregate(zip_with({vcol}, array({arr}), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        rows.append(f"{dot} / sqrt(CAST({_RP_K} AS DOUBLE))")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _duck_project(vcol: str) -> str:
+    rows = []
+    for j in range(_RP_K):
+        arr = ", ".join(str(s) for s in _rp_signs(j))
+        rows.append(
+            f"list_dot_product({vcol}, [{arr}])"
+            f" / sqrt(CAST({_RP_K} AS DOUBLE))"
+        )
+    return "[" + ", ".join(rows) + "]"
+
+
+def _duck_d2(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {dim + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+_SPARK_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@_q(
+    "q_random_projection",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id <= 40
+    ),
+    p AS (
+      SELECT vec_id, v, {_duck_project('v')} AS pv FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_duck_d2('a.v', 'b.v', _RP_DIM)} AS d2_orig,
+           {_duck_d2('a.pv', 'b.pv', _RP_K)} AS d2_proj,
+           {_duck_d2('a.pv', 'b.pv', _RP_K)}
+             / {_duck_d2('a.v', 'b.v', _RP_DIM)} AS ratio
+    FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 40
+    ORDER BY a.vec_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: 64-dim embeddings
+    down to 8 dims via a fixed ±1/√k matrix (md5-derived, no
+    RNG), with the distortion audit a pipeline runs before trusting the
+    reduced space — squared distances of 40 consecutive-id probe pairs
+    in the original vs projected space and their ratio (JL: ratios
+    concentrate near 1 as k grows).
+
+    The projection itself is the 100 TB point: a per-row JVM expression
+    (8 sequential dot-product folds) at scan speed, zero shuffle —
+    dimensionality reduction *before* ANN indexing cuts every
+    downstream distance computation 8×. The probe-pair audit joins two
+    41-row filtered scans (broadcast). All folds are order-pinned
+    sequential (`aggregate`/`list_reduce`), so both engines agree
+    bitwise; √ and ÷ are IEEE correctly-rounded."""
+    e = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") <= 40)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    p = e.withColumn("pv", F.expr(_spark_project("v")))
+    a = p.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("pv").alias("pa"),
+    ).filter(F.col("vec_a") < 40)
+    b = p.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("pv").alias("pb"),
+    )
+    d2o = F.expr(_SPARK_D2.format(a="va", b="vb"))
+    d2p = F.expr(_SPARK_D2.format(a="pa", b="pb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            d2o.alias("d2_orig"),
+            d2p.alias("d2_proj"),
+            (d2p / d2o).alias("ratio"),
+        )
+        .orderBy("vec_a")
+    )

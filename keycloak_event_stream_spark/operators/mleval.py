@@ -623,3 +623,88 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@_q(
+    "q_cohen_kappa",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS actual, {_PRED_SQL} AS predicted FROM documents
+    ), cells AS (
+      SELECT actual, predicted, CAST(count(*) AS BIGINT) AS c
+      FROM scored GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN actual = predicted THEN c ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM cells
+    ), rowt AS (
+      SELECT actual AS cls, CAST(sum(c) AS BIGINT) AS rt
+      FROM cells GROUP BY 1
+    ), colt AS (
+      SELECT predicted AS cls, CAST(sum(c) AS BIGINT) AS ct
+      FROM cells GROUP BY 1
+    ), chance AS (
+      SELECT CAST(sum(COALESCE(r.rt, 0) * COALESCE(co.ct, 0)) AS BIGINT)
+               AS pe_num
+      FROM rowt r FULL OUTER JOIN colt co ON co.cls = r.cls
+    )
+    SELECT t.n, t.agree, ch.pe_num,
+           CAST(t.n * t.agree - ch.pe_num AS DOUBLE)
+             / (t.n * t.n - ch.pe_num) AS kappa
+    FROM tot t CROSS JOIN chance ch
+    """,
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between the lang-id
+    heuristic and the ground-truth label — the standard inter-annotator
+    statistic a labeling pipeline reports next to raw accuracy
+    (SURVEY.md §2.2: model-eval north star; the reference computes no
+    eval statistics).
+
+    Determinism: kappa = (n·agree − Σ_c row_c·col_c) /
+    (n² − Σ_c row_c·col_c) — every term an exact integer, one final
+    division. Scale: the corpus reduces to |classes|² confusion cells
+    in one shuffle; all marginal arithmetic runs on that tiny table."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cells = (
+        d.select(
+            F.col("lang").alias("actual"), _predicted_col().alias("predicted")
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = cells.persist()
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rowt = cells.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("rt")
+    )
+    colt = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    chance = (
+        rowt.join(colt, "cls", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("rt"), F.lit(0))
+                * F.coalesce(F.col("ct"), F.lit(0))
+            ).alias("p")
+        )
+        .agg(F.sum("p").cast("bigint").alias("pe_num"))
+    )
+    n, agree, pe = F.col("n"), F.col("agree"), F.col("pe_num")
+    return tot.crossJoin(chance).select(
+        "n",
+        "agree",
+        "pe_num",
+        ((n * agree - pe).cast("double") / (n * n - pe)).alias("kappa"),
+    )

@@ -47,6 +47,7 @@ _MODULES = [
     "keycloak_event_stream_spark.llm.sampling",
     "keycloak_event_stream_spark.llm.curation",
     "keycloak_event_stream_spark.llm.vectors",
+    "keycloak_event_stream_spark.llm.tokenizer",
 ]
 
 
@@ -92,6 +93,10 @@ _PRIORITY = [
     "q_char_ngram_profile",
     "q_sink_pydatasource_roundtrip",
     # LLM pipeline core (first driver look at these families)
+    "q_bpe_pair_stats",
+    "q_ndcg_eval",
+    "q_cohen_kappa",
+    "q_random_projection",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
