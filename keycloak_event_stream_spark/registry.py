@@ -72,6 +72,7 @@ _PRIORITY = [
     "s_stream_stream_join",
     "s_quarantine_ingest",
     "s_upsert_latest",
+    "s_stateful_profile",
     # oracle-typing fixes (HUGEINT -> BIGINT)
     "q_tpch_q12",
     "q_recursive_hierarchy",

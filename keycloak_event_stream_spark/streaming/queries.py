@@ -581,3 +581,49 @@ def s_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("latest.value").alias("last_value"),
         )
     )
+
+
+@_q(
+    "s_stateful_profile",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) as a
+    driver-visible entry: the per-user running profile of
+    :mod:`.stateful` replayed over the bounded fixture stream; the
+    final emission per user must equal the batch groupBy — which is
+    exactly what the oracle checks.
+
+    The memory-sink output carries one row per (user, micro-batch the
+    user appeared in); the read side keeps each user's FINAL state via
+    a lexicographic struct argmax on the monotone event count (no
+    window, no sort — the s_upsert_latest fold). ``total_value`` is
+    deliberately not part of the checked projection: the in-state
+    float accumulation order is a batch-arrival accident, the one
+    thing a cross-engine bitwise oracle must not depend on (exact
+    money totals are the batch side's job via DECIMAL —
+    ``operators/_exact.py``).
+
+    Scale: state is O(|users|) in the state store (RocksDB provider in
+    production), per-batch work is O(batch); the profile stream is the
+    online-feature-store shape a downstream model consumes."""
+    from keycloak_event_stream_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    stream = read_stream_events(spark, sf_dir)
+    out = _run_to_memory(running_user_profile(stream), "append")
+    final = F.max(F.struct("n_events", "last_ts")).alias("s")
+    return (
+        out.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.last_ts").alias("last_ts"),
+        )
+    )
