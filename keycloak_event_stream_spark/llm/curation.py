@@ -512,19 +512,23 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     grams = (
-        d.select(
+        # split ONCE into a materialized column: repeating split(...)
+        # inside the transform lambda re-tokenizes the document per
+        # gram index (O(len²) per row — measured 7× on the bench)
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
             "doc_id",
             F.explode(
                 # short-doc guard: sequence(1, 0) is a DESCENDING
                 # [1, 0] in Spark and element_at(w, 0) throws — a doc
                 # with < 3 tokens must yield zero grams, not an error
                 F.expr(
-                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                    " transform(sequence(1, size(split(text, ' ')) - 2),"
+                    "CASE WHEN size(w) >= 3 THEN"
+                    " transform(sequence(1, size(w) - 2),"
                     " i -> concat_ws(' ',"
-                    "   element_at(split(text, ' '), i),"
-                    "   element_at(split(text, ' '), i + 1),"
-                    "   element_at(split(text, ' '), i + 2)))"
+                    "   element_at(w, i),"
+                    "   element_at(w, i + 1),"
+                    "   element_at(w, i + 2)))"
                     " ELSE array() END"
                 )
             ).alias("g"),

@@ -194,3 +194,99 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return expanded.orderBy("iter")
+
+
+@_q(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE length(w) >= 1
+      GROUP BY w
+    ),
+    p1 AS ({_duck_pairs('vocab')}),
+    t1 AS ({_duck_top('p1')}),
+    v2 AS (
+      SELECT replace(w, (SELECT l || r FROM t1), '{_S1}') AS w, n
+      FROM vocab
+    ),
+    p2 AS ({_duck_pairs('v2')}),
+    t2 AS ({_duck_top('p2')}),
+    enc AS (
+      SELECT w AS w0,
+             replace(replace(w, (SELECT l || r FROM t1), '{_S1}'),
+                     (SELECT l || r FROM t2), '{_S2}') AS w2
+      FROM (SELECT DISTINCT w FROM vocab)
+    ),
+    doc_words AS (
+      SELECT source, doc_id, w FROM (
+        SELECT source, doc_id,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE length(w) >= 1
+    )
+    SELECT dw.source,
+           CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(length(e.w0)) AS BIGINT) AS tokens_char,
+           CAST(sum(length(e.w2)) AS BIGINT) AS tokens_bpe,
+           CAST(sum(length(e.w0)) AS DOUBLE)
+             / sum(length(e.w2)) AS compression
+    FROM doc_words dw JOIN enc e ON e.w0 = dw.w
+    GROUP BY dw.source
+    ORDER BY dw.source
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the first two discovered BPE merges corpus-wide and report
+    per-source token compression — the fertility audit run after every
+    tokenizer-training round (chars-per-token before vs after merges,
+    by source, so a mix rebalance can see which sources tokenize
+    poorly).
+
+    Scale shape: the encode map is computed ONCE on the |vocab|
+    distinct words and broadcast-joined back to the exploded corpus —
+    per-document work is a dictionary hit, not a re-encode; the merge
+    scalars flow in as 1-row broadcasts exactly as in
+    q_bpe_pair_stats. Token counts are exact integers; the compression
+    ratio is one final double division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    doc_words = d.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    vocab = doc_words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    vocab = vocab.persist()
+    t1 = _spark_top(_spark_pairs(vocab))
+    v2 = vocab.crossJoin(
+        F.broadcast(t1.select(F.concat("l", "r").alias("m1")))
+    ).select(F.replace(F.col("w"), F.col("m1"), F.lit(_S1)).alias("w"), "n")
+    t2 = _spark_top(_spark_pairs(v2))
+    enc = (
+        vocab.select("w")
+        .crossJoin(F.broadcast(t1.select(F.concat("l", "r").alias("m1"))))
+        .crossJoin(F.broadcast(t2.select(F.concat("l", "r").alias("m2"))))
+        .select(
+            F.col("w").alias("w0"),
+            F.replace(
+                F.replace(F.col("w"), F.col("m1"), F.lit(_S1)),
+                F.col("m2"),
+                F.lit(_S2),
+            ).alias("w2"),
+        )
+    )
+    joined = doc_words.join(enc, doc_words.w == enc.w0)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(F.length("w0")).cast("bigint").alias("tokens_char"),
+            F.sum(F.length("w2")).cast("bigint").alias("tokens_bpe"),
+            (
+                F.sum(F.length("w0")).cast("double")
+                / F.sum(F.length("w2"))
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )

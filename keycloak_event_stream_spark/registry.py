@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_sink_pydatasource_roundtrip",
     # LLM pipeline core (first driver look at these families)
     "q_bpe_pair_stats",
+    "q_bpe_encode",
     "q_ndcg_eval",
     "q_cohen_kappa",
     "q_random_projection",

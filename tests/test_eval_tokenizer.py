@@ -117,3 +117,17 @@ def test_bpe_pair_stats_matches_first_principles(spark):
     expect = _bpe_merges_python(texts)
     got = [(r["left_sym"], r["right_sym"], r["cnt"]) for r in rows]
     assert got == expect
+
+
+def test_bpe_encode_compression_invariants(spark):
+    from keycloak_event_stream_spark.llm.tokenizer import q_bpe_encode
+
+    rows = q_bpe_encode(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # merges can only shorten the symbol sequence
+        assert r["tokens_bpe"] <= r["tokens_char"]
+        assert r["compression"] >= 1.0
+        assert math.isclose(
+            r["compression"], r["tokens_char"] / r["tokens_bpe"], rel_tol=1e-12
+        )
