@@ -789,3 +789,109 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "bow_fp")
         .limit(100)
     )
+
+
+_SEG = 10  # tokens per dedup segment
+
+
+@_q(
+    "q_dedup_segments",
+    oracle=f"""
+    WITH segs AS (
+      SELECT source, doc_id, seg_idx,
+             md5(array_to_string(
+               COALESCE(list_slice(w, seg_idx * {_SEG} + 1,
+                                   seg_idx * {_SEG} + {_SEG}), []),
+               ' ')) AS h,
+             CAST(len(COALESCE(list_slice(w, seg_idx * {_SEG} + 1,
+                                          seg_idx * {_SEG} + {_SEG}), []))
+                  AS BIGINT) AS n_tok
+      FROM (
+        SELECT source, doc_id, string_split(text, ' ') AS w,
+               unnest(generate_series(
+                 0, (len(string_split(text, ' ')) - 1) // {_SEG}))
+                 AS seg_idx
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 1
+      )
+    ), ranked AS (
+      SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+             / sum(n_tok) AS dup_token_rate
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level dedup (the RefinedWeb/C4
+    repeated-span removal, at fixed 10-token segment granularity):
+    every document is cut into non-overlapping 10-token segments; a
+    segment occurrence is dropped when an identical segment already
+    occurred earlier in corpus order (first occurrence by (doc_id,
+    position) survives). Reported per source: segment and token drop
+    rates — the corpus-shrinkage readout that decides whether span
+    dedup is worth running before training.
+
+    Complements q_dedup_exact (whole doc), the MinHash family (whole
+    doc, approximate) and q_doc_repetition (WITHIN-doc repetition):
+    this one catches boilerplate shared ACROSS documents that
+    whole-document dedup can never see.
+
+    Scale: the shuffle is keyed by the 16-byte md5 of the segment —
+    text never moves; survivor choice is a window partitioned by that
+    hash (|occurrences of one segment| per partition, never global);
+    the rollup is |sources| rows. One scan, two shuffles."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 1)
+    segs = toks.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, (size(w) - 1) div {_SEG})")
+        ).alias("seg_idx"),
+        "w",
+    ).select(
+        "source",
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("w", F.col("seg_idx") * _SEG + 1, _SEG)
+            )
+        ).alias("h"),
+        F.size(
+            F.slice("w", F.col("seg_idx") * _SEG + 1, _SEG)
+        ).cast("bigint").alias("n_tok"),
+    )
+    win = W.partitionBy("h").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(win))
+    dropped = F.when(F.col("rn") > 1, 1).otherwise(0)
+    kept_tok = F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(F.lit(0))
+    drop_tok = F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(F.lit(0))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(kept_tok).cast("bigint").alias("tokens_kept"),
+            (
+                F.sum(drop_tok).cast("double") / F.sum("n_tok")
+            ).alias("dup_token_rate"),
+        )
+        .orderBy("source")
+    )
