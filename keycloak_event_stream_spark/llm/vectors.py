@@ -612,3 +612,188 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# --- PCA: top principal component by power iteration ------------------
+
+_PCA_D = 8  # dims (same compact slice as q_embed_covariance)
+_PCA_ITERS = 24
+
+
+@_q(
+    "q_embed_pca_power",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cells AS (
+      SELECT p.i, q.j, v.v[p.i] AS xi, v.v[q.j] AS xj
+      FROM v,
+           LATERAL (SELECT unnest(generate_series(1, {_PCA_D})) AS i) p,
+           LATERAL (SELECT unnest(generate_series(1, {_PCA_D})) AS j) q
+    ), m AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(xi, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(round(xj, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(round(xi * xj, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE) AS sxy
+      FROM cells GROUP BY i, j
+    ), covfull AS (
+      SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov FROM m
+    ), mat AS (
+      SELECT list(arr ORDER BY i) AS mm FROM (
+        SELECT i, list(cov ORDER BY j) AS arr
+        FROM covfull GROUP BY i)
+    ),
+    it AS (
+      SELECT 0 AS k,
+             list_transform(range(1, {_PCA_D} + 1),
+               ii -> 1.0 / sqrt(CAST({_PCA_D} AS DOUBLE))) AS vv
+      UNION ALL
+      SELECT it.k + 1,
+             list_transform(mat.mm, r -> list_dot_product(r, it.vv))
+      FROM it, mat WHERE it.k < {_PCA_ITERS}
+    ), unit AS (
+      SELECT list_transform(vv,
+               x -> x / sqrt(list_dot_product(vv, vv))) AS vv
+      FROM it WHERE k = {_PCA_ITERS}
+    ), fin AS (
+      SELECT CASE WHEN vv[1] < 0
+                  THEN list_transform(vv, x -> -x) ELSE vv END AS vv
+      FROM unit
+    ), ray AS (
+      SELECT fin.vv,
+             list_dot_product(fin.vv,
+               list_transform(mat.mm,
+                 r2 -> list_dot_product(r2, fin.vv))) AS lam
+      FROM fin, mat
+    )
+    SELECT CAST(d.i AS INTEGER) AS dim, ray.vv[d.i] AS loading,
+           ray.lam AS eigenvalue
+    FROM ray, LATERAL (
+      SELECT unnest(generate_series(1, {_PCA_D})) AS i) d
+    ORDER BY dim
+    """,
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by power
+    iteration, entirely in-engine: the PCA step a pipeline runs before
+    whitening / dimensionality triage, expressed so the only
+    corpus-sized work is the covariance reduction (one shuffle to dim²
+    cells — q_embed_covariance's tall-skinny shape); the 24 power
+    iterations then run as pure column expressions over a single
+    8x8-matrix row — no loop over the data, no driver-side linear
+    algebra.
+
+    Normalization is deferred to the END (one unit-scaling after the
+    last mat-vec product): mathematically the same direction, and it
+    keeps each iteration's expression tree linear in the iteration
+    count — per-iteration norms would add a second in-lambda
+    reference per round. The iterate's norm decays like lam^k
+    (~1e-43 at k=24), far inside double range.
+
+    Determinism: covariance cells come from 6-dp DECIMAL sums; every
+    iteration is a sequential dot-product fold; sqrt/divide are IEEE
+    correctly-rounded — so Spark and DuckDB's recursive CTE produce
+    the same vector bitwise. Sign is fixed by convention (first
+    loading >= 0); the eigenvalue is the Rayleigh quotient of the
+    final unit vector."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v = e.select(F.col("embedding").cast("array<double>").alias("v"))
+    cells = v.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {_PCA_D}), i ->"
+                f" transform(sequence(1, {_PCA_D}), j ->"
+                " struct(i AS i, j AS j,"
+                " element_at(v, i) AS xi, element_at(v, j) AS xj))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.xi", "c.xj")
+    d6 = lambda col: F.sum(
+        F.round(col, 6).cast("decimal(27,6)")
+    ).cast("double")
+    m = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d6(F.col("xi")).alias("sx"),
+        d6(F.col("xj")).alias("sy"),
+        d6(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    rows = m.select("i", "j", cov.alias("cov"))
+    # 8x8 matrix as ONE row: array of row arrays, both levels
+    # index-sorted (statically bounded collects — dim², not data)
+    mat = (
+        rows.groupBy("i")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, cov))),"
+                " s -> s.cov)"
+            ).alias("arr")
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, arr))),"
+                " s -> s.arr)"
+            ).alias("mm")
+        )
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    it = mat.withColumn(
+        "vv",
+        F.expr(
+            f"transform(sequence(1, {_PCA_D}),"
+            f" ii -> 1.0 / sqrt(CAST({_PCA_D} AS DOUBLE)))"
+        ),
+    )
+    for _ in range(_PCA_ITERS):
+        it = it.withColumn(
+            "vv", F.expr(f"transform(mm, r -> {dot.format(a='r', b='vv')})")
+        )
+        # materialization barrier: a column referenced inside a
+        # higher-order-function lambda is re-evaluated per array
+        # element (Spark does no CSE into lambdas), so chaining
+        # iterations symbolically costs 8^k evaluations. The
+        # checkpointed plan is ONE row; the corpus-sized covariance
+        # job still runs exactly once, before the first barrier.
+        it = it.localCheckpoint(eager=False)
+    fin = (
+        it.withColumn(
+            "vv",
+            F.expr(
+                f"transform(vv, x -> x / sqrt({dot.format(a='vv', b='vv')}))"
+            ),
+        )
+        .withColumn(
+            "vv",
+            F.expr(
+                "CASE WHEN element_at(vv, 1) < 0"
+                " THEN transform(vv, x -> -x) ELSE vv END"
+            ),
+        )
+        .withColumn(
+            "lam",
+            F.expr(
+                "aggregate(zip_with(vv,"
+                f" transform(mm, r2 -> {dot.format(a='r2', b='vv')}),"
+                " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+                " (acc, t) -> acc + t)"
+            ),
+        )
+    )
+    return (
+        fin.select(F.posexplode("vv").alias("p", "loading"), "lam")
+        .select(
+            (F.col("p") + 1).cast("int").alias("dim"),
+            "loading",
+            F.col("lam").alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

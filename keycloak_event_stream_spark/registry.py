@@ -99,6 +99,7 @@ _PRIORITY = [
     "q_ndcg_eval",
     "q_cohen_kappa",
     "q_random_projection",
+    "q_embed_pca_power",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",

@@ -69,3 +69,35 @@ def test_pq_codes_shape_and_self_encoding(spark):
     own = {r.vec_id: r.pq_codes for r in rows if r.vec_id < 16}
     for vid, codes in own.items():
         assert codes == [vid] * 8
+
+
+def test_pca_power_eigenpair_quality(spark):
+    import math
+
+    from keycloak_event_stream_spark.llm.vectors import (
+        _PCA_D,
+        q_embed_pca_power,
+        q_embed_covariance,
+    )
+
+    rows = q_embed_pca_power(spark, SF_DIR).collect()
+    assert [r["dim"] for r in rows] == list(range(1, _PCA_D + 1))
+    v = [r["loading"] for r in rows]
+    lam = rows[0]["eigenvalue"]
+    assert len({r["eigenvalue"] for r in rows}) == 1
+    # unit norm and sign convention
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12
+    assert v[0] >= 0
+    # eigenpair residual: ||Cv - lam*v|| small relative to lam
+    cells = {
+        (r["i"], r["j"]): r["cov"]
+        for r in q_embed_covariance(spark, SF_DIR).collect()
+    }
+    C = [
+        [cells[(min(i, j), max(i, j))] for j in range(1, _PCA_D + 1)]
+        for i in range(1, _PCA_D + 1)
+    ]
+    Cv = [sum(C[i][j] * v[j] for j in range(_PCA_D)) for i in range(_PCA_D)]
+    resid = math.sqrt(sum((Cv[i] - lam * v[i]) ** 2 for i in range(_PCA_D)))
+    assert lam > 0
+    assert resid < 0.05 * lam
