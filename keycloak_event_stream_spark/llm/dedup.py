@@ -895,3 +895,81 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CONTAIN_MIN = 0.5
+
+
+@_q(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+            FROM documents)
+      WHERE len(w) >= {_SHINGLE}
+    )
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, a.lang,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             AS n_common,
+           CAST(len(a.shingles) AS BIGINT) AS n_small,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(a.shingles) AS containment
+    FROM docs a
+    JOIN docs b ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(a.shingles) >= {_CONTAIN_MIN}
+    ORDER BY doc_small, doc_big
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (Broder's asymmetric companion to
+    resemblance/Jaccard): |S(A) ∩ S(B)| / |S(A)| — high when A is a
+    (near-)subset of B even if B is much larger, the case symmetric
+    Jaccard systematically misses (a paragraph quoted inside a long
+    document scores ~0 Jaccard but ~1 containment). This is the
+    operator that catches quote-and-expand duplication and
+    snippet-farm pages in a pretraining corpus.
+
+    Same blocked self-join discipline as q_dedup_ngram_jaccard: the
+    n² stays within (lang, source) blocks; at larger scale the same
+    MinHash-LSH candidate generation (band_keys) bounds the pair set,
+    and containment is then confirmed exactly on candidates only.
+    Counts are exact integers; one final double division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(_SPARK_SHINGLES).alias("shingles"),
+        )
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    n_common = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    containment = n_common.cast("double") / F.size(F.col("a.shingles"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+            F.col("a.lang").alias("lang"),
+            n_common.cast("bigint").alias("n_common"),
+            F.size(F.col("a.shingles")).cast("bigint").alias("n_small"),
+            "containment",
+        )
+        .orderBy("doc_small", "doc_big")
+    )

@@ -107,6 +107,7 @@ _PRIORITY = [
     "q_source_overlap",
     "q_dedup_exact",
     "q_dedup_segments",
+    "q_dedup_containment",
     "q_dedup_near_minhash",
     "q_dedup_simhash",
     "q_dedup_embed_cosine",
