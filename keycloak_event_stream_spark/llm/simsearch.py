@@ -546,3 +546,60 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+_N_HARD = 5
+
+
+@_q(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             {duck_cosine('q.qv', 'e.v')} AS cosine
+      FROM q CROSS JOIN e
+      WHERE e.label <> q.q_label
+    )
+    SELECT q_id, vec_id, label, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_N_HARD}
+    ORDER BY q_id, rank
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the {5} most cosine-similar vectors with a DIFFERENT
+    label — the near-miss examples that make a contrastive objective
+    informative (random negatives are trivially separable; hard ones
+    define the decision boundary).
+
+    Same 100 TB shape as q_sim_search: the anchor set broadcasts, the
+    corpus is scored in one map-side scan (the label filter is a
+    per-row predicate, no shuffle), and only per-partition top-k rows
+    reach the tiny per-anchor window."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _N_HARD)
+        .select("q_id", "vec_id", "label", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )

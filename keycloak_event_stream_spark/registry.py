@@ -100,6 +100,7 @@ _PRIORITY = [
     "q_cohen_kappa",
     "q_random_projection",
     "q_embed_pca_power",
+    "q_hard_negatives",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
