@@ -229,3 +229,37 @@ def test_auc_reduces_before_window(spark, queries):
     per_score = re.search(r"HashAggregate\(keys=\[score", plan)
     assert per_score is not None
     assert plan.index("Window") < per_score.start()
+
+
+def test_hard_negatives_broadcasts_anchors(spark, queries):
+    plan = _plan(queries["q_hard_negatives"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k window is per-anchor, never a global single-partition sort
+    assert "windowspecdefinition(q_id" in plan
+
+
+def test_ndcg_windows_are_partitioned(spark, queries):
+    plan = _plan(queries["q_ndcg_eval"](spark, SF))
+    assert "BroadcastExchange" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all(s.lstrip().startswith("q_id") for s in specs)
+
+
+def test_dedup_segments_shuffles_hash_not_text(spark, queries):
+    plan = _plan(queries["q_dedup_segments"](spark, SF))
+    # the survivor window partitions by the md5 segment hash; the raw
+    # token array must not survive past the project below the exchange
+    assert "windowspecdefinition(h" in plan
+    ex = plan.index("Exchange hashpartitioning(h")
+    assert "split(text" not in plan[ex - 400:ex + 400]
+
+
+def test_bpe_encode_broadcasts_merge_scalars(spark, queries):
+    plan = _plan(queries["q_bpe_encode"](spark, SF))
+    # the 1-row merge winners reach the vocab via broadcast, and the
+    # corpus-side join against the encode map is not a cartesian
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
