@@ -334,3 +334,114 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+_KFOLD = 5
+
+
+@_q(
+    "q_group_kfold",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_id, user_id,
+             {_duck_bucket("CAST(user_id AS VARCHAR)")} % {_KFOLD} AS fold
+      FROM events
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(event_id) AS BIGINT) AS min_event_id
+    FROM assigned GROUP BY fold ORDER BY fold
+    """,
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment: every event of a user lands in the same
+    fold (fold = md5-bucket(user) mod k), so cross-validation never
+    leaks a user's behavior across train/validation — the grouped-CV
+    discipline a per-event hash split silently violates.
+
+    The assignment is a per-row expression (scan speed, no shuffle,
+    reproducible on any cluster layout); the fold summary is one
+    aggregation to k rows. Spec: the same hash-slice determinism as
+    q_train_test_split (a user's fold never changes when the corpus
+    grows or repartitions)."""
+    e = spread(load_table(spark, sf_dir, "events"))
+    fold = (
+        _spark_bucket(F.col("user_id").cast("string")) % _KFOLD
+    ).alias("fold")
+    return (
+        e.select("event_id", "user_id", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+        )
+        .orderBy("fold")
+    )
+
+
+@_q(
+    "q_temporal_split_embargo",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS hi
+      FROM events
+    ), marked AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             CASE
+               WHEN epoch_us(e.ts) < b.lo + (b.hi - b.lo) * 7 // 10
+                 THEN 'train'
+               WHEN epoch_us(e.ts) >= b.lo + (b.hi - b.lo) * 8 // 10
+                 THEN 'test'
+               ELSE 'embargo'
+             END AS split
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM marked GROUP BY split ORDER BY split
+    """,
+)
+def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/test split with an embargo gap: train on the
+    first 70% of the time range, test on the last 20%, and DISCARD the
+    10% between — the purged-split discipline that stops look-ahead
+    leakage when features carry temporal autocorrelation (a plain
+    random or time-cut split lets train events sit adjacent to test
+    events). Returns the per-split census with the realized time
+    boundaries.
+
+    The cut points derive from the global min/max — a 1-row broadcast
+    into the scan, the same shape as every bounds-dependent operator
+    here; per-row classification at scan speed; one aggregation to 3
+    rows. Cuts are computed in INTEGER epoch-micros (`lo + (hi-lo)*7
+    div 10`) — interval-times-double arithmetic rounds differently
+    across engines, integer division never does."""
+    e = spread(load_table(spark, sf_dir, "events"))
+    bounds = e.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    )
+    marked = e.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "CASE"
+            " WHEN unix_micros(ts) < lo + (hi - lo) * 7 div 10"
+            " THEN 'train'"
+            " WHEN unix_micros(ts) >= lo + (hi - lo) * 8 div 10"
+            " THEN 'test'"
+            " ELSE 'embargo' END"
+        ).alias("split"),
+    )
+    return (
+        marked.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("split")
+    )

@@ -129,6 +129,8 @@ _PRIORITY = [
     "q_quality_gopher",
     "q_chunk_documents",
     "q_train_test_split",
+    "q_group_kfold",
+    "q_temporal_split_embargo",
     "q_sample_weighted",
     "q_kmeans_lloyd",
 ]
