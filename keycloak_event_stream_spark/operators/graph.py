@@ -220,3 +220,134 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.select(
         F.lit(n_edges).cast("bigint").alias("n_edges"), "n_triangles"
     )
+
+
+_HITS_ITERS = 4
+
+
+def _duck_hits() -> str:
+    d6 = lambda e: (
+        f"CAST(sum(CAST(round({e}, 6) AS DECIMAL(27,6))) AS DOUBLE)"
+    )
+    head = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node,
+             1.0 / (SELECT CAST(count(DISTINCT src) AS DOUBLE)
+                    FROM edges) AS r
+      FROM edges
+    )"""
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, {d6('h.r')} AS r
+      FROM h{i - 1} h JOIN edges e ON h.node = e.src
+      GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT node, r / (SELECT {d6('r')} FROM ar{i}) AS r FROM ar{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS node, {d6('a.r')} AS r
+      FROM a{i} a JOIN edges e ON a.node = e.dst
+      GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT node, r / (SELECT {d6('r')} FROM hr{i}) AS r FROM hr{i}
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT kind, node, score FROM (
+      SELECT 'authority' AS kind, node, r AS score,
+             row_number() OVER (ORDER BY r DESC, node) AS rn
+      FROM a{_HITS_ITERS}
+      UNION ALL
+      SELECT 'hub', node, r,
+             row_number() OVER (ORDER BY r DESC, node)
+      FROM h{_HITS_ITERS}
+    ) WHERE rn <= 25
+    ORDER BY kind, score DESC, node
+    """
+    )
+
+
+@_q("q_graph_hits", oracle=_duck_hits())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities over the DIRECTED
+    customer->supplier trade graph: customers that buy from many
+    well-connected suppliers are strong hubs, suppliers bought by
+    strong hubs are strong authorities — the mutually-recursive
+    companion to q_graph_pagerank's single random-walk score. 4 fixed
+    iterations, sum-normalized each half-step, top-25 of each side.
+
+    Spark idiom mirrors pagerank: the edge table is computed ONCE and
+    persisted; the driver loop re-joins only the score vectors
+    (|nodes| rows, broadcast into the edge join so edges never
+    re-shuffle); localCheckpoint truncates lineage each iteration.
+    Map-side partial aggregation bounds each half-step's shuffle at
+    |nodes| x partitions rows regardless of |edges|.
+
+    Determinism: per-edge contributions round at 6 decimals and sum in
+    DECIMAL (order-independent); normalization divides two identically
+    derived doubles — the q_graph_pagerank discipline, so 4 iterations
+    stay bitwise-equal to DuckDB's unrolled-CTE replay."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_hubs = edges.select("src").distinct().count()
+    h = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
+        .localCheckpoint()
+    )
+    d6 = lambda col: F.sum(
+        F.round(col, 6).cast("decimal(27,6)")
+    ).cast("double")
+
+    def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
+        raw = (
+            edges.join(
+                F.broadcast(score), F.col(in_key) == F.col("node")
+            )
+            .groupBy(out_key)
+            .agg(d6(F.col("r")).alias("r"))
+            .withColumnRenamed(out_key, "node")
+        )
+        tot = raw.agg(d6(F.col("r")).alias("tot"))
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select("node", (F.col("r") / F.col("tot")).alias("r"))
+            .localCheckpoint()
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = _half(h, "dst", "src")
+        h = _half(a, "src", "dst")
+    top = lambda df, kind: (
+        df.orderBy(F.col("r").desc(), "node")
+        .limit(25)
+        .select(F.lit(kind).alias("kind"), "node", F.col("r").alias("score"))
+    )
+    return (
+        top(a, "authority")
+        .unionAll(top(h, "hub"))
+        .orderBy("kind", F.col("score").desc(), "node")
+    )

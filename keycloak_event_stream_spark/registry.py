@@ -101,6 +101,7 @@ _PRIORITY = [
     "q_random_projection",
     "q_embed_pca_power",
     "q_hard_negatives",
+    "q_graph_hits",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
