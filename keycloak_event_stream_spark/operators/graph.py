@@ -351,3 +351,97 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(top(h, "hub"))
         .orderBy("kind", F.col("score").desc(), "node")
     )
+
+
+_LP_HUB_CAP = 50  # drop hub customers above this degree before pairing
+
+
+@_q(
+    "q_graph_common_neighbors",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (SELECT c, count(*) AS cd FROM pairs GROUP BY c),
+    kept AS MATERIALIZED (
+      SELECT p.c, p.s FROM pairs p JOIN cdeg ON cdeg.c = p.c
+      WHERE cdeg.cd <= {_LP_HUB_CAP}
+    ),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS sd
+             FROM kept GROUP BY s),
+    common AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS cn
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, cn, d1.sd AS deg1, d2.sd AS deg2,
+           CAST(cn AS DOUBLE) / (d1.sd + d2.sd - cn) AS jaccard
+    FROM common
+    JOIN sdeg d1 ON d1.s = s1
+    JOIN sdeg d2 ON d2.s = s2
+    ORDER BY jaccard DESC, cn DESC, s1, s2
+    LIMIT 25
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor counting: supplier pairs
+    ranked by Jaccard overlap of their customer sets (the classic
+    common-neighbors/Jaccard score — candidates for 'these two nodes
+    should be linked'). Computed by the hub-explosion pattern: self-
+    join the bipartite edge list on the shared customer, count per
+    (s1, s2).
+
+    The 100 TB hazard of this shape is the hub node: one customer
+    connected to k suppliers emits k² pairs. The operator therefore
+    CAPS hub degree first (drop customers with more than {50}
+    suppliers — a hub shared by everyone carries no signal for
+    similarity anyway, exactly why production link-prediction and
+    similarity joins prune stop-nodes). With the cap, the pair
+    explosion is bounded by cap x |edges| — linear in data, and the
+    cap is the knob. Counts exact; one double division; deterministic
+    (jaccard, cn, s1, s2) tiebreak; top-25 via TakeOrderedAndProject."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
+    kept = (
+        pairs.join(cdeg.filter(F.col("cd") <= _LP_HUB_CAP), "c")
+        .select("c", "s")
+        .persist()
+    )
+    sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "cn",
+            "deg1",
+            "deg2",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(), F.col("cn").desc(), "s1", "s2"
+        )
+        .limit(25)
+    )

@@ -102,6 +102,7 @@ _PRIORITY = [
     "q_embed_pca_power",
     "q_hard_negatives",
     "q_graph_hits",
+    "q_graph_common_neighbors",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
