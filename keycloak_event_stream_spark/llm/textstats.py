@@ -1250,3 +1250,65 @@ def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "q_skipgram_cooc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, s.t AS w, s.i
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS i) s
+    ),
+    pairs AS (
+      SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+             1.0 / (b.i - a.i) AS wt
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.i - a.i BETWEEN 1 AND 2
+    )
+    SELECT wa, wb, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(wt) AS DOUBLE) AS weight
+    FROM pairs GROUP BY wa, wb
+    ORDER BY weight DESC, wa, wb
+    LIMIT 50
+    """,
+)
+def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence counts with 1/distance
+    weighting (window ±2) — the input matrix of word2vec/GloVe-style
+    embedding training, built as one explode + one aggregate. Pairs
+    are canonicalized (least, greatest) so the matrix is symmetric;
+    top-50 cells with a full (weight, wa, wb) tiebreak.
+
+    Pair generation is IN-ROW (nested transform over the token array,
+    no positional self-join on the Spark side — the token table never
+    shuffles twice); the aggregate is keyed by the word pair, partial-
+    aggregated map-side, output bounded by |vocab pairs within the
+    window|. Distance weights are exact binary fractions (1, 0.5), so
+    float sums are EXACT in any accumulation order — no decimal
+    routing needed, and both engines agree bitwise."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.split("text", " ").alias("l")).filter(
+        F.size("l") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(l) - 1),"
+                " i -> transform(sequence(i + 1, least(i + 2, size(l))),"
+                " j -> struct(least(l[i - 1], l[j - 1]) AS wa,"
+                "             greatest(l[i - 1], l[j - 1]) AS wb,"
+                "             1.0D / (j - i) AS wt))))"
+            )
+        ).alias("p")
+    ).select("p.wa", "p.wb", "p.wt")
+    return (
+        pairs.groupBy("wa", "wb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("wt").cast("double").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), "wa", "wb")
+        .limit(50)
+    )

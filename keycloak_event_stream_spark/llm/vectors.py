@@ -797,3 +797,86 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- DBSCAN-style density census --------------------------------------
+
+_DB_EPS_COS = 0.25  # neighbor iff cosine >= eps (same scale as dedup)
+_DB_MINPTS = 3
+
+
+@_q(
+    "q_dbscan_core",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), nbr AS (
+      SELECT a.vec_id, a.label, CAST(count(b.vec_id) AS BIGINT) AS n_nbrs
+      FROM e a LEFT JOIN e b
+        ON b.label = a.label AND b.vec_id <> a.vec_id
+       AND list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) >= {_DB_EPS_COS}
+      GROUP BY a.vec_id, a.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN n_nbrs >= {_DB_MINPTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_core,
+           CAST(sum(CASE WHEN n_nbrs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_noise,
+           CAST(max(n_nbrs) AS BIGINT) AS max_nbrs
+    FROM nbr GROUP BY label ORDER BY label
+    """,
+)
+def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density census per coarse cluster: a vector is a
+    CORE point when at least minPts same-label neighbors sit within
+    the cosine eps-ball, NOISE when it has none — the density
+    screening that separates dense duplicate clumps (dedup targets)
+    from isolated outliers (drop candidates) before any clustering
+    decision.
+
+    Scale: the neighbor join is blocked by the IVF label exactly like
+    q_dedup_embed_cosine — n² only within a block, never across the
+    corpus; the rollup is |labels| rows. Cosines are sequential
+    double folds (bitwise-portable); counts exact."""
+    from keycloak_event_stream_spark.llm.dedup import spark_cosine
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("av"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("bv"),
+    )
+    nbr = (
+        a.join(
+            b,
+            (F.col("b_label") == F.col("label"))
+            & (F.col("b_id") != F.col("a_id"))
+            & (spark_cosine("av", "bv") >= _DB_EPS_COS),
+            "left",
+        )
+        .groupBy("a_id", "label")
+        .agg(F.count("b_id").cast("bigint").alias("n_nbrs"))
+    )
+    core = F.when(F.col("n_nbrs") >= _DB_MINPTS, 1).otherwise(0)
+    noise = F.when(F.col("n_nbrs") == 0, 1).otherwise(0)
+    return (
+        nbr.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(core).cast("bigint").alias("n_core"),
+            F.sum(noise).cast("bigint").alias("n_noise"),
+            F.max("n_nbrs").cast("bigint").alias("max_nbrs"),
+        )
+        .orderBy("label")
+    )

@@ -100,6 +100,8 @@ _PRIORITY = [
     "q_cohen_kappa",
     "q_random_projection",
     "q_embed_pca_power",
+    "q_dbscan_core",
+    "q_skipgram_cooc",
     "q_hard_negatives",
     "q_graph_hits",
     "q_graph_common_neighbors",
