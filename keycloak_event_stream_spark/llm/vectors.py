@@ -880,3 +880,108 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- k-center coreset selection ---------------------------------------
+
+_KC_STEPS = 5
+
+
+def _duck_kcenter() -> str:
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, 65),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),"
+        " (acc, x) -> acc + x)"
+    )
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sel0 AS MATERIALIZED (
+      SELECT 0 AS step, vec_id, v, 0.0 AS radius FROM e WHERE vec_id = 0
+    )"""
+    steps = []
+    for i in range(1, _KC_STEPS + 1):
+        dist = d2.format(a="e.v", b="s.v")
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT e.vec_id, e.v, min({dist}) AS md
+      FROM e CROSS JOIN sel{i - 1} s
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY e.vec_id, e.v
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT step, vec_id, v, radius FROM sel{i - 1}
+      UNION ALL
+      SELECT {i}, vec_id, v, md FROM (
+        SELECT vec_id, v, md FROM d{i}
+        ORDER BY md DESC, vec_id LIMIT 1)
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST(step AS INTEGER) AS step, vec_id, radius
+    FROM sel{_KC_STEPS} ORDER BY step
+    """
+    )
+
+
+@_q("q_coreset_kcenter", oracle=_duck_kcenter())
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation):
+    starting from vec 0, repeatedly pick the vector FARTHEST from the
+    current selection — the diversity-maximizing subset used to seed
+    clustering, pick annotation batches, or curate a spread-out
+    training sample (the opposite bias of density-based sampling).
+    Emits (step, chosen vector, its min-distance radius); the last
+    radius is the coverage guarantee (every vector is within it of
+    some center).
+
+    Scale: each step is one scan — min-distance against the ≤k-row
+    broadcast selection folds per-row, and the argmax is a top-1
+    TakeOrdered, never a global sort; the selection state rides
+    between steps via localCheckpoint. Distances are sequential
+    folds; min/argmax over identical doubles — bitwise across
+    engines."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d2 = (
+        "aggregate(zip_with(v, sv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    sel = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(0).alias("step"),
+            "vec_id",
+            "v",
+            F.lit(0.0).alias("radius"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(1, _KC_STEPS + 1):
+        s = sel.select(
+            F.col("vec_id").alias("s_id"), F.col("v").alias("sv")
+        )
+        far = (
+            e.join(F.broadcast(s.select("s_id")), e.vec_id == F.col("s_id"), "left_anti")
+            .crossJoin(F.broadcast(s.select("sv")))
+            .withColumn("d2", F.expr(d2))
+            .groupBy("vec_id", "v")
+            .agg(F.min("d2").alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(i).alias("step"),
+                "vec_id",
+                "v",
+                F.col("md").alias("radius"),
+            )
+        )
+        sel = sel.unionByName(far).localCheckpoint()
+    return sel.select(
+        F.col("step").cast("int").alias("step"), "vec_id", "radius"
+    ).orderBy("step")

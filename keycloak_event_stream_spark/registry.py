@@ -101,6 +101,7 @@ _PRIORITY = [
     "q_random_projection",
     "q_embed_pca_power",
     "q_dbscan_core",
+    "q_coreset_kcenter",
     "q_skipgram_cooc",
     "q_hard_negatives",
     "q_graph_hits",
