@@ -2028,3 +2028,192 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+# --- Shapley channel attribution --------------------------------------
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shap_key(subset: tuple) -> str:
+    return "|".join(sorted(subset))
+
+
+def _shap_lattice():
+    """Static subset lattice for the 4-channel game: (coalition,
+    exact-subset) containment pairs and the per-channel Shapley terms
+    with their n-choose weights. Pure combinatorics of the channel
+    DOMAIN (16 coalitions, 81 containment pairs, 32 terms) — not
+    data-dependent, so both engines consume identical literal tables."""
+    import itertools
+    import math
+
+    chans = _SHAP_CHANNELS
+    n = len(chans)
+    subsets = []
+    for r in range(n + 1):
+        subsets.extend(itertools.combinations(chans, r))
+    pairs = [
+        (_shap_key(s), _shap_key(t))
+        for s in subsets
+        for r in range(len(s) + 1)
+        for t in itertools.combinations(s, r)
+    ]
+    terms = []
+    for c in chans:
+        rest = [x for x in chans if x != c]
+        for r in range(len(rest) + 1):
+            for s in itertools.combinations(rest, r):
+                w = (
+                    math.factorial(len(s))
+                    * math.factorial(n - 1 - len(s))
+                    / math.factorial(n)
+                )
+                terms.append(
+                    (c, _shap_key(tuple(s) + (c,)), _shap_key(s), w)
+                )
+    return pairs, terms
+
+
+def _duck_shapley() -> str:
+    pairs, terms = _shap_lattice()
+    pair_rows = ", ".join(f"('{s}', '{t}')" for s, t in pairs)
+    term_rows = ", ".join(
+        f"('{c}', '{sw}', '{so}', {w!r})" for c, sw, so, w in terms
+    )
+    return f"""
+    WITH touched AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    keys AS (
+      SELECT c.user_id,
+             COALESCE(array_to_string(
+               list_sort(list(t.event_type)
+                         FILTER (WHERE t.event_type IS NOT NULL)),
+               '|'), '') AS t_key,
+             c.conv
+      FROM conv c LEFT JOIN touched t ON t.user_id = c.user_id
+      GROUP BY c.user_id, c.conv
+    ),
+    exact AS (
+      SELECT t_key, CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM keys GROUP BY t_key
+    ),
+    contain(s_key, t_key) AS (VALUES {pair_rows}),
+    v AS (
+      SELECT p.s_key,
+             CAST(COALESCE(sum(e.n_conv), 0) AS BIGINT) AS val
+      FROM contain p LEFT JOIN exact e ON e.t_key = p.t_key
+      GROUP BY p.s_key
+    ),
+    shap_terms(channel, s_with, s_without, w) AS (VALUES {term_rows}),
+    phi AS (
+      SELECT st.channel,
+             CAST(sum(CAST(round(st.w * (vw.val - vo.val), 6)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS phi
+      FROM shap_terms st
+      JOIN v vw ON vw.s_key = st.s_with
+      JOIN v vo ON vo.s_key = st.s_without
+      GROUP BY st.channel
+    )
+    SELECT channel, phi,
+           phi / (SELECT CAST(sum(CAST(phi AS DECIMAL(27,6)))
+                              AS DOUBLE) FROM phi) AS phi_share
+    FROM phi ORDER BY channel
+    """
+
+
+@_q("q_shapley_attribution", oracle=_duck_shapley())
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution over the 4 non-purchase
+    channels: the coalition value v(S) = conversions of users whose
+    touched-channel set is contained in S, and each channel's phi is
+    the weighted sum of its marginal contributions over all coalitions
+    — the game-theoretic attribution that first/last-touch
+    (q_attribution_*_touch) approximate with positional heuristics.
+
+    The subset lattice (16 coalitions, containment pairs, Shapley
+    weights) is DOMAIN combinatorics, generated once as a literal
+    table and broadcast — the data side only supplies per-exact-subset
+    conversion counts, one |users|-keyed aggregation however large the
+    event log. phi sums |channels|x2^(n-1) small products; the only
+    floats are the factorial weights, identical literals in both
+    engines; term products round at 6 decimals and sum in DECIMAL so
+    accumulation order cannot leak into the result."""
+    pairs, terms = _shap_lattice()
+    spark_pairs = spark.createDataFrame(pairs, "s_key string, t_key string")
+    spark_terms = spark.createDataFrame(
+        terms, "channel string, s_with string, s_without string, w double"
+    )
+    e = load_table(spark, sf_dir, "events")
+    keys = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_set(
+                        F.when(
+                            F.col("event_type") != "purchase",
+                            F.col("event_type"),
+                        )
+                    )
+                ),
+            ),
+            F.lit(""),
+        ).alias("t_key"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+    )
+    exact = keys.groupBy("t_key").agg(
+        F.sum("conv").cast("bigint").alias("n_conv")
+    )
+    v = (
+        F.broadcast(spark_pairs)
+        .join(exact, "t_key", "left")
+        .groupBy("s_key")
+        .agg(
+            F.coalesce(F.sum("n_conv"), F.lit(0))
+            .cast("bigint")
+            .alias("val")
+        )
+    )
+    vw = v.select(F.col("s_key").alias("s_with"), F.col("val").alias("vw"))
+    vo = v.select(
+        F.col("s_key").alias("s_without"), F.col("val").alias("vo")
+    )
+    phi = (
+        spark_terms.join(F.broadcast(vw), "s_with")
+        .join(F.broadcast(vo), "s_without")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * (F.col("vw") - F.col("vo")), 6).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("phi")
+        )
+    )
+    tot = phi.agg(
+        F.sum(F.col("phi").cast("decimal(27,6)")).cast("double").alias("tot")
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("phi").cast("double").alias("phi"),
+            (F.col("phi") / F.col("tot")).cast("double").alias("phi_share"),
+        )
+        .orderBy("channel")
+    )
