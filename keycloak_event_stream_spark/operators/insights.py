@@ -2217,3 +2217,289 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- Markov removal-effect attribution --------------------------------
+
+_MK_STATES = ["start", "click", "error", "signup", "view"]
+_MK_GAMES = ["full", "click", "error", "signup", "view"]
+_MK_ITERS = 12
+
+
+def _mk_skeleton():
+    """Static dense skeleton of the 5 removal games: for game g, the
+    transition (src -> dst) survives only if neither endpoint is the
+    removed channel (removing a channel makes paths through it fail,
+    i.e. the channel absorbs to null). Domain combinatorics, identical
+    literal tables in both engines."""
+    cells = []
+    for g in _MK_GAMES:
+        removed = None if g == "full" else g
+        for i, src in enumerate(_MK_STATES, start=1):
+            for j, dst in enumerate(_MK_STATES, start=1):
+                keep = src != removed and dst != removed
+                cells.append((g, i, j, src, dst, 1 if keep else 0))
+    bvec = []
+    for g in _MK_GAMES:
+        removed = None if g == "full" else g
+        for i, src in enumerate(_MK_STATES, start=1):
+            bvec.append((g, i, src, 1 if src != removed else 0))
+    return cells, bvec
+
+
+def _duck_markov() -> str:
+    cells, bvec = _mk_skeleton()
+    cell_rows = ", ".join(
+        f"('{g}', {i}, {j}, '{s}', '{d}', {k})" for g, i, j, s, d, k in cells
+    )
+    b_rows = ", ".join(
+        f"('{g}', {i}, '{s}', {k})" for g, i, s, k in bvec
+    )
+    return f"""
+    WITH RECURSIVE fp AS (
+      SELECT user_id, min(ts) AS fts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    steps AS MATERIALIZED (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             fp.fts IS NOT NULL AS conv
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.fts IS NULL OR e.ts < fp.fts)
+    ),
+    hops AS (
+      SELECT user_id,
+             COALESCE(lag(event_type) OVER w, 'start') AS src,
+             event_type AS dst
+      FROM steps
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    lasts AS (
+      SELECT user_id, event_type AS last_ev FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM steps) WHERE rn = 1
+    ),
+    allu AS (
+      SELECT e.user_id,
+             CAST(max(CASE WHEN e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events e GROUP BY e.user_id
+    ),
+    terminal AS (
+      SELECT a.user_id,
+             COALESCE(l.last_ev, 'start') AS src,
+             CASE WHEN a.conv = 1 THEN 'conv' ELSE 'null' END AS dst
+      FROM allu a LEFT JOIN lasts l ON l.user_id = a.user_id
+    ),
+    trans AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT src, dst FROM hops
+        UNION ALL SELECT src, dst FROM terminal
+      ) GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM trans
+            GROUP BY src),
+    prob AS MATERIALIZED (
+      SELECT tr.src, tr.dst, CAST(tr.c AS DOUBLE) / tot.t AS p
+      FROM trans tr JOIN tot ON tot.src = tr.src
+    ),
+    cellskel(game, i, j, src, dst, keep) AS (VALUES {cell_rows}),
+    bskel(game, i, src, keep) AS (VALUES {b_rows}),
+    amat AS MATERIALIZED (
+      SELECT game, list(arr ORDER BY i) AS mm FROM (
+        SELECT cs.game, cs.i,
+               list(CASE WHEN cs.keep = 1
+                         THEN COALESCE(pr.p, 0.0) ELSE 0.0 END
+                    ORDER BY cs.j) AS arr
+        FROM cellskel cs
+        LEFT JOIN prob pr ON pr.src = cs.src AND pr.dst = cs.dst
+        GROUP BY cs.game, cs.i)
+      GROUP BY game
+    ),
+    bmat AS MATERIALIZED (
+      SELECT bs.game,
+             list(CASE WHEN bs.keep = 1
+                       THEN COALESCE(pr.p, 0.0) ELSE 0.0 END
+                  ORDER BY bs.i) AS bb
+      FROM bskel bs
+      LEFT JOIN prob pr ON pr.src = bs.src AND pr.dst = 'conv'
+      GROUP BY bs.game
+    ),
+    it AS (
+      SELECT a.game, 0 AS k,
+             list_transform(range(1, 6),
+                            x -> CAST(0.0 AS DOUBLE)) AS vv
+      FROM amat a
+      UNION ALL
+      SELECT it.game, it.k + 1,
+             list_transform(range(1, 6),
+               ii -> list_dot_product(a.mm[ii], it.vv) + b.bb[ii])
+      FROM it
+      JOIN amat a ON a.game = it.game
+      JOIN bmat b ON b.game = it.game
+      WHERE it.k < {_MK_ITERS}
+    ),
+    fin AS (
+      SELECT game, vv[1] AS p_start FROM it WHERE k = {_MK_ITERS}
+    )
+    SELECT g.game AS channel, g.p_start AS conv_prob_without,
+           f.p_start AS conv_prob_full,
+           1.0 - g.p_start / f.p_start AS removal_effect
+    FROM fin g CROSS JOIN (SELECT p_start FROM fin
+                           WHERE game = 'full') f
+    WHERE g.game <> 'full'
+    ORDER BY channel
+    """
+
+
+@_q("q_markov_attribution", oracle=_duck_markov())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: build the first-order channel
+    transition graph from per-user journeys (start -> touched channels
+    -> conv/null at first purchase), compute the absorption probability
+    of converting from 'start' by 12 steps of value iteration
+    (p = A·p + b), then re-run the chain with each channel removed
+    (paths through it absorb to null) — a channel's credit is how much
+    the conversion probability drops without it. The principled
+    companion to q_shapley_attribution (set-based) and first/last
+    touch (positional).
+
+    Scale: journeys reduce to a |states|² transition count in one
+    shuffle; the 5 removal games iterate TOGETHER as 5 rows of
+    (matrix, offset) arrays — value iteration is per-row expression
+    work with localCheckpoint barriers (the q_embed_pca_power
+    pattern), zero additional scans of the event log. Determinism:
+    probabilities are single divisions of exact counts; each iteration
+    is a sequential dot-product fold — bitwise vs DuckDB's recursive
+    CTE."""
+    cells, bvec = _mk_skeleton()
+    cellskel = spark.createDataFrame(
+        cells, "game string, i int, j int, src string, dst string, keep int"
+    )
+    bskel = spark.createDataFrame(
+        bvec, "game string, i int, src string, keep int"
+    )
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    steps = (
+        e.join(F.broadcast(fp), "user_id", "left")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("fts").isNull() | (F.col("ts") < F.col("fts")))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.col("fts").isNotNull().alias("conv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = steps.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("start")).alias(
+            "src"
+        ),
+        F.col("event_type").alias("dst"),
+    )
+    lasts = steps.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "last_ev"
+        )
+    )
+    allu = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    terminal = allu.join(lasts, "user_id", "left").select(
+        F.coalesce(F.col("last_ev"), F.lit("start")).alias("src"),
+        F.when(F.col("conv") == 1, "conv").otherwise("null").alias("dst"),
+    )
+    trans = (
+        hops.unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("t"))
+    prob = trans.join(tot, "src").select(
+        "src", "dst", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    p_or_0 = lambda: F.when(
+        (F.col("keep") == 1) & F.col("p").isNotNull(), F.col("p")
+    ).otherwise(F.lit(0.0))
+    amat = (
+        F.broadcast(cellskel)
+        .join(prob, ["src", "dst"], "left")
+        .select("game", "i", "j", p_or_0().alias("pj"))
+        .groupBy("game", "i")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, pj))),"
+                " s -> s.pj)"
+            ).alias("arr")
+        )
+        .groupBy("game")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, arr))),"
+                " s -> s.arr)"
+            ).alias("mm")
+        )
+    )
+    conv_prob = prob.filter(F.col("dst") == "conv").select(
+        "src", F.col("p").alias("p")
+    )
+    bmat = (
+        F.broadcast(bskel)
+        .join(conv_prob, "src", "left")
+        .select("game", "i", p_or_0().alias("pb"))
+        .groupBy("game")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, pb))),"
+                " s -> s.pb)"
+            ).alias("bb")
+        )
+    )
+    it = (
+        amat.join(bmat, "game")
+        .withColumn("vv", F.expr("transform(sequence(1, 5), x -> 0.0D)"))
+        .localCheckpoint(eager=False)
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    for _ in range(_MK_ITERS):
+        it = it.withColumn(
+            "vv",
+            F.expr(
+                "transform(sequence(1, 5),"
+                f" ii -> {dot.format(a='element_at(mm, ii)', b='vv')}"
+                " + element_at(bb, ii))"
+            ),
+        ).localCheckpoint(eager=False)
+    fin = it.select("game", F.expr("element_at(vv, 1)").alias("p_start"))
+    full = fin.filter(F.col("game") == "full").select(
+        F.col("p_start").alias("conv_prob_full")
+    )
+    return (
+        fin.filter(F.col("game") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("game").alias("channel"),
+            F.col("p_start").alias("conv_prob_without"),
+            "conv_prob_full",
+            (
+                F.lit(1.0) - F.col("p_start") / F.col("conv_prob_full")
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )
