@@ -1155,3 +1155,61 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@_q(
+    "q_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT c_custkey % 7) AS BIGINT) AS l_sensitive
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT l_sensitive,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_individuals,
+           l_sensitive < 3 AS violates_l3
+    FROM classes
+    GROUP BY l_sensitive
+    ORDER BY l_sensitive
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the strictly stronger companion to
+    q_k_anonymity: a quasi-identifier class can be large (k-anonymous)
+    yet still leak if all its members share one sensitive value, so
+    the gate counts DISTINCT sensitive values per class (here a
+    synthetic 7-valued sensitive attribute derived from the key) and
+    histograms classes by that diversity, flagging l < 3.
+
+    Same two-aggregation shape as k-anonymity: one shuffle on the QI
+    tuple with a distinct-count (partial-aggregated map-side), then a
+    |distinct l| histogram. Exact integers throughout."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct(F.col("c_custkey") % 7)
+        .cast("bigint")
+        .alias("l_sensitive"),
+    )
+    return (
+        classes.groupBy("l_sensitive")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_individuals"),
+        )
+        .select(
+            "l_sensitive",
+            "n_classes",
+            "n_individuals",
+            (F.col("l_sensitive") < 3).alias("violates_l3"),
+        )
+        .orderBy("l_sensitive")
+    )

@@ -133,6 +133,7 @@ _PRIORITY = [
     "q_bm25",
     "q_decontaminate",
     "q_pii_scrub",
+    "q_l_diversity",
     "q_quality_gopher",
     "q_chunk_documents",
     "q_train_test_split",
