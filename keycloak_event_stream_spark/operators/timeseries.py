@@ -636,3 +636,126 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.l") + 2 * F.col("st.b")).alias("forecast_2"),
         (F.col("st.l") + 3 * F.col("st.b")).alias("forecast_3"),
     )
+
+
+_HW_A, _HW_B, _HW_G = 0.5, 0.3, 0.4  # level / trend / seasonal
+_HW_M = 7  # weekly seasonality
+
+
+def _hw_new_l(y: str, acc_l: str, acc_b: str, s1: str) -> str:
+    return (
+        f"{_HW_A} * ({y} - {s1})"
+        f" + {1 - _HW_A} * ({acc_l} + {acc_b})"
+    )
+
+
+@_q(
+    "q_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily
+    ), init AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_slice(v, 1, {_HW_M})), (a, x) -> a + x) / {_HW_M} AS l0,
+        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_slice(v, {_HW_M + 1}, {2 * _HW_M})), (a, x) -> a + x)
+         - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_slice(v, 1, {_HW_M})), (a, x) -> a + x))
+          / ({_HW_M} * {_HW_M}.0) AS b0
+      FROM series
+    ), fold AS (
+      SELECT {_HW_M} AS i, init.l0 AS l, init.b0 AS b,
+             list_transform(list_slice(s.v, 1, {_HW_M}),
+                            x -> x - init.l0) AS ss
+      FROM init, series s
+      UNION ALL
+      SELECT f.i + 1,
+             {_hw_new_l('s.v[f.i + 1]', 'f.l', 'f.b', 'f.ss[1]')},
+             {_HW_B} * (({_hw_new_l('s.v[f.i + 1]', 'f.l', 'f.b',
+                                    'f.ss[1]')}) - f.l)
+               + {1 - _HW_B} * f.b,
+             list_append(list_slice(f.ss, 2, {_HW_M}),
+               {_HW_G} * (s.v[f.i + 1]
+                 - ({_hw_new_l('s.v[f.i + 1]', 'f.l', 'f.b',
+                               'f.ss[1]')}))
+               + {1 - _HW_G} * f.ss[1])
+      FROM fold f, series s WHERE f.i < s.n_days
+    )
+    SELECT s.n_days, f.l AS level, f.b AS trend,
+           f.l + 1 * f.b + f.ss[1] AS forecast_1,
+           f.l + 2 * f.b + f.ss[2] AS forecast_2,
+           f.l + 3 * f.b + f.ss[3] AS forecast_3
+    FROM fold f, series s WHERE f.i = s.n_days
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive seasonal smoothing (weekly period) over
+    the daily event-count series — the forecasting step up from
+    q_holt_linear when the series has a repeating weekly shape
+    (q_seasonal_decompose proves this one does). State is (level,
+    trend, 7-slot seasonal vector); the seasonal vector ROTATES each
+    step so slot 1 is always the season about to recur, which keeps
+    the recurrence expressible as a pure left fold.
+
+    Same bitwise-recursive discipline as q_holt_linear: Spark folds
+    the day-ordered array with a struct accumulator (a fresh struct
+    per step — safe, unlike DuckDB's field-by-field ``list_reduce``
+    mutation, so the oracle replays the identical IEEE recurrence as a
+    row-per-step recursive CTE). Fold state is 9 doubles regardless of
+    series length; the raw pass is one shuffle to daily cells."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> cast(s.c as double))"
+        ).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    m, a, b, g = _HW_M, _HW_A, _HW_B, _HW_G
+    ssum = (
+        "aggregate(slice(v, {lo}, {n}), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    l0 = f"({ssum.format(lo=1, n=m)}) / {m}"
+    b0 = (
+        f"(({ssum.format(lo=m + 1, n=m)}) - ({ssum.format(lo=1, n=m)}))"
+        f" / ({m} * {m}.0D)"
+    )
+    new_l = _hw_new_l("x", "acc.l", "acc.b", "element_at(acc.ss, 1)")
+    fold = (
+        f"aggregate(slice(v, {m + 1}, size(v) - {m}),"
+        f" named_struct('l', CAST({l0} AS DOUBLE),"
+        f"              'b', CAST({b0} AS DOUBLE),"
+        f"              'ss', transform(slice(v, 1, {m}),"
+        f"                    x -> x - ({l0}))),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {new_l},"
+        f"   'b', {b} * (({new_l}) - acc.l) + {1 - b} * acc.b,"
+        f"   'ss', concat(slice(acc.ss, 2, {m - 1}),"
+        f"         array({g} * (x - ({new_l}))"
+        f"               + {1 - g} * element_at(acc.ss, 1)))))"
+    )
+    fitted = series.select("n_days", F.expr(fold).alias("st"))
+    out = fitted.select(
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        *[
+            (
+                F.col("st.l")
+                + h * F.col("st.b")
+                + F.expr(f"element_at(st.ss, {h})")
+            ).alias(f"forecast_{h}")
+            for h in (1, 2, 3)
+        ],
+    )
+    return out

@@ -108,6 +108,7 @@ _PRIORITY = [
     "q_graph_common_neighbors",
     "q_shapley_attribution",
     "q_markov_attribution",
+    "q_holt_winters",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
