@@ -985,3 +985,84 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         F.col("step").cast("int").alias("step"), "vec_id", "radius"
     ).orderBy("step")
+
+
+@_q(
+    "q_embed_mmd",
+    oracle="""
+    WITH cell AS (
+      SELECT label, s.pos, CAST(embedding[s.pos + 1] AS DOUBLE) AS val
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos) s
+    ),
+    bylab AS (
+      SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(val, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS s
+      FROM cell GROUP BY label, pos
+    ),
+    tot AS (
+      SELECT pos, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(CAST(s AS DECIMAL(27,6))) AS DOUBLE) AS st
+      FROM bylab GROUP BY pos
+    ),
+    diffs AS (
+      SELECT b.label, b.pos,
+             (b.s / b.n - (t.st - b.s) / (t.nt - b.n))
+             * (b.s / b.n - (t.st - b.s) / (t.nt - b.n)) AS d2,
+             b.n
+      FROM bylab b JOIN tot t ON t.pos = b.pos
+    )
+    SELECT label, CAST(any_value(n) AS BIGINT) AS n_vecs,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(d2 ORDER BY pos)), (a, x) -> a + x) AS mmd2
+    FROM diffs GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel maximum mean discrepancy between each label's
+    embeddings and the rest of the corpus: MMD² = ‖μ_label − μ_rest‖²
+    — the two-sample drift statistic for embedding spaces (did this
+    source/cluster shift away from the corpus?), closed-form under the
+    linear kernel so it needs only per-(label, dim) moments.
+
+    One shuffle to |labels|×64 cells (the q_embed_centroid tall-skinny
+    shape); the rest-mean comes from the per-dim totals, so no second
+    pass over the data. Determinism: per-cell sums round at 6 decimals
+    into DECIMAL; the final 64-term sum folds in dim order; means and
+    squares are IEEE closed-form — bitwise across engines."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = e.select("label", F.posexplode("v").alias("pos", "val"))
+    bylab = cells.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("val"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("s"),
+    )
+    tot = bylab.groupBy("pos").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("s").cast("decimal(27,6)")).cast("double").alias("st"),
+    )
+    mu_l = F.col("s") / F.col("n")
+    mu_r = (F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))
+    diffs = bylab.join(F.broadcast(tot), "pos").select(
+        "label",
+        "pos",
+        ((mu_l - mu_r) * (mu_l - mu_r)).alias("d2"),
+        "n",
+    )
+    return (
+        diffs.groupBy("label")
+        .agg(
+            F.first("n").cast("bigint").alias("n_vecs"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                " struct(pos, d2))), s -> s.d2),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("mmd2"),
+        )
+        .orderBy("label")
+    )

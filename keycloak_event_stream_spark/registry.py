@@ -102,6 +102,7 @@ _PRIORITY = [
     "q_embed_pca_power",
     "q_dbscan_core",
     "q_coreset_kcenter",
+    "q_embed_mmd",
     "q_skipgram_cooc",
     "q_hard_negatives",
     "q_graph_hits",
