@@ -1312,3 +1312,75 @@ def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight").desc(), "wa", "wb")
         .limit(50)
     )
+
+
+@_q(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, s.ch, CAST(count(*) AS BIGINT) AS c
+      FROM documents, LATERAL (
+        SELECT unnest(list_transform(range(1, length(text) + 1),
+                                     i -> text[i])) AS ch) s
+      GROUP BY doc_id, s.ch
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM chars GROUP BY doc_id
+    ),
+    ent AS (
+      SELECT c.doc_id, t.n, t.n_distinct,
+             CAST(sum(CAST(round(
+               -(CAST(c.c AS DOUBLE) / t.n)
+                 * ln(CAST(c.c AS DOUBLE) / t.n), 6)
+               AS DECIMAL(27,6))) AS DOUBLE) AS entropy_nats
+      FROM chars c JOIN tot t ON t.doc_id = c.doc_id
+      GROUP BY c.doc_id, t.n, t.n_distinct
+    )
+    SELECT doc_id, n AS n_chars_counted, n_distinct, entropy_nats
+    FROM ent
+    ORDER BY entropy_nats, doc_id
+    LIMIT 100
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap
+    junk-text detector: near-zero entropy is a run of one repeated
+    character, abnormally high entropy is base64/binary noise; both
+    are drop candidates a word-level quality gate (q_quality_gopher)
+    can miss. Reports the 100 lowest-entropy documents.
+
+    Shape: explode to (doc, char) counts — the shuffle key is
+    (doc_id, char), at most |alphabet| cells per doc; entropy terms
+    round at 6 decimals (ln is libm) and sum in DECIMAL; the top-100
+    is a TakeOrderedAndProject with a (entropy, doc_id) total order."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    chars = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", "(?!^)")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = chars.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 6).cast("decimal(27,6)")
+    return (
+        chars.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.sum(term).cast("double").alias("entropy_nats"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_counted"),
+            "n_distinct",
+            "entropy_nats",
+        )
+        .orderBy("entropy_nats", "doc_id")
+        .limit(100)
+    )

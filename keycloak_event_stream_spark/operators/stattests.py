@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
     with_totals,
@@ -2167,4 +2167,76 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_obs",
         n_extreme.alias("n_extreme"),
         (n_extreme.cast("double") / _PERM_B).alias("p_value"),
+    )
+
+
+@_q(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             CAST(floor(value / 25) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS nxy
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells
+           GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells
+           GROUP BY y),
+    terms AS (
+      SELECT c.x, c.y,
+             round((CAST(c.nxy AS DOUBLE) / n.n)
+                   * ln((CAST(c.nxy AS DOUBLE) * n.n)
+                        / (CAST(mx.nx AS DOUBLE) * my.ny)), 6) AS t
+      FROM cells c
+      JOIN mx ON mx.x = c.x
+      JOIN my ON my.y = c.y
+      CROSS JOIN n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(t AS DECIMAL(27,6))) AS DOUBLE) AS mi_nats
+    FROM terms
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the event type and the bucketed
+    event value — the model-free dependence measure used for feature
+    selection and leakage screening (MI≈0 means the feature carries
+    nothing about the target; suspiciously high MI on a 'neutral'
+    column is the classic leakage tell). Complements q_kl_divergence
+    (one distribution vs another) with a two-VARIABLE statistic.
+
+    One shuffle to the |X|×|Y| contingency cells; marginals derive
+    from the cells (no second scan); each term rounds at 6 decimals
+    (ln is libm — ulp-divergent raw) and sums in DECIMAL, so the
+    statistic is bitwise-portable."""
+    e = spread(load_table(spark, sf_dir, "events"))
+    cells = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 25).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    cells = cells.persist()
+    n = cells.agg(F.sum("nxy").cast("bigint").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    t = F.round(
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        6,
+    )
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(t.alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.col("t").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("mi_nats"),
+        )
     )

@@ -110,6 +110,8 @@ _PRIORITY = [
     "q_shapley_attribution",
     "q_markov_attribution",
     "q_holt_winters",
+    "q_mutual_information",
+    "q_char_entropy",
     "q_span_corruption",
     "q_fim_transform",
     "q_length_batching",
