@@ -1213,3 +1213,139 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_sensitive")
     )
+
+
+@_q(
+    "q_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    buckets AS (SELECT DISTINCT bal_band FROM base),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM buckets),
+    classes AS (
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM base
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT cl.c_nationkey, cl.c_mktsegment, b.bal_band,
+             COALESCE(ce.c, 0) AS c
+      FROM classes cl CROSS JOIN buckets b
+      LEFT JOIN cells ce
+        ON ce.c_nationkey = cl.c_nationkey
+       AND ce.c_mktsegment = cl.c_mktsegment
+       AND ce.bal_band = b.bal_band
+    ),
+    gd AS (
+      SELECT bal_band, CAST(count(*) AS BIGINT) AS gc FROM base
+      GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(count(*) AS BIGINT) AS g FROM base),
+    cum AS (
+      SELECT gr.c_nationkey, gr.c_mktsegment,
+             CAST(sum(gr.c) OVER w AS BIGINT) AS cumc,
+             CAST(sum(gr.c) OVER (
+               PARTITION BY gr.c_nationkey, gr.c_mktsegment)
+               AS BIGINT) AS n,
+             CAST(sum(gd.gc) OVER w AS BIGINT) AS cumg,
+             gt.g, nb.n_buckets, gr.bal_band
+      FROM grid gr
+      JOIN gd ON gd.bal_band = gr.bal_band
+      CROSS JOIN gtot gt CROSS JOIN nb
+      WINDOW w AS (PARTITION BY gr.c_nationkey, gr.c_mktsegment
+                   ORDER BY gr.bal_band)
+    )
+    SELECT c_nationkey, c_mktsegment,
+           any_value(n) AS class_size,
+           CAST(sum(CAST(round(abs(CAST(cumc AS DOUBLE) / n
+                                   - CAST(cumg AS DOUBLE) / g), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE)
+             / (any_value(n_buckets) - 1) AS t_emd
+    FROM cum
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY t_emd DESC, c_nationkey, c_mktsegment
+    LIMIT 50
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    q_k_anonymity (class size) and q_l_diversity (sensitive-value
+    variety): a class can be large AND diverse yet still leak because
+    its sensitive-value *distribution* differs from the table's (e.g.
+    one segment skews rich). t = Earth Mover's Distance between the
+    class's balance-band distribution and the global one; for ordered
+    bands with unit ground distance, EMD = Σ|cumP − cumQ| / (B−1).
+
+    Scale shape: one shuffle to (QI, band) cells; the QI-class ×
+    bucket grid is |classes|×|bands| (bounded, here ~125×~7), so the
+    cumulative window runs partitioned by class over a statically
+    bounded band domain — never a row-level sort. Integer cumulative
+    counts divide once per cell; |Δ| rounds at 6 dp into a DECIMAL
+    sum."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+    )
+    buckets = base.select("bal_band").distinct()
+    nb = buckets.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    classes = base.select("c_nationkey", "c_mktsegment").distinct()
+    cells = base.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(cells, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    gd = base.groupBy("bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gc")
+    )
+    gtot = base.agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("c_nationkey", "c_mktsegment")
+    cum = (
+        grid.join(F.broadcast(gd), "bal_band")
+        .crossJoin(F.broadcast(gtot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            F.sum("c").over(w).cast("bigint").alias("cumc"),
+            F.sum("c").over(wn).cast("bigint").alias("n"),
+            F.sum("gc").over(w).cast("bigint").alias("cumg"),
+            "g",
+            "n_buckets",
+        )
+    )
+    term = F.round(
+        F.abs(
+            F.col("cumc").cast("double") / F.col("n")
+            - F.col("cumg").cast("double") / F.col("g")
+        ),
+        6,
+    ).cast("decimal(27,6)")
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("n").alias("class_size"),
+            (
+                F.sum(term).cast("double")
+                / (F.first("n_buckets") - 1)
+            ).alias("t_emd"),
+        )
+        .orderBy(F.col("t_emd").desc(), "c_nationkey", "c_mktsegment")
+        .limit(50)
+    )

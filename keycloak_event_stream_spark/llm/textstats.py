@@ -10,6 +10,8 @@ stays a single narrow pipeline over the scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1382,5 +1384,263 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
         .orderBy("entropy_nats", "doc_id")
+        .limit(100)
+    )
+
+
+@_q(
+    "q_js_divergence",
+    oracle="""
+    WITH words AS (
+      SELECT source, s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+    ),
+    cells AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM words GROUP BY source, w
+    ),
+    stot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t
+      FROM cells GROUP BY source
+    ),
+    gw AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS gc FROM cells GROUP BY w
+    ),
+    gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS g FROM gw),
+    terms AS (
+      SELECT c.source,
+             round(0.5 * ((CAST(c.c AS DOUBLE) / st.t)
+                     * ln((CAST(c.c AS DOUBLE) / st.t)
+                          / (((CAST(c.c AS DOUBLE) / st.t)
+                              + (CAST(gw.gc AS DOUBLE) / gt.g)) / 2))
+                   + (CAST(gw.gc AS DOUBLE) / gt.g)
+                     * ln((CAST(gw.gc AS DOUBLE) / gt.g)
+                          / (((CAST(c.c AS DOUBLE) / st.t)
+                              + (CAST(gw.gc AS DOUBLE) / gt.g)) / 2))),
+                   6) AS term,
+             gw.gc AS gc_present, gt.g AS g
+      FROM cells c
+      JOIN stot st ON st.source = c.source
+      JOIN gw ON gw.w = c.w
+      CROSS JOIN gtot gt
+    )
+    SELECT source,
+           CAST(sum(CAST(term AS DECIMAL(27,6))) AS DOUBLE)
+             + 0.5 * ln(2)
+               * (1 - CAST(sum(gc_present) AS DOUBLE) / any_value(g))
+             AS js_nats
+    FROM terms GROUP BY source ORDER BY js_nats DESC, source
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's *word* distribution
+    from the corpus distribution — the symmetric, always-finite drift
+    score for training-mix monitoring (complements q_kl_divergence,
+    which compares the bounded language mix and needs Q-support).
+
+    Absent-word terms never materialize: for words the source lacks,
+    p=0 and m=q/2, so their contribution is exactly
+    0.5·ln2·(1 − Σ_present q) — computed from the present cells and
+    one global scalar instead of a source×vocab grid. The shuffle
+    carries (source, word) counts only; the global word marginal is a
+    second aggregate of those same cells (no second scan), and the
+    per-source totals broadcast."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cells = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = cells.persist()
+    stot = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    gw = cells.groupBy("w").agg(F.sum("c").cast("bigint").alias("gc"))
+    gtot = gw.agg(F.sum("gc").cast("bigint").alias("g"))
+    p = F.col("c").cast("double") / F.col("t")
+    q = F.col("gc").cast("double") / F.col("g")
+    m = (p + q) / 2
+    term = F.round(0.5 * (p * F.log(p / m) + q * F.log(q / m)), 6)
+    return (
+        cells.join(F.broadcast(stot), "source")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(term.cast("decimal(27,6)")).cast("double")
+                + 0.5
+                * math.log(2)
+                * (
+                    1
+                    - F.sum("gc").cast("double") / F.first("g")
+                )
+            ).alias("js_nats")
+        )
+        .orderBy(F.col("js_nats").desc(), "source")
+    )
+
+
+@_q(
+    "q_lexical_diversity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+    ),
+    wc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS hapax_ratio
+    FROM wc GROUP BY doc_id
+    ORDER BY ttr, doc_id LIMIT 100
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and hapax
+    (once-only word) ratio. Low TTR means loops/boilerplate/keyword
+    stuffing — the repetition signal that survives exact dedup; the
+    100 least-diverse documents are the review set.
+
+    Shape: one explode to (doc, word) counts (shuffle key bounded by
+    per-doc vocabulary), one per-doc aggregate; integer ratios divide
+    once per group, so both engines agree bitwise. TakeOrdered top-100
+    with a (ttr, doc_id) total order."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            hapax.alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+                "ttr"
+            ),
+            (F.col("n_hapax").cast("double") / F.col("n_types")).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("ttr", "doc_id")
+        .limit(100)
+    )
+
+
+@_q(
+    "q_dsir_importance",
+    oracle="""
+    WITH tw AS (
+      SELECT s.w, CAST(count(*) AS BIGINT) AS tc
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+      WHERE lang = 'en' GROUP BY s.w
+    ),
+    gwx AS (
+      SELECT s.w, CAST(count(*) AS BIGINT) AS gc
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+      GROUP BY s.w
+    ),
+    consts AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(gc) AS BIGINT) AS g,
+             CAST((SELECT sum(tc) FROM tw) AS BIGINT) AS t
+      FROM gwx
+    ),
+    toks AS (
+      SELECT doc_id, s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+      WHERE lang <> 'en'
+    ),
+    scored AS (
+      SELECT tk.doc_id,
+             round(ln((CAST(coalesce(tw.tc, 0) + 1 AS DOUBLE)
+                       / (c.t + c.v))
+                      / (CAST(g.gc + 1 AS DOUBLE) / (c.g + c.v))), 6)
+               AS lr
+      FROM toks tk
+      JOIN gwx g ON g.w = tk.w
+      LEFT JOIN tw ON tw.w = tk.w
+      CROSS JOIN consts c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(lr AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS importance
+    FROM scored GROUP BY doc_id
+    ORDER BY importance DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023, public): score each out-of-domain document by the mean
+    unigram log-likelihood ratio between a target-domain LM (here the
+    English subset) and the raw-corpus LM, add-1 smoothed over the
+    joint vocabulary. The top-scoring documents are the ones to
+    up-sample when the training mix should lean toward the target
+    domain.
+
+    Scale shape: both LMs are word-count aggregates (tall-skinny,
+    bounded by vocabulary); the per-token scoring join is
+    hash-partitioned on the word, so the doc-token stream never
+    collects anywhere; per-doc means are one final aggregate. Log
+    terms round at 6 dp and sum in DECIMAL for bitwise parity."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks_all = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    gwx = toks_all.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gc")
+    )
+    tw = (
+        toks_all.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    consts = gwx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("gc").cast("bigint").alias("g"),
+    ).crossJoin(tw.agg(F.sum("tc").cast("bigint").alias("t")))
+    pt = (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (
+        F.col("t") + F.col("v")
+    )
+    pg = (F.col("gc") + 1).cast("double") / (F.col("g") + F.col("v"))
+    lr = F.round(F.log(pt / pg), 6)
+    return (
+        toks_all.filter(F.col("lang") != "en")
+        .select("doc_id", "w")
+        .join(gwx, "w")
+        .join(tw, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", lr.alias("lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("lr").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("importance"),
+        )
+        .orderBy(F.col("importance").desc(), "doc_id")
         .limit(100)
     )

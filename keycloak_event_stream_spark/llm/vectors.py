@@ -1066,3 +1066,124 @@ def q_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_SIL_CENT_CTE = """
+    cell AS (
+      SELECT label, s.pos,
+             CAST(embedding[s.pos + 1] AS DOUBLE) AS val, vec_id
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos) s
+    ),
+    dim AS (
+      SELECT label, pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(val ORDER BY vec_id)), (a, b) -> a + b)
+               / count(*) AS mean_val
+      FROM cell GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label AS clabel, list(mean_val ORDER BY pos) AS c
+      FROM dim GROUP BY label
+    )
+"""
+
+
+@_q(
+    "q_silhouette",
+    oracle=f"""
+    WITH {_SIL_CENT_CTE},
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, cent.clabel,
+             sqrt({_duck_d2('e.v', 'cent.c', 64)}) AS d
+      FROM e CROSS JOIN cent
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN d END) AS a,
+             min(CASE WHEN clabel <> label THEN d END) AS b
+      FROM dists GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(round((b - a) / greatest(a, b), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS mean_silhouette
+    FROM ab GROUP BY label ORDER BY label
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster — the
+    clustering-quality readout after q_kmeans_lloyd / before trusting
+    cluster labels for SemDeDup or curriculum grouping. Per point:
+    a = distance to own centroid, b = nearest other centroid;
+    s = (b−a)/max(a,b); report the per-cluster mean.
+
+    The full silhouette is O(n²); the centroid form is the standard
+    linear-time surrogate and the only one that survives 100 TB: the
+    |labels|×64 centroid table broadcasts, each point scores against k
+    centroids at scan speed, and the result is one tall-skinny
+    aggregate. Centroid means use the vec_id-ordered sequential fold
+    (bitwise-portable), distances are order-pinned folds, and the
+    per-point s rounds at 6 dp before the DECIMAL mean."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = e.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        cells.groupBy("label", "pos")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(vec_id, val))), s -> s.val),"
+                    " cast(0.0 as double), (a, b) -> a + b)"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mean_val))),"
+                " s -> s.mean_val)"
+            ).alias("c")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    d = F.sqrt(F.expr(_SPARK_D2.format(a="v", b="c")))
+    ab = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel"),
+            d.alias("d"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias(
+                "a"
+            ),
+            F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias(
+                "b"
+            ),
+        )
+    )
+    s = F.round(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"), 6
+    ).cast("decimal(27,6)")
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.sum(s).cast("double") / F.count(F.lit(1))).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -759,3 +759,104 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+@_q(
+    "q_theil_sen",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents,
+             CAST(row_number() OVER (
+               ORDER BY date_trunc('month', CAST(o_orderdate AS DATE)))
+               AS BIGINT) AS i
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT a.i AS ai, b.i AS bi,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
+      FROM monthly a JOIN monthly b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope,
+             CAST(row_number() OVER (ORDER BY slope, ai, bi) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS np
+      FROM slopes
+    )
+    SELECT any_value(np) AS n_pairs,
+           CAST(sum(CAST(slope AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS median_slope_cents
+    FROM ranked
+    WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of monthly revenue: the median
+    of all pairwise slopes — insensitive to up to ~29% outlier months,
+    the robust companion to q_mann_kendall's trend *test* (same
+    monthly rollup, same O(months²) bounded pair set).
+
+    The raw scan reduces to the ~84-month series first, so the pair
+    self-join is 3.5k rows however large the input; the median picks
+    the middle one-or-two slopes by a (slope, ai, bi) total order —
+    identical tie semantics in both engines (engine ``median()``
+    tie-breaking is not portable). Slopes are exact-integer cent
+    differences divided once; the final mean-of-two sums in DECIMAL.
+    Global windows here run over the bounded pair set (documented in
+    BOUNDED_GLOBAL_WINDOWS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+                "month"
+            )
+        )
+        .agg(F.sum(_cents_col()).alias("cents"))
+        .select(
+            "month",
+            "cents",
+            F.row_number()
+            .over(Window.orderBy("month"))
+            .cast("bigint")
+            .alias("i"),
+        )
+    )
+    a = monthly.select(
+        F.col("i").alias("ai"), F.col("cents").alias("ca")
+    )
+    b = monthly.select(
+        F.col("i").alias("bi"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.join(F.broadcast(b), F.col("bi") > F.col("ai"))
+        .select(
+            "ai",
+            "bi",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("bi") - F.col("ai"))
+            ).alias("slope"),
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "ai", "bi"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
+            "np"
+        ),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    return mid.agg(
+        F.first("np").alias("n_pairs"),
+        (
+            F.sum(F.col("slope").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("median_slope_cents"),
+    )

@@ -57,6 +57,13 @@ _MODULES = [
 # to roughly the cap (~50); everything else follows in module order
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
+    # session-3 additions (newest first — the driver must see these)
+    "q_js_divergence",
+    "q_lexical_diversity",
+    "q_dsir_importance",
+    "q_silhouette",
+    "q_theil_sen",
+    "q_t_closeness",
     # round-1 red rows + their family (session-independence fix)
     "q_sessionize",
     "q_pivot",
