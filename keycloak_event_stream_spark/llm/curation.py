@@ -1349,3 +1349,76 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("t_emd").desc(), "c_nationkey", "c_mktsegment")
         .limit(50)
     )
+
+
+@_q(
+    "q_dp_count_laplace",
+    oracle="""
+    WITH counts AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
+      FROM customer GROUP BY c_nationkey
+    ),
+    seeded AS (
+      SELECT c_nationkey, true_n,
+             (CAST(('0x' || substr(md5('dp-seed:'
+                      || CAST(c_nationkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM counts
+    )
+    SELECT c_nationkey, true_n,
+           round(CAST(true_n AS DOUBLE)
+                 + CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                        ELSE -ln(2.0 * (1.0 - u)) END, 6)
+             AS noisy_n,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM seeded
+    ORDER BY c_nationkey
+    """,
+)
+def q_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism
+    (epsilon = 1, sensitivity 1 for a count query): the release step
+    after the k-anonymity / l-diversity / t-closeness audits, when
+    aggregate statistics leave the trust boundary. Noise is drawn by
+    inverse-CDF from a *seeded* md5 uniform per group key — the
+    deterministic-noise discipline every other approximate operator
+    here uses, so the mechanism itself is bitwise oracle-checkable
+    (a production run would swap the seed per release epoch; the
+    plumbing, scale shape, and calibration b = Δ/ε = 1 are the real
+    thing). true_n is emitted alongside for audit; a release view
+    would project it away.
+
+    Scale: one shuffle to |groups| cells, then a per-row closed-form
+    expression — no RNG state, no driver coordination, identical
+    noise on any partitioning. The per-group noisy value rounds at
+    6 dp so libm ln ulp differences cannot surface."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp-seed:"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noise = F.when(u < 0.5, F.log(2.0 * u)).otherwise(
+        -F.log(2.0 * (F.lit(1.0) - u))
+    )
+    return counts.select(
+        "c_nationkey",
+        "true_n",
+        F.round(F.col("true_n").cast("double") + noise, 6).alias("noisy_n"),
+        F.lit(1.0).cast("double").alias("epsilon"),
+    ).orderBy("c_nationkey")

@@ -603,3 +603,111 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "label", "cosine", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+@_q(
+    "q_mrr_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+          FROM b WHERE vec_id < {{nq}}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {{cos_e}} DESC, e.vec_id) AS rn
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+      WHERE rn <= {{k}}
+    ),
+    retrieved AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q.q_id, b.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {{cos_b}} DESC, b.vec_id) AS rn
+        FROM q JOIN b ON b.bucket = q.q_bucket
+        WHERE b.vec_id <> q.q_id)
+      WHERE rn <= {{k}}
+    )
+    SELECT r.q_id,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
+           CAST(min(CASE WHEN x.vec_id IS NOT NULL THEN r.rn END)
+                AS BIGINT) AS first_hit_rank,
+           COALESCE(1.0 / min(CASE WHEN x.vec_id IS NOT NULL
+                                   THEN r.rn END), 0.0)
+             AS reciprocal_rank
+    FROM retrieved r
+    LEFT JOIN exact x ON x.q_id = r.q_id AND x.vec_id = r.vec_id
+    GROUP BY r.q_id
+    ORDER BY r.q_id
+    """,
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the LSH retriever vs the exact cosine top-k:
+    per query, the rank of the FIRST retrieved item that belongs to
+    the exact top-k (the metric that matters when a downstream
+    consumer only reads the best hit — RAG context stuffing, nearest-
+    duplicate lookup). Complements q_ann_recall (how many hits) and
+    q_ndcg_eval (graded order quality).
+
+    Same bounded shape as its siblings: exact ranking is the
+    broadcast-query map-side scan, the retrieved side touches only
+    the query's LSH bucket, and the metric reduces |queries|·k rows.
+    1/rank is a single IEEE division of small integers — bitwise
+    identical in both engines, no rounding needed."""
+    e = _emb(spark, sf_dir)
+    b = e.withColumn("bucket", F.expr(_spark_bucket("v")))
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q.select("q_id", "qv")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("x_vec"))
+    )
+    retrieved = (
+        b.join(F.broadcast(q), b.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    hit_rank = F.min(
+        F.when(F.col("x_vec").isNotNull(), F.col("rn"))
+    )
+    return (
+        retrieved.join(
+            exact,
+            (retrieved.q_id == exact.q_id)
+            & (retrieved.vec_id == exact.x_vec),
+            "left",
+        )
+        .select(retrieved.q_id.alias("q_id"), "rn", "x_vec")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+            hit_rank.cast("bigint").alias("first_hit_rank"),
+            F.coalesce(
+                F.lit(1.0) / hit_rank, F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ORACLE["q_mrr_eval"] = ORACLE["q_mrr_eval"].format(
+    bucket=_duck_bucket("v"),
+    nq=_N_QUERIES,
+    k=_TOP_K,
+    cos_e=duck_cosine("q.qv", "e.v"),
+    cos_b=duck_cosine("q.qv", "b.v"),
+)

@@ -708,3 +708,61 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pe_num",
         ((n * agree - pe).cast("double") / (n * n - pe)).alias("kappa"),
     )
+
+
+@_q(
+    "q_log_loss_brier",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS p
+      FROM embeddings
+    ),
+    terms AS (
+      SELECT y,
+             round(-(y * ln(p) + (1 - y) * ln(1.0 - p)), 6) AS ll,
+             round((p - y) * (p - y), 6) AS sq
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(ll AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS log_loss,
+           CAST(sum(CAST(sq AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+             AS brier
+    FROM terms
+    """,
+)
+def q_log_loss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-loss (binary cross-entropy) and Brier score of a
+    sigmoid-calibrated scalar score (embedding dim 1) against the
+    binary label (label < 5) — the proper-scoring-rule companions to
+    q_auc_roc (rank quality) and q_calibration_bins (reliability):
+    AUC can look fine while the probabilities themselves are badly
+    scaled, which is exactly what these two catch.
+
+    Per-row featurize-and-score at scan speed, then one aggregate to
+    a single row — cost independent of corpus size. The per-row
+    −[y·ln p + (1−y)·ln(1−p)] and (p−y)² terms round at 6 dp before
+    the order-independent DECIMAL sum (the q_calibration_bins libm
+    discipline), so the means are bitwise-stable on any partitioning."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    s = F.element_at(F.col("embedding").cast("array<double>"), 1)
+    scored = e.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))).alias("p"),
+    )
+    y, p = F.col("y"), F.col("p")
+    terms = scored.select(
+        "y",
+        F.round(-(y * F.log(p) + (1 - y) * F.log(F.lit(1.0) - p)), 6)
+        .cast("decimal(27,6)")
+        .alias("ll"),
+        F.round((p - y) * (p - y), 6).cast("decimal(27,6)").alias("sq"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.sum("ll").cast("double") / F.count(F.lit(1))).alias("log_loss"),
+        (F.sum("sq").cast("double") / F.count(F.lit(1))).alias("brier"),
+    )

@@ -860,3 +860,131 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("median_slope_cents"),
     )
+
+
+@_q(
+    "q_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+      GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(0, (SELECT hi - lo FROM bounds)))
+               AS i
+    ),
+    dense AS (
+      SELECT s.i,
+             COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+      FROM spine s
+      LEFT JOIN (SELECT day - b.lo AS i, x, y
+                 FROM daily CROSS JOIN bounds b) d ON d.i = s.i
+    ),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+    stats AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.x) AS BIGINT) AS sx,
+             CAST(sum(b.y) AS BIGINT) AS sy,
+             CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+             CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(sum(b.y * b.y) AS BIGINT) AS syy
+      FROM lags l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.i = a.i + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM stats
+    ORDER BY lag
+    """,
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between the daily purchase and error
+    count series, lags −7..+7 days: r(l) = corr(purchases_t,
+    errors_{t+l}) — the monitor that answers "do error spikes lead or
+    follow demand?" (positive-lag peak ⇒ errors trail purchases).
+
+    The raw scan reduces to ONE conditional daily rollup (a single
+    pass emits both series as (day, x, y) cells); the calendar spine
+    derives from that rollup's own min/max, so nothing rescans the
+    events table. Days are integer indexes (date subtraction — no
+    interval arithmetic to diverge between engines), the 15-lag
+    shifted self-join runs over the |days|×15 bounded grid, and every
+    Pearson moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer until
+    the one closed-form double expression per lag. Missing days enter
+    as true zero counts via the spine, not as gaps that would silently
+    shrink n."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("hi"), F.col("lo")))
+        ).alias("i")
+    )
+    indexed = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("day"), F.col("lo")).alias("i"), "x", "y"
+    )
+    dense = (
+        spine.join(indexed, "i", "left")
+        .select(
+            "i",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag")
+    )
+    a = dense.select("i", "x")
+    b = dense.select(F.col("i").alias("j"), "y")
+    stats = (
+        lags.crossJoin(a)
+        .join(F.broadcast(b), F.col("j") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy).cast("double") / F.sqrt(
+        (n * sxx - sx * sx).cast("double")
+        * (n * syy - sy * sy).cast("double")
+    )
+    return stats.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        r.alias("r"),
+    ).orderBy("lag")

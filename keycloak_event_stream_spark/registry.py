@@ -57,7 +57,12 @@ _MODULES = [
 # to roughly the cap (~50); everything else follows in module order
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
-    # session-3 additions (newest first — the driver must see these)
+    # session-4 additions (newest first — the driver must see these)
+    "q_cross_correlation",
+    "q_log_loss_brier",
+    "q_mrr_eval",
+    "q_dp_count_laplace",
+    # session-3 additions
     "q_js_divergence",
     "q_lexical_diversity",
     "q_dsir_importance",
