@@ -2240,3 +2240,213 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mi_nats"),
         )
     )
+
+
+@_q(
+    "q_levene_test",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             min(CASE WHEN rn * 2 >= n + 1 THEN value END) AS median
+      FROM ranked GROUP BY event_type
+    ), z AS (
+      SELECT e.event_type,
+             CAST(round(abs(e.value - m.median), 6)
+                  AS DECIMAL(38,12)) AS zr
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ), grp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nj,
+             sum(zr) AS szj,
+             sum(zr * zr) AS sz2j
+      FROM z GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(CAST(round(CAST(szj AS DOUBLE)
+                                 * CAST(szj AS DOUBLE) / nj, 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n,
+             CAST(sum(szj) AS DOUBLE) AS sz,
+             CAST(sum(sz2j) AS DOUBLE) AS sz2
+      FROM grp
+    )
+    SELECT k AS k_groups, n AS n_total,
+           (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             * (sq_over_n - sz * sz / n)
+             / (sz2 - sq_over_n) AS bf_stat
+    FROM tot
+    """,
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with group *medians*) for
+    homogeneity of variance of ``value`` across event types — the
+    robust gatekeeper before trusting q_anova_oneway, whose F assumes
+    equal variances. W = one-way ANOVA F computed on the absolute
+    deviations z = |x − group median|.
+
+    Determinism: medians are nearest-rank data values (the q_mad
+    discipline, integer cross-multiplication); z rounds at 6 dp and
+    is DECLARED the statistic's input, so Σz and Σz² accumulate
+    exactly in DECIMAL(38,12) (order-independent on any partitioning)
+    and W is one closed-form double expression over per-group exact
+    scalars. Scale: rank shuffle on the group key, broadcast of the
+    |groups|-row median table back onto the scan, then a |groups|-cell
+    reduction — nothing global, nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("value"))
+        ).alias("median")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("median")), 6)
+        .cast("decimal(38,12)")
+        .alias("zr"),
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("zr").alias("szj"),
+        F.sum(F.col("zr") * F.col("zr")).alias("sz2j"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                F.col("szj").cast("double")
+                * F.col("szj").cast("double")
+                / F.col("nj"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sq_over_n"),
+        F.sum("szj").cast("double").alias("sz"),
+        F.sum("sz2j").cast("double").alias("sz2"),
+    )
+    n, k = F.col("n"), F.col("k")
+    bf = (
+        ((n - k).cast("double") / (k - 1).cast("double"))
+        * (F.col("sq_over_n") - F.col("sz") * F.col("sz") / n)
+        / (F.col("sz2") - F.col("sq_over_n"))
+    )
+    return tot.select(
+        k.alias("k_groups"), n.alias("n_total"), bf.alias("bf_stat")
+    )
+
+
+@_q(
+    "q_effect_size",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), grp AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM cents GROUP BY c_mktsegment
+    ), ab AS (
+      SELECT max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS n1,
+             max(CASE WHEN c_mktsegment = 'BUILDING' THEN s1 END) AS a1,
+             max(CASE WHEN c_mktsegment = 'BUILDING' THEN s2 END) AS a2,
+             max(CASE WHEN c_mktsegment = 'MACHINERY' THEN n END) AS n2,
+             max(CASE WHEN c_mktsegment = 'MACHINERY' THEN s1 END) AS b1,
+             max(CASE WHEN c_mktsegment = 'MACHINERY' THEN s2 END) AS b2
+      FROM grp
+    )
+    SELECT n1, n2,
+           (CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n2) / 100.0
+             AS mean_diff,
+           ((CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n2)
+            / sqrt(((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                    + (CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n2))
+                   / (n1 + n2 - 2))) AS cohens_d,
+           ((CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n2)
+            / sqrt(((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                    + (CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n2))
+                   / (n1 + n2 - 2)))
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)) AS hedges_g
+    FROM ab
+    """,
+)
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g for the BUILDING-vs-MACHINERY account-
+    balance difference — the effect-size readout that belongs next to
+    q_welch_ttest's p-value (significance says "not noise"; d says
+    "big enough to matter", the distinction every A/B report needs).
+    d = (m₁−m₂)/s_pooled; g applies the small-sample correction
+    J ≈ 1 − 3/(4(n₁+n₂)−9).
+
+    Money lives in exact integer cents, so every moment (n, Σx, Σx²)
+    is a pure BIGINT reduction and the statistics are single
+    closed-form double expressions over six integers — bitwise
+    portable, order-independent, one scan and a 2-cell shuffle at any
+    scale. The mean difference is reported back in currency units."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            "c_mktsegment",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    grp = cents.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+    )
+    def pick(seg, col):
+        return F.max(
+            F.when(F.col("c_mktsegment") == seg, F.col(col))
+        )
+    ab = grp.agg(
+        pick("BUILDING", "n").alias("n1"),
+        pick("BUILDING", "s1").alias("a1"),
+        pick("BUILDING", "s2").alias("a2"),
+        pick("MACHINERY", "n").alias("n2"),
+        pick("MACHINERY", "s1").alias("b1"),
+        pick("MACHINERY", "s2").alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    a1, a2 = F.col("a1"), F.col("a2")
+    b1, b2 = F.col("b1"), F.col("b2")
+    mdiff = a1.cast("double") / n1 - b1.cast("double") / n2
+    pooled = F.sqrt(
+        (
+            (a2.cast("double") - a1.cast("double") * a1 / n1)
+            + (b2.cast("double") - b1.cast("double") * b1 / n2)
+        )
+        / (n1 + n2 - 2)
+    )
+    d = mdiff / pooled
+    return ab.select(
+        "n1",
+        "n2",
+        (mdiff / F.lit(100.0)).alias("mean_diff"),
+        d.alias("cohens_d"),
+        (d * (F.lit(1.0) - F.lit(3.0) / (4.0 * (n1 + n2) - F.lit(9.0)))).alias(
+            "hedges_g"
+        ),
+    )

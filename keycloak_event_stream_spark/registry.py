@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_levene_test",
+    "q_effect_size",
     "q_cross_correlation",
     "q_log_loss_brier",
     "q_mrr_eval",
