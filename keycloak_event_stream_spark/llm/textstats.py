@@ -1644,3 +1644,63 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("importance").desc(), "doc_id")
         .limit(100)
     )
+
+
+@_q(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[a-z]{1,4}'))
+                  AS BIGINT) AS n_sub,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_sub) AS BIGINT) AS subwords,
+           CAST(sum(n_sub) AS DOUBLE) / sum(n_words) AS fertility,
+           CAST(sum(n_chars) AS DOUBLE) / sum(n_sub)
+             AS chars_per_token
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word and characters per token, under the engine's BPE-ish regex
+    tokenizer (the q_token_count segmentation). Fertility is THE
+    cross-lingual tokenizer-quality metric — a language whose fertility
+    runs 2× the corpus average pays twice the sequence length for the
+    same content, which skews both training cost and effective mixture
+    weights (and is exactly what q_mixture_weights should be fed).
+
+    All counts are integers summed per language (exact,
+    order-independent); the two ratios are single divisions of BIGINT
+    sums. One scan, one shuffle to |langs| cells — scan-dominated at
+    any corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+        .cast("bigint")
+        .alias("n_sub"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            F.sum("n_sub").cast("bigint").alias("subwords"),
+            (F.sum("n_sub").cast("double") / F.sum("n_words")).alias(
+                "fertility"
+            ),
+            (F.sum("n_chars").cast("double") / F.sum("n_sub")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

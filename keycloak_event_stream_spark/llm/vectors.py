@@ -1187,3 +1187,112 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_q(
+    "q_cronbach_alpha",
+    oracle="""
+    WITH cell AS (
+      SELECT vec_id, s.pos,
+             CAST(round(CAST(embedding[s.pos + 1] AS DOUBLE), 6)
+                  AS DECIMAL(27,6)) AS r
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(0, 7)) AS pos) s
+    ),
+    dim AS (
+      SELECT pos, sum(r) AS sv,
+             sum(CAST(r AS DECIMAL(18,6)) * CAST(r AS DECIMAL(18,6)))
+               AS sv2
+      FROM cell GROUP BY pos
+    ),
+    rowtot AS (
+      SELECT vec_id, sum(r) AS t FROM cell GROUP BY vec_id
+    ),
+    tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS DOUBLE) AS st,
+             CAST(sum(CAST(t AS DECIMAL(18,6)) * CAST(t AS DECIMAL(18,6)))
+                  AS DOUBLE) AS st2
+      FROM rowtot
+    ),
+    dims AS (
+      SELECT CAST(sum(sv2) AS DOUBLE) AS ssv2,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                      ORDER BY pos)),
+               (a, b) -> a + b) AS ssvsq
+      FROM dim
+    )
+    SELECT tt.n, CAST(8 AS BIGINT) AS k_items,
+           (8.0 / 7.0)
+             * (1.0 - ((dims.ssv2 - dims.ssvsq / tt.n) / tt.n)
+                      / ((tt.st2 - tt.st * tt.st / tt.n) / tt.n))
+             AS cronbach_alpha
+    FROM tt CROSS JOIN dims
+    """,
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the first 8 embedding dimensions treated
+    as scale items — the internal-consistency readout a feature-store
+    owner runs before averaging correlated signals into one score:
+    α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(total)).
+
+    Determinism: dim values round at 6 dp and become THE item scores,
+    so every per-dim and per-row sum is exact decimal arithmetic
+    (order-independent); the per-row total is a decimal sum of the 8
+    items (exact — no float re-association); the one float reduction
+    left (Σᵢ svᵢ²) folds over the pos-ordered 8-element list with the
+    same seed and order in both engines (the q_ewma discipline).
+    Scale: the cell table is 8 rows per vector, reduced in one
+    shuffle each to 8 dim cells and |vectors| row totals — linear,
+    no global sort, no driver loop."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    cell = e.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+        ).alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos0")).alias("pos"),
+        F.round(F.col("val"), 6).cast("decimal(27,6)").alias("r"),
+    )
+    dim = cell.groupBy("pos").agg(
+        F.sum("r").alias("sv"),
+        F.sum(
+            F.col("r").cast("decimal(18,6)")
+            * F.col("r").cast("decimal(18,6)")
+        ).alias("sv2"),
+    )
+    rowtot = cell.groupBy("vec_id").agg(F.sum("r").alias("t"))
+    tt = rowtot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum(
+            F.col("t").cast("decimal(18,6)")
+            * F.col("t").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("st2"),
+    )
+    dims = dim.agg(
+        F.sum("sv2").cast("double").alias("ssv2"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(pos, cast(sv as double) as sv))), s -> s.sv),"
+            " cast(0.0 as double), (a, b) -> a + b * b)"
+        ).alias("ssvsq"),
+    )
+    n = F.col("n")
+    sum_item_var = (F.col("ssv2") - F.col("ssvsq") / n) / n
+    tot_var = (F.col("st2") - F.col("st") * F.col("st") / n) / n
+    return tt.crossJoin(F.broadcast(dims)).select(
+        n.alias("n"),
+        F.lit(8).cast("bigint").alias("k_items"),
+        (
+            F.lit(8.0)
+            / F.lit(7.0)
+            * (F.lit(1.0) - sum_item_var / tot_var)
+        ).alias("cronbach_alpha"),
+    )

@@ -2450,3 +2450,250 @@ def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hedges_g"
         ),
     )
+
+
+@_q(
+    "q_partial_corr",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS y,
+             CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS z
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(z * z AS DECIMAL(38,0))) AS DOUBLE) AS szz,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * z AS DECIMAL(38,0))) AS DOUBLE) AS sxz,
+             CAST(sum(CAST(y * z AS DECIMAL(38,0))) AS DOUBLE) AS syz
+      FROM cents GROUP BY l_returnflag
+    ), r AS (
+      SELECT l_returnflag, n,
+             (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+                                    * sqrt(n * syy - sy * sy)) AS rxy,
+             (n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx)
+                                    * sqrt(n * szz - sz * sz)) AS rxz,
+             (n * syz - sy * sz) / (sqrt(n * syy - sy * sy)
+                                    * sqrt(n * szz - sz * sz)) AS ryz
+      FROM m
+    )
+    SELECT l_returnflag, n, rxy,
+           (rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+             AS partial_rxy_z
+    FROM r ORDER BY l_returnflag
+    """,
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of quantity vs extended price
+    CONTROLLING for discount, per return flag:
+    r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the
+    confounder-adjusted companion to q_agg_corr, answering "is the
+    qty–price relationship real or carried by the discount tier?"
+
+    Same exact-moment discipline as q_agg_corr: all three columns
+    scale to exact integers (cents / basis points), the nine moments
+    are integer sums in DECIMAL(38,0) (order-independent on any
+    partitioning), and the three pairwise r's plus the partial form
+    are one deterministic scalar expression after a single
+    decimal→double cast each. One shuffle to |flags| cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("z"),
+    )
+
+    def mom(a: str, b: str) -> F.Column:
+        return (
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+        )
+
+    m = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        mom("x", "x").alias("sxx"),
+        mom("y", "y").alias("syy"),
+        mom("z", "z").alias("szz"),
+        mom("x", "y").alias("sxy"),
+        mom("x", "z").alias("sxz"),
+        mom("y", "z").alias("syz"),
+    )
+    n = F.col("n")
+    sx, sy, sz = F.col("sx"), F.col("sy"), F.col("sz")
+    sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
+    sxy, sxz, syz = F.col("sxy"), F.col("sxz"), F.col("syz")
+    rxy = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    rxz = (n * sxz - sx * sz) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz)
+    )
+    ryz = (n * syz - sy * sz) / (
+        F.sqrt(n * syy - sy * sy) * F.sqrt(n * szz - sz * sz)
+    )
+    r = m.select(
+        "l_returnflag",
+        "n",
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+        * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+    )
+    return r.select(
+        "l_returnflag", "n", "rxy", partial.alias("partial_rxy_z")
+    ).orderBy("l_returnflag")
+
+
+@_q(
+    "q_ridge_regression",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM cents
+    ), c AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS c11,
+             s12 - s1 * s2 / n AS c12,
+             s22 - s2 * s2 / n AS c22,
+             s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y,
+             syy - sy * sy / n AS cyy,
+             s1 / n AS m1, s2 / n AS m2, sy / n AS my
+      FROM m
+    ), solved AS (
+      SELECT n, m1, m2, my, c1y, c2y, cyy,
+             ((c22 + 1000.0) * c1y - c12 * c2y)
+               / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b1,
+             ((c11 + 1000.0) * c2y - c12 * c1y)
+               / ((c11 + 1000.0) * (c22 + 1000.0) - c12 * c12) AS b2
+      FROM c
+    )
+    SELECT n, b1 AS beta_qty, b2 AS beta_disc,
+           (my - b1 * m1 - b2 * m2) / 100.0 AS intercept,
+           (b1 * c1y + b2 * c2y) / cyy AS r2
+    FROM solved
+    """,
+)
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (λ = 1000) of extended price on
+    quantity and discount via *sufficient statistics* — the pattern
+    that trains linear models at 100 TB without a single gradient
+    step: one scan reduces the data to ten exact moments, the 2×2
+    normal equations (Xᶜ'Xᶜ + λI)β = Xᶜ'y solve by Cramer's rule on
+    the driver-free single-row plan, and the fit quality reads off
+    the same scalars (R² = β'Xᶜ'y / y'y centered).
+
+    Every moment is an integer sum in DECIMAL(38,0) (cents / basis
+    points — the q_agg_corr discipline), cast to double exactly once;
+    the solve is one deterministic scalar expression with identical
+    shape in both engines. Adding features grows the moment vector
+    quadratically but the scan stays single-pass — the engine-side
+    answer to "fit a trend line over the whole corpus"."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x1"),
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def mom(a: str, b: str) -> F.Column:
+        return (
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+        )
+
+    m = cents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        mom("x1", "x1").alias("s11"),
+        mom("x1", "x2").alias("s12"),
+        mom("x2", "x2").alias("s22"),
+        mom("x1", "y").alias("s1y"),
+        mom("x2", "y").alias("s2y"),
+        mom("y", "y").alias("syy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    lam = F.lit(1000.0)
+    det = (F.col("c11") + lam) * (F.col("c22") + lam) - F.col(
+        "c12"
+    ) * F.col("c12")
+    b1 = ((F.col("c22") + lam) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = ((F.col("c11") + lam) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    solved = c.select(
+        "n", "m1", "m2", "my", "c1y", "c2y", "cyy",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    return solved.select(
+        "n",
+        F.col("b1").alias("beta_qty"),
+        F.col("b2").alias("beta_disc"),
+        (
+            (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"))
+            / F.lit(100.0)
+        ).alias("intercept"),
+        (
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy")
+        ).alias("r2"),
+    )

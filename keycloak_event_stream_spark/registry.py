@@ -58,6 +58,10 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_partial_corr",
+    "q_ridge_regression",
+    "q_cronbach_alpha",
+    "q_tokenizer_fertility",
     "q_levene_test",
     "q_effect_size",
     "q_cross_correlation",
