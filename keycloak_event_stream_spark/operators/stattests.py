@@ -2697,3 +2697,121 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cyy")
         ).alias("r2"),
     )
+
+
+def _qq_probs() -> list[tuple[float, float]]:
+    """(p, z_p) pairs for p = 0.05..0.95: the standard-normal quantile
+    constants are query-build-time literals (stdlib NormalDist — not
+    data-dependent), inlined identically into both engines."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [(i / 20.0, nd.inv_cdf(i / 20.0)) for i in range(1, 20)]
+
+
+@_q(
+    "q_qq_plot",
+    oracle=f"""
+    WITH probs(p, z_theo) AS (
+      VALUES {", ".join(
+        f"(CAST({p!r} AS DOUBLE), CAST({z!r} AS DOUBLE))"
+        for p, z in _qq_probs()
+      )}
+    ),
+    per_v AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             CAST(sum(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM per_v
+    ),
+    emp AS (
+      SELECT pr.p, pr.z_theo,
+             min(CASE WHEN cum.cum * 20 >= CAST(pr.p * 20 AS BIGINT)
+                           * cum.n
+                      THEN cum.value END) AS q_emp,
+             max(cum.n) AS n
+      FROM probs pr CROSS JOIN cum
+      GROUP BY pr.p, pr.z_theo
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))
+                      * CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s2
+      FROM events
+    )
+    SELECT e.p, e.q_emp, e.z_theo,
+           (e.q_emp - m.s1 / m.n)
+             / sqrt((m.s2 - m.s1 * m.s1 / m.n) / m.n) AS z_emp
+    FROM emp e CROSS JOIN mom m
+    ORDER BY e.p
+    """,
+)
+def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q plot of ``value`` against the normal distribution: 19
+    nearest-rank empirical quantiles (p = 0.05..0.95) standardized by
+    the exact-moment mean/sd, paired with the theoretical z_p — the
+    one-look normality diagnostic (S-shape = heavy tails, bend =
+    skew) behind every "can I use a z-test here?" decision.
+
+    Scale shape: one shuffle to per-value counts, a two-phase
+    range-partitioned cumulative count over |distinct values| (the
+    q_ks_test ECDF discipline — no single-partition window), then a
+    19-probe broadcast sweep reduced per probe. The quantile pick is
+    pure integer arithmetic (cum·20 ≥ p·20·n — p·20 is an exact small
+    integer, so no float threshold); z_p constants are build-time
+    literals; the standardization uses 6-dp decimal moments. Bitwise
+    end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    per_v = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = two_phase_window(per_v, [F.col("value")], cumsum={"cum": "c"})
+    cum = with_totals(
+        cum, {"n": F.sum("c").cast("bigint")}
+    ).select("value", F.col("cum").cast("bigint").alias("cum"), "n")
+    probs = spark.createDataFrame(
+        _qq_probs(), schema="p double, z_theo double"
+    )
+    emp = (
+        F.broadcast(probs)
+        .crossJoin(cum)
+        .groupBy("p", "z_theo")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 20
+                    >= (F.col("p") * 20).cast("bigint") * F.col("n"),
+                    F.col("value"),
+                )
+            ).alias("q_emp"),
+            F.max("n").alias("n"),
+        )
+    )
+    r6 = F.round(F.col("value"), 6)
+    mom = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("mn"),
+        F.sum(r6.cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum(r6.cast("decimal(18,6)") * r6.cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    z_emp = (
+        F.col("q_emp") - F.col("s1") / F.col("mn")
+    ) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("mn"))
+        / F.col("mn")
+    )
+    return (
+        emp.crossJoin(F.broadcast(mom))
+        .select("p", "q_emp", "z_theo", z_emp.alias("z_emp"))
+        .orderBy("p")
+    )

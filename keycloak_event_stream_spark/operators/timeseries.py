@@ -988,3 +988,119 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         r.alias("r"),
     ).orderBy("lag")
+
+
+@_q(
+    "q_anomaly_seasonal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+               AS dow,  -- DuckDB Sunday=0; Spark Sunday=1
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, dow, cents,
+             row_number() OVER (PARTITION BY dow
+                                ORDER BY cents, day) AS rn,
+             count(*) OVER (PARTITION BY dow) AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT dow,
+             min(CASE WHEN rn * 2 >= n + 1 THEN cents END) AS med
+      FROM ranked GROUP BY dow
+    ),
+    dev AS (
+      SELECT d.day, d.dow, d.cents, m.med,
+             abs(d.cents - m.med) AS ad
+      FROM daily d JOIN med m ON m.dow = d.dow
+    ),
+    dranked AS (
+      SELECT day, dow, cents, med, ad,
+             row_number() OVER (PARTITION BY dow
+                                ORDER BY ad, day) AS rn,
+             count(*) OVER (PARTITION BY dow) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT dow,
+             min(CASE WHEN rn * 2 >= n + 1 THEN ad END) AS mad
+      FROM dranked GROUP BY dow
+    )
+    SELECT d.day, d.dow, d.cents, d.med AS med_cents,
+           mad.mad AS mad_cents,
+           CAST(CASE WHEN d.ad * 10000 > 44478 * mad.mad
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM dev d JOIN mad ON mad.dow = d.dow
+    WHERE d.ad * 10000 > 44478 * mad.mad
+    ORDER BY d.day
+    """,
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly days: each day's revenue is compared
+    to its OWN weekday's robust baseline (median ± 3·1.4826·MAD), so
+    a quiet Sunday is not flagged just for being a Sunday — the
+    upgrade over q_anomaly_zscore's global mean/σ, which both absorbs
+    weekly seasonality into "noise" and lets outliers inflate σ.
+
+    Everything is integer: daily cents, nearest-rank weekday medians
+    and MADs (the q_mad discipline), and the 3·1.4826 threshold
+    cross-multiplied as ``|dev|·10000 > 44478·MAD`` — no float enters
+    at all, so the flag set is bitwise at any scale. The raw scan
+    reduces to the bounded daily series first; both rank windows run
+    partitioned by weekday over ~|days|/7 rows each."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    w = Window.partitionBy("dow").orderBy("cents", "day")
+    wc = Window.partitionBy("dow")
+    ranked = daily.select(
+        "day",
+        "dow",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.groupBy("dow").agg(
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("cents"))
+        ).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "dow").select(
+        "day",
+        "dow",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("ad"),
+    )
+    wd = Window.partitionBy("dow").orderBy("ad", "day")
+    dranked = dev.select(
+        "dow",
+        "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mad = dranked.groupBy("dow").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("ad"))).alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .filter(F.col("ad") * 10000 > 44478 * F.col("mad"))
+        .select(
+            "day",
+            "dow",
+            "cents",
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+            F.lit(1).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
