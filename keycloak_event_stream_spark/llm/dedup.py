@@ -973,3 +973,70 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_small", "doc_big")
     )
+
+
+@_q(
+    "q_dedup_prefix",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(substr(text, 1, 120)),
+                              '[^a-z ]', '', 'g'),
+               ' +', ' ', 'g'))) AS pfp
+      FROM documents
+    ),
+    grp AS (
+      SELECT pfp, CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM norm GROUP BY pfp
+      HAVING count(*) > 1
+    )
+    SELECT n.doc_id, g.canonical_id, g.cluster_size, g.pfp
+    FROM norm n JOIN grp g ON g.pfp = n.pfp
+    ORDER BY g.pfp, n.doc_id
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix duplicate blocking: documents whose first 120
+    characters agree after lowercasing, punctuation stripping, and
+    whitespace collapse — the cheap screen that catches templated and
+    boilerplate-led duplicates (instruction-data prompts, scraped
+    page headers) that full-text exact dedup misses the moment one
+    trailing byte differs, at a fraction of MinHash's cost.
+
+    Scale: the normalize+hash is per-row at scan speed; the shuffle
+    carries 32-hex prefix fingerprints, never text; the >1 clusters
+    join back by fingerprint (group table is duplicate-clusters-only,
+    so the join-back side is small). Canonical = min doc_id, the same
+    deterministic survivor rule as q_dedup_exact."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = d.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.substring("text", 1, 120)),
+                        "[^a-z ]",
+                        "",
+                    ),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("pfp"),
+    )
+    grp = (
+        norm.groupBy("pfp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+    return (
+        norm.join(grp, "pfp")
+        .select("doc_id", "canonical_id", "cluster_size", "pfp")
+        .orderBy("pfp", "doc_id")
+    )

@@ -445,3 +445,85 @@ def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@_q(
+    "q_context_length_plan",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    windows AS (SELECT unnest([512, 1024, 2048, 4096]) AS w)
+    SELECT CAST(w.w AS BIGINT) AS context_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN l.n_tok > w.w THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN l.n_tok > w.w THEN l.n_tok - w.w
+                         ELSE 0 END) AS BIGINT) AS tokens_lost,
+           CAST(sum(least(l.n_tok, w.w)) AS BIGINT) AS tokens_kept,
+           CAST((sum(least(l.n_tok, w.w)) + w.w - 1) // w.w AS BIGINT)
+             AS packed_bins,
+           CAST(sum(CASE WHEN l.n_tok > w.w THEN l.n_tok - w.w
+                         ELSE 0 END) AS DOUBLE)
+             / sum(l.n_tok) AS frac_lost
+    FROM lens l CROSS JOIN windows w
+    GROUP BY w.w
+    ORDER BY context_len
+    """,
+)
+def q_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window capacity plan: for each candidate training
+    context length (512/1k/2k/4k whitespace tokens), how many
+    documents truncate, how many tokens fall off the end, and how
+    many perfectly-packed bins the surviving tokens fill — the
+    numbers that decide "train at 2k or pay for 4k?" before any GPU
+    is booked (the lower bound ⌈Σ min(len, W)/W⌉ is what
+    q_pack_sequences' first-fit plan is measured against).
+
+    One scan reduces documents to integer token lengths; the 4-window
+    probe is a broadcast cross join expanded map-side, and every
+    output is integer arithmetic (ceil division via (s + w − 1) div w
+    — no float rounding) except the one lost-token ratio. Cost is
+    |windows| × one shuffle-free scan aggregate at any corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    lens = d.select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok")
+    )
+    windows = spark.createDataFrame(
+        [(512,), (1024,), (2048,), (4096,)], schema="w long"
+    )
+    lost = F.when(
+        F.col("n_tok") > F.col("w"), F.col("n_tok") - F.col("w")
+    ).otherwise(0)
+    kept = F.least(F.col("n_tok"), F.col("w"))
+    return (
+        lens.crossJoin(F.broadcast(windows))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") > F.col("w"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum(lost).cast("bigint").alias("tokens_lost"),
+            F.sum(kept).cast("bigint").alias("tokens_kept"),
+            F.floor(
+                (F.sum(kept) + F.first("w") - 1) / F.first("w")
+            )
+            .cast("bigint")
+            .alias("packed_bins"),
+            (F.sum(lost).cast("double") / F.sum("n_tok")).alias(
+                "frac_lost"
+            ),
+        )
+        .select(
+            F.col("w").cast("bigint").alias("context_len"),
+            "n_docs",
+            "n_truncated",
+            "tokens_lost",
+            "tokens_kept",
+            "packed_bins",
+            "frac_lost",
+        )
+        .orderBy("context_len")
+    )
