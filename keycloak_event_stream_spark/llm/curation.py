@@ -1422,3 +1422,77 @@ def q_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n").cast("double") + noise, 6).alias("noisy_n"),
         F.lit(1.0).cast("double").alias("epsilon"),
     ).orderBy("c_nationkey")
+
+
+@_q(
+    "q_instruction_format",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_tok,
+             COALESCE(array_to_string(list_slice(w, 1, 30), ' '), '')
+               AS user_part,
+             COALESCE(array_to_string(
+               list_slice(w, 31, len(w)), ' '), '') AS asst_part
+      FROM tok
+    )
+    SELECT doc_id, source, n_tok,
+           '<|im_start|>user\n' || user_part
+             || '<|im_end|>\n<|im_start|>assistant\n' AS prompt,
+           asst_part || '<|im_end|>' AS completion,
+           CAST(least(n_tok, 30) AS BIGINT) AS loss_mask_prefix_tokens
+    FROM parts
+    ORDER BY doc_id
+    """,
+)
+def q_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template transform: each document becomes a prompt/
+    completion training example (first 30 tokens as the user turn,
+    the rest as the assistant turn, ChatML-style delimiters), plus
+    the loss-mask boundary — the token count whose loss the trainer
+    zeroes so the model learns to ANSWER, not to parrot prompts. The
+    last formatting mile every instruction-tuning pipeline runs
+    between curation and the tokenizer.
+
+    Pure per-row string/array expressions — zero shuffles, codegen'd,
+    scan speed at any corpus size. Empty assistant slices COALESCE to
+    '' (DuckDB's list_slice yields NULL on an empty range where
+    Spark's slice yields an empty array — the engine-portability trap
+    documented in the verify playbook)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    parts = d.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("n_tok"),
+        F.array_join(F.slice(w, 1, 30), " ").alias("user_part"),
+        F.when(
+            F.size(w) > 30,
+            F.array_join(
+                F.expr("slice(split(text, ' '), 31, size(split(text, ' ')))"),
+                " ",
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("asst_part"),
+    )
+    return parts.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.concat(
+            F.lit("<|im_start|>user\n"),
+            F.col("user_part"),
+            F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+        ).alias("prompt"),
+        F.concat(F.col("asst_part"), F.lit("<|im_end|>")).alias(
+            "completion"
+        ),
+        F.least(F.col("n_tok"), F.lit(30)).cast("bigint").alias(
+            "loss_mask_prefix_tokens"
+        ),
+    ).orderBy("doc_id")

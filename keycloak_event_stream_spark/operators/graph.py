@@ -445,3 +445,86 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@_q(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    hist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY d
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(ln(CAST(d AS DOUBLE) / 1.5), 6)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS slog
+      FROM deg WHERE d >= 2
+    )
+    SELECT h.d AS degree, h.n_nodes,
+           1.0 + CAST(f.n AS DOUBLE) / f.slog AS alpha_mle
+    FROM hist h CROSS JOIN fit f
+    ORDER BY h.d
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer–supplier co-order graph,
+    with the continuous power-law MLE exponent
+    α = 1 + n / Σ ln(dᵢ/(d_min − ½)) over d ≥ d_min = 2 (Clauset-
+    Shirer-Newman form) attached — the first question about any graph
+    an iterative algorithm will touch: a heavy tail means hub salting
+    / degree-capping (cf. q_graph_common_neighbors) is mandatory
+    before the self-joins, and α quantifies how heavy.
+
+    Scale: the degree table is one shuffle over the distinct edge
+    list; the histogram is |distinct degrees| cells; per-node ln
+    terms round at 6 dp into an order-independent DECIMAL sum (the
+    q_chi_square discipline), so α is bitwise. The 1-row fit
+    broadcast-joins onto the bounded histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.concat(F.lit("c"), F.col("c")).alias("src")
+    ).unionAll(pairs.select(F.concat(F.lit("s"), F.col("s")).alias("src")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    hist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    fit = deg.filter(F.col("d") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.log(F.col("d").cast("double") / 1.5), 6).cast(
+                "decimal(27,6)"
+            )
+        )
+        .cast("double")
+        .alias("slog"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("d").alias("degree"),
+            "n_nodes",
+            (F.lit(1.0) + F.col("n").cast("double") / F.col("slog")).alias(
+                "alpha_mle"
+            ),
+        )
+        .orderBy("degree")
+    )

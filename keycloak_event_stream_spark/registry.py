@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_graph_degree_dist",
+    "q_instruction_format",
     "q_context_length_plan",
     "q_dedup_prefix",
     "q_qq_plot",
