@@ -942,6 +942,9 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
+    # one materialization of the bounded daily series feeds bounds,
+    # the index join and both lag sides: the raw table is scanned once
+    daily = daily.persist()
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
         F.explode(

@@ -263,3 +263,54 @@ def test_bpe_encode_broadcasts_merge_scalars(spark, queries):
     # corpus-side join against the encode map is not a cartesian
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cross_correlation_single_events_scan(spark, queries):
+    # the daily (x, y) rollup is ONE conditional-aggregate pass,
+    # persisted: every downstream branch (bounds, spine, both lag
+    # sides) reads the cached rollup, so the raw events file
+    # materializes once. (InMemoryTableScan's description embeds the
+    # cached plan's FileScan text, so counting raw "FileScan" strings
+    # over-counts — assert the cache boundary instead.)
+    plan = _plan(queries["q_cross_correlation"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 4  # all branches cached
+    first_cache = plan.index("InMemoryTableScan")
+    assert "FileScan parquet" not in plan[:first_cache]
+
+
+def test_ridge_regression_single_scan_no_shuffle_rows(spark, queries):
+    # sufficient-statistics fit: one lineitem scan reduced to a 1-row
+    # moment vector; no join, no window, no row-level shuffle
+    plan = _plan(queries["q_ridge_regression"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_instruction_format_no_exchange(spark, queries):
+    # per-row template transform: scan -> project -> sort for the
+    # deterministic output order; no aggregation/join exchanges beyond
+    # the final range partition for ORDER BY
+    plan = _plan(queries["q_instruction_format"](spark, SF))
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+
+
+def test_dedup_prefix_shuffles_hashes_not_text(spark, queries):
+    # the exchange after fingerprinting must not carry the text
+    # column: the partial aggregate that feeds it outputs only the
+    # fingerprint + partial counters (text# appears below the
+    # exchange, inside the map-side md5 projection)
+    plan = _plan(queries["q_dedup_prefix"](spark, SF))
+    ex = plan.index("Exchange hashpartitioning")
+    out_start = plan.index("output=[", ex)
+    out = plan[out_start : plan.index("]", out_start)]
+    assert "text" not in out
+
+
+def test_levene_broadcasts_group_medians(spark, queries):
+    # the |groups|-row median table joins back by broadcast, never a
+    # row-level sort-merge join
+    plan = _plan(queries["q_levene_test"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
