@@ -1496,3 +1496,73 @@ def q_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loss_mask_prefix_tokens"
         ),
     ).orderBy("doc_id")
+
+
+_BLOCKLIST = ["slow", "corrupt", "poison", "junk"]
+
+
+@_q(
+    "q_safety_lexicon",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(w, x -> list_contains(
+               {_BLOCKLIST!r}, x))) AS BIGINT) AS n_hits
+      FROM tok
+    )
+    SELECT doc_id, source, n_tok, n_hits,
+           CAST(n_hits AS DOUBLE) / n_tok AS hit_rate,
+           CAST(CASE WHEN n_hits * 100 > n_tok THEN 1 ELSE 0 END
+                AS INTEGER) AS blocked
+    FROM hits
+    WHERE n_hits > 0
+    ORDER BY doc_id
+    """,
+)
+def q_safety_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based safety screen: per-document blocklist-token hits
+    and rate, with a block flag when hits exceed 1% of tokens — the
+    first (cheapest) rung of a content-safety ladder, run before any
+    model-based classifier because it filters at scan speed and its
+    false-positive behavior is fully auditable. The blocklist stands
+    in for a real deny-lexicon; the plumbing (token match, rate
+    threshold, audit rows) is the production shape.
+
+    Per-row array intersection against a literal list — zero
+    shuffles, codegen'd; the block decision is the integer
+    cross-product n_hits·100 > n_tok (no float threshold). Only hit
+    documents are emitted, so the audit output is proportional to
+    the problem, not the corpus."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    lex = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = d.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("n_tok"),
+        F.size(F.filter(w, lambda x: F.array_contains(lex, x)))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    return (
+        hits.filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_tok")).alias(
+                "hit_rate"
+            ),
+            F.when(F.col("n_hits") * 100 > F.col("n_tok"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("blocked"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2503,3 +2503,81 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@_q(
+    "q_user_features",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS corpus_max FROM events)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT time_bucket(INTERVAL 1 DAY, e.ts))
+                AS BIGINT) AS active_days,
+           CAST(date_diff('second', max(e.ts),
+                          any_value(mx.corpus_max)) AS BIGINT)
+             AS recency_s,
+           CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN e.event_type = 'error' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CAST(round(e.value, 6) AS DECIMAL(27,6)))
+                AS DOUBLE) AS total_value,
+           CAST(CASE WHEN count(*) > 1
+                THEN date_diff('second', min(e.ts), max(e.ts))
+                     / (count(*) - 1) END AS DOUBLE)
+             AS mean_gap_s
+    FROM events e CROSS JOIN mx
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store assembly: the wide vector a churn /
+    propensity model consumes — recency (seconds behind the corpus
+    frontier), frequency, active days, type mix, exact-decimal
+    monetary total, and mean inter-event gap — all in ONE pass over
+    the events table. This is the materialization pattern for an
+    online feature store at 100 TB: conditional aggregates fuse into
+    a single shuffle on user_id; the corpus frontier is a 1-row
+    broadcast; nothing is computed per-feature-per-scan.
+
+    Counts and second-granularity gaps are integers; the one float
+    sum uses the 6-dp decimal discipline; the mean gap is a single
+    division (exact integer operands). distinct-day counting stays
+    inside the same aggregate (Spark plans a two-phase
+    count-distinct, still one logical pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    gap_s = (
+        F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(F.date_trunc("day", F.col("ts")))
+            .cast("bigint")
+            .alias("active_days"),
+            (
+                F.unix_timestamp(F.first("corpus_max"))
+                - F.unix_timestamp(F.max("ts"))
+            )
+            .cast("bigint")
+            .alias("recency_s"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchase"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_error"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.when(
+                F.count(F.lit(1)) > 1,
+                (gap_s / (F.count(F.lit(1)) - 1)).cast("double"),
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("user_id")
+    )

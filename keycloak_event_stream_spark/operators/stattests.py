@@ -2815,3 +2815,150 @@ def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "q_emp", "z_theo", z_emp.alias("z_emp"))
         .orderBy("p")
     )
+
+
+def _phi_expr(x: str) -> str:
+    """Abramowitz–Stegun 7.1.26 normal CDF for x >= 0 — ONE SQL
+    expression string used verbatim by both engines (Spark F.expr and
+    the DuckDB oracle share exp/sqrt/ln spellings), so the arithmetic
+    shape is identical by construction."""
+    t = f"(1.0 / (1.0 + 0.2316419 * {x}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return (
+        f"(1.0 - exp(-({x}) * ({x}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+    )
+
+
+@_q(
+    "q_benjamini_hochberg",
+    oracle=f"""
+    WITH grp AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(pos) AS BIGINT) AS tpos,
+             CAST(count(*) AS BIGINT) AS m
+      FROM grp
+    ),
+    z AS (
+      SELECT g.c_nationkey, g.n, t.m,
+             abs((CAST(g.pos AS DOUBLE) / g.n
+                  - CAST(t.tpos AS DOUBLE) / t.tn)
+                 / sqrt((CAST(t.tpos AS DOUBLE) / t.tn)
+                        * (1.0 - CAST(t.tpos AS DOUBLE) / t.tn)
+                        / g.n)) AS az
+      FROM grp g CROSS JOIN tot t
+    ),
+    pv AS (
+      SELECT c_nationkey, n, m,
+             round(2.0 * (1.0 - {_phi_expr("az")}), 6) AS p
+      FROM z
+    ),
+    ranked AS (
+      SELECT c_nationkey, n, m, p,
+             CAST(row_number() OVER (ORDER BY p, c_nationkey)
+                  AS BIGINT) AS rk
+      FROM pv
+    ),
+    cutoff AS (
+      SELECT COALESCE(max(CASE WHEN p * m <= rk * 0.10
+                               THEN rk END), 0) AS max_k
+      FROM ranked
+    )
+    SELECT r.c_nationkey, r.n, r.p, r.rk,
+           round(r.rk * 0.10 / r.m, 6) AS bh_threshold,
+           CAST(CASE WHEN r.rk <= c.max_k THEN 1 ELSE 0 END
+                AS INTEGER) AS significant
+    FROM ranked r CROSS JOIN cutoff c
+    ORDER BY r.rk
+    """,
+)
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction (q = 0.10) over the family of
+    25 per-nation one-sample proportion tests (positive-balance share
+    vs the global share) — the multiple-testing discipline that every
+    per-segment metric sweep needs: at 25 simultaneous tests, ~1-3
+    raw p < 0.05 "findings" are expected under the null, and BH is
+    the standard way to keep the *false-discovery rate*, not the
+    per-test rate, at q.
+
+    The test family reduces to |nations| integer count cells in one
+    shuffle; z and the normal CDF (shared Abramowitz–Stegun 7.1.26
+    expression — literally the same SQL string in both engines) are
+    closed-form per cell, rounded at 6 dp; the BH step-up runs over
+    the bounded 25-row family (rank + a 1-row max-k broadcast), with
+    the cutoff comparison as p·m ≤ k·q — no division in the
+    decision."""
+    cust = load_table(spark, sf_dir, "customer")
+    grp = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("pos").cast("bigint").alias("tpos"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    p0 = F.col("tpos").cast("double") / F.col("tn")
+    az = F.abs(
+        (F.col("pos").cast("double") / F.col("n") - p0)
+        / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n"))
+    )
+    pv = (
+        grp.crossJoin(F.broadcast(tot))
+        .withColumn("az", az)
+        .select(
+            "c_nationkey",
+            "n",
+            "m",
+            F.round(
+                2.0 * (1.0 - F.expr(_phi_expr("az"))), 6
+            ).alias("p"),
+        )
+    )
+    ranked = pv.select(
+        "c_nationkey",
+        "n",
+        "m",
+        "p",
+        F.row_number()
+        .over(Window.orderBy("p", "c_nationkey"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("p") * F.col("m") <= F.col("rk") * 0.10,
+                       F.col("rk"))
+            ),
+            F.lit(0),
+        ).alias("max_k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            "c_nationkey",
+            "n",
+            "p",
+            "rk",
+            F.round(F.col("rk") * 0.10 / F.col("m"), 6).alias(
+                "bh_threshold"
+            ),
+            F.when(F.col("rk") <= F.col("max_k"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("rk")
+    )

@@ -58,6 +58,9 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_benjamini_hochberg",
+    "q_safety_lexicon",
+    "q_user_features",
     "q_graph_degree_dist",
     "q_instruction_format",
     "q_context_length_plan",
