@@ -1198,3 +1198,150 @@ def q_grouping_sets_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type, day
         """
     )
+
+
+@_q(
+    "q_session_metrics",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id,
+             ts
+      FROM ordered
+    ),
+    per_sess AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_s
+      FROM sess GROUP BY user_id, session_id
+    ),
+    hist AS (
+      SELECT n_events, CAST(count(*) AS BIGINT) AS c
+      FROM per_sess GROUP BY n_events
+    ),
+    cum AS (
+      SELECT n_events,
+             CAST(sum(c) OVER (ORDER BY n_events
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT min(CASE WHEN cum * 2 >= n + 1 THEN n_events END)
+               AS median_events
+      FROM cum
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bounce,
+             CAST(sum(dur_s) AS BIGINT) AS sum_dur_s,
+             CAST(sum(n_events) AS BIGINT) AS sum_events
+      FROM per_sess
+    )
+    SELECT a.n_sessions,
+           CAST(a.n_bounce AS DOUBLE) / a.n_sessions AS bounce_rate,
+           CAST(a.sum_events AS DOUBLE) / a.n_sessions
+             AS mean_events,
+           m.median_events,
+           CAST(a.sum_dur_s AS DOUBLE) / a.n_sessions
+             AS mean_duration_s
+    FROM agg a CROSS JOIN med m
+    """,
+)
+def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup over the q_sessionize assignment: bounce
+    rate (single-event sessions), mean/median events per session, and
+    mean duration — the four numbers a web/product analyst reads
+    before anything else, computed without materializing sessions
+    anywhere.
+
+    Scale: the one shuffle on user_id serves both session windows and
+    the per-session rollup (same as q_sessionize); session durations
+    and counts then reduce to a single row of integer sums, and the
+    median comes from the bounded events-per-session histogram (a
+    cumulative count over ≤ a few dozen distinct values — the q_mad
+    nearest-rank discipline, never a row-level global sort)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+    ).cast("int")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_sess = (
+        ev.withColumn("brk", gap_break)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.max(F.col("ts").cast("long"))
+                - F.min(F.col("ts").cast("long"))
+            )
+            .cast("bigint")
+            .alias("dur_s"),
+        )
+    )
+    hist = per_sess.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("c")
+            .over(
+                W.orderBy("n_events").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            )
+            .cast("bigint"),
+        )
+        .crossJoin(
+            F.broadcast(
+                hist.agg(F.sum("c").cast("bigint").alias("n"))
+            )
+        )
+    )
+    med = cum.agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n") + 1, F.col("n_events"))
+        ).alias("median_events")
+    )
+    agg = per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounce"),
+        F.sum("dur_s").cast("bigint").alias("sum_dur_s"),
+        F.sum("n_events").cast("bigint").alias("sum_events"),
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n_sessions",
+        (F.col("n_bounce").cast("double") / F.col("n_sessions")).alias(
+            "bounce_rate"
+        ),
+        (F.col("sum_events").cast("double") / F.col("n_sessions")).alias(
+            "mean_events"
+        ),
+        "median_events",
+        (F.col("sum_dur_s").cast("double") / F.col("n_sessions")).alias(
+            "mean_duration_s"
+        ),
+    )

@@ -179,3 +179,114 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.col("est") - F.col("n")).alias("max_over"),
     )
+
+
+@_q(
+    "q_sketch_bloom",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+    ),
+    pos AS (
+      SELECT w, h.i,
+             CAST(CAST(('0x' || substr(md5('b' || h.i || ':' || w),
+                                       1, 8)) AS BIGINT) % 1024
+                  AS BIGINT) AS p
+      FROM toks, LATERAL (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    words AS (
+      SELECT CAST(p // 32 AS BIGINT) AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                  AS BIGINT) AS bits
+      FROM pos GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS total_set,
+             CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_keys
+      FROM words
+    )
+    SELECT w.word_idx, w.bits,
+           CAST(bit_count(w.bits) AS BIGINT) AS n_set,
+           t.total_set, t.n_keys,
+           round(pow(CAST(t.total_set AS DOUBLE) / 1024.0, 3), 6)
+             AS est_fpp
+    FROM words w CROSS JOIN tot t
+    ORDER BY w.word_idx
+    """,
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built IN-ENGINE over the corpus vocabulary: a
+    1024-bit filter as 32×32-bit words (k = 3 md5-derived hashes),
+    each word an integer ``bit_or`` aggregate — the mergeable,
+    constant-size membership sketch that ships to the JOIN side of a
+    100 TB pipeline (cf. q_join_bloom_prefilter, which consumes the
+    *semantics*; this op materializes the *bits*, so the filter can
+    be persisted, unioned across shards by OR, and probed anywhere).
+    est_fpp = (fill ratio)^k, the standard occupancy estimate.
+
+    Determinism: md5 hashes (identical in both engines), 32-bit words
+    so no shift touches the sign bit, integer-only build; bit_or is
+    order-independent by definition — the one aggregate family where
+    floats' non-associativity problem simply does not exist. Scale:
+    distinct-token reduce, then 3 positions per token collapsing
+    map-side into ≤32 counters per task before a 32-cell shuffle."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    pos = toks.select(
+        "w",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("w"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
+        ).alias("p")
+    )
+    words = pos.groupBy(
+        F.floor(F.col("p") / 32).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+        )
+        .cast("bigint")
+        .alias("bits")
+    )
+    n_keys = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    tot = (
+        words.agg(
+            F.sum(F.bit_count("bits")).cast("bigint").alias("total_set")
+        )
+        .crossJoin(F.broadcast(n_keys))
+    )
+    return (
+        words.crossJoin(F.broadcast(tot))
+        .select(
+            "word_idx",
+            "bits",
+            F.bit_count("bits").cast("bigint").alias("n_set"),
+            "total_set",
+            "n_keys",
+            F.round(
+                F.pow(F.col("total_set").cast("double") / 1024.0, 3), 6
+            ).alias("est_fpp"),
+        )
+        .orderBy("word_idx")
+    )

@@ -191,6 +191,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_theil_sen": "months^2 pair set (~3.5k slopes, calendar-bounded)",
     "q_token_histogram_log2": "log2 length bins (<64)",
     "q_benjamini_hochberg": "25-nation p-value family (bounded)",
+    "q_session_metrics": "events-per-session histogram (bounded distinct counts)",
     "q_woe_binning": "score bins",
     "q_zipf_fit": "top-100 after LIMIT",
 }
