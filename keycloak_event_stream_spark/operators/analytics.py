@@ -1338,3 +1338,86 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@_q(
+    "q_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day
+      FROM events
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+        (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+        INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    mau AS (
+      SELECT s.day,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM spine s
+      JOIN ud u ON u.day <= s.day AND u.day > s.day - 30
+      GROUP BY s.day
+    )
+    SELECT s.day, COALESCE(d.dau, 0) AS dau, m.mau,
+           CAST(COALESCE(d.dau, 0) AS DOUBLE) / m.mau AS stickiness
+    FROM spine s
+    JOIN mau m ON m.day = s.day
+    LEFT JOIN dau d ON d.day = s.day
+    ORDER BY s.day
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio product teams
+    track daily (≥ 0.2 is the folk benchmark for habit-forming). MAU
+    at day d = exact distinct users over the trailing 30 days.
+
+    Scale: raw events first collapse to the DEDUPED (user, day)
+    membership table — the only thing the trailing window ever
+    touches; the 30-day trailing distinct is a range join of that
+    table against the calendar spine (≤30× expansion of user-DAYS,
+    not events), then an exact count per day. At 100 TB the raw
+    events never join anything — the dedup is the one big shuffle,
+    matching how warehouse DAU/MAU pipelines are actually built. The
+    ratio is a single integer division per day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    ud = ud.persist()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day")
+    )
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    u2 = ud.select(F.col("user_id"), F.col("day").alias("uday"))
+    mau = (
+        spine.join(
+            u2,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.date_sub(F.col("day"), 30)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        mau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            "mau",
+            (
+                F.coalesce("dau", F.lit(0)).cast("double") / F.col("mau")
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

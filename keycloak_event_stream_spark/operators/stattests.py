@@ -2962,3 +2962,92 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+def _power_z() -> tuple[float, float]:
+    """(z_{alpha/2}, z_beta) for alpha = 0.05 two-sided, power = 0.8 —
+    query-build-time stdlib literals (the q_qq_plot discipline)."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return nd.inv_cdf(0.975), nd.inv_cdf(0.8)
+
+
+@_q(
+    "q_power_analysis",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv,
+             CAST(sum(converted) AS DOUBLE) / count(*) AS p1
+      FROM users
+    ),
+    lifts AS (SELECT unnest([CAST(0.01 AS DOUBLE),
+                             CAST(0.02 AS DOUBLE),
+                             CAST(0.05 AS DOUBLE)]) AS lift)
+    SELECT l.lift, b.n_users, b.p1,
+           b.p1 + l.lift AS p2,
+           CAST(ceil(
+             ({_power_z()[0]!r} + {_power_z()[1]!r})
+             * ({_power_z()[0]!r} + {_power_z()[1]!r})
+             * (b.p1 * (1.0 - b.p1)
+                + (b.p1 + l.lift) * (1.0 - b.p1 - l.lift))
+             / (l.lift * l.lift)) AS BIGINT) AS n_per_arm
+    FROM lifts l CROSS JOIN base b
+    ORDER BY l.lift
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator seeded by the OBSERVED baseline:
+    user-level purchase conversion p₁ comes from the data, and for
+    each candidate absolute lift (1/2/5 pp) the two-proportion formula
+    n/arm = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/Δ² says how many users each
+    arm needs at α = 0.05, power = 0.8 — the pre-registration step
+    that belongs NEXT TO q_ab_test_proportions (which judges the
+    experiment this op sizes).
+
+    One shuffle to per-user conversion flags, one row of integer
+    counts, then a 3-row broadcast lift grid with a closed-form
+    expression — z constants are build-time stdlib literals, identical
+    in both engines, and the output n is a ceil of a shared-shape
+    double. Cost independent of corpus size."""
+    za, zb = _power_z()
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    base = users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p1"),
+    )
+    lifts = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,)], schema="lift double"
+    )
+    p1, lift = F.col("p1"), F.col("lift")
+    p2 = p1 + lift
+    n_arm = F.ceil(
+        F.lit((za + zb)) * F.lit((za + zb))
+        * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p1 - lift))
+        / (lift * lift)
+    ).cast("bigint")
+    return (
+        F.broadcast(lifts)
+        .crossJoin(base)
+        .select(
+            "lift",
+            "n_users",
+            "p1",
+            p2.alias("p2"),
+            n_arm.alias("n_per_arm"),
+        )
+        .orderBy("lift")
+    )
