@@ -1421,3 +1421,100 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "q_funnel_windowed",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w_after AS nxt_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER w_after AS nxt_purchase
+      FROM events
+      WINDOW w_after AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING)
+    ),
+    first_signup AS (
+      SELECT user_id, ts, nxt_view, nxt_purchase FROM (
+        SELECT user_id, ts, nxt_view, nxt_purchase,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM marked WHERE event_type = 'signup')
+      WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_entered,
+           CAST(sum(CASE WHEN nxt_view IS NOT NULL
+                         AND nxt_view <= ts + INTERVAL 3 DAYS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_3d,
+           CAST(sum(CASE WHEN nxt_purchase IS NOT NULL
+                         AND nxt_purchase <= ts + INTERVAL 7 DAYS
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase_7d,
+           CAST(sum(CASE WHEN nxt_view IS NOT NULL
+                         AND nxt_view <= ts + INTERVAL 3 DAYS
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS cvr_view_3d,
+           CAST(sum(CASE WHEN nxt_purchase IS NOT NULL
+                         AND nxt_purchase <= ts + INTERVAL 7 DAYS
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS cvr_purchase_7d
+    FROM first_signup
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion funnel: from each user's FIRST signup,
+    did a view follow within 3 days, and a purchase within 7? The
+    deadline makes this the funnel teams actually report (an
+    unbounded funnel converges to 100% given enough history — cf.
+    q_funnel, which measures ordered reachability).
+
+    Single-pass shape (the q_cep_pattern discipline): one shuffle on
+    user_id serves the forward-looking min windows AND the
+    first-signup rank — the raw table is never self-joined. Counts
+    are integers; the two rates are single divisions. Interval
+    comparisons use full microsecond timestamps identically in both
+    engines."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w_after = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w_after)
+        .alias("nxt_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(w_after)
+        .alias("nxt_purchase"),
+    )
+    w_rank = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first_signup = (
+        marked.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+    )
+    view_ok = F.col("nxt_view").isNotNull() & (
+        F.col("nxt_view") <= F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    )
+    buy_ok = F.col("nxt_purchase").isNotNull() & (
+        F.col("nxt_purchase") <= F.col("ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    return first_signup.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entered"),
+        F.sum(view_ok.cast("int")).cast("bigint").alias("n_view_3d"),
+        F.sum(buy_ok.cast("int")).cast("bigint").alias("n_purchase_7d"),
+        (
+            F.sum(view_ok.cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("cvr_view_3d"),
+        (
+            F.sum(buy_ok.cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("cvr_purchase_7d"),
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._scale import (
     exact_ntile,
     two_phase_window,
@@ -2580,4 +2580,127 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_gap_s"),
         )
         .orderBy("user_id")
+    )
+
+
+@_q(
+    "q_attribution_time_decay",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+             CAST(round(value, 6) AS DECIMAL(27,6)) AS conv_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type, ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    paired AS (
+      SELECT c.conv_id, c.conv_value, t.event_type,
+             round(exp(-ln(2.0)
+                       * (epoch(c.conv_ts) - epoch(t.ts))
+                       / (3.5 * 86400.0)), 6) AS w
+      FROM conv c
+      JOIN touch t ON t.user_id = c.user_id
+                  AND t.ts < c.conv_ts
+                  AND t.ts >= c.conv_ts - INTERVAL 7 DAYS
+    ),
+    norm AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_touch,
+             CAST(sum(CAST(w AS DECIMAL(27,6))) AS DOUBLE) AS sw
+      FROM paired GROUP BY conv_id
+    )
+    SELECT p.event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(round(CAST(p.conv_value AS DOUBLE)
+                               / n.n_touch, 6)
+                         AS DECIMAL(27,6))) AS DOUBLE)
+             AS credit_linear,
+           CAST(sum(CAST(round(CAST(p.conv_value AS DOUBLE)
+                               * p.w / n.sw, 6)
+                         AS DECIMAL(27,6))) AS DOUBLE)
+             AS credit_decay
+    FROM paired p JOIN norm n ON n.conv_id = p.conv_id
+    GROUP BY p.event_type
+    ORDER BY p.event_type
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, linear and time-decay (half-life 3.5
+    days), over the 7-day pre-purchase window — completing the
+    attribution ladder next to first/last-touch (position rules),
+    Shapley (cooperative value) and Markov (removal effect): linear
+    splits each conversion's value evenly across its touches;
+    time-decay weights each touch by 2^(−Δ/half-life), normalized
+    per conversion.
+
+    Scale: the touch↔conversion pairing is an equi-join on user_id
+    with a time-range predicate — both sides shuffle once on the user
+    key and the fan-out is bounded by per-user activity in the window,
+    never a cross join. Weights and per-touch credits round at 6 dp
+    into DECIMAL sums (order-independent); the per-conversion
+    normalizer is one extra keyed aggregate."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value"), 6).cast("decimal(27,6)").alias("conv_value"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        "ts",
+    )
+    w = F.round(
+        F.exp(
+            -F.log(F.lit(2.0))
+            * (
+                F.unix_micros(F.col("conv_ts")) / 1e6
+                - F.unix_micros(F.col("ts")) / 1e6
+            )
+            / (3.5 * 86400.0)
+        ),
+        6,
+    )
+    paired = (
+        conv.join(
+            touch,
+            (conv.user_id == touch.user_id)
+            & (touch.ts < conv.conv_ts)
+            & (touch.ts >= conv.conv_ts - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select("conv_id", "conv_value", "event_type", w.alias("w"))
+    )
+    norm = paired.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touch"),
+        F.sum(F.col("w").cast("decimal(27,6)")).cast("double").alias("sw"),
+    )
+    return (
+        paired.join(norm, "conv_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(
+                F.round(
+                    F.col("conv_value").cast("double") / F.col("n_touch"),
+                    6,
+                ).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("credit_linear"),
+            F.sum(
+                F.round(
+                    F.col("conv_value").cast("double")
+                    * F.col("w")
+                    / F.col("sw"),
+                    6,
+                ).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("credit_decay"),
+        )
+        .orderBy("event_type")
     )

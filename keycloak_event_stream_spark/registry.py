@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_funnel_windowed",
+    "q_attribution_time_decay",
     "q_stickiness",
     "q_power_analysis",
     "q_sketch_bloom",
