@@ -2704,3 +2704,70 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q_churn_labels",
+    oracle="""
+    WITH mx AS (
+      SELECT max(ts) AS frontier FROM events
+    ),
+    lab AS (
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(e.ts) AS last_ts,
+             CAST(CASE WHEN max(e.ts) < any_value(mx.frontier)
+                                        - INTERVAL 10 DAYS
+                       THEN 1 ELSE 0 END AS INTEGER) AS churned
+      FROM events e CROSS JOIN mx
+      GROUP BY e.user_id
+    )
+    SELECT user_id, n_events, last_ts, churned,
+           CAST(CASE WHEN CAST(user_id AS BIGINT) % 5 = 0
+                     THEN 'valid' ELSE 'train' END AS VARCHAR)
+             AS split
+    FROM lab
+    ORDER BY user_id
+    """,
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label construction for churn modeling: a user is
+    labeled churned when silent for the last 10 days before the
+    corpus frontier, with a deterministic 80/20 train/valid split —
+    the third leg of the in-engine training-set assembly next to
+    q_user_features (the X) and q_temporal_split_embargo (the
+    leakage-safe evaluation protocol). Joining this to
+    q_user_features on user_id yields a ready (X, y, split) table.
+
+    One shuffle to per-user last-activity, the frontier as a 1-row
+    broadcast, and a pure hash split — no RNG, no driver state; at
+    100 TB the label build costs exactly one aggregate of the events
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("frontier"))
+    lab = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.when(
+                F.max("ts")
+                < F.first("frontier") - F.expr("INTERVAL 10 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    return lab.select(
+        "user_id",
+        "n_events",
+        "last_ts",
+        "churned",
+        F.when(F.col("user_id").cast("bigint") % 5 == 0, "valid")
+        .otherwise("train")
+        .cast("string")
+        .alias("split"),
+    ).orderBy("user_id")

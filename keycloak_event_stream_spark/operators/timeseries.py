@@ -1107,3 +1107,97 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "q_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+               AS dow,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT dow,
+             CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(cents) AS BIGINT) AS sj,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0)))
+                  AS DOUBLE) AS s2j
+      FROM daily GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(sj) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(CAST(sj AS DOUBLE)
+                                 * CAST(sj AS DOUBLE) / nj, 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n,
+             CAST(sum(CAST(s2j AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM grp
+    )
+    SELECT n AS n_days, k AS k_weekdays,
+           (sq_over_n - s * s / n) / (s2 - s * s / n)
+             AS seasonality_strength,
+           ((sq_over_n - s * s / n) / (k - 1))
+             / ((s2 - sq_over_n) / (n - k)) AS f_stat
+    FROM tot
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength of daily revenue: the share of
+    day-to-day variance explained by the day-of-week pattern
+    (SSB/SST — η², plus the one-way F) — the one number that says
+    whether q_holt_winters' weekly component or q_anomaly_seasonal's
+    weekday baselines are load-bearing or decorative on this corpus.
+
+    The raw scan reduces to the bounded daily series; per-weekday
+    moments are integer/decimal sums (cents² in DECIMAL(38,0), exact
+    at any revenue scale); the one float reduction over the 7 weekday
+    cells rounds at 6 dp into a DECIMAL sum (the q_levene_test
+    discipline); η² and F are closed-form scalar expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    grp = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("cents").cast("bigint").alias("sj"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s2j"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("sj").cast("double").alias("s"),
+        F.sum(
+            F.round(
+                F.col("sj").cast("double")
+                * F.col("sj").cast("double")
+                / F.col("nj"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sq_over_n"),
+        F.sum(F.col("s2j").cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    n, k, s = F.col("n"), F.col("k"), F.col("s")
+    ssb = F.col("sq_over_n") - s * s / n
+    sst = F.col("s2") - s * s / n
+    ssw = F.col("s2") - F.col("sq_over_n")
+    return tot.select(
+        n.alias("n_days"),
+        k.alias("k_weekdays"),
+        (ssb / sst).alias("seasonality_strength"),
+        ((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+    )
