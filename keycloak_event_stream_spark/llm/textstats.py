@@ -1704,3 +1704,64 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "q_readability",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_sents, n_syll,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+             AS flesch
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regex-countable
+    features (words, sentence-ending punctuation runs, vowel-group
+    syllable proxy) — the classic complexity score a curation
+    pipeline bins on when "too simple" (boilerplate, lists) and "too
+    dense" (minified text, OCR soup) both hurt training mix quality;
+    pairs with q_quality_score's surface heuristics and
+    q_quality_gopher's rule gates.
+
+    Per-row regexp counting at scan speed, zero shuffles except the
+    output order; integer counts, a greatest(…, 1) sentence floor so
+    punctuation-free fixtures don't divide by zero, and one 6-dp
+    rounded closed-form double — bitwise at any corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("n_syll"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+        6,
+    )
+    return feats.select(
+        "doc_id", "lang", "n_words", "n_sents", "n_syll",
+        flesch.alias("flesch"),
+    ).orderBy("doc_id")

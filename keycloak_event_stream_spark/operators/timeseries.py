@@ -1201,3 +1201,107 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ssb / sst).alias("seasonality_strength"),
         ((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
     )
+
+
+@_q(
+    "q_ar2_yule_walker",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT cents AS x,
+             lead(cents, 1) OVER (ORDER BY day) AS y1,
+             lead(cents, 2) OVER (ORDER BY day) AS y2
+      FROM daily
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y1) AS DECIMAL(38,0)) AS DOUBLE) AS sy1,
+             CAST(sum(CAST(y1 * y1 AS DECIMAL(38,0))) AS DOUBLE)
+               AS sy1y1,
+             CAST(sum(CAST(x * y1 AS DECIMAL(38,0))) AS DOUBLE) AS sxy1,
+             CAST(CAST(sum(y2) AS DECIMAL(38,0)) AS DOUBLE) AS sy2,
+             CAST(sum(CAST(y2 * y2 AS DECIMAL(38,0))) AS DOUBLE)
+               AS sy2y2,
+             CAST(sum(CAST(x * y2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy2
+      FROM lagged WHERE y2 IS NOT NULL
+    ),
+    r AS (
+      SELECT n,
+             (n * sxy1 - sx * sy1)
+               / (sqrt(n * sxx - sx * sx)
+                  * sqrt(n * sy1y1 - sy1 * sy1)) AS r1,
+             (n * sxy2 - sx * sy2)
+               / (sqrt(n * sxx - sx * sx)
+                  * sqrt(n * sy2y2 - sy2 * sy2)) AS r2
+      FROM mom
+    )
+    SELECT n AS n_obs, r1, r2,
+           r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+           (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+    FROM r
+    """,
+)
+def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit of daily revenue by Yule–Walker: lag-1/lag-2 Pearson
+    autocorrelations from exact integer-cent moments, then
+    φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) — the closed-form
+    autoregression that upgrades q_autocorr_lag1 from "is there
+    memory?" to an actual one-step forecaster (x̂_{t+1} = φ₁x_t +
+    φ₂x_{t−1} around the mean), still with zero iterative fitting.
+
+    All ten moments are integer sums over the bounded daily rollup
+    (single-partition window over an aggregate, never raw rows); r₁,
+    r₂, φ₁, φ₂ are one closed-form double expression each with
+    identical shape in both engines — bitwise, any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("cents").alias("x"),
+        F.lead("cents", 1).over(w).alias("y1"),
+        F.lead("cents", 2).over(w).alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+
+    def im(a, b):
+        return (
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+        )
+
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").cast("double").alias("sx"),
+        im("x", "x").alias("sxx"),
+        F.sum("y1").cast("decimal(38,0)").cast("double").alias("sy1"),
+        im("y1", "y1").alias("sy1y1"),
+        im("x", "y1").alias("sxy1"),
+        F.sum("y2").cast("decimal(38,0)").cast("double").alias("sy2"),
+        im("y2", "y2").alias("sy2y2"),
+        im("x", "y2").alias("sxy2"),
+    )
+    n = F.col("n")
+    r1 = (n * F.col("sxy1") - F.col("sx") * F.col("sy1")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy1y1") - F.col("sy1") * F.col("sy1"))
+    )
+    r2 = (n * F.col("sxy2") - F.col("sx") * F.col("sy2")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy2y2") - F.col("sy2") * F.col("sy2"))
+    )
+    r = mom.select(n.alias("n"), r1.alias("r1"), r2.alias("r2"))
+    c1, c2 = F.col("r1"), F.col("r2")
+    return r.select(
+        F.col("n").alias("n_obs"),
+        "r1",
+        "r2",
+        (c1 * (F.lit(1.0) - c2) / (F.lit(1.0) - c1 * c1)).alias("phi1"),
+        ((c2 - c1 * c1) / (F.lit(1.0) - c1 * c1)).alias("phi2"),
+    )

@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_ar2_yule_walker",
+    "q_readability",
     "q_churn_labels",
     "q_seasonality_strength",
     "q_funnel_windowed",
