@@ -1040,3 +1040,82 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_id", "cluster_size", "pfp")
         .orderBy("pfp", "doc_id")
     )
+
+
+@_q(
+    "q_dedup_cluster_stats",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    clusters AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY fp
+    ),
+    hist AS (
+      SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM clusters GROUP BY sz
+    ),
+    tot AS (
+      SELECT CAST(sum(sz * n_clusters) AS BIGINT) AS n_docs,
+             CAST(sum(n_clusters) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN sz > 1 THEN (sz - 1) * n_clusters
+                           ELSE 0 END) AS BIGINT) AS n_removable
+      FROM hist
+    )
+    SELECT h.sz AS cluster_size, h.n_clusters,
+           t.n_docs, t.n_distinct, t.n_removable,
+           CAST(t.n_removable AS DOUBLE) / t.n_docs AS dedup_ratio
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.sz
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution and corpus dedup ratio —
+    the capacity-planning readout that runs BEFORE any dedup job: how
+    many exact-duplicate clusters exist at each size, how many
+    documents a keep-one-per-cluster pass would remove, and the
+    fraction of the corpus that is redundant bytes. (q_dedup_exact
+    lists the duplicates; this op sizes the problem — at 100 TB you
+    read this first and the listing only for the survivors' audit.)
+
+    Shuffles carry 16-byte fingerprints; the histogram is |distinct
+    cluster sizes| cells and the totals derive from the histogram
+    itself (sz·n summed), so nothing rescans the corpus. All counts
+    integer; the one ratio divides two BIGINTs."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fp = d.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
+    )
+    clusters = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.col("sz") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum("n_clusters").cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.when(
+                F.col("sz") > 1, (F.col("sz") - 1) * F.col("n_clusters")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_distinct",
+            "n_removable",
+            (
+                F.col("n_removable").cast("double") / F.col("n_docs")
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("cluster_size")
+    )

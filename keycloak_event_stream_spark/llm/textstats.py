@@ -1765,3 +1765,146 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_words", "n_sents", "n_syll",
         flesch.alias("flesch"),
     ).orderBy("doc_id")
+
+
+@_q(
+    "q_vocab_growth_heaps",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+    ),
+    firsts AS (
+      SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY w
+    ),
+    doc_tok AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT CAST(doc_id // 25 AS BIGINT) AS b,
+             CAST(sum(n_tok) AS BIGINT) AS tok_in_b
+      FROM doc_tok GROUP BY 1
+    ),
+    new_types AS (
+      SELECT CAST(first_doc // 25 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS new_v
+      FROM firsts GROUP BY 1
+    ),
+    curve AS (
+      SELECT bk.b,
+             CAST(sum(bk.tok_in_b) OVER (ORDER BY bk.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tok,
+             CAST(sum(COALESCE(nt.new_v, 0)) OVER (ORDER BY bk.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_vocab
+      FROM buckets bk LEFT JOIN new_types nt ON nt.b = bk.b
+    ),
+    pts AS (
+      SELECT b, cum_tok, cum_vocab,
+             round(ln(CAST(cum_tok AS DOUBLE)), 6) AS lx,
+             round(ln(CAST(cum_vocab AS DOUBLE)), 6) AS ly
+      FROM curve
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(lx AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx AS DECIMAL(18,6))
+                      * CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(lx AS DECIMAL(18,6))
+                      * CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT p.b, p.cum_tok, p.cum_vocab,
+           (f.n * f.sxy - f.sx * f.sy)
+             / (f.n * f.sxx - f.sx * f.sx) AS heaps_beta,
+           exp((f.sy - (f.n * f.sxy - f.sx * f.sy)
+                       / (f.n * f.sxx - f.sx * f.sx) * f.sx) / f.n)
+             AS heaps_k
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.b
+    """,
+)
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β estimated by
+    log-log OLS over the cumulative (tokens seen, distinct types)
+    curve in 25-document buckets — with q_zipf_fit and
+    q_graph_degree_dist this completes the engine's scaling-law kit;
+    β (typically 0.4–0.6) predicts how much NEW vocabulary another
+    10× of corpus will bring, which is exactly the question a
+    tokenizer-budget owner asks before re-training BPE.
+
+    Scale: each type reduces to its first-appearance doc (one shuffle
+    keyed by token — the q_ngram_novelty discipline); the cumulative
+    curve and the OLS run over the bounded bucket set. Logs round at
+    6 dp and ARE the regression inputs (exact decimal moments
+    after); slope/intercept are closed-form."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_tok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    buckets = doc_tok.groupBy(
+        F.floor(F.col("doc_id") / 25).cast("bigint").alias("b")
+    ).agg(F.sum("n_tok").cast("bigint").alias("tok_in_b"))
+    new_types = firsts.groupBy(
+        F.floor(F.col("first_doc") / 25).cast("bigint").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_v"))
+    wcum = W.orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    curve = (
+        buckets.join(new_types, "b", "left")
+        .select(
+            "b",
+            F.sum("tok_in_b").over(wcum).cast("bigint").alias("cum_tok"),
+            F.sum(F.coalesce(F.col("new_v"), F.lit(0)))
+            .over(wcum)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        "b",
+        "cum_tok",
+        "cum_vocab",
+        F.round(F.log(F.col("cum_tok").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 6).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("lx").cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("lx").cast("decimal(18,6)") * F.col("lx").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.col("lx").cast("decimal(18,6)") * F.col("ly").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    k = F.exp((F.col("sy") - beta * F.col("sx")) / n)
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "b",
+            "cum_tok",
+            "cum_vocab",
+            beta.alias("heaps_beta"),
+            k.alias("heaps_k"),
+        )
+        .orderBy("b")
+    )

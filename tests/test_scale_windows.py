@@ -193,6 +193,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_token_histogram_log2": "log2 length bins (<64)",
     "q_benjamini_hochberg": "25-nation p-value family (bounded)",
     "q_session_metrics": "events-per-session histogram (bounded distinct counts)",
+    "q_vocab_growth_heaps": "25-doc bucket curve (bounded)",
     "q_woe_binning": "score bins",
     "q_zipf_fit": "top-100 after LIMIT",
 }
