@@ -2771,3 +2771,109 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("split"),
     ).orderBy("user_id")
+
+
+@_q(
+    "q_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+      FROM items
+    ),
+    item_n AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM items GROUP BY l_partkey
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT pa, pb, n_ab FROM pair_n
+      ORDER BY n_ab DESC, pa, pb LIMIT 25
+    )
+    SELECT t.pa AS antecedent, t.pb AS consequent, t.n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b, o.n AS n_orders,
+           CAST(t.n_ab AS DOUBLE) / o.n AS support,
+           CAST(t.n_ab AS DOUBLE) / ia.n_item AS confidence,
+           CAST(t.n_ab AS DOUBLE) * o.n
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+    FROM top t
+    JOIN item_n ia ON ia.l_partkey = t.pa
+    JOIN item_n ib ON ib.l_partkey = t.pb
+    CROSS JOIN n_orders o
+    ORDER BY t.n_ab DESC, antecedent, consequent
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics (support / confidence / lift) for the
+    top-25 co-ordered part pairs — the layer q_market_basket's raw
+    counts feed: confidence says "how often does A's basket contain
+    B", lift says "more than chance?" (lift < 1 for popular-but-
+    unrelated pairs is exactly what raw counts hide).
+
+    Scale: the basket pairing reuses the in-row expansion shuffle;
+    the top-25 pair table is tiny and joins the per-item counts by
+    key (the big item table is keyed, never broadcast); the order
+    total is a 1-row cross join. Every metric is a single division
+    of exact BIGINT counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = items.persist()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pair_n = (
+        a.join(b, ["ok"])
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    top = pair_n.orderBy(
+        F.col("n_ab").desc(), "pa", "pb"
+    ).limit(25)
+    ia = item_n.select(
+        F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")
+    )
+    return (
+        F.broadcast(top)
+        .join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.col("n").alias("n_orders"),
+            (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "antecedent", "consequent")
+    )

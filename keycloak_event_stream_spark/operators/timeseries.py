@@ -1305,3 +1305,56 @@ def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c1 * (F.lit(1.0) - c2) / (F.lit(1.0) - c1 * c1)).alias("phi1"),
         ((c2 - c1 * c1) / (F.lit(1.0) - c1 * c1)).alias("phi2"),
     )
+
+
+@_q(
+    "q_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           (CAST(sum(c * c) AS DOUBLE)
+            - CAST(sum(c) AS DOUBLE) * sum(c) / count(*))
+             / CAST(sum(c) AS DOUBLE) AS fano_factor
+    FROM hourly
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type as the Fano factor (index of
+    dispersion) of hourly counts: variance/mean — 1 for a Poisson
+    process, ≫1 for bursty traffic (thundering herds, retry storms),
+    <1 for throttled/regular flows. The one-number answer to "is
+    this stream Poisson enough for the capacity model?", computed
+    per type next to q_anomaly_zscore's level alarms.
+
+    The scan reduces to |types|×|hours| integer cells in one
+    shuffle; counts and their squares are exact BIGINT sums
+    (no rounding anywhere), and Fano = (Σc² − (Σc)²/n)/Σc is one
+    closed-form expression over three integers per type."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = F.col("c")
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(c).cast("bigint").alias("n_events"),
+            (
+                (
+                    F.sum(c * c).cast("double")
+                    - F.sum(c).cast("double") * F.sum(c) / F.count(F.lit(1))
+                )
+                / F.sum(c).cast("double")
+            ).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
