@@ -3051,3 +3051,175 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lift")
     )
+
+
+@_q(
+    "q_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE) AS sv
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN sv / n END) AS t2,
+        max(CASE WHEN treated = 1 AND post = 0 THEN sv / n END) AS t1,
+        max(CASE WHEN treated = 0 AND post = 1 THEN sv / n END) AS c2,
+        max(CASE WHEN treated = 0 AND post = 0 THEN sv / n END) AS c1,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total, t1, t2, c1, c2,
+           (t2 - t1) - (c2 - c1) AS did_estimate
+    FROM wide
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: a deterministic even/odd user split
+    (the q_ab_test_proportions cohorting) crossed with a pre/post
+    boundary mid-corpus; DiD = (T̄post−T̄pre) − (C̄post−C̄pre) removes
+    both the stable group gap and the common time trend — the
+    workhorse causal estimate when randomization wasn't available.
+
+    The whole table reduces to FOUR cells in one conditional
+    aggregate (6-dp decimal value sums, integer counts); the estimate
+    is a closed-form expression over four exact cell means. Scan
+    speed at any scale — there is nothing else to shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sv"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("sv") / F.col("n"),
+            )
+        )
+
+    wide = cells.agg(
+        cell(1, 1).alias("t2"),
+        cell(1, 0).alias("t1"),
+        cell(0, 1).alias("c2"),
+        cell(0, 0).alias("c1"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        "t1",
+        "t2",
+        "c1",
+        "c2",
+        (
+            (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
+        ).alias("did_estimate"),
+    )
+
+
+@_q(
+    "q_ipw_ate",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type,
+             CAST(user_id % 2 AS BIGINT) AS treated,
+             CAST(round(value, 6) AS DECIMAL(27,6)) AS v
+      FROM events
+    ),
+    prop AS (
+      SELECT event_type,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(count(*) AS BIGINT) AS n_s
+      FROM base GROUP BY event_type
+    ),
+    weighted AS (
+      SELECT b.treated,
+             round(CAST(b.v AS DOUBLE)
+                   * CASE WHEN b.treated = 1
+                          THEN CAST(p.n_s AS DOUBLE) / p.n_t
+                          ELSE CAST(p.n_s AS DOUBLE)
+                               / (p.n_s - p.n_t) END, 6) AS wv,
+             round(CASE WHEN b.treated = 1
+                        THEN CAST(p.n_s AS DOUBLE) / p.n_t
+                        ELSE CAST(p.n_s AS DOUBLE)
+                             / (p.n_s - p.n_t) END, 6) AS w
+      FROM base b JOIN prop p ON p.event_type = b.event_type
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN treated = 1
+                         THEN CAST(wv AS DECIMAL(27,6)) END) AS DOUBLE)
+             / CAST(sum(CASE WHEN treated = 1
+                             THEN CAST(w AS DECIMAL(27,6)) END)
+                    AS DOUBLE)
+           - CAST(sum(CASE WHEN treated = 0
+                           THEN CAST(wv AS DECIMAL(27,6)) END)
+                  AS DOUBLE)
+             / CAST(sum(CASE WHEN treated = 0
+                             THEN CAST(w AS DECIMAL(27,6)) END)
+                    AS DOUBLE) AS ate_ipw
+    FROM weighted
+    """,
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hájek
+    estimator), propensities stratified by event type: each stratum's
+    observed treatment share is its propensity, rows are weighted
+    1/p (treated) or 1/(1−p) (control), and the ATE is the weighted
+    mean difference — the confounder-adjustment step between the
+    naive mean gap and q_diff_in_diff's trend-adjusted estimate.
+
+    Strata propensities are exact integer ratios from one |types|
+    aggregate broadcast back onto the scan; per-row weights and
+    weighted values round at 6 dp into DECIMAL sums (order-
+    independent); the Hájek ratio normalizes both arms. Two shuffles
+    total (stratum counts + the final 1-row reduction)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        F.round(F.col("value"), 6).cast("decimal(27,6)").alias("v"),
+    )
+    prop = base.groupBy("event_type").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+    )
+    w_expr = F.when(
+        F.col("treated") == 1,
+        F.col("n_s").cast("double") / F.col("n_t"),
+    ).otherwise(
+        F.col("n_s").cast("double") / (F.col("n_s") - F.col("n_t"))
+    )
+    weighted = base.join(F.broadcast(prop), "event_type").select(
+        "treated",
+        F.round(F.col("v").cast("double") * w_expr, 6).alias("wv"),
+        F.round(w_expr, 6).alias("w"),
+    )
+
+    def dsum_if(t, col):
+        return F.sum(
+            F.when(F.col("treated") == t, F.col(col).cast("decimal(27,6)"))
+        ).cast("double")
+
+    return weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            dsum_if(1, "wv") / dsum_if(1, "w")
+            - dsum_if(0, "wv") / dsum_if(0, "w")
+        ).alias("ate_ipw"),
+    )

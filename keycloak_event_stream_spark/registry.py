@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_diff_in_diff",
+    "q_ipw_ate",
     "q_association_rules",
     "q_burstiness",
     "q_vocab_growth_heaps",
