@@ -58,6 +58,7 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "s_rate_alert",
     "q_diff_in_diff",
     "q_ipw_ate",
     "q_association_rules",

@@ -721,3 +721,70 @@ def s_tumbling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.end").alias("window_end"),
         "n_users",
     )
+
+
+@_q(
+    "s_rate_alert",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nh
+      FROM hourly
+    )
+    SELECT h.window_start, h.n,
+           CAST(b.tot AS DOUBLE) / b.nh AS baseline_mean,
+           CAST(CASE WHEN h.n * b.nh * 10 > b.tot * 15
+                     THEN 1 ELSE 0 END AS INTEGER) AS alert
+    FROM hourly h CROSS JOIN base b
+    ORDER BY h.window_start
+    """,
+)
+def s_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate alerting: hourly event counts with an alert
+    flag when a window runs ≥1.5× the all-stream baseline — the
+    pager rule behind every traffic monitor. The streaming stage is
+    the watermarked windowed count (bounded state); the baseline and
+    the comparison run over the MATERIALIZED aggregate — |windows|
+    rows — per trigger, so alerting cost never scales with raw
+    volume (in production the baseline would be a slowly-updated
+    static table broadcast into the stream, cf.
+    s_stream_static_join).
+
+    The threshold is the integer cross-product n·nh·10 > tot·15
+    (1.5× with no float), making the alert set bitwise at any
+    scale."""
+    stream = read_stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    res = _run_to_memory(agg, "complete").select(
+        F.col("window.start").alias("window_start"), "n"
+    )
+    base = res.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+    )
+    return (
+        res.crossJoin(F.broadcast(base))
+        .select(
+            "window_start",
+            "n",
+            (F.col("tot").cast("double") / F.col("nh")).alias(
+                "baseline_mean"
+            ),
+            F.when(
+                F.col("n") * F.col("nh") * 10 > F.col("tot") * 15, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("alert"),
+        )
+        .orderBy("window_start")
+    )
