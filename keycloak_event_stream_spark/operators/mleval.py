@@ -766,3 +766,157 @@ def q_log_loss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("ll").cast("double") / F.count(F.lit(1))).alias("log_loss"),
         (F.sum("sq").cast("double") / F.count(F.lit(1))).alias("brier"),
     )
+
+
+@_q(
+    "q_gain_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             vec_id
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT pos,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+      FROM scored
+    ),
+    deciles AS (
+      SELECT least(CAST((rn - 1) * 10 // n AS BIGINT), 9) AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             max(tot_pos) AS tot_pos
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_rows, n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / max(tot_pos) OVER () AS capture_rate
+    FROM deciles
+    ORDER BY decile
+    """,
+)
+def q_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain chart: rank the population by model score
+    (embedding dim 1), split into deciles, and report what fraction
+    of all positives each top-k% captures — the targeting view of the
+    same ranking q_auc_roc summarizes in one number ("mail the top 2
+    deciles, reach 40% of converters"), and the curve every campaign
+    sizing meeting actually looks at.
+
+    The row-level rank uses the two-phase range-partitioned primitive
+    (no single-partition sort over the corpus); everything after is
+    the bounded 10-decile rollup, where the cumulative window is
+    legal. Decile assignment is the integer cross-product
+    (rn−1)·10/n — no float boundaries; counts integer throughout."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias(
+            "score"
+        ),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        "vec_id",
+    )
+    ranked = two_phase_window(
+        scored,
+        [F.col("score").desc(), F.col("vec_id")],
+        row_number="rn",
+    )
+    ranked = with_totals(
+        ranked,
+        {
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "tot_pos": F.sum("pos").cast("bigint"),
+        },
+    )
+    deciles = (
+        ranked.groupBy(
+            F.least(
+                F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("bigint"),
+                F.lit(9),
+            ).alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.max("tot_pos").alias("tot_pos"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return deciles.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
+        (
+            F.sum("n_pos").over(wcum).cast("double")
+            / F.max("tot_pos").over(wall)
+        ).alias("capture_rate"),
+    ).orderBy("decile")
+
+
+@_q(
+    "q_rare_collapse",
+    oracle="""
+    WITH counts AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+      FROM part GROUP BY p_brand
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    mapped AS (
+      SELECT c.p_brand,
+             CASE WHEN c.n * 30 >= t.t THEN c.p_brand
+                  ELSE 'OTHER' END AS encoded
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT m.encoded,
+           CAST(count(*) AS BIGINT) AS n_raw_categories,
+           CAST(sum(c.n) AS BIGINT) AS n_rows
+    FROM mapped m JOIN counts c ON c.p_brand = m.p_brand
+    GROUP BY m.encoded
+    ORDER BY m.encoded
+    """,
+)
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapsing for feature encoding: brands holding
+    < 1/30 of rows fold into 'OTHER' — the cardinality-control step
+    before one-hot/target encoding that stops a 10⁶-level key column
+    from exploding the feature space (and leaking singletons, the
+    q_k_anonymity concern wearing its ML hat). Output is the encoding
+    audit: surviving levels, how many raw categories each absorbs,
+    and the row mass.
+
+    One shuffle to |categories| counts; the threshold is the integer
+    cross-product n·30 ≥ total (no float share); the mapping table
+    this audit describes is exactly what a broadcast join would apply
+    to the raw rows at scan speed."""
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    mapped = counts.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "n",
+        F.when(F.col("n") * 30 >= F.col("t"), F.col("p_brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("encoded"),
+    )
+    return (
+        mapped.groupBy("encoded")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw_categories"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("encoded")
+    )

@@ -194,6 +194,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_benjamini_hochberg": "25-nation p-value family (bounded)",
     "q_session_metrics": "events-per-session histogram (bounded distinct counts)",
     "q_vocab_growth_heaps": "25-doc bucket curve (bounded)",
+    "q_gain_curve": "10 deciles (bounded)",
     "q_woe_binning": "score bins",
     "q_zipf_fit": "top-100 after LIMIT",
 }
