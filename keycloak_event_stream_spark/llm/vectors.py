@@ -1296,3 +1296,162 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) - sum_item_var / tot_var)
         ).alias("cronbach_alpha"),
     )
+
+
+_OUT_CENT_CTE = """
+    cell AS (
+      SELECT label, s.pos,
+             CAST(embedding[s.pos + 1] AS DOUBLE) AS val, vec_id
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos) s
+    ),
+    dim AS (
+      SELECT label, pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(val ORDER BY vec_id)), (a, b) -> a + b)
+               / count(*) AS mean_val
+      FROM cell GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label AS clabel, list(mean_val ORDER BY pos) AS c
+      FROM dim GROUP BY label
+    )
+"""
+
+
+@_q(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH {_OUT_CENT_CTE},
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt({_duck_d2('e.v', 'cent.c', 64)}), 6) AS d
+      FROM e JOIN cent ON cent.clabel = e.label
+    ),
+    ranked AS (
+      SELECT vec_id, label, d,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d, vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM dist
+    ),
+    med AS (
+      SELECT label,
+             min(CASE WHEN rn * 2 >= n + 1 THEN d END) AS med
+      FROM ranked GROUP BY label
+    ),
+    dev AS (
+      SELECT r.vec_id, r.label, r.d, m.med,
+             round(abs(r.d - m.med), 6) AS ad
+      FROM ranked r JOIN med m ON m.label = r.label
+    ),
+    dr AS (
+      SELECT label, ad,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY ad, vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT label,
+             min(CASE WHEN rn * 2 >= n + 1 THEN ad END) AS mad
+      FROM dr GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.d AS dist, d.med, mad.mad
+    FROM dev d JOIN mad ON mad.label = d.label
+    WHERE CAST(d.ad AS DECIMAL(18,6))
+          > 3 * CAST(mad.mad AS DECIMAL(18,6))
+    ORDER BY d.label, d.vec_id
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose distance to their OWN label
+    centroid exceeds median + 3·MAD of that label's distances —
+    the mislabeled/corrupt-vector screen run before trusting labels
+    for SemDeDup, hard-negative mining, or curriculum grouping
+    (a wrong label poisons all three). Robust fences (q_mad
+    discipline) because the outliers being hunted would inflate a
+    σ-based fence.
+
+    Distances round at 6 dp and ARE the statistic; medians and MADs
+    are nearest-rank data values per label; the 3·MAD fence compares
+    exact DECIMAL(18,6) values (6-dp rounding makes the cast
+    lossless — no float threshold). Scale: centroids are the (label, dim) tall-skinny
+    reduction broadcast back; rank windows run partitioned by label."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = e.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        cells.groupBy("label", "pos")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(vec_id, val))), s -> s.val),"
+                    " cast(0.0 as double), (a, b) -> a + b)"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mean_val))),"
+                " s -> s.mean_val)"
+            ).alias("c")
+        )
+    )
+    dist = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.expr(_SPARK_D2.format(a="v", b="c"))), 6
+        ).alias("d"),
+    )
+    w = Window.partitionBy("label").orderBy("d", "vec_id")
+    wc = Window.partitionBy("label")
+    ranked = dist.select(
+        "vec_id",
+        "label",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.groupBy("label").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("d"))).alias(
+            "med"
+        )
+    )
+    dev = ranked.join(F.broadcast(med), "label").select(
+        "vec_id",
+        "label",
+        "d",
+        "med",
+        F.round(F.abs(F.col("d") - F.col("med")), 6).alias("ad"),
+    )
+    wd = Window.partitionBy("label").orderBy("ad", "vec_id")
+    dr = dev.select(
+        "label",
+        "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mad = dr.groupBy("label").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("ad"))).alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .filter(
+            F.col("ad").cast("decimal(18,6)")
+            > F.lit(3) * F.col("mad").cast("decimal(18,6)")
+        )
+        .select("vec_id", "label", F.col("d").alias("dist"), "med", "mad")
+        .orderBy("label", "vec_id")
+    )

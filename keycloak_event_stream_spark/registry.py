@@ -58,6 +58,7 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_embedding_outliers",
     "q_gain_curve",
     "q_rare_collapse",
     "s_rate_alert",
