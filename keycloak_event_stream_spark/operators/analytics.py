@@ -1518,3 +1518,162 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(buy_ok.cast("int")).cast("double") / F.count(F.lit(1))
         ).alias("cvr_purchase_7d"),
     )
+
+
+@_q(
+    "q_slo_burn",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    )
+    SELECT day, n, n_err,
+           CAST(n_err AS DOUBLE) / n AS error_rate,
+           CAST(n_err AS DOUBLE) / n / 0.25 AS burn_rate,
+           CAST(CASE WHEN n_err * 100 > n * 25 THEN 1 ELSE 0 END
+                AS INTEGER) AS burning
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn per day: observed error rate over a 25%
+    error-budget SLO (the fixture's event mix runs ~20% errors, so
+    the budget is set where the alert threshold is meaningful), burn
+    rate = rate/budget (>1 = eating tomorrow's budget today), and the
+    page flag as the integer cross-product n_err·100 > n·25 — the SRE
+    counterpart to q_anomaly_seasonal's statistical alarms, where the
+    threshold is a CONTRACT, not a distribution.
+
+    One conditional daily aggregate — integer counts, two divisions
+    per bounded output row; scan-dominated at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    rate = F.col("n_err").cast("double") / F.col("n")
+    return daily.select(
+        "day",
+        "n",
+        "n_err",
+        rate.alias("error_rate"),
+        (rate / F.lit(0.25)).alias("burn_rate"),
+        F.when(F.col("n_err") * 100 > F.col("n") * 25, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("burning"),
+    ).orderBy("day")
+
+
+@_q(
+    "q_followed_by_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, ts, event_type AS a,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER w AS t_click,
+             min(CASE WHEN event_type = 'error' THEN ts END)
+               OVER w AS t_error,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER w AS t_purchase,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER w AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w AS t_view
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    pairs AS (
+      SELECT a, b.b,
+             CASE b.b
+               WHEN 'click' THEN t_click
+               WHEN 'error' THEN t_error
+               WHEN 'purchase' THEN t_purchase
+               WHEN 'signup' THEN t_signup
+               WHEN 'view' THEN t_view END AS t_b,
+             ts
+      FROM nxt, LATERAL (SELECT unnest(['click', 'error', 'purchase',
+                                        'signup', 'view']) AS b) b
+    )
+    SELECT a, b,
+           CAST(count(*) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN t_b IS NOT NULL
+                         AND t_b <= ts + INTERVAL 15 MINUTES
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_followed,
+           CAST(sum(CASE WHEN t_b IS NOT NULL
+                         AND t_b <= ts + INTERVAL 15 MINUTES
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS p_followed
+    FROM pairs
+    GROUP BY a, b
+    ORDER BY a, b
+    """,
+)
+def q_followed_by_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Eventually-followed-by" matrix: P(event of type B occurs
+    within 15 minutes after an event of type A, same user, ANY events
+    between) for all 25 type pairs — the relaxed-adjacency companion
+    to q_transition_matrix (which only counts immediate successors)
+    and the exploratory map that says which q_cep_pattern /
+    q_funnel_windowed definitions are worth writing.
+
+    Single-pass shape: one shuffle on user_id computes the next-
+    occurrence time of EVERY type in one forward-window sweep (5
+    conditional mins side by side); the 5× type expansion happens on
+    the result rows, and the matrix is a 25-cell integer aggregate.
+    No self-join of events against events — the trap a naive
+    followed-by query falls into at scale."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "ts",
+        F.col("event_type").alias("a"),
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts")))
+            .over(w)
+            .alias(f"t_{t}")
+            for t in types
+        ],
+    )
+    pairs = nxt.select(
+        "a",
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("b"), F.col(f"t_{t}").alias("t_b")
+                    )
+                    for t in types
+                ]
+            )
+        ).alias("x"),
+    ).select("a", "ts", F.col("x.b").alias("b"), F.col("x.t_b").alias("t_b"))
+    hit = F.col("t_b").isNotNull() & (
+        F.col("t_b") <= F.col("ts") + F.expr("INTERVAL 15 MINUTES")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+            F.sum(hit.cast("int")).cast("bigint").alias("n_followed"),
+            (
+                F.sum(hit.cast("int")).cast("double") / F.count(F.lit(1))
+            ).alias("p_followed"),
+        )
+        .orderBy("a", "b")
+    )
