@@ -527,3 +527,89 @@ def q_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("context_len")
     )
+
+
+@_q(
+    "q_split_leakage",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 4))
+                       AS INTEGER) < 58982
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT split,
+             array_to_string(list_slice(w, i.i, i.i + 7), ' ') AS g
+      FROM (SELECT split, string_split(text, ' ') AS w FROM split) t,
+           LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) i
+      WHERE len(w) >= 8
+    ),
+    tr AS (SELECT g FROM grams WHERE split = 'train'),
+    te AS (SELECT g FROM grams WHERE split = 'test'),
+    hits AS (SELECT CAST(count(*) AS BIGINT) AS n_shared
+             FROM te JOIN tr ON tr.g = te.g)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train_grams,
+           (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test_grams,
+           h.n_shared,
+           CAST(h.n_shared AS DOUBLE)
+             / (SELECT count(*) FROM te) AS leakage_rate
+    FROM hits h
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene audit: 8-gram overlap between the train and test
+    sides of the hash split — the q_decontaminate check pointed at
+    OUR OWN split instead of an external eval set. A clean random
+    split still leaks through duplicated/boilerplate text (the
+    benchmark-contamination mechanism in miniature), which is why
+    this runs after dedup and before any eval number is trusted.
+
+    Scale: shingling is per-row; each side reduces to DISTINCT gram
+    sets (shuffle carries grams once); the overlap is one equi-join
+    on the gram key. Counts integer, one ratio."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    split = d.select(
+        "doc_id",
+        "text",
+        F.when(
+            _spark_bucket(F.col("doc_id").cast("string")) < 58982, "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    w = F.split(F.col("text"), " ")
+    grams = (
+        split.filter(F.size(w) >= 8)
+        .select(
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 7),"
+                    " i -> array_join(slice(split(text, ' '), i, 8), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    tr = grams.filter(F.col("split") == "train").select("g")
+    te = grams.filter(F.col("split") == "test").select("g")
+    n_tr = tr.agg(F.count(F.lit(1)).cast("bigint").alias("n_train_grams"))
+    n_te = te.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_grams"))
+    hits = te.join(tr, "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    return (
+        hits.crossJoin(F.broadcast(n_tr))
+        .crossJoin(F.broadcast(n_te))
+        .select(
+            "n_train_grams",
+            "n_test_grams",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_test_grams")
+            ).alias("leakage_rate"),
+        )
+    )

@@ -2877,3 +2877,101 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_ab").desc(), "antecedent", "consequent")
     )
+
+
+@_q(
+    "q_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p.p_brand,
+             round(ln(CAST(CAST(CAST(l.l_extendedprice
+                                     AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS DOUBLE)
+                      / CAST(CAST(CAST(l.l_quantity AS DECIMAL(18,2))
+                                  * 100 AS BIGINT) AS DOUBLE)), 6)
+               AS lp,
+             round(ln(CAST(l.l_quantity AS DOUBLE)), 6) AS lq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    micro AS (
+      SELECT p_brand,
+             CAST(CAST(lp AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x,
+             CAST(CAST(lq AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+      FROM obs
+    ),
+    m AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM micro GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS elasticity
+    FROM m
+    ORDER BY p_brand
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    quantity on unit price, d ln q / d ln p — the one-coefficient
+    econometric readout (< −1 elastic, −1..0 inelastic) that q_agg_
+    linreg's level-space slope can't give because elasticity is a
+    RATIO effect. Unit price derives in exact decimal before the one
+    log.
+
+    Logs round at 6 dp and are the regression inputs (the
+    q_vocab_growth_heaps discipline) so every moment is an exact
+    decimal sum; the slope is closed-form per brand. One
+    broadcast-dim join (part), one shuffle to |brands| cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    unit = pc.cast("double") / qc.cast("double")
+    obs = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.round(F.log(unit), 6).alias("lp"),
+            F.round(F.log(F.col("l_quantity").cast("double")), 6).alias(
+                "lq"
+            ),
+        )
+    )
+    # 6-dp logs scale losslessly to integer micro-units, so every
+    # moment is an integer sum (the only decimal->double casts are
+    # integer-valued — the q_agg_corr int128-portability discipline);
+    # the 1e12 scale factor cancels in the slope ratio
+    micro = obs.select(
+        "p_brand",
+        (F.col("lp").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("lq").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = micro.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select("p_brand", "n", slope.alias("elasticity")).orderBy(
+        "p_brand"
+    )
