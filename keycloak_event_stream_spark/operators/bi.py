@@ -330,3 +330,96 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "decile", "n_customers", "revenue_cents", share.alias("cum_share")
     ).orderBy("decile")
+
+
+@_q(
+    "q_lead_time",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(l.l_shipdate AS DATE)
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT) AS transit_d,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, transit_d,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY transit_d, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lt
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(transit_d) AS BIGINT) AS min_d,
+           CAST(min(CASE WHEN rn * 2 >= n + 1 THEN transit_d END)
+                AS BIGINT) AS median_d,
+           CAST(min(CASE WHEN rn * 20 >= n * 19 + 20
+                         THEN transit_d END) AS BIGINT) AS p95_d,
+           CAST(max(transit_d) AS BIGINT) AS max_d
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lead-time distribution per order priority (min /
+    median / p95 / max days) — the operations-latency report shape
+    (same math as a service-latency SLO table), with exact
+    nearest-rank-above percentiles: rn·20 ≥ 19n+20 picks the p95 as
+    a real data value via integer cross-multiplication, no
+    interpolation, no float thresholds. The obvious question it
+    answers: do URGENT orders actually ship faster?
+
+    Day differences are exact integers (DATE subtraction); one rank
+    window partitioned by the 5 priorities over integer lead days.
+    At extreme scale the drop-in is per-group t-digest
+    (q_sketch_quantiles) with this exact form as its audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("transit_d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "transit_d", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = lt.select(
+        "o_orderpriority",
+        "transit_d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.min("transit_d").cast("bigint").alias("min_d"),
+            F.min(
+                F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("transit_d"))
+            )
+            .cast("bigint")
+            .alias("median_d"),
+            F.min(
+                F.when(
+                    F.col("rn") * 20 >= F.col("n") * 19 + 20,
+                    F.col("transit_d"),
+                )
+            )
+            .cast("bigint")
+            .alias("p95_d"),
+            F.max("transit_d").cast("bigint").alias("max_d"),
+        )
+        .orderBy("o_orderpriority")
+    )

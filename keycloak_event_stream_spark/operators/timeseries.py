@@ -1358,3 +1358,99 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q_forecast_eval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    preds AS (
+      SELECT day, cents,
+             lag(cents, 1) OVER w AS p_naive,
+             lag(cents, 7) OVER w AS p_snaive
+      FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    errs AS (
+      SELECT m.model,
+             CASE m.model WHEN 'naive' THEN p_naive
+                          ELSE p_snaive END AS p,
+             cents
+      FROM preds, LATERAL (
+        SELECT unnest(['naive', 'snaive7']) AS model) m
+      WHERE CASE m.model WHEN 'naive' THEN p_naive
+                         ELSE p_snaive END IS NOT NULL
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(cents - p)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(sum(abs(cents - p)) AS DOUBLE) / count(*) / 100.0
+             AS mae,
+           CAST(sum(CAST(round(CAST(abs(cents - p) AS DOUBLE)
+                               / cents, 6) AS DECIMAL(27,6)))
+                AS DOUBLE) / count(*) AS mape
+    FROM errs
+    GROUP BY model
+    ORDER BY model
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: one-step-ahead MAE and MAPE of the naive
+    (yesterday) and seasonal-naive (same weekday last week)
+    predictors over the daily revenue series — the baseline table
+    every forecasting effort must beat (if q_ar2_yule_walker or
+    q_holt_winters can't beat snaive7, ship snaive7). Errors are
+    exact integer cents; per-day MAPE terms round at 6 dp into
+    DECIMAL sums. Windows run over the bounded daily rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    w = Window.orderBy("day")
+    preds = daily.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("p_naive"),
+        F.lag("cents", 7).over(w).alias("p_snaive"),
+    )
+    errs = preds.select(
+        "cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("model"),
+                    F.col("p_naive").alias("p"),
+                ),
+                F.struct(
+                    F.lit("snaive7").alias("model"),
+                    F.col("p_snaive").alias("p"),
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        F.col("x.model").alias("model"), F.col("x.p").alias("p"), "cents"
+    ).filter(F.col("p").isNotNull())
+    abs_err = F.abs(F.col("cents") - F.col("p"))
+    return (
+        errs.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(abs_err).cast("bigint").alias("sum_abs_err_cents"),
+            (
+                F.sum(abs_err).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100.0)
+            ).alias("mae"),
+            (
+                F.sum(
+                    F.round(
+                        abs_err.cast("double") / F.col("cents"), 6
+                    ).cast("decimal(27,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mape"),
+        )
+        .orderBy("model")
+    )

@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_forecast_eval",
+    "q_lead_time",
     "q_split_leakage",
     "q_price_elasticity",
     "q_slo_burn",
