@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import load_table, spread
-from keycloak_event_stream_spark.operators._scale import two_phase_window
+from keycloak_event_stream_spark.operators._scale import (
+    two_phase_window,
+    with_totals,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -1676,4 +1679,142 @@ def q_followed_by_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_followed"),
         )
         .orderBy("a", "b")
+    )
+
+
+@_q(
+    "q_purchase_intervals",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(prev_ts)) AS BIGINT) AS gap_s
+      FROM p WHERE prev_ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT gap_s,
+             row_number() OVER (ORDER BY gap_s, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_intervals,
+           CAST(min(gap_s) AS BIGINT) AS min_s,
+           CAST(min(CASE WHEN rn * 2 >= n + 1 THEN gap_s END)
+                AS BIGINT) AS median_s,
+           CAST(min(CASE WHEN rn * 10 >= n * 9 + 10 THEN gap_s END)
+                AS BIGINT) AS p90_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM ranked
+    """,
+)
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution (min/median/p90/max
+    seconds between a user's consecutive purchases) — the repeat-
+    behavior cadence that calibrates churn windows (q_churn_labels'
+    10-day silence rule should sit well beyond this median) and
+    replenishment campaigns.
+
+    One shuffle on user_id for the lag pairing; gaps are exact
+    integer seconds (floored epochs, the q_session_metrics
+    discipline); the global percentile rank runs over the
+    purchase-pair set via integer nearest-rank cross-multiplication.
+    The global window is the two-phase candidate at extreme scale —
+    here the pair set is already purchase-only (a small fraction of
+    events), the same reduction-first posture as the daily-series
+    family."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(wp).alias("prev_ts"),
+    )
+    gaps = p.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        (
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+        ).alias("gap_s"),
+    )
+    ranked = two_phase_window(
+        gaps, [F.col("gap_s"), F.col("user_id")], row_number="rn"
+    )
+    ranked = with_totals(ranked, {"n": F.count(F.lit(1)).cast("bigint")})
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_intervals"),
+        F.min("gap_s").cast("bigint").alias("min_s"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("gap_s")))
+        .cast("bigint")
+        .alias("median_s"),
+        F.min(
+            F.when(F.col("rn") * 10 >= F.col("n") * 9 + 10, F.col("gap_s"))
+        )
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("gap_s").cast("bigint").alias("max_s"),
+    )
+
+
+@_q(
+    "q_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day
+      FROM events
+    ),
+    first_day AS (
+      SELECT user_id, min(day) AS f FROM ud GROUP BY user_id
+    )
+    SELECT u.day,
+           CAST(sum(CASE WHEN u.day = f.f THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN u.day > f.f THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           CAST(sum(CASE WHEN u.day > f.f THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS returning_share
+    FROM ud u JOIN first_day f ON f.user_id = u.user_id
+    GROUP BY u.day
+    ORDER BY u.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning active users — the growth-accounting
+    split (is today's DAU fresh acquisition or retained habit?) that
+    gives q_stickiness its composition and q_retention_cohort its
+    daily pulse.
+
+    The deduped (user, day) membership table is the only input (the
+    q_stickiness discipline); first-seen days are one aggregate of
+    it, joined back on the user key. Counts integer, one share
+    division per day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    ud = ud.persist()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("f"))
+    j = ud.join(first_day, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+            (
+                F.sum(F.when(F.col("day") > F.col("f"), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
     )

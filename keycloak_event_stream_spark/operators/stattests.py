@@ -3223,3 +3223,76 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - dsum_if(0, "wv") / dsum_if(0, "w")
         ).alias("ate_ipw"),
     )
+
+
+@_q(
+    "q_ab_srm_check",
+    oracle=f"""
+    WITH arms AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+             max(CASE WHEN arm = 1 THEN n_users END) AS n1
+      FROM arms
+    ),
+    stat AS (
+      SELECT n0, n1,
+             CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)
+               AS chi2
+      FROM wide
+    )
+    SELECT n0, n1, chi2,
+           round(2.0 * (1.0 - {{phi}}), 6) AS p_value,
+           CAST(CASE WHEN round(2.0 * (1.0 - {{phi}}), 6) < 0.001
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+    FROM stat
+    """,
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the even/odd user split:
+    chi-square goodness-of-fit against the designed 50/50 allocation
+    (χ² = (n₀−n₁)²/(n₀+n₁) for two arms), p-value via the shared
+    Abramowitz–Stegun normal CDF (χ²₁ = z²), flagged at p < 0.001 —
+    the FIRST check an experimentation platform runs, because a
+    biased assignment invalidates q_ab_test_proportions and
+    q_ab_cuped no matter what they report.
+
+    One distinct-user aggregate to two integer cells; the statistic,
+    p, and flag are closed-form with build-time-identical expression
+    text in both engines, 6-dp rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).cast("bigint").alias("arm")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+    )
+    stat = wide.select(
+        "n0",
+        "n1",
+        (
+            ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1")))
+            .cast("double")
+            / (F.col("n0") + F.col("n1"))
+        ).alias("chi2"),
+    )
+    z = "sqrt(chi2)"
+    pv = F.round(
+        2.0 * (1.0 - F.expr(_phi_expr(z))), 6
+    )
+    return stat.select(
+        "n0",
+        "n1",
+        "chi2",
+        pv.alias("p_value"),
+        F.when(pv < 0.001, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+ORACLE["q_ab_srm_check"] = ORACLE["q_ab_srm_check"].format(
+    phi=_phi_expr("sqrt(chi2)")
+)
