@@ -1818,3 +1818,60 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "q_user_entropy",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+      FROM cells GROUP BY user_id
+    )
+    SELECT c.user_id,
+           max(t.n) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / t.n)
+                               * ln(CAST(c.c AS DOUBLE) / t.n), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE)
+             AS entropy_nats
+    FROM cells c JOIN tot t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of the user's
+    event-type mix (0 = single-minded, ln 5 ≈ 1.61 = uniform across
+    all five types) — the engagement-breadth feature that
+    q_user_features' raw type counts can't express in one number,
+    and a known churn predictor (narrowing behavior precedes
+    leaving).
+
+    Two keyed aggregates (user×type cells, then per-user totals
+    joined back on the user key — co-partitioned, no extra
+    exchange); each −p·ln p term rounds at 6 dp into an
+    order-independent DECIMAL sum. Output is one row per user,
+    join-ready against q_user_features on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cells.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 6).cast("decimal(27,6)")
+    return (
+        cells.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(term).cast("double").alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )

@@ -423,3 +423,115 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "q_abc_xyz",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(o.o_orderdate AS DATE) AS day,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS qty_c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(cents) AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qty_c) AS BIGINT) AS sq,
+             CAST(sum(CAST(qty_c * qty_c AS DECIMAL(38,0))) AS DOUBLE)
+               AS sq2
+      FROM li GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev, n, sq, sq2,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rev,
+             CAST(sum(rev) OVER () AS BIGINT) AS tot_rev
+      FROM per_part
+    ),
+    classed AS (
+      SELECT l_partkey,
+             CASE WHEN cum_rev * 10 <= tot_rev * 8 THEN 'A'
+                  WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN n < 2 THEN 'Z'
+                  WHEN (sq2 - CAST(sq AS DOUBLE) * sq / n) * n * 100
+                       <= CAST(sq AS DOUBLE) * sq * 25 THEN 'X'
+                  WHEN (sq2 - CAST(sq AS DOUBLE) * sq / n) * n * 100
+                       <= CAST(sq AS DOUBLE) * sq * 100 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM ranked
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+)
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC–XYZ classification of parts: revenue importance (A = first
+    80% of cumulative revenue, B = to 95%, C = tail) crossed with
+    demand variability (X: CV ≤ 0.5, Y: CV ≤ 1, Z: above or <2
+    observations) — the 9-cell planning matrix behind every
+    inventory/procurement policy (A-X items get tight auto-replenish,
+    C-Z get make-to-order).
+
+    The ABC split is the two-phase-eligible cumulative-share rank
+    over the per-part rollup (the q_pareto_abc discipline) with
+    integer cross-product class cuts; the CV classes compare
+    variance·n·100 against (Σq)²·k² in pure integer-derived doubles —
+    no square root, no division, so the class boundaries are exact.
+    One shuffle to per-part cells, then a |parts|-row window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("qty_c"),
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qty_c").cast("bigint").alias("sq"),
+        F.sum((F.col("qty_c") * F.col("qty_c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sq2"),
+    )
+    ranked = two_phase_window(
+        per_part,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        cumsum={"cum_rev": "rev"},
+    )
+    ranked = with_totals(
+        ranked, {"tot_rev": F.sum("rev").cast("bigint")}
+    ).withColumn("cum_rev", F.col("cum_rev").cast("bigint"))
+    var_n = (
+        F.col("sq2") - F.col("sq").cast("double") * F.col("sq") / F.col("n")
+    ) * F.col("n") * 100
+    sq2_scaled = F.col("sq").cast("double") * F.col("sq")
+    classed = ranked.select(
+        "l_partkey",
+        F.when(F.col("cum_rev") * 10 <= F.col("tot_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("n") < 2, "Z")
+        .when(var_n <= sq2_scaled * 25, "X")
+        .when(var_n <= sq2_scaled * 100, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )
