@@ -1875,3 +1875,138 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "q_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(time_bucket(INTERVAL 1 DAY, ts)
+                                 AS DATE)) // 7 AS BIGINT) AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(week) AS f FROM uw GROUP BY user_id
+    ),
+    labelled AS (
+      SELECT u.user_id, u.week, f.f,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+               AS was_prev
+      FROM uw u
+      JOIN firsts f ON f.user_id = u.user_id
+      LEFT JOIN uw p ON p.user_id = u.user_id
+                    AND p.week = u.week - 1
+    ),
+    churn AS (
+      SELECT u.week + 1 AS week, CAST(count(*) AS BIGINT) AS churned
+      FROM uw u
+      LEFT JOIN uw nx ON nx.user_id = u.user_id
+                     AND nx.week = u.week + 1
+      WHERE nx.user_id IS NULL
+      GROUP BY u.week + 1
+    )
+    SELECT l.week,
+           CAST(count(*) AS BIGINT) AS active,
+           CAST(sum(CASE WHEN l.week = l.f THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN l.week > l.f AND l.was_prev = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(sum(CASE WHEN l.week > l.f AND l.was_prev = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+           COALESCE(max(c.churned), 0) AS churned_in
+    FROM labelled l LEFT JOIN churn c ON c.week = l.week
+    GROUP BY l.week
+    ORDER BY l.week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user is exactly one of
+    new (first week), retained (also active last week), or
+    resurrected (active before, skipped last week), with the
+    week's inbound churn (active last week, gone now) alongside —
+    the decomposition (Δactive = new + resurrected − churned) that
+    turns a flat DAU line into a diagnosis.
+
+    All joins are equi-joins of the deduped (user, week) membership
+    against itself shifted by one week and against first-weeks —
+    keyed on user_id, co-partitioned, never a cross join; weeks are
+    integer day-offsets (date_diff // 7, identical in both engines).
+    Counts are integers end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).distinct()
+    uw = uw.persist()
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("f"))
+    prev = uw.select(
+        "user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("wp")
+    )
+    labelled = (
+        uw.join(firsts, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "user_id",
+            "week",
+            "f",
+            F.coalesce(F.col("wp"), F.lit(0)).alias("was_prev"),
+        )
+    )
+    nxt = uw.select(
+        "user_id", (F.col("week") - 1).alias("week"), F.lit(1).alias("wn")
+    )
+    churn = (
+        uw.join(nxt, ["user_id", "week"], "left")
+        .filter(F.col("wn").isNull())
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    return (
+        labelled.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active"),
+            F.sum(F.when(F.col("week") == F.col("f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(
+                F.when(
+                    (F.col("week") > F.col("f"))
+                    & (F.col("was_prev") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("retained"),
+            F.sum(
+                F.when(
+                    (F.col("week") > F.col("f"))
+                    & (F.col("was_prev") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("resurrected"),
+        )
+        .join(F.broadcast(churn), "week", "left")
+        .select(
+            "week",
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0))
+            .cast("bigint")
+            .alias("churned_in"),
+        )
+        .orderBy("week")
+    )
