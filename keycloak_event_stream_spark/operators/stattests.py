@@ -3296,3 +3296,211 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_ab_srm_check"] = ORACLE["q_ab_srm_check"].format(
     phi=_phi_expr("sqrt(chi2)")
 )
+
+
+@_q(
+    "q_bayes_ab",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM users GROUP BY arm
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS na,
+             max(CASE WHEN arm = 0 THEN k END) AS ka,
+             max(CASE WHEN arm = 1 THEN n END) AS nb,
+             max(CASE WHEN arm = 1 THEN k END) AS kb
+      FROM arms
+    ),
+    post AS (
+      SELECT na, ka, nb, kb,
+             (ka + 1.0) / (na + 2.0) AS ma,
+             (kb + 1.0) / (nb + 2.0) AS mb,
+             (ka + 1.0) * (na - ka + 1.0)
+               / ((na + 2.0) * (na + 2.0) * (na + 3.0)) AS va,
+             (kb + 1.0) * (nb - kb + 1.0)
+               / ((nb + 2.0) * (nb + 2.0) * (nb + 3.0)) AS vb
+      FROM wide
+    ),
+    z AS (
+      SELECT na, ka, nb, kb, ma, mb,
+             (mb - ma) / sqrt(va + vb) AS zs
+      FROM post
+    )
+    SELECT na, ka, nb, kb, ma AS p_a_mean, mb AS p_b_mean,
+           round(CASE WHEN zs >= 0 THEN {{phi_pos}}
+                      ELSE 1.0 - {{phi_neg}} END, 6)
+             AS prob_b_beats_a
+    FROM z
+    """,
+)
+def q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout: Beta(1,1)-posterior conversion rates per
+    arm (even/odd user split, user-level purchase conversion) and
+    P(B > A) under the normal approximation to the posterior
+    difference — the "probability B is better" number stakeholders
+    actually ask for, next to q_ab_test_proportions' frequentist p
+    and q_power_analysis' sizing. Exact Beta means/variances; the
+    one approximation (normal tail) uses the shared closed-form CDF.
+
+    One shuffle to user-level conversion flags, two integer cells,
+    closed-form scalars after — corpus-size-independent cost."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("arm"), "conv"
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+
+    def pick(a, col):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = arms.agg(
+        pick(0, "n").alias("na"),
+        pick(0, "k").alias("ka"),
+        pick(1, "n").alias("nb"),
+        pick(1, "k").alias("kb"),
+    )
+    ma = (F.col("ka") + 1.0) / (F.col("na") + 2.0)
+    mb = (F.col("kb") + 1.0) / (F.col("nb") + 2.0)
+    va = (
+        (F.col("ka") + 1.0)
+        * (F.col("na") - F.col("ka") + 1.0)
+        / (
+            (F.col("na") + 2.0)
+            * (F.col("na") + 2.0)
+            * (F.col("na") + 3.0)
+        )
+    )
+    vb = (
+        (F.col("kb") + 1.0)
+        * (F.col("nb") - F.col("kb") + 1.0)
+        / (
+            (F.col("nb") + 2.0)
+            * (F.col("nb") + 2.0)
+            * (F.col("nb") + 3.0)
+        )
+    )
+    z = wide.select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        ma.alias("ma"),
+        mb.alias("mb"),
+        ((mb - ma) / F.sqrt(va + vb)).alias("zs"),
+    )
+    prob = F.round(
+        F.when(
+            F.col("zs") >= 0, F.expr(_phi_expr("zs"))
+        ).otherwise(F.lit(1.0) - F.expr(_phi_expr("(-zs)"))),
+        6,
+    )
+    return z.select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        F.col("ma").alias("p_a_mean"),
+        F.col("mb").alias("p_b_mean"),
+        prob.alias("prob_b_beats_a"),
+    )
+
+
+ORACLE["q_bayes_ab"] = ORACLE["q_bayes_ab"].format(
+    phi_pos=_phi_expr("zs"), phi_neg=_phi_expr("(-zs)")
+)
+
+
+@_q(
+    "q_eb_shrinkage",
+    oracle="""
+    WITH users AS (
+      SELECT e.user_id,
+             CAST(e.user_id % 25 AS BIGINT) AS segment,
+             max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events e GROUP BY e.user_id
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM users GROUP BY segment
+    ),
+    gl AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(k) AS BIGINT) AS tk
+      FROM seg
+    )
+    SELECT s.segment, s.n, s.k,
+           CAST(s.k AS DOUBLE) / s.n AS raw_rate,
+           round((CAST(s.k AS DOUBLE)
+                  + 20.0 * (CAST(g.tk AS DOUBLE) / g.tn))
+                 / (s.n + 20.0), 6) AS shrunk_rate
+    FROM seg s CROSS JOIN gl g
+    ORDER BY s.segment
+    """,
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-segment conversion rates
+    toward the global rate with a fixed pseudo-count prior (k = 20
+    equivalent observations): small segments get pulled hard toward
+    the prior, big ones barely move — the standard fix for the
+    "best-converting segment is the 3-user one" leaderboard lie,
+    shown next to the raw rate so the shrinkage is auditable.
+
+    One shuffle to |segments| integer cells, the global rate as a
+    1-row cross join; the shrunk rate is one closed-form 6-dp-
+    rounded expression per segment; swapping the fixed pseudo-count
+    for a method-of-moments fit is a one-line change on the same
+    cells."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (F.col("user_id") % 25).cast("bigint").alias("segment"), "conv"
+    )
+    seg = users.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    glob = seg.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("k").cast("bigint").alias("tk"),
+    )
+    return (
+        seg.crossJoin(F.broadcast(glob))
+        .select(
+            "segment",
+            "n",
+            "k",
+            (F.col("k").cast("double") / F.col("n")).alias("raw_rate"),
+            F.round(
+                (
+                    F.col("k").cast("double")
+                    + 20.0 * (F.col("tk").cast("double") / F.col("tn"))
+                )
+                / (F.col("n") + 20.0),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("segment")
+    )

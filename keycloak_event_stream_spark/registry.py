@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_bayes_ab",
+    "q_eb_shrinkage",
     "q_growth_accounting",
     "q_abc_xyz",
     "q_user_entropy",
