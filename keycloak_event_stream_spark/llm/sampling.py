@@ -613,3 +613,66 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leakage_rate"),
         )
     )
+
+
+@_q(
+    "q_sample_dedup_weighted",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars, md5(lower(trim(text))) AS f
+      FROM documents
+    ),
+    cl AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY f
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.n_chars, c.sz,
+             CAST(('0x' || substr(md5('dw:' ||
+                CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM fp d JOIN cl c ON c.f = d.f
+    )
+    SELECT doc_id, n_chars, sz AS cluster_size
+    FROM keyed
+    WHERE CAST(h AS DOUBLE) / 4294967296.0 * sz < 1.0
+    ORDER BY doc_id
+    """,
+)
+def q_sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling: each document is kept with
+    probability 1/cluster_size of its exact-duplicate cluster, so a
+    passage copied 40 times contributes ~once in expectation — the
+    sampling-time alternative to hard dedup that preserves corpus
+    statistics while killing the duplicate over-weighting that
+    memorization studies trace verbatim regurgitation to.
+
+    The cluster size joins back by 16-byte fingerprint (the only
+    shuffle); the keep decision is the md5-fraction test u·sz < 1 —
+    per-row, deterministic, no RNG coordination, same discipline as
+    q_sample_weighted. Every kept row carries its cluster size for
+    downstream reweighting."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fp = d.select(
+        "doc_id", "n_chars", F.md5(F.lower(F.trim("text"))).alias("f")
+    )
+    cl = fp.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dw:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        fp.join(cl, "f")
+        .select("doc_id", "n_chars", F.col("sz").alias("cluster_size"), h.alias("h"))
+        .filter(
+            F.col("h").cast("double")
+            / F.lit(4294967296.0)
+            * F.col("cluster_size")
+            < 1.0
+        )
+        .select("doc_id", "n_chars", "cluster_size")
+        .orderBy("doc_id")
+    )

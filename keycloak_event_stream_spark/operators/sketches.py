@@ -290,3 +290,186 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word_idx")
     )
+
+
+_BLOOM_PROBES = [
+    "table", "hash", "spark", "window", "batch",
+    "zzqx1", "zzqx2", "zzqx3", "zzqx4", "zzqx5",
+]
+
+
+@_q(
+    "q_bloom_probe",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+    ),
+    pos AS (
+      SELECT w, h.i,
+             CAST(CAST(('0x' || substr(md5('b' || h.i || ':' || w),
+                                       1, 8)) AS BIGINT) % 1024
+                  AS BIGINT) AS p
+      FROM toks, LATERAL (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    words AS (
+      SELECT CAST(p // 32 AS BIGINT) AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                  AS BIGINT) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probes AS (SELECT unnest({_BLOOM_PROBES!r}) AS token),
+    ppos AS (
+      SELECT token, h.i,
+             CAST(CAST(('0x' || substr(md5('b' || h.i || ':' || token),
+                                       1, 8)) AS BIGINT) % 1024
+                  AS BIGINT) AS p
+      FROM probes, LATERAL (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    checks AS (
+      SELECT pp.token,
+             CAST(min(CASE WHEN (w.bits >> CAST(pp.p % 32 AS INTEGER))
+                                & 1 = 1
+                           THEN 1 ELSE 0 END) AS INTEGER) AS bloom_hit
+      FROM ppos pp
+      LEFT JOIN words w ON w.word_idx = pp.p // 32
+      GROUP BY pp.token
+    ),
+    truth AS (
+      SELECT p.token,
+             CAST(CASE WHEN t.w IS NOT NULL THEN 1 ELSE 0 END
+                  AS INTEGER) AS in_corpus
+      FROM probes p LEFT JOIN toks t ON t.w = p.token
+    )
+    SELECT c.token, t.in_corpus, c.bloom_hit,
+           CAST(CASE WHEN c.bloom_hit = 1 AND t.in_corpus = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS false_positive
+    FROM checks c JOIN truth t ON t.token = c.token
+    ORDER BY c.token
+    """,
+)
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probes against the q_sketch_bloom filter: five
+    corpus tokens and five synthetic absentees, each checked by
+    testing all k = 3 hash bits against the 32-word bitset, with the
+    exact ground truth and the false-positive flag alongside — the
+    end-to-end demonstration that the materialized filter actually
+    ANSWERS queries (the property q_join_bloom_prefilter exploits),
+    and that its one-sided error behaves: no false negatives,
+    bounded false positives.
+
+    The probe set is 10 literals; each probe touches ≤3 of the 32
+    filter words by key — the filter table is the only corpus-sized
+    derivative, and it was one bit_or aggregate. The miss case
+    (absent word index) LEFT-JOINs to a 0 bit, preserving the
+    no-false-negative contract."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    toks = toks.persist()
+    pos = toks.select(
+        "w",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("w"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
+        ).alias("p")
+    )
+    words = pos.groupBy(
+        F.floor(F.col("p") / 32).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+        )
+        .cast("bigint")
+        .alias("bits")
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _BLOOM_PROBES], schema="token string"
+    )
+    ppos = probes.select(
+        "token",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+    ).select(
+        "token",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("token"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
+        ).alias("p"),
+    )
+    checks = (
+        ppos.join(
+            words,
+            F.floor(F.col("p") / 32).cast("bigint") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "token",
+            F.when(
+                F.expr(
+                    "(shiftright(bits, cast(p % 32 as int)) & 1) = 1"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("bit_ok"),
+        )
+        .groupBy("token")
+        .agg(F.min("bit_ok").cast("int").alias("bloom_hit"))
+    )
+    truth = F.broadcast(probes).join(
+        toks, probes.token == toks.w, "left"
+    ).select(
+        "token",
+        F.when(F.col("w").isNotNull(), 1).otherwise(0).cast("int").alias(
+            "in_corpus"
+        ),
+    )
+    return (
+        checks.join(truth, "token")
+        .select(
+            "token",
+            "in_corpus",
+            "bloom_hit",
+            F.when(
+                (F.col("bloom_hit") == 1) & (F.col("in_corpus") == 0), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("false_positive"),
+        )
+        .orderBy("token")
+    )
