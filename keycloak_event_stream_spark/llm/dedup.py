@@ -1119,3 +1119,55 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@_q(
+    "q_dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(lower(trim(text))) AS f FROM documents
+    ),
+    cl AS (
+      SELECT source, f, CAST(count(*) AS BIGINT) AS sz
+      FROM fp GROUP BY source, f
+    )
+    SELECT source,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_dupes,
+           CAST(sum(sz) - count(*) AS DOUBLE) / sum(sz) AS dup_rate
+    FROM cl GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source exact-duplicate rate — the per-source view of
+    q_dedup_cluster_stats' corpus total, which is the number that
+    actually drives pipeline decisions: a source running 30%
+    internal duplication gets its crawler fixed (or its mixture
+    weight cut via q_mixture_weights) long before anyone tunes a
+    global dedup pass. Cross-source duplication is q_source_overlap's
+    job; this isolates the within-source component.
+
+    Shuffle carries (source, 16-byte fingerprint); counts are
+    integers; one ratio per source."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cl = (
+        d.select(
+            "source", F.md5(F.lower(F.trim("text"))).alias("f")
+        )
+        .groupBy("source", "f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    return (
+        cl.groupBy("source")
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_dupes"),
+            (
+                (F.sum("sz") - F.count(F.lit(1))).cast("double")
+                / F.sum("sz")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

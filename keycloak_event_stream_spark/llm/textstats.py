@@ -1908,3 +1908,97 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@_q(
+    "q_mix_shift",
+    oracle="""
+    WITH half AS (
+      SELECT source,
+             CASE WHEN doc_id * 2 < (SELECT max(doc_id) + min(doc_id)
+                                     FROM documents)
+                  THEN 'first' ELSE 'second' END AS half,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, half, CAST(sum(n_tok) AS BIGINT) AS toks
+      FROM half GROUP BY source, half
+    ),
+    tot AS (
+      SELECT half, CAST(sum(toks) AS BIGINT) AS t
+      FROM cells GROUP BY half
+    ),
+    shares AS (
+      SELECT c.source,
+             max(CASE WHEN c.half = 'first'
+                      THEN CAST(c.toks AS DOUBLE) / t.t END)
+               AS share_first,
+             max(CASE WHEN c.half = 'second'
+                      THEN CAST(c.toks AS DOUBLE) / t.t END)
+               AS share_second
+      FROM cells c JOIN tot t ON t.half = c.half
+      GROUP BY c.source
+    )
+    SELECT source,
+           COALESCE(share_first, 0.0) AS share_first,
+           COALESCE(share_second, 0.0) AS share_second,
+           COALESCE(share_second, 0.0) - COALESCE(share_first, 0.0)
+             AS shift
+    FROM shares
+    ORDER BY source
+    """,
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix shift: each source's token share in the first vs
+    second half of the corpus (by doc_id midpoint) and the delta —
+    the composition-drift check run before q_js_divergence's
+    vocabulary-level drift, because a mix that silently tilts toward
+    one crawl breaks every downstream mixture weight
+    (q_mixture_weights assumes the measured mix IS the mix).
+
+    One conditional aggregate to |sources|×2 cells (the midpoint is
+    a 1-row subquery both engines fold to a literal); shares are
+    single divisions of BIGINT token sums."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    mid = d.agg(
+        ((F.max("doc_id") + F.min("doc_id"))).alias("m")
+    )
+    half = d.crossJoin(F.broadcast(mid)).select(
+        "source",
+        F.when(F.col("doc_id") * 2 < F.col("m"), "first")
+        .otherwise("second")
+        .alias("half"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    cells = half.groupBy("source", "half").agg(
+        F.sum("n_tok").cast("bigint").alias("toks")
+    )
+    tot = cells.groupBy("half").agg(F.sum("toks").cast("bigint").alias("t"))
+    shares = (
+        cells.join(tot, "half")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("half") == "first",
+                    F.col("toks").cast("double") / F.col("t"),
+                )
+            ).alias("share_first"),
+            F.max(
+                F.when(
+                    F.col("half") == "second",
+                    F.col("toks").cast("double") / F.col("t"),
+                )
+            ).alias("share_second"),
+        )
+    )
+    sf_, ss = F.coalesce(F.col("share_first"), F.lit(0.0)), F.coalesce(
+        F.col("share_second"), F.lit(0.0)
+    )
+    return shares.select(
+        "source",
+        sf_.alias("share_first"),
+        ss.alias("share_second"),
+        (ss - sf_).alias("shift"),
+    ).orderBy("source")

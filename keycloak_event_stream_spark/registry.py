@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_mix_shift",
+    "q_dedup_rate_by_source",
     "q_sample_dedup_weighted",
     "q_bloom_probe",
     "q_bayes_ab",
