@@ -314,3 +314,27 @@ def test_levene_broadcasts_group_medians(spark, queries):
     plan = _plan(queries["q_levene_test"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gain_curve_rank_is_two_phase(spark, queries):
+    # the corpus-wide score rank must run range-partitioned (two-phase
+    # primitive), not as a single-partition global window: the only
+    # unpartitioned Window allowed is over the 10-decile aggregate
+    plan = _plan(queries["q_gain_curve"](spark, SF))
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_stickiness_dedups_before_range_join(spark, queries):
+    # the 30-day trailing MAU must range-join the DEDUPED (user, day)
+    # membership, never raw events: the join input side carries no
+    # event columns
+    plan = _plan(queries["q_stickiness"](spark, SF))
+    assert "event_type" not in plan  # raw columns pruned before joins
+
+
+def test_followed_by_matrix_no_self_join(spark, queries):
+    # eventually-followed-by is ONE forward-window pass, not an
+    # events-x-events self join
+    plan = _plan(queries["q_followed_by_matrix"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 1
