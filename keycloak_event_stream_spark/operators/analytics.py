@@ -2010,3 +2010,77 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@_q(
+    "q_at_risk_users",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS frontier FROM events),
+    win AS (
+      SELECT e.user_id,
+             CAST(sum(CASE WHEN e.ts > mx.frontier - INTERVAL 7 DAYS
+                           THEN 1 ELSE 0 END) AS BIGINT) AS recent,
+             CAST(sum(CASE WHEN e.ts <= mx.frontier - INTERVAL 7 DAYS
+                            AND e.ts > mx.frontier - INTERVAL 14 DAYS
+                           THEN 1 ELSE 0 END) AS BIGINT) AS prior
+      FROM events e CROSS JOIN mx
+      GROUP BY e.user_id
+    )
+    SELECT user_id, prior, recent,
+           CAST(recent AS DOUBLE) / prior AS activity_ratio
+    FROM win
+    WHERE prior >= 4 AND recent * 2 < prior
+    ORDER BY user_id
+    """,
+)
+def q_at_risk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn early-warning list: users whose last-7-day activity fell
+    below half of their prior-7-day activity (with a ≥4-events-prior
+    floor so one-off visitors don't flood the list) — the actionable
+    intervention queue that q_churn_labels' post-hoc label can only
+    confirm after the fact.
+
+    One conditional aggregate per user over the two trailing windows
+    (frontier as a 1-row broadcast); the drop test is the integer
+    cross-product recent·2 < prior — no float threshold. Scan speed,
+    one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("frontier"))
+    f = F.col("frontier")
+    win = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") > f - F.expr("INTERVAL 7 DAYS"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("recent"),
+            F.sum(
+                F.when(
+                    (F.col("ts") <= f - F.expr("INTERVAL 7 DAYS"))
+                    & (F.col("ts") > f - F.expr("INTERVAL 14 DAYS")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("prior"),
+        )
+    )
+    return (
+        win.filter(
+            (F.col("prior") >= 4)
+            & (F.col("recent") * 2 < F.col("prior"))
+        )
+        .select(
+            "user_id",
+            "prior",
+            "recent",
+            (F.col("recent").cast("double") / F.col("prior")).alias(
+                "activity_ratio"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -535,3 +535,83 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("abc", "xyz")
     )
+
+
+@_q(
+    "q_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS region, s.s_suppkey,
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT region, CAST(sum(cents) AS BIGINT) AS t
+      FROM rev GROUP BY region
+    )
+    SELECT r.region,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(
+             (CAST(r.cents AS DOUBLE) / t.t)
+             * (CAST(r.cents AS DOUBLE) / t.t) * 10000, 6)
+             AS DECIMAL(27,6))) AS DOUBLE) AS hhi
+    FROM rev r JOIN tot t ON t.region = r.region
+    GROUP BY r.region
+    ORDER BY r.region
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per region
+    (Σ(100·share)², the antitrust scale: <1500 competitive, >2500
+    concentrated) — the supply-risk readout next to q_pareto_abc's
+    customer view: a region whose HHI spikes is one supplier outage
+    away from a stockout.
+
+    Revenue reduces to exact integer cents per (region, supplier);
+    shares are single divisions of BIGINTs; each squared-share term
+    rounds at 6 dp into an order-independent DECIMAL sum. Two keyed
+    aggregates, the region total joined back on the 5-row region
+    key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("region"), "s_suppkey"
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("region").agg(
+        F.sum("cents").cast("bigint").alias("t")
+    )
+    share = F.col("cents").cast("double") / F.col("t")
+    term = F.round(share * share * 10000, 6).cast("decimal(27,6)")
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(term).cast("double").alias("hhi"),
+        )
+        .orderBy("region")
+    )

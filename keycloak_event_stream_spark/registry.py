@@ -58,6 +58,8 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_hhi_concentration",
+    "q_at_risk_users",
     "q_mix_shift",
     "q_dedup_rate_by_source",
     "q_sample_dedup_weighted",
