@@ -3504,3 +3504,75 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@_q(
+    "q_gini_by_segment",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, o_custkey) AS i
+      FROM per_cust
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           2.0 * CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS DOUBLE)
+             / (count(*) * CAST(sum(cents) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini revenue concentration computed PER market segment — the
+    partitioned form of q_gini, and the shape that scales best: the
+    rank window runs partitioned by segment (k independent sorts, no
+    global total order at all, not even a two-phase one), which is
+    how a 1000-executor cluster wants every concentration report
+    sliced anyway. A segment whose Gini spikes relative to its peers
+    has a whale problem the global number averages away.
+
+    Same exactness: integer cents, rank-weighted sums in
+    DECIMAL(38,0), one closed-form double per segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents_expr = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(cents_expr).alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "segment", "cents", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            n.cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            (
+                2.0
+                * F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
+                .cast("double")
+                / (n * F.sum("cents").cast("double"))
+                - (n + 1).cast("double") / n
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
