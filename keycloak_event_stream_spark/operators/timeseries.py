@@ -1454,3 +1454,123 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@_q(
+    "q_durbin_watson",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(t) AS DECIMAL(38,0)) AS DOUBLE) AS st,
+             CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(t * t AS DECIMAL(38,0))) AS DOUBLE) AS stt,
+             CAST(sum(CAST(t * cents AS DECIMAL(38,0))) AS DOUBLE) AS sty
+      FROM idx
+    ),
+    fit AS (
+      SELECT n,
+             (n * sty - st * sy) / (n * stt - st * st) AS b,
+             (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+               AS a
+      FROM mom
+    ),
+    resid AS (
+      SELECT i.t,
+             round(i.cents - (f.a + f.b * i.t), 6) AS e
+      FROM idx i CROSS JOIN fit f
+    ),
+    micro AS (
+      SELECT t, CAST(CAST(e AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+                  AS e6
+      FROM resid
+    ),
+    lagged AS (
+      SELECT e6, lag(e6) OVER (ORDER BY t) AS ep6 FROM micro
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CAST(e6 - ep6 AS DECIMAL(19,0))
+                    * CAST(e6 - ep6 AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(sum(CAST(e6 AS DECIMAL(19,0))
+                        * CAST(e6 AS DECIMAL(19,0))) AS DOUBLE)
+             AS durbin_watson
+    FROM lagged WHERE ep6 IS NOT NULL
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic of the daily-revenue linear-trend
+    residuals: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² (≈2 independent, →0 positive
+    autocorrelation, →4 negative) — the regression diagnostic that
+    says whether q_agg_linreg-style OLS standard errors can be
+    trusted on time-ordered data, and the formal companion to
+    q_autocorr_lag1 (DW ≈ 2(1−ρ₁) of the residuals).
+
+    The trend fits in closed form from exact integer moments over
+    the bounded daily rollup; residuals round at 6 dp, scale to
+    integer micro-units, and both quadratic sums are exact decimal
+    accumulations of integers (the scale cancels in the ratio); the
+    lag pairing is one bounded-series window.
+    One double division at the end."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("t")
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("decimal(38,0)").cast("double").alias("st"),
+        F.sum("cents").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("stt"),
+        F.sum((F.col("t") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sty"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sty") - F.col("st") * F.col("sy")) / (
+        n * F.col("stt") - F.col("st") * F.col("st")
+    )
+    fit = mom.select(
+        "n", b.alias("b"), ((F.col("sy") - b * F.col("st")) / n).alias("a")
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(
+            F.col("cents") - (F.col("a") + F.col("b") * F.col("t")), 6
+        ).alias("e"),
+    )
+    # 6-dp residuals scale losslessly to integer micro-units; squares
+    # multiply as DECIMAL(19,0) (exact at ~1e26), and the 1e12 scale
+    # cancels in the ratio — integer-valued decimal->double casts only
+    # (the q_price_elasticity int128-portability discipline)
+    micro = resid.select(
+        "t",
+        (F.col("e").cast("decimal(24,6)") * 1000000)
+        .cast("bigint")
+        .alias("e6"),
+    )
+    wt = Window.orderBy("t")
+    lagged = micro.select(
+        "e6", F.lag("e6").over(wt).alias("ep6")
+    ).filter(F.col("ep6").isNotNull())
+    d = (F.col("e6") - F.col("ep6")).cast("decimal(19,0)")
+    e6d = F.col("e6").cast("decimal(19,0)")
+    num = F.sum(d * d).cast("double")
+    den = F.sum(e6d * e6d).cast("double")
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (num / den).alias("durbin_watson"),
+    )
