@@ -2002,3 +2002,131 @@ def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.alias("share_second"),
         (ss - sf_).alias("shift"),
     ).orderBy("source")
+
+
+@_q(
+    "q_sparse_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+      WHERE doc_id < 100
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM tf),
+    wts AS (
+      SELECT t.doc_id, t.w,
+             round(t.tf * ln(CAST(nd.n AS DOUBLE) / d.df), 6) AS wt
+      FROM tf t
+      JOIN df d ON d.w = t.w
+      CROSS JOIN nd
+      WHERE d.df * 5 <= nd.n
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(round(wt * wt, 6) AS DECIMAL(27,6)))
+                       AS DOUBLE)) AS nrm
+      FROM wts GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(CAST(round(a.wt * b.wt, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE) AS dot
+      FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents via the
+    inverted-index (posting-list) join — the SPARSE twin of
+    q_sim_search's dense-embedding cosine, and the join shape every
+    search engine's more-like-this runs: pairs only materialize where
+    documents SHARE a term, and common terms (df > n/5) are cut
+    before the join, which is what bounds posting-list fan-out at
+    corpus scale (the df-cut is the textbook quadratic-blowup
+    control; the 100-doc slice keeps the oracle's pair set
+    reviewable). Top-20 most similar pairs.
+
+    TF-IDF weights and their products round at 6 dp into DECIMAL
+    sums (order-independent); norms and the final cosine are
+    closed-form per pair. Shuffles carry (term, doc, weight)
+    postings — never raw text."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tf = tf.persist()
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    wts = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 5 <= F.col("n"))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("wt"),
+        )
+    )
+    wts = wts.persist()
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("wt") * F.col("wt"), 6).cast("decimal(27,6)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    a = wts.select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("wt").alias("wa")
+    )
+    b = wts.select(
+        F.col("doc_id").alias("doc_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.round(F.col("wa") * F.col("wb"), 6).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
