@@ -676,3 +676,91 @@ def q_sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "q_split_balance",
+    oracle="""
+    WITH split AS (
+      SELECT lang,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 4))
+                       AS INTEGER) < 58982
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, split, CAST(count(*) AS BIGINT) AS c
+      FROM split GROUP BY lang, split
+    ),
+    marg AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS row_n
+      FROM cells GROUP BY lang
+    ),
+    cols AS (
+      SELECT split, CAST(sum(c) AS BIGINT) AS col_n
+      FROM cells GROUP BY split
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT c.lang, c.split, c.c,
+             CAST(m.row_n AS DOUBLE) * co.col_n / t.n AS expected,
+             round((c.c - CAST(m.row_n AS DOUBLE) * co.col_n / t.n)
+                   * (c.c - CAST(m.row_n AS DOUBLE) * co.col_n / t.n)
+                   / (CAST(m.row_n AS DOUBLE) * co.col_n / t.n), 6)
+               AS term
+      FROM cells c
+      JOIN marg m ON m.lang = c.lang
+      JOIN cols co ON co.split = c.split
+      CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(term AS DECIMAL(27,6))) AS DOUBLE) AS chi2
+    FROM terms
+    """,
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-stratification check: chi-square of independence between
+    language and the train/test hash split — the label-balance
+    companion to q_ab_srm_check (sizes right?) and q_split_leakage
+    (content disjoint?): a hash split SHOULD be independent of every
+    covariate, and a large χ² here means per-language eval numbers
+    will be biased before any model runs.
+
+    One shuffle to |langs|×2 integer cells; expected counts and the
+    χ² terms are closed-form over broadcast marginals, 6-dp rounded
+    into a DECIMAL sum (the q_chi_square discipline)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    split = d.select(
+        "lang",
+        F.when(
+            _spark_bucket(F.col("doc_id").cast("string")) < 58982, "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    cells = split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    marg = cells.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("row_n")
+    )
+    cols = cells.groupBy("split").agg(
+        F.sum("c").cast("bigint").alias("col_n")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    term = F.round(
+        (F.col("c") - exp) * (F.col("c") - exp) / exp, 6
+    ).cast("decimal(27,6)")
+    return (
+        cells.join(F.broadcast(marg), "lang")
+        .join(F.broadcast(cols), "split")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("term").cast("double").alias("chi2"),
+        )
+    )

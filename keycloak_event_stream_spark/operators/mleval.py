@@ -920,3 +920,46 @@ def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("encoded")
     )
+
+
+@_q(
+    "q_uncertainty_sampling",
+    oracle="""
+    WITH scored AS (
+      SELECT vec_id, label,
+             1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS p
+      FROM embeddings
+    )
+    SELECT vec_id, label, p,
+           abs(p - 0.5) AS margin
+    FROM scored
+    ORDER BY abs(p - 0.5), vec_id
+    LIMIT 50
+    """,
+)
+def q_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection: the 50 examples whose
+    sigmoid-calibrated score sits closest to the 0.5 decision
+    boundary (least-confidence / margin sampling) — the annotation-
+    budget allocator that pairs with q_log_loss_brier (how good is
+    the scorer) and q_hard_negatives (contrastive mining): label
+    where the model is UNSURE, not where it's already right.
+
+    Per-row score + margin at scan speed; the top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort) with
+    vec_id as the deterministic tiebreak. Scan-dominated at any
+    corpus size."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    s = F.element_at(F.col("embedding").cast("array<double>"), 1)
+    scored = e.select(
+        "vec_id",
+        "label",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))).alias("p"),
+    )
+    return (
+        scored.select(
+            "vec_id", "label", "p", F.abs(F.col("p") - 0.5).alias("margin")
+        )
+        .orderBy("margin", "vec_id")
+        .limit(50)
+    )
