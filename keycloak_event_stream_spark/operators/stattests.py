@@ -2739,14 +2739,19 @@ def _qq_probs() -> list[tuple[float, float]]:
       FROM probs pr CROSS JOIN cum
       GROUP BY pr.p, pr.z_theo
     ),
+    micro AS (
+      SELECT CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS v6
+      FROM events
+    ),
     mom AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6)))
-                  AS DOUBLE) AS s1,
-             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))
-                      * CAST(round(value, 6) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS s2
-      FROM events
+             CAST(CAST(sum(v6) AS DECIMAL(38,0)) AS DOUBLE)
+               / 1000000.0 AS s1,
+             CAST(sum(CAST(v6 AS DECIMAL(19,0))
+                      * CAST(v6 AS DECIMAL(19,0))) AS DOUBLE)
+               / 1000000000000.0 AS s2
+      FROM micro
     )
     SELECT e.p, e.q_emp, e.z_theo,
            (e.q_emp - m.s1 / m.n)
@@ -2796,13 +2801,24 @@ def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n"),
         )
     )
-    r6 = F.round(F.col("value"), 6)
-    mom = ev.agg(
+    # micro-unit integer moments: every decimal->double cast is
+    # integer-valued (DuckDB's fractional int128->double drifts a ulp)
+    v6 = (
+        F.round(F.col("value"), 6).cast("decimal(18,6)") * 1000000
+    ).cast("bigint")
+    mom = ev.select(v6.alias("v6")).agg(
         F.count(F.lit(1)).cast("bigint").alias("mn"),
-        F.sum(r6.cast("decimal(27,6)")).cast("double").alias("s1"),
-        F.sum(r6.cast("decimal(18,6)") * r6.cast("decimal(18,6)"))
-        .cast("double")
-        .alias("s2"),
+        (
+            F.sum("v6").cast("decimal(38,0)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("s1"),
+        (
+            F.sum(
+                F.col("v6").cast("decimal(19,0)")
+                * F.col("v6").cast("decimal(19,0)")
+            ).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("s2"),
     )
     z_emp = (
         F.col("q_emp") - F.col("s1") / F.col("mn")

@@ -1123,19 +1123,20 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dow,
              CAST(count(*) AS BIGINT) AS nj,
              CAST(sum(cents) AS BIGINT) AS sj,
-             CAST(sum(CAST(cents AS DECIMAL(38,0))
-                      * CAST(cents AS DECIMAL(38,0)))
-                  AS DOUBLE) AS s2j
+             sum(CAST(cents AS DECIMAL(19,0))
+                 * CAST(cents AS DECIMAL(19,0))) AS s2j
       FROM daily GROUP BY dow
     ),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(nj) AS BIGINT) AS n,
              CAST(sum(sj) AS DOUBLE) AS s,
-             CAST(sum(CAST(round(CAST(sj AS DOUBLE)
-                                 * CAST(sj AS DOUBLE) / nj, 6)
-                           AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n,
-             CAST(sum(CAST(s2j AS DECIMAL(38,6))) AS DOUBLE) AS s2
+             CAST(sum(CAST(CAST(round(CAST(sj AS DOUBLE)
+                                      * CAST(sj AS DOUBLE) / nj, 6)
+                                AS DECIMAL(32,6)) * 1000000
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+               AS sq_over_n,
+             CAST(sum(s2j) AS DOUBLE) AS s2
       FROM grp
     )
     SELECT n AS n_days, k AS k_weekdays,
@@ -1165,31 +1166,37 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dow"),
     ).agg(F.sum(_cents_col()).alias("cents"))
+    # every decimal->double cast below is INTEGER-valued (cents^2 sums
+    # stay exact decimals; the sj^2/nj terms scale to micro-units) —
+    # DuckDB's int128 fractional-decimal->double cast drifts a ulp
+    # (q_agg_corr gotcha), integers convert identically
     grp = daily.groupBy("dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("nj"),
         F.sum("cents").cast("bigint").alias("sj"),
         F.sum(
-            F.col("cents").cast("decimal(38,0)")
-            * F.col("cents").cast("decimal(38,0)")
-        )
-        .cast("double")
-        .alias("s2j"),
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("s2j"),
     )
     tot = grp.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("nj").cast("bigint").alias("n"),
         F.sum("sj").cast("double").alias("s"),
-        F.sum(
-            F.round(
-                F.col("sj").cast("double")
-                * F.col("sj").cast("double")
-                / F.col("nj"),
-                6,
-            ).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("sq_over_n"),
-        F.sum(F.col("s2j").cast("decimal(38,6)")).cast("double").alias("s2"),
+        (
+            F.sum(
+                (
+                    F.round(
+                        F.col("sj").cast("double")
+                        * F.col("sj").cast("double")
+                        / F.col("nj"),
+                        6,
+                    ).cast("decimal(32,6)")
+                    * 1000000
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("sq_over_n"),
+        F.sum("s2j").cast("double").alias("s2"),
     )
     n, k, s = F.col("n"), F.col("k"), F.col("s")
     ssb = F.col("sq_over_n") - s * s / n
