@@ -1581,3 +1581,84 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         (num / den).alias("durbin_watson"),
     )
+
+
+@_q(
+    "q_peak_detection",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    nbr AS (
+      SELECT day, cents,
+             lag(cents) OVER w AS prev_c,
+             lead(cents) OVER w AS next_c
+      FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    ranked AS (
+      SELECT cents AS c,
+             row_number() OVER (ORDER BY cents, day) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    p90 AS (
+      SELECT min(CASE WHEN rn * 10 >= n * 9 + 10 THEN c END) AS thr
+      FROM ranked
+    )
+    SELECT nbr.day, nbr.cents, p90.thr AS p90_cents
+    FROM nbr CROSS JOIN p90
+    WHERE nbr.prev_c IS NOT NULL AND nbr.next_c IS NOT NULL
+      AND nbr.cents > nbr.prev_c AND nbr.cents > nbr.next_c
+      AND nbr.cents > p90.thr
+    ORDER BY nbr.day
+    """,
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand peaks: days that are strict local maxima of daily
+    revenue AND above the exact nearest-rank p90 — the promotional-
+    spike / flash-event finder whose output feeds capacity planning
+    the way q_anomaly_seasonal's robust fences feed alerting (peaks
+    are *wanted* outliers; the prominence threshold keeps weekday
+    ripples out).
+
+    All integer: cents, the neighbor comparisons, and the p90 via
+    rank cross-multiplication over the bounded daily rollup. One
+    window pass plus a 1-row threshold broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents_col()).alias("cents"))
+    w = Window.orderBy("day")
+    nbr = daily.select(
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("prev_c"),
+        F.lead("cents").over(w).alias("next_c"),
+    )
+    wr = Window.orderBy("cents", "day")
+    ranked = daily.select(
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    p90 = ranked.agg(
+        F.min(
+            F.when(
+                F.col("rn") * 10 >= F.col("n") * 9 + 10, F.col("cents")
+            )
+        ).alias("thr")
+    )
+    return (
+        nbr.crossJoin(F.broadcast(p90))
+        .filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("cents") > F.col("prev_c"))
+            & (F.col("cents") > F.col("next_c"))
+            & (F.col("cents") > F.col("thr"))
+        )
+        .select("day", "cents", F.col("thr").alias("p90_cents"))
+        .orderBy("day")
+    )

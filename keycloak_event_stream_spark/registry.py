@@ -58,6 +58,7 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_peak_detection",
     "q_uncertainty_sampling",
     "q_split_balance",
     "q_sparse_cosine_pairs",

@@ -176,6 +176,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_acf_multi": "daily-series lags (calendar-bounded)",
     "q_ar2_yule_walker": "daily series",
     "q_durbin_watson": "daily series",
+    "q_peak_detection": "daily series",
     "q_forecast_eval": "daily series",
     "q_autocorr_lag1": "daily series",
     "q_chi_square": "contingency cells (|event_types| x 2)",
