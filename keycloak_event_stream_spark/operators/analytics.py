@@ -2084,3 +2084,91 @@ def q_at_risk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "q_depth_to_convert",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp_ts
+      FROM events GROUP BY user_id
+    ),
+    depth AS (
+      SELECT e.user_id,
+             CAST(CASE WHEN f.fp_ts IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS converted,
+             CAST(sum(CASE WHEN f.fp_ts IS NULL
+                            OR e.ts < f.fp_ts THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_touches
+      FROM events e JOIN fp f ON f.user_id = e.user_id
+      GROUP BY e.user_id, f.fp_ts
+    ),
+    binned AS (
+      SELECT least(n_touches // 5, 6) AS bucket, converted
+      FROM depth
+    )
+    SELECT CAST(bucket AS BIGINT) AS touch_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) AS DOUBLE) / count(*) AS cvr
+    FROM binned GROUP BY bucket ORDER BY touch_bucket
+    """,
+)
+def q_depth_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by engagement depth: users bucketed by how many
+    events preceded their FIRST purchase (non-converters count their
+    whole history), 5-event buckets capped at 30+ — the "how much
+    nurturing does a conversion take" curve that prices top-of-funnel
+    touches, complementing q_funnel_windowed (does the path finish in
+    time) and q_attribution_time_decay (who gets credit).
+
+    Two keyed aggregates: first-purchase timestamps per user, joined
+    back on user_id (co-partitioned) for the conditional pre-purchase
+    count. Bucketing is integer floor-division; the rate is one
+    division of BIGINTs per bounded bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp_ts")
+    )
+    depth = (
+        ev.join(fp, "user_id")
+        .groupBy("user_id", "fp_ts")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("fp_ts").isNull()
+                    | (F.col("ts") < F.col("fp_ts")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_touches")
+        )
+        .select(
+            F.when(F.col("fp_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("converted"),
+            "n_touches",
+        )
+    )
+    binned = depth.select(
+        F.least(F.floor(F.col("n_touches") / 5), F.lit(6).cast("bigint"))
+        .cast("bigint")
+        .alias("touch_bucket"),
+        "converted",
+    )
+    return (
+        binned.groupBy("touch_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (
+                F.sum("converted").cast("double") / F.count(F.lit(1))
+            ).alias("cvr"),
+        )
+        .orderBy("touch_bucket")
+    )

@@ -2975,3 +2975,62 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("p_brand", "n", slope.alias("elasticity")).orderBy(
         "p_brand"
     )
+
+
+@_q(
+    "q_recency_weighted_value",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS frontier FROM events),
+    w AS (
+      SELECT e.user_id,
+             round(CAST(round(e.value, 6) AS DOUBLE)
+                   * exp(-ln(2.0)
+                         * (epoch(mx.frontier) - epoch(e.ts))
+                         / (7.0 * 86400.0)), 6) AS wv
+      FROM events e CROSS JOIN mx
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(wv AS DECIMAL(27,6))) AS DOUBLE)
+             AS decayed_value
+    FROM w GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed customer value: each purchase weighted by
+    2^(−age/7d) from the corpus frontier — the feature-store column
+    that ranks a customer who bought yesterday above one who bought
+    the same amount a month ago (plain totals can't), feeding the
+    same models as q_user_features / q_churn_labels and using the
+    same half-life kernel as q_attribution_time_decay.
+
+    Frontier is a 1-row broadcast; the decay weight is a per-row
+    closed form over exact epoch differences, rounded at 6 dp into
+    an order-independent DECIMAL sum per user (internal magnitudes
+    stay far below the 2^53 drift line). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("frontier"))
+    age_s = (
+        F.unix_micros(F.col("frontier")) / 1e6
+        - F.unix_micros(F.col("ts")) / 1e6
+    )
+    wv = F.round(
+        F.round(F.col("value"), 6).cast("double")
+        * F.exp(-F.log(F.lit(2.0)) * age_s / (7.0 * 86400.0)),
+        6,
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("wv").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
