@@ -615,3 +615,90 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@_q(
+    "q_basket_economics",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(n_lines) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(n_lines * n_lines AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE)
+               AS syy,
+             CAST(sum(CAST(n_lines * cents AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxy
+      FROM per_order
+    )
+    SELECT n AS n_orders,
+           sx / n AS mean_lines,
+           sy / n / 100.0 AS mean_value,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_lines_value,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+             AS value_per_extra_line
+    FROM m
+    """,
+)
+def q_basket_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket economics: how order value scales with basket size —
+    the correlation AND the OLS slope (currency units per extra
+    line), i.e. the incremental value a cross-sell that adds one
+    line actually captures. The per-order rollup is the natural
+    grain q_market_basket's pair counts feed into.
+
+    Exact integer moments over the per-order cells (counts and
+    cents; every decimal→double cast integer-valued, the
+    q_agg_corr discipline); r and the slope are closed-form. One
+    shuffle on orderkey, then a 1-row reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def im(a, b):
+        return (
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+        )
+
+    m = per_order.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_lines").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum("cents").cast("decimal(38,0)").cast("double").alias("sy"),
+        im("n_lines", "n_lines").alias("sxx"),
+        im("cents", "cents").alias("syy"),
+        im("n_lines", "cents").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.alias("n_orders"),
+        (sx / n).alias("mean_lines"),
+        (sy / n / F.lit(100.0)).alias("mean_value"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_lines_value"),
+        (
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(100.0)
+        ).alias("value_per_extra_line"),
+    )
