@@ -2130,3 +2130,80 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@_q(
+    "q_lang_vocab_overlap",
+    oracle="""
+    WITH lt AS (
+      SELECT DISTINCT lang, s.w
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS w) s
+    ),
+    sizes AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS v FROM lt GROUP BY lang
+    ),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM lt a JOIN lt b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, i.n_common,
+           sa.v AS v_a, sb.v AS v_b,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.v + sb.v - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    ORDER BY i.lang_a, i.lang_b
+    """,
+)
+def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between languages — the diagnostic
+    that validates (or indicts) the whole lang-id + per-lang-metric
+    stack: if two "languages" share most of their vocabulary, their
+    labels are noisy (or the corpus is code-switched) and every
+    per-lang number downstream (fertility, confusion matrix, mixture
+    weights) inherits that blur. The language twin of
+    q_source_overlap.
+
+    Each (lang, token) membership is deduped once; the intersection
+    is an equi-join ON THE TOKEN (posting-list style — pairs only
+    materialize for shared tokens, the q_sparse_cosine_pairs
+    discipline); sizes join back on the 5-row lang key. All counts
+    integer, one Jaccard division per bounded pair."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    lt = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    lt = lt.persist()
+    sizes = lt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = lt.select(F.col("lang").alias("lang_a"), "w")
+    b = lt.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("v_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "v_a",
+            "v_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -58,6 +58,7 @@ _MODULES = [
 # (the relational core sits there — it has been driver-green since r1).
 _PRIORITY = [
     # session-4 additions (newest first — the driver must see these)
+    "q_lang_vocab_overlap",
     "q_basket_economics",
     "q_recency_weighted_value",
     "q_depth_to_convert",
