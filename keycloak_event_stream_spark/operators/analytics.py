@@ -1382,12 +1382,16 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: raw events first collapse to the DEDUPED (user, day)
     membership table — the only thing the trailing window ever
-    touches; the 30-day trailing distinct is a range join of that
-    table against the calendar spine (≤30× expansion of user-DAYS,
-    not events), then an exact count per day. At 100 TB the raw
-    events never join anything — the dedup is the one big shuffle,
-    matching how warehouse DAU/MAU pipelines are actually built. The
-    ratio is a single integer division per day."""
+    touches; each membership day then EXPLODES into the ≤30 spine
+    days it covers (``sequence(day, day+29)``) so the trailing
+    distinct is a plain equi-join + keyed aggregate on the day key.
+    The earlier pure-range-predicate formulation planned as a
+    broadcast nested-loop join — O(|user-days| × |days|) comparisons,
+    quadratic in calendar length; the explode form is O(30·|user-days|)
+    work and shuffles on an equi-key. At 100 TB the raw events never
+    join anything — the dedup is the one big shuffle, matching how
+    warehouse DAU/MAU pipelines are actually built. The ratio is a
+    single integer division per day."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
@@ -1402,13 +1406,14 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = ud.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
-    u2 = ud.select(F.col("user_id"), F.col("day").alias("uday"))
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 29), interval 1 day)")
+        ).alias("day"),
+    )
     mau = (
-        spine.join(
-            u2,
-            (F.col("uday") <= F.col("day"))
-            & (F.col("uday") > F.date_sub(F.col("day"), 30)),
-        )
+        covered.join(spine, "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
     )
@@ -1882,9 +1887,9 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH uw AS (
       SELECT DISTINCT user_id,
-             CAST(date_diff('day', DATE '2024-01-01',
+             CAST(floor(date_diff('day', DATE '2024-01-01',
                             CAST(time_bucket(INTERVAL 1 DAY, ts)
-                                 AS DATE)) // 7 AS BIGINT) AS week
+                                 AS DATE)) / 7.0) AS BIGINT) AS week
       FROM events
     ),
     firsts AS (
@@ -1932,7 +1937,10 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     All joins are equi-joins of the deduped (user, week) membership
     against itself shifted by one week and against first-weeks —
     keyed on user_id, co-partitioned, never a cross join; weeks are
-    integer day-offsets (date_diff // 7, identical in both engines).
+    integer day-offsets with explicit floor division on BOTH sides
+    (DuckDB's ``//`` truncates toward zero, so the oracle spells
+    ``floor(.../7.0)`` — the forms only coincide for days >= the
+    anchor, and the anchor predates the corpus by construction).
     Counts are integers end to end."""
     ev = load_table(spark, sf_dir, "events")
     uw = ev.select(

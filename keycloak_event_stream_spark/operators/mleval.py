@@ -715,7 +715,9 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
       SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
-             1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS p
+             least(greatest(
+               1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))),
+               1e-15), 1.0 - 1e-15) AS p
       FROM embeddings
     ),
     terms AS (
@@ -742,7 +744,11 @@ def q_log_loss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled, which is exactly what these two catch.
 
     Per-row featurize-and-score at scan speed, then one aggregate to
-    a single row — cost independent of corpus size. The per-row
+    a single row — cost independent of corpus size. p is clamped to
+    [1e-15, 1−1e-15] in BOTH engines: sigmoid saturates to exactly
+    0.0/1.0 for |score| ≳ 37, and an unclamped ln(0) = −Inf would
+    NULL out of the DECIMAL cast in Spark (silently dropping the
+    term) and error in DuckDB. The per-row
     −[y·ln p + (1−y)·ln(1−p)] and (p−y)² terms round at 6 dp before
     the order-independent DECIMAL sum (the q_calibration_bins libm
     discipline), so the means are bitwise-stable on any partitioning."""
@@ -750,7 +756,12 @@ def q_log_loss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.element_at(F.col("embedding").cast("array<double>"), 1)
     scored = e.select(
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))).alias("p"),
+        F.least(
+            F.greatest(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), F.lit(1e-15)
+            ),
+            F.lit(1.0 - 1e-15),
+        ).alias("p"),
     )
     y, p = F.col("y"), F.col("p")
     terms = scored.select(

@@ -1206,7 +1206,7 @@ def q_grouping_sets_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -56,116 +56,82 @@ _MODULES = [
 # round's NEW or RISKIEST operators must register first. Keep this list
 # to roughly the cap (~50); everything else follows in module order
 # (the relational core sits there — it has been driver-green since r1).
+#
+# Round-3 window (per VERDICT r2 "Next round #1"): the round-1 red rows
+# and the core streaming ops have been fixed + locally verified since
+# round 1 but have NEVER appeared green in a driver CORRECTNESS file
+# (r2's 50-query window covered only the newest additions). Spend this
+# round's window on exactly that evidence, plus everything round 3
+# touched (ADVICE fixes, new oracles, new queries).
 _PRIORITY = [
-    # session-4 additions (newest first — the driver must see these)
-    "q_lang_vocab_overlap",
-    "q_basket_economics",
-    "q_recency_weighted_value",
-    "q_depth_to_convert",
-    "q_peak_detection",
-    "q_uncertainty_sampling",
-    "q_split_balance",
-    "q_sparse_cosine_pairs",
-    "q_durbin_watson",
-    "q_gini_by_segment",
-    "q_hhi_concentration",
-    "q_at_risk_users",
-    "q_mix_shift",
-    "q_dedup_rate_by_source",
-    "q_sample_dedup_weighted",
-    "q_bloom_probe",
-    "q_bayes_ab",
-    "q_eb_shrinkage",
-    "q_growth_accounting",
-    "q_abc_xyz",
-    "q_user_entropy",
-    "q_purchase_intervals",
-    "q_ab_srm_check",
-    "q_new_vs_returning",
-    "q_forecast_eval",
-    "q_lead_time",
-    "q_split_leakage",
-    "q_price_elasticity",
-    "q_slo_burn",
-    "q_followed_by_matrix",
-    "q_embedding_outliers",
-    "q_gain_curve",
-    "q_rare_collapse",
-    "s_rate_alert",
-    "q_diff_in_diff",
-    "q_ipw_ate",
-    "q_association_rules",
-    "q_burstiness",
-    "q_vocab_growth_heaps",
-    "q_dedup_cluster_stats",
-    "q_ar2_yule_walker",
-    "q_readability",
-    "q_churn_labels",
-    "q_seasonality_strength",
-    "q_funnel_windowed",
-    "q_attribution_time_decay",
-    "q_stickiness",
-    "q_power_analysis",
-    "q_sketch_bloom",
-    "q_session_metrics",
-    "q_benjamini_hochberg",
-    "q_safety_lexicon",
-    "q_user_features",
-    "q_graph_degree_dist",
-    "q_instruction_format",
-    "q_context_length_plan",
-    "q_dedup_prefix",
-    "q_qq_plot",
-    "q_anomaly_seasonal",
-    "s_window_topk",
-    "s_tumbling_uniques",
-    "q_partial_corr",
-    "q_ridge_regression",
-    "q_cronbach_alpha",
-    "q_tokenizer_fertility",
-    "q_levene_test",
-    "q_effect_size",
-    "q_cross_correlation",
-    "q_log_loss_brier",
-    "q_mrr_eval",
-    "q_dp_count_laplace",
-    # session-3 additions
-    "q_js_divergence",
-    "q_lexical_diversity",
-    "q_dsir_importance",
-    "q_silhouette",
-    "q_theil_sen",
-    "q_t_closeness",
-    # round-1 red rows + their family (session-independence fix)
+    # round-1 red rows — fixed in r2, never driver-green
     "q_sessionize",
     "q_pivot",
-    "q_time_to_convert",
-    "q_interval_merge",
-    # core streaming (formerly failed under a default driver session)
+    # core streaming — fixed in r2 (session independence), never driver-green
     "s_ingest_flatten",
     "s_tumbling_counts",
     "s_sliding_agg",
     "s_session_windows",
     "s_watermark_late",
     "s_stream_dedup",
+    # two-phase global-window rewrites — rewritten in r2, never driver-green
+    "q_auc_roc",
+    "q_ks_test",
+    "q_gini",
+    "q_rfm_segmentation",
+    "q_pareto_abc",
+    "q_pack_sequences",
+    "q_skyline",
+    # round-3 ADVICE fixes (oracle/plan changed this round — re-prove)
+    "q_session_metrics",
+    "q_growth_accounting",
+    "q_stickiness",
+    "q_log_loss_brier",
+    # round-3 new oracles (were rows-only)
+    "q_agg_approx_distinct",
+    "q_multimodal_media",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+    # round-3 new queries
+    "q_window_count_if",
+    "q_dedup_minhash_ab",
+    "q_quantile_bands",
+    "q_orders_mermaid_funnel",
+    "q_rolling_median",
+    "q_cohort_matrix_triangle",
+    "q_weighted_sampling_stream",
+    "q_text_near_dup_shingle_size",
+    "q_keyword_extraction",
+    "q_ema_crossover",
+    "q_robust_scaler",
+    "q_winsorized_mean_by",
+    "q_label_agreement_matrix",
+    "q_ordered_set_agg",
+    "q_percentile_bands_exact",
+    "q_first_last_touch_compare",
+    "q_active_streak_top",
+    "q_schema_drift_audit",
+    "q_null_rate_matrix",
+    "q_value_histogram_text",
+    "q_embedding_bucket_stats",
+    "q_token_cooccurrence_pmi",
+    "q_session_depth_hist",
+    "q_supplier_balance_abc",
+    "q_order_gap_outliers",
+    "q_weekday_seasonality_map",
+    # r2 family never driver-green (refill below the ~50 cap)
+    "q_time_to_convert",
+    "q_interval_merge",
+    "q_mannwhitney",
+    "q_quantile_normalize",
+    "q_lorenz_deciles",
+    "q_curriculum_interleave",
     "s_stream_stream_join",
     "s_quarantine_ingest",
     "s_upsert_latest",
     "s_stateful_profile",
-    # oracle-typing fixes (HUGEINT -> BIGINT)
     "q_tpch_q12",
     "q_recursive_hierarchy",
-    "q_pack_sequences",
-    # global-window de-bottlenecking (two-phase rewrites)
-    "q_auc_roc",
-    "q_ks_test",
-    "q_gini",
-    "q_mannwhitney",
-    "q_quantile_normalize",
-    "q_rfm_segmentation",
-    "q_pareto_abc",
-    "q_lorenz_deciles",
-    "q_curriculum_interleave",
     # correctness-fix follow-ups
     "q_permutation_test",
     "q_ngram_novelty",
