@@ -491,15 +491,48 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_agg_approx_distinct")  # approximate — rows-only check (no oracle twin)
+@_q(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct users per event type. At 100 TB this replaces exact
     distinct wherever tolerance allows: constant memory per group, single
-    shuffle of sketches, mergeable across partitions."""
+    shuffle of sketches, mergeable across partitions.
+
+    The approximation is EVALUATED on the result surface (the q_ann_recall
+    pattern): the query computes both the sketch estimate and the exact
+    distinct in one pass and emits ``within_bound`` =
+    |approx − exact| / exact ≤ 5·rsd (rsd = 0.02, so a 5σ gate — HLL++'s
+    relative standard deviation makes a 10% excursion astronomically
+    unlikely). The oracle pins exact_users, n_events, and
+    ``within_bound = TRUE``, so a broken sketch hash-mismatches while the
+    estimate's run-to-run jitter stays off the hashed surface."""
     ev = spread(load_table(spark, sf_dir, "events"))
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    rsd = 0.02
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(5 * rsd)
+            ).alias("within_bound"),
+        )
     )
 
 

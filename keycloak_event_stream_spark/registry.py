@@ -92,33 +92,8 @@ _PRIORITY = [
     "q_multimodal_media",
     "q_multimodal_frames",
     "q_multimodal_audio",
-    # round-3 new queries
-    "q_window_count_if",
-    "q_dedup_minhash_ab",
-    "q_quantile_bands",
-    "q_orders_mermaid_funnel",
-    "q_rolling_median",
-    "q_cohort_matrix_triangle",
-    "q_weighted_sampling_stream",
-    "q_text_near_dup_shingle_size",
-    "q_keyword_extraction",
-    "q_ema_crossover",
-    "q_robust_scaler",
-    "q_winsorized_mean_by",
-    "q_label_agreement_matrix",
-    "q_ordered_set_agg",
-    "q_percentile_bands_exact",
-    "q_first_last_touch_compare",
-    "q_active_streak_top",
-    "q_schema_drift_audit",
-    "q_null_rate_matrix",
-    "q_value_histogram_text",
-    "q_embedding_bucket_stats",
-    "q_token_cooccurrence_pmi",
-    "q_session_depth_hist",
-    "q_supplier_balance_abc",
-    "q_order_gap_outliers",
-    "q_weekday_seasonality_map",
+    # round-3 new queries register here as they land (keep new names
+    # ABOVE the refill block so they stay inside the driver's window)
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",

@@ -17,10 +17,16 @@ def docs(spark):
     )
 
 
+def _payload(text: bytes) -> bytes:
+    return b"".join(
+        hashlib.md5(text + sfx).digest() for sfx in (b"", b"x", b"y", b"z")
+    )
+
+
 def test_fake_media_payload_deterministic(docs):
     out = multimodal.with_fake_media(docs).collect()
     by_id = {r.doc_id: r for r in out}
-    expect = hashlib.md5(b"document number 3 text body").digest() * 4
+    expect = _payload(b"document number 3 text body")
     assert bytes(by_id[3].media) == expect
     assert by_id[3].media_meta.width == 64 + 3 % 512
     assert by_id[3].media_meta.mime == "fake/raw"
@@ -41,7 +47,7 @@ def test_media_feature_extraction_values(docs):
             multimodal.extract_media_features, multimodal.MEDIA_FEATURE_SCHEMA
         ).collect()
     }
-    raw = hashlib.md5(b"document number 7 text body").digest() * 4
+    raw = _payload(b"document number 7 text body")
     assert feats[7].n_bytes == 64
     assert feats[7].byte_sum == sum(raw)
     assert feats[7].byte_max == max(raw)
@@ -88,10 +94,12 @@ def test_frame_sampling_fan_out(docs):
         by_doc.setdefault(r.doc_id, []).append(r)
     # 64-byte payload, 16-byte frames, stride 2 -> frames 0 and 2
     assert all(len(v) == 2 for v in by_doc.values())
-    raw = hashlib.md5(b"document number 4 text body").digest() * 4
-    f0 = sorted(by_doc[4], key=lambda r: r.frame_idx)[0]
-    assert bytes(f0.frame) == raw[:16]
+    raw = _payload(b"document number 4 text body")
+    f0, f2 = sorted(by_doc[4], key=lambda r: r.frame_idx)
+    assert f0.frame_hex == raw[:16].hex()
     assert f0.frame_sum == sum(raw[:16])
+    assert f2.frame_idx == 2
+    assert f2.frame_hex == raw[32:48].hex()  # md5(text || 'y')
 
 
 def test_resize_stub_raises_without_codec():
@@ -140,3 +148,50 @@ def test_audio_query_runs(spark):
     rows = df.limit(5).collect()
     assert len(rows) == 5
     assert all(r.energy > 0 for r in rows)
+
+
+def test_ppm_roundtrip_and_corrupt_detection():
+    """The PPM parser is a real byte-level decoder: valid images parse
+    to the generating dimensions; corrupt magic/truncation raise."""
+    import pandas as pd
+
+    from keycloak_event_stream_spark.llm import multimodal as mm
+
+    (enc,) = list(mm.ppm_encode(iter([pd.DataFrame({"doc_id": [11]})])))
+    blob = enc["media"][0]
+    w, h = 4 + 11 % 5, 3 + 11 % 4
+    assert blob.startswith(f"P6\n{w} {h}\n255\n".encode())
+    (dec,) = list(mm.ppm_decode_features(iter([enc])))
+    assert dec["width"][0] == w and dec["height"][0] == h
+    assert dec["n_pix_bytes"][0] == w * h * 3
+    assert dec["pixel_sum"][0] == sum((31 * 11 + 7 * k) % 256 for k in range(w * h * 3))
+    bad = pd.DataFrame({"doc_id": [1], "media": [b"P5\n1 1\n255\n\x00"]})
+    with pytest.raises(ValueError, match="P6"):
+        list(mm.ppm_decode_features(iter([bad])))
+    trunc = pd.DataFrame({"doc_id": [1], "media": [blob[:-1]]})
+    with pytest.raises(ValueError, match="truncated"):
+        list(mm.ppm_decode_features(iter([trunc])))
+
+
+def test_wav_roundtrip_and_header_assertions():
+    import struct
+
+    import pandas as pd
+
+    from keycloak_event_stream_spark.llm import multimodal as mm
+
+    (enc,) = list(mm.wav_encode(iter([pd.DataFrame({"doc_id": [5]})])))
+    blob = enc["audio"][0]
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == 44 + 2 * mm.WAV_N_SAMPLES
+    (dec,) = list(mm.wav_decode_windows(iter([enc])))
+    assert list(dec["window_idx"]) == [0, 1, 2]
+    assert all(dec["sample_rate"] == mm.WAV_RATE)
+    expect0 = sum(((13 * 5 + 17 * k) % 4096 - 2048) ** 2 for k in range(32))
+    assert dec["energy"][0] == expect0
+    # stereo header must be rejected
+    stereo = bytearray(blob)
+    stereo[22:24] = struct.pack("<H", 2)
+    bad = pd.DataFrame({"doc_id": [5], "audio": [bytes(stereo)]})
+    with pytest.raises(ValueError, match="mono"):
+        list(mm.wav_decode_windows(iter([bad])))

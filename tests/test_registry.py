@@ -11,12 +11,12 @@ from keycloak_event_stream_spark.registry import collect
 # rows-only by design: approximate or non-SQL-expressible (documented in
 # each op's docstring; the driver records the weaker check)
 ROWS_ONLY = {
-    "q_agg_approx_distinct",
-    "q_multimodal_media",
+    # round 3 moved q_agg_approx_distinct (5σ bound flag) and the three
+    # q_multimodal_* ops (PPM/WAV codecs + closed-form oracles) to full
+    # oracle checks; only the two mergeable sketches remain — their
+    # estimates have no cross-engine-reproducible value by construction.
     "q_sketch_hll",
     "q_sketch_quantiles",
-    "q_multimodal_frames",
-    "q_multimodal_audio",
 }
 
 
