@@ -7,6 +7,23 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 Each query is forced through full execution with the noop sink (all
 partitions materialized executor-side, nothing collected to the driver)
 — the honest measure of plan cost, not of driver serialization.
+
+Noise discipline (round-3): this container is shared, and round 2
+measured a 21% whole-run inflation on identical code. Three defenses:
+
+- **best-of-3, pass-interleaved**: the headline list runs as three full
+  passes (A B C … / A B C … / A B C …) and each query keeps its
+  minimum — a noisy minute degrades one pass of every query instead of
+  both runs of a few, so minima survive.
+- **noise canary**: a fixed reference query (``q_tpch_q6``, untouched
+  since round 1) is timed at the start of every pass and reported
+  separately; round-over-round comparisons divide by the canary before
+  calling anything a regression.
+- **10x scale leg**: a replicated-disjoint-key ~sf1 dataset (reused
+  from ``tools/scale_probe.py``) re-times a representative subset so
+  every BENCH artifact carries the scale-growth ratios, not just the
+  same-scale totals. Budget-bounded; anything skipped is listed in
+  ``scale10x.skipped`` (no silent caps).
 """
 
 from __future__ import annotations
@@ -81,6 +98,61 @@ HEADLINE = [
     "q_ngram_novelty",
 ]
 
+PASSES = 3
+CANARY = "q_tpch_q6"
+
+# representative subset re-timed on the 10x replica (scan-agg, big-join,
+# basket fan-out, running-window two-phase family, star-join rollup)
+SCALE10X_QUERIES = [
+    "q_tpch_q1",
+    "q_tpch_q18",
+    "q_market_basket",
+    "q_window_distinct_running",
+    "q_ks_test",
+    "q_gini",
+    "q_attribution_last_touch",
+    "q_yoy_growth",
+    "q_pareto_abc",
+    "q_agg_corr",
+]
+SCALE10X_BUDGET_S = 300.0
+
+
+def _run(queries, name, spark, sf_dir) -> float:
+    t0 = time.monotonic()
+    queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def _scale10x(queries, spark, sf_dir) -> dict:
+    """Bounded 10x leg: build/reuse the disjoint-key replica and re-time
+    the representative subset, best-of-2 each, under a wall budget."""
+    try:
+        from tools.scale_probe import OUT, build_replica
+
+        build_replica(spark)
+    except Exception as exc:  # disk/permissions — report, don't die
+        return {"error": f"{type(exc).__name__}: {exc}"}
+    t_start = time.monotonic()
+    out: dict = {"queries": {}, "skipped": []}
+    for name in SCALE10X_QUERIES:
+        if name not in queries:
+            out["skipped"].append(name)
+            continue
+        if time.monotonic() - t_start > SCALE10X_BUDGET_S:
+            out["skipped"].append(name)
+            continue
+        t1 = min(_run(queries, name, spark, sf_dir) for _ in range(2))
+        t10 = min(_run(queries, name, spark, OUT) for _ in range(2))
+        out["queries"][name] = {
+            "sf1x": round(t1, 3),
+            "sf10x": round(t10, 3),
+            "ratio": round(t10 / t1, 2),
+        }
+    if out["queries"]:
+        out["max_ratio"] = max(q["ratio"] for q in out["queries"].values())
+    return out
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,22 +170,34 @@ def main() -> int:
     queries["q_agg_distinct"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the canary's own plan too: its pass-1 sample must measure the
+    # container, not this query's one-time Catalyst/codegen compile
+    _run(queries, CANARY, spark, sf_dir)
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        best = None
-        for _ in range(2):  # best-of-2: exclude one-off JIT/GC noise
-            t0 = time.time()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
+    canary_passes: list[float] = []
+    samples: dict[str, list[float]] = {}
+    for _ in range(PASSES):
+        canary_passes.append(round(_run(queries, CANARY, spark, sf_dir), 3))
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            samples.setdefault(name, []).append(_run(queries, name, spark, sf_dir))
+    times = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(times.values()), 3)
+    canary = {
+        "query": CANARY,
+        "passes": canary_passes,
+        "spread_pct": round(
+            100.0 * (max(canary_passes) - min(canary_passes)) / min(canary_passes),
+            1,
+        ),
+    }
+    scale10x = (
+        _scale10x(queries, spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_BENCH_SCALE10X", "1") != "0"
+        else {"skipped": SCALE10X_QUERIES}
+    )
     print(
         json.dumps(
             {
@@ -122,6 +206,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "passes": PASSES,
+                "canary": canary,
+                "scale10x": scale10x,
             }
         )
     )

@@ -322,6 +322,7 @@ class KeycloakEventStore:
         checkpoint: str,
         admin: bool = False,
         delivery: str = "exactly_once",
+        trigger: dict | None = None,
     ):
         """Streaming ingest from raw JSON lines with a bad-record
         quarantine — the full Firehose delivery story end-to-end.
@@ -416,10 +417,15 @@ class KeycloakEventStore:
                 )
 
         fn = _process_at_most_once if delivery == "at_most_once" else _process
+        # availableNow drains bounded replays (file drops) and stops;
+        # unbounded push sources (socket, rate, Kafka) pass e.g.
+        # trigger={"processingTime": "1 second"} — the socket leg is the
+        # closest analogue of the reference's live network push
+        # (FirehoseEventStoreProvider.java:144-146).
         return (
             json_stream.writeStream.foreachBatch(fn)
             .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
+            .trigger(**(trigger or {"availableNow": True}))
             .start()
         )
 

@@ -542,3 +542,87 @@ def test_upsert_latest_takes_newest_across_batches(spark, tmp_path):
     }
     assert final[7] == (3, 9.0)  # batch-2 row won
     assert final[8] == (2, 2.0)  # untouched key survives
+
+
+def test_stateful_profile_rocksdb_checkpoint_restart(spark, tmp_path):
+    """The production state-store path: run the applyInPandasWithState
+    profile under the RocksDB state store provider (the 100 TB
+    configuration — state off-heap, incrementally checkpointed), stop
+    the query, append new data, and RESTART from the same checkpoint.
+    The restarted query must resume from persisted RocksDB state — the
+    second emission includes the first run's totals, proving state
+    survives a full query (and store) lifecycle, not just consecutive
+    micro-batches inside one run."""
+    import os
+    import time as _t
+
+    from keycloak_event_stream_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "user_id long, ts string, value double"
+
+    def write(n, rows):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "CAST(ts AS timestamp) ts", "value"
+        ).coalesce(1).write.parquet(f"{src}/f={n}")
+        _t.sleep(1.1)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = str(tmp_path / "out")
+
+        def run_once():
+            # parquet sink: the checkpoint-recoverable sink (memory
+            # sinks refuse restart-from-checkpoint by design)
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/f=*")
+            )
+            q = (
+                running_user_profile(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        write(1, [(1, "2024-01-01 10:00:00", 10.0),
+                  (1, "2024-01-01 10:01:00", 5.0)])
+        run_once()
+        got1 = [
+            (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()
+            if r.user_id == 1
+        ]
+        assert got1 == [(2, 15.0)]
+
+        # second lifecycle: new file, fresh query object, SAME checkpoint
+        write(2, [(1, "2024-01-01 11:00:00", 2.5)])
+        run_once()
+        got2 = sorted(
+            (r.n_events, r.total_value, r.last_ts.hour)
+            for r in spark.read.parquet(out).collect()
+            if r.user_id == 1
+        )
+        # totals continue from RocksDB state: 3 events, 17.5 — not 1, 2.5
+        assert got2 == [(2, 15.0, 10), (3, 17.5, 11)]
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)

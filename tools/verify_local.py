@@ -86,6 +86,13 @@ def main() -> int:
     # passed the engine session and threw under the driver's).
     vanilla = "--vanilla" in args
     args = [a for a in args if a != "--vanilla"]
+    # --timings out.json: dump {name: spark_seconds} for plan_audit's
+    # --top-from (audit the most expensive registry queries each round)
+    timings_path = None
+    if "--timings" in args:
+        i = args.index("--timings")
+        timings_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf_dir = "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
@@ -112,6 +119,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rowsonly = 0
+    spark_times: dict[str, float] = {}
     for name in names:
         if name not in queries:
             print(f"{name}: UNKNOWN")
@@ -125,6 +133,7 @@ def main() -> int:
             print(f"{name}: SPARK ERROR {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        spark_times[name] = round(time.time() - t0, 3)
         if name not in oracle:
             print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
@@ -163,6 +172,12 @@ def main() -> int:
             print(f"{name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail / {len(names)} total")
+    if timings_path:
+        import json
+
+        with open(timings_path, "w") as f:
+            json.dump(spark_times, f, indent=1, sort_keys=True)
+        print(f"spark-side timings -> {timings_path}")
     return 1 if n_fail else 0
 
 
