@@ -2180,3 +2180,418 @@ def q_depth_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_bucket")
     )
+
+
+@_q(
+    "q_window_count_if",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             row_number() OVER w AS rn,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_err
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_err) AS BIGINT) AS n_errors,
+           CAST(min(CASE WHEN run_err = 3 AND is_err = 1 THEN rn END)
+                AS BIGINT) AS third_error_at
+    FROM marked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_window_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conditional counting: per user, the running error count
+    over the event sequence, reduced to the "third strike" position —
+    at which event index the user's 3rd error occurred (NULL if they
+    never got there). The alerting/abuse-throttling shape: a rule that
+    fires on the n-th occurrence needs the RUNNING conditional count,
+    not the total.
+
+    One user-partitioned window (keyed shuffle, no global order), then
+    a per-user aggregate over the same partitioning — co-partitioned,
+    single exchange. Integers end to end."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    marked = ev.select(
+        "user_id",
+        is_err.alias("is_err"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(is_err).over(run).alias("run_err"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_err").cast("bigint").alias("n_errors"),
+            F.min(
+                F.when(
+                    (F.col("run_err") == 3) & (F.col("is_err") == 1),
+                    F.col("rn"),
+                )
+            )
+            .cast("bigint")
+            .alias("third_error_at"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q_session_depth_hist",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id
+      FROM ordered
+    ),
+    depths AS (
+      SELECT CAST(count(*) AS BIGINT) AS depth
+      FROM sess GROUP BY user_id, session_id
+    ),
+    hist AS (
+      SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM depths GROUP BY depth
+    )
+    SELECT depth, n_sessions,
+           CAST(sum(n_sessions) OVER (ORDER BY depth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / sum(n_sessions) OVER () AS cum_share
+    FROM hist
+    ORDER BY depth
+    """,
+)
+def q_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session depths (events per session) with the
+    cumulative share — the engagement-shape curve behind bounce-rate:
+    how much of the corpus is 1-2 event drive-bys vs long sessions.
+
+    Same single user-keyed shuffle as q_sessionize; the histogram is a
+    keyed aggregate over per-session depths, and the cumulative share
+    runs over the BOUNDED depth histogram (a few dozen distinct depths
+    — a statically bounded global window, same class as
+    q_session_metrics' median)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+    ).cast("int")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    depths = (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("depth"))
+    )
+    hist = depths.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    wd = W.orderBy("depth").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("depth").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return hist.select(
+        "depth",
+        "n_sessions",
+        (
+            F.sum("n_sessions").over(wd).cast("double")
+            / F.sum("n_sessions").over(wall)
+        ).alias("cum_share"),
+    ).orderBy("depth")
+
+
+@_q(
+    "q_order_gap_outliers",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                  AS BIGINT) AS g
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    gg AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s1,
+             CAST(sum(g * g) AS BIGINT) AS s2,
+             CAST(max(g) AS BIGINT) AS max_gap_days
+      FROM gg
+    )
+    SELECT m.n AS n_gaps,
+           CAST(m.s1 AS DOUBLE) / m.n AS mean_gap_days,
+           sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) / m.n
+             AS sd_gap_days,
+           m.max_gap_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM gg, m
+             WHERE CAST(m.n * g - m.s1 AS DOUBLE)
+                   > 3 * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)))
+             AS n_outliers
+    FROM m
+    """,
+)
+def q_order_gap_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order inter-arrival anomalies: per-customer gaps between
+    consecutive orders (days), then a 3σ fence from EXACT integer
+    moments — the dormancy/reactivation monitor (a gap far above the
+    corpus norm is a churn-and-return signal; a burst far below is
+    fraud-shaped).
+
+    One customer-keyed window builds the gaps; mean/σ come from three
+    integer sums (n, Σg, Σg²), so the fence needs no second pass over
+    raw data — the outlier count re-reads only the gap column with a
+    scalar predicate (n·g − Σg > 3·√(n·Σg² − Σg²) keeps everything
+    integer until the one sqrt, bitwise identical in both engines)."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            )
+            .cast("bigint")
+            .alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    gaps = gaps.persist()
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+        F.max("g").cast("bigint").alias("max_gap_days"),
+    )
+    flagged = gaps.crossJoin(F.broadcast(m)).filter(
+        (F.col("n") * F.col("g") - F.col("s1")).cast("double")
+        > 3 * F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    )
+    n_out = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_outliers")
+    )
+    return m.crossJoin(F.broadcast(n_out)).select(
+        F.col("n").alias("n_gaps"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_gap_days"),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                    "double"
+                )
+            )
+            / F.col("n")
+        ).alias("sd_gap_days"),
+        "max_gap_days",
+        "n_outliers",
+    )
+
+
+@_q(
+    "q_weekday_seasonality_map",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM events) AS share
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hod
+    """,
+)
+def q_weekday_seasonality_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly heat map: event volume per (ISO weekday, hour-of-day)
+    cell with its share of total traffic — the capacity-planning /
+    anomaly-baseline surface (q_anomaly_seasonal's weekday medians are
+    fences; this is the full fingerprint they're cut from).
+
+    One keyed aggregate to ≤ 7×24 cells; the total arrives as a 1-row
+    broadcast. ISO day numbering is pinned on both sides (Spark
+    weekday()+1 = DuckDB isodow: Monday=1) — the classic cross-engine
+    dow trap, where Spark's dayofweek() is Sunday=1."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    tot = ev.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("tot")).alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@_q(
+    "q_first_last_touch_compare",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS p_ts,
+             arg_min(event_id,
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+               AS p_eid
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    prior AS (
+      SELECT e.user_id, e.event_type,
+             lpad(CAST(epoch_us(e.ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(e.event_id AS VARCHAR), 10, '0') AS ord_key
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.ts < fp.p_ts
+         OR (e.ts = fp.p_ts AND e.event_id < fp.p_eid)
+    ),
+    credits AS (
+      SELECT user_id,
+             arg_min(event_type, ord_key) AS first_touch,
+             arg_max(event_type, ord_key) AS last_touch
+      FROM prior GROUP BY user_id
+    ),
+    f AS (
+      SELECT first_touch AS channel, CAST(count(*) AS BIGINT) AS c
+      FROM credits GROUP BY 1
+    ),
+    l AS (
+      SELECT last_touch AS channel, CAST(count(*) AS BIGINT) AS c
+      FROM credits GROUP BY 1
+    )
+    SELECT COALESCE(f.channel, l.channel) AS channel,
+           COALESCE(f.c, 0) AS first_credits,
+           COALESCE(l.c, 0) AS last_credits,
+           COALESCE(f.c, 0) - COALESCE(l.c, 0) AS delta
+    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+    ORDER BY channel
+    """,
+)
+def q_first_last_touch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution, side by side: for each
+    user's first purchase, credit the channel (event type) of their
+    FIRST prior event and of their LAST prior event, then compare the
+    two credit distributions — the disagreement IS the argument for
+    multi-touch models (q_attribution_time_decay, q_shapley): channels
+    that open journeys win under first-touch, closers win under
+    last-touch.
+
+    The first-purchase table is |users| rows (broadcast); prior events
+    reduce per user via arg_min/arg_max over a zero-padded
+    (epoch_us, event_id) string key — a total order both engines sort
+    identically, the deterministic-tiebreak discipline."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase")
+    fp = p.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).alias("fpk")
+    ).select(
+        "user_id",
+        F.col("fpk.ts").alias("p_ts"),
+        F.col("fpk.event_id").alias("p_eid"),
+    )
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    prior = (
+        ev.join(F.broadcast(fp), "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_eid")))
+        )
+        .select("user_id", "event_type", ord_key.alias("ord_key"))
+    )
+    credits = prior.groupBy("user_id").agg(
+        F.min_by("event_type", "ord_key").alias("first_touch"),
+        F.max_by("event_type", "ord_key").alias("last_touch"),
+    )
+    credits = credits.persist()
+    f = credits.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_credits")
+    )
+    l = credits.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_credits")
+    )
+    return (
+        f.join(l, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("first_credits", F.lit(0)).cast("bigint").alias("first_credits"),
+            F.coalesce("last_credits", F.lit(0)).cast("bigint").alias("last_credits"),
+            (
+                F.coalesce("first_credits", F.lit(0))
+                - F.coalesce("last_credits", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("delta"),
+        )
+        .orderBy("channel")
+    )
+
+
+@_q(
+    "q_active_streak_top",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY day) AS INTEGER) AS anchor
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, min(day) AS start_day,
+             CAST(count(*) AS BIGINT) AS streak_days
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id, start_day, streak_days
+    FROM streaks
+    ORDER BY streak_days DESC, user_id, start_day
+    LIMIT 10
+    """,
+)
+def q_active_streak_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 longest consecutive-day activity streaks — the
+    gamification/habit metric (q_gaps_islands generalized to a
+    leaderboard). The day − row_number() anchor turns each run of
+    consecutive days into one constant group key; streaks fall out of
+    a keyed aggregate, and the leaderboard is a TakeOrderedAndProject
+    top-k (never a global sort) with the full (len desc, user, start)
+    total order for a deterministic cut."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = ud.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("start_day"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    )
+    return (
+        streaks.select("user_id", "start_day", "streak_days")
+        .orderBy(F.desc("streak_days"), "user_id", "start_day")
+        .limit(10)
+    )

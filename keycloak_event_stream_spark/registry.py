@@ -94,6 +94,12 @@ _PRIORITY = [
     "q_multimodal_audio",
     # round-3 new queries register here as they land (keep new names
     # ABOVE the refill block so they stay inside the driver's window)
+    "q_window_count_if",
+    "q_session_depth_hist",
+    "q_order_gap_outliers",
+    "q_weekday_seasonality_map",
+    "q_first_last_touch_compare",
+    "q_active_streak_top",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",

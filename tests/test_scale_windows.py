@@ -173,6 +173,7 @@ def test_fixed_queries_have_no_global_window(spark, name):
 # window must either be rewritten on _scale.two_phase_window or be
 # added here with its bound — test_registry_window_hygiene enforces it.
 BOUNDED_GLOBAL_WINDOWS = {
+    "q_session_depth_hist": "depth histogram (a few dozen distinct depths)",
     "q_acf_multi": "daily-series lags (calendar-bounded)",
     "q_ar2_yule_walker": "daily series",
     "q_durbin_watson": "daily series",
