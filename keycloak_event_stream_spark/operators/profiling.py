@@ -1,0 +1,283 @@
+"""Dataset profiling / data-quality operators.
+
+The reference's only quality surface is the silent S3 error prefix
+(terraform/main.tf:195) — malformed rows vanish into a folder nobody
+queries. These operators are the queryable profiling layer a 100 TB
+lakehouse actually runs before trusting a table: null/blank rates,
+key-uniqueness audits, column-level drift profiles, value histograms.
+
+Determinism playbook:
+- Rates are one integer division per cell (count/count → DOUBLE).
+- Histogram bins are INTEGER log2 via binary-string length
+  (``length(bin(x))``) — never ``floor(ln x / ln 2)``, whose double
+  quotient lands below the integer at exact powers of two.
+- min/max surfaces are cast to engine-portable string forms (dates via
+  explicit formats, integral doubles via BIGINT) — raw double
+  formatting differs across engines.
+
+Scale: every operator is one scan + one keyed (or global 1-row)
+aggregate; profiles are O(|columns| × |groups|) regardless of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keycloak_event_stream_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_null_rate_matrix",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS text_blank,
+           CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS text_blank_rate,
+           CAST(sum(CASE WHEN lang IS NULL OR trim(lang) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS lang_blank,
+           CAST(sum(CASE WHEN n_chars IS NULL OR n_chars <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_bad
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_null_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source completeness matrix over the corpus: blank-or-null
+    rates for each critical column, using the engine's blank≡null
+    decode discipline (SURVEY.md F12: the reference treats empty
+    varchar cells as null, `AthenaEventQuery.java:246-255`) — a column
+    can be 100% non-null and still 40% empty strings, which is the
+    failure mode ingestion monitoring actually sees.
+
+    One scan, one keyed aggregate to |sources| rows; every rate is a
+    single integer division."""
+    d = load_table(spark, sf_dir, "documents")
+    text_blank = (
+        F.col("text").isNull() | (F.trim("text") == "")
+    ).cast("int")
+    lang_blank = (
+        F.col("lang").isNull() | (F.trim("lang") == "")
+    ).cast("int")
+    chars_bad = (
+        F.col("n_chars").isNull() | (F.col("n_chars") <= 0)
+    ).cast("int")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(text_blank).cast("bigint").alias("text_blank"),
+            (
+                F.sum(text_blank).cast("double") / F.count(F.lit(1))
+            ).alias("text_blank_rate"),
+            F.sum(lang_blank).cast("bigint").alias("lang_blank"),
+            F.sum(chars_bad).cast("bigint").alias("n_chars_bad"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "q_value_histogram_text",
+    oracle="""
+    SELECT lang,
+           CAST(length(bin(n_chars)) AS BIGINT) AS len_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY lang, len_bin
+    ORDER BY lang, len_bin
+    """,
+)
+def q_value_histogram_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2 document-length histogram — the corpus-shape
+    profile (training mixes care about the length distribution per
+    language, not the mean). Bin = number of binary digits of n_chars
+    (⌊log2 x⌋+1) computed from the binary-string LENGTH in both
+    engines: the ``floor(ln x / ln 2)`` double quotient famously lands
+    at 2.999… for exact powers of two and mis-bins them; string length
+    is exact integer arithmetic.
+
+    One scan, keyed aggregate to |langs|×~10 bins."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy(
+            "lang",
+            F.length(F.expr("bin(n_chars)")).cast("bigint").alias("len_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "len_bin")
+    )
+
+
+@_q(
+    "q_schema_drift_audit",
+    oracle="""
+    SELECT 'l_orderkey' AS col, 'bigint' AS dtype,
+           CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'double',
+           CAST(count(*) - count(l_quantity) AS BIGINT),
+           CAST(count(DISTINCT l_quantity) AS BIGINT),
+           CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+           CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', 'string',
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', 'string',
+           CAST(count(*) - count(l_linestatus) AS BIGINT),
+           CAST(count(DISTINCT l_linestatus) AS BIGINT),
+           min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', 'timestamp',
+           CAST(count(*) - count(l_shipdate) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           strftime(min(l_shipdate), '%Y-%m-%d'),
+           strftime(max(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def q_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the fact table — per column: declared
+    type, null count, exact distinct cardinality, and portable min/max
+    — the snapshot two of which diff into a drift report (new enum
+    value appeared, cardinality exploded, date range ran past the
+    partition horizon). The queryable version of what schema registries
+    log.
+
+    ONE scan computes every column's profile simultaneously (a single
+    wide aggregate, then an in-memory unpivot of the 1-row result —
+    Spark's Expand, not five scans; count(DISTINCT x1..x5) in one agg
+    plans as Expand ×5 inside the same shuffle). min/max surface in
+    engine-portable string forms: dates via explicit format, integral
+    doubles through BIGINT — raw double formatting is not
+    cross-engine-stable."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    prof = l.agg(
+        (F.count(F.lit(1)) - F.count("l_orderkey")).cast("bigint").alias("nn_ok"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("nd_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).cast("bigint").alias("nn_q"),
+        F.countDistinct("l_quantity").cast("bigint").alias("nd_q"),
+        F.min("l_quantity").cast("bigint").cast("string").alias("mn_q"),
+        F.max("l_quantity").cast("bigint").cast("string").alias("mx_q"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).cast("bigint").alias("nn_rf"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("nd_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        (F.count(F.lit(1)) - F.count("l_linestatus")).cast("bigint").alias("nn_ls"),
+        F.countDistinct("l_linestatus").cast("bigint").alias("nd_ls"),
+        F.min("l_linestatus").alias("mn_ls"),
+        F.max("l_linestatus").alias("mx_ls"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).cast("bigint").alias("nn_sd"),
+        F.countDistinct("l_shipdate").cast("bigint").alias("nd_sd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
+    )
+    return prof.selectExpr(
+        """stack(5,
+           'l_orderkey',  'bigint',    nn_ok, nd_ok, mn_ok, mx_ok,
+           'l_quantity',  'double',    nn_q,  nd_q,  mn_q,  mx_q,
+           'l_returnflag','string',    nn_rf, nd_rf, mn_rf, mx_rf,
+           'l_linestatus','string',    nn_ls, nd_ls, mn_ls, mx_ls,
+           'l_shipdate',  'timestamp', nn_sd, nd_sd, mn_sd, mx_sd
+        ) AS (col, dtype, n_nulls, n_distinct, min_str, max_str)"""
+    ).orderBy("col")
+
+
+@_q(
+    "q_dup_key_audit",
+    oracle="""
+    SELECT 'events.event_id' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_rows
+    FROM events
+    UNION ALL
+    SELECT 'orders.o_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT),
+           CAST(count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+    ORDER BY key_col
+    """,
+)
+def q_dup_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit across the schema: for each
+    declared key (single and composite), row count vs distinct count —
+    the precondition every join/dedup plan silently assumes and the
+    first thing that breaks after a bad backfill. A non-zero
+    ``n_dup_rows`` is the pager row.
+
+    One aggregate per table (map-side partial distinct; the composite
+    key packs into one BIGINT — lineitem linenumbers are < 100 — so no
+    string concat on the hot path), unioned into a 3-row report."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def audit(df, label, key_expr):
+        return df.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key_expr).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(key_expr))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+        )
+
+    return (
+        audit(ev, "events.event_id", F.col("event_id"))
+        .unionByName(audit(o, "orders.o_orderkey", F.col("o_orderkey")))
+        .unionByName(
+            audit(
+                l,
+                "lineitem.(l_orderkey,l_linenumber)",
+                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+            )
+        )
+        .orderBy("key_col")
+    )

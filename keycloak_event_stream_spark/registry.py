@@ -29,6 +29,7 @@ _MODULES = [
     "keycloak_event_stream_spark.operators.sketches",
     "keycloak_event_stream_spark.operators.analytics",
     "keycloak_event_stream_spark.operators.bi",
+    "keycloak_event_stream_spark.operators.profiling",
     "keycloak_event_stream_spark.operators.mleval",
     "keycloak_event_stream_spark.functions.scalar",
     "keycloak_event_stream_spark.functions.udfs",
@@ -100,6 +101,10 @@ _PRIORITY = [
     "q_weekday_seasonality_map",
     "q_first_last_touch_compare",
     "q_active_streak_top",
+    "q_null_rate_matrix",
+    "q_value_histogram_text",
+    "q_schema_drift_audit",
+    "q_dup_key_audit",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
