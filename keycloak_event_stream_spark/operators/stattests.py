@@ -3592,3 +3592,187 @@ def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@_q(
+    "q_percentile_bands_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN rn = (n * 10 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p10_cents,
+           CAST(min(CASE WHEN rn = (n * 25 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p25_cents,
+           CAST(min(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN rn = (n * 75 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p75_cents,
+           CAST(min(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p90_cents
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p25/p50/p75/p90 bands of line-item price per return
+    flag — the five-number summary BI dashboards draw as box plots,
+    computed as NEAREST-RANK order statistics in integer cents (no
+    interpolation, no float percentile arithmetic).
+
+    The rank runs through ``two_phase_window`` WITH the flag as the
+    window partition: l_returnflag has only 3 values, so a naive
+    per-flag window would sort N/3 rows in one task each; the
+    two-phase form range-partitions the order spread across the
+    cluster regardless of group cardinality — the skewed-group
+    percentile pattern. Band extraction is a conditional aggregate
+    over rank hits (ceil(n·p/100) = (n·p+99)//100, all integer)."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    base = l.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = two_phase_window(
+        base,
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        partition_by=["l_returnflag"],
+        row_number="rn",
+    )
+    n = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = ranked.join(F.broadcast(n), "l_returnflag")
+
+    def band(p, out):
+        hit = (F.col("n") * p + 99) - ((F.col("n") * p + 99) % 100)
+        return (
+            F.min(
+                F.when(F.col("rn") * 100 == hit, F.col("cents"))
+            )
+            .cast("bigint")
+            .alias(out)
+        )
+
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            band(10, "p10_cents"),
+            band(25, "p25_cents"),
+            band(50, "p50_cents"),
+            band(75, "p75_cents"),
+            band(90, "p90_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q_winsorized_mean_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    bounds AS (
+      SELECT o_orderpriority,
+             min(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+             min(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi,
+             CAST(max(n) AS BIGINT) AS n
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           b.n AS n_orders,
+           CAST(sum(r.cents) AS DOUBLE) / b.n / 100.0 AS raw_mean,
+           CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS DOUBLE)
+             / b.n / 100.0 AS winsorized_mean
+    FROM ranked r JOIN bounds b ON b.o_orderpriority = r.o_orderpriority
+    GROUP BY r.o_orderpriority, b.n
+    ORDER BY r.o_orderpriority
+    """,
+)
+def q_winsorized_mean_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean order value per priority class, next to the
+    raw mean — the outlier-robust KPI (one whale order shifts the raw
+    mean; the winsorized mean clamps the tails to the exact p5/p95
+    order statistics first). The gap between the two columns IS the
+    tail-sensitivity diagnostic.
+
+    Same skew discipline as q_percentile_bands_exact: ranks from
+    ``two_phase_window`` partitioned by the 5-value priority key, tail
+    bounds by nearest-rank conditional aggregate, then one more pass
+    over the SAME keyed shuffle clamps and sums in integer cents — a
+    single double division (and a /100 to dollars) at the surface."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select("o_orderpriority", cents.alias("cents"), "o_orderkey")
+    ranked = two_phase_window(
+        base,
+        [F.col("cents"), F.col("o_orderkey")],
+        partition_by=["o_orderpriority"],
+        row_number="rn",
+    )
+    n = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = ranked.join(F.broadcast(n), "o_orderpriority")
+
+    def hit(p):
+        return F.col("rn") * 100 == (
+            (F.col("n") * p + 99) - ((F.col("n") * p + 99) % 100)
+        )
+
+    bounds = j.groupBy("o_orderpriority").agg(
+        F.min(F.when(hit(5), F.col("cents"))).alias("lo"),
+        F.min(F.when(hit(95), F.col("cents"))).alias("hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    clamped = base.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "w_cents"
+        ),
+    )
+    return (
+        clamped.groupBy("o_orderpriority", "n")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s_raw"),
+            F.sum("w_cents").cast("bigint").alias("s_w"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            (F.col("s_raw").cast("double") / F.col("n") / F.lit(100.0)).alias(
+                "raw_mean"
+            ),
+            (F.col("s_w").cast("double") / F.col("n") / F.lit(100.0)).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1662,3 +1662,181 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "cents", F.col("thr").alias("p90_cents"))
         .orderBy("day")
     )
+
+
+@_q(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    wnd AS (
+      SELECT day, cents,
+             list_sort(list(cents) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      FROM daily
+    )
+    SELECT day, cents,
+           CAST(len(win) AS BIGINT) AS n_in_window,
+           (CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+            + win[len(win) // 2 + 1]) / 2.0 AS med_cents
+    FROM wnd
+    ORDER BY day
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily revenue — the robust trend line
+    (a single whale day drags a rolling mean for a week; the median
+    shrugs it off). Median of each 7-value window = mean of the two
+    middle order statistics of the sorted window, all integer cents
+    until one final /2.0.
+
+    The raw pass is one shuffle to daily cells; the rolling window
+    then runs over the CALENDAR-BOUNDED daily spine (a few thousand
+    rows for years of data — a statically bounded global window, the
+    q_acf_multi class), with the 7-element sort as an in-row
+    ``array_sort``, not a windowed sort."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    wnd = daily.select(
+        "day",
+        "cents",
+        F.array_sort(F.collect_list("cents").over(w)).alias("win"),
+    )
+    n = F.size("win")
+    lo = F.element_at("win", ((n + 1) / 2).cast("int"))
+    hi = F.element_at("win", (n / 2).cast("int") + 1)
+    return wnd.select(
+        "day",
+        "cents",
+        n.cast("bigint").alias("n_in_window"),
+        ((lo.cast("double") + hi) / 2.0).alias("med_cents"),
+    ).orderBy("day")
+
+
+_EMA_FAST, _EMA_SLOW = 0.5, 0.2
+
+
+@_q(
+    "q_ema_crossover",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS DOUBLE) AS c
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT list(c ORDER BY day) AS v, list(day ORDER BY day) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    fold AS (
+      SELECT 1 AS i, v[1] AS f, v[1] AS s, 0 AS sgn,
+             CAST(NULL AS VARCHAR) AS dir
+      FROM series
+      UNION ALL
+      SELECT fo.i + 1,
+             {_EMA_FAST} * se.v[fo.i + 1] + {1 - _EMA_FAST} * fo.f,
+             {_EMA_SLOW} * se.v[fo.i + 1] + {1 - _EMA_SLOW} * fo.s,
+             CASE WHEN {_EMA_FAST} * se.v[fo.i + 1] + {1 - _EMA_FAST} * fo.f
+                       > {_EMA_SLOW} * se.v[fo.i + 1] + {1 - _EMA_SLOW} * fo.s
+                  THEN 1
+                  WHEN {_EMA_FAST} * se.v[fo.i + 1] + {1 - _EMA_FAST} * fo.f
+                       < {_EMA_SLOW} * se.v[fo.i + 1] + {1 - _EMA_SLOW} * fo.s
+                  THEN -1
+                  ELSE fo.sgn END,
+             CASE WHEN fo.sgn <> 0
+                   AND (CASE WHEN {_EMA_FAST} * se.v[fo.i + 1]
+                                  + {1 - _EMA_FAST} * fo.f
+                                  > {_EMA_SLOW} * se.v[fo.i + 1]
+                                  + {1 - _EMA_SLOW} * fo.s THEN 1
+                             WHEN {_EMA_FAST} * se.v[fo.i + 1]
+                                  + {1 - _EMA_FAST} * fo.f
+                                  < {_EMA_SLOW} * se.v[fo.i + 1]
+                                  + {1 - _EMA_SLOW} * fo.s THEN -1
+                             ELSE fo.sgn END) <> fo.sgn
+                  THEN (CASE WHEN {_EMA_FAST} * se.v[fo.i + 1]
+                                  + {1 - _EMA_FAST} * fo.f
+                                  > {_EMA_SLOW} * se.v[fo.i + 1]
+                                  + {1 - _EMA_SLOW} * fo.s
+                             THEN 'golden' ELSE 'death' END)
+                  ELSE CAST(NULL AS VARCHAR) END
+      FROM fold fo, series se WHERE fo.i < se.n
+    )
+    SELECT se.d[fo.i] AS day, fo.f AS ema_fast, fo.s AS ema_slow,
+           fo.dir AS direction
+    FROM fold fo, series se
+    WHERE fo.dir IS NOT NULL
+    ORDER BY day
+    """,
+)
+def q_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA crossover detection on daily revenue: a fast (α=0.5) and a
+    slow (α=0.2) exponential moving average, emitting only the days the
+    fast line crosses the slow one — 'golden' upward, 'death' downward
+    (the trading-desk trend-flip alarm applied to a business KPI).
+    Equal values carry the previous regime, so a flat spell can't
+    oscillate.
+
+    Genuinely sequential statistic, same discipline as q_holt_linear:
+    one shuffle reduces raw orders to the calendar-bounded daily array,
+    then BOTH recurrences thread through a single struct-accumulator
+    ``aggregate`` fold (state = 2 EMAs + regime sign + the flip list),
+    and the oracle replays the identical IEEE recurrence as a
+    row-per-step recursive CTE — operand order matches term for term,
+    so every emitted (day, fast, slow) hash-matches bitwise."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).cast("bigint").cast("double").alias("c")
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> s.c)"
+        ).alias("v"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> s.day)"
+        ).alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a, b = _EMA_FAST, _EMA_SLOW
+    f2 = f"{a} * element_at(v, i) + {1 - a} * acc.f"
+    s2 = f"{b} * element_at(v, i) + {1 - b} * acc.s"
+    sgn2 = (
+        f"CASE WHEN {f2} > {s2} THEN 1"
+        f" WHEN {f2} < {s2} THEN -1 ELSE acc.sgn END"
+    )
+    flip = (
+        f"named_struct('i', i, 'f', {f2}, 's', {s2},"
+        f" 'dir', IF({f2} > {s2}, 'golden', 'death'))"
+    )
+    fold = (
+        f"aggregate(sequence(2, cast(n as int)),"
+        f" named_struct("
+        f"   'f', element_at(v, 1), 's', element_at(v, 1), 'sgn', 0,"
+        f"   'out', cast(array() as"
+        f"     array<struct<i:int,f:double,s:double,dir:string>>)),"
+        f" (acc, i) -> named_struct("
+        f"   'f', {f2}, 's', {s2}, 'sgn', {sgn2},"
+        f"   'out', IF(acc.sgn <> 0 AND ({sgn2}) <> acc.sgn,"
+        f"             concat(acc.out, array({flip})), acc.out)))"
+    )
+    flips = series.select(
+        "d", F.explode(F.expr(fold + ".out")).alias("x")
+    )
+    return flips.select(
+        F.element_at("d", F.col("x.i")).alias("day"),
+        F.col("x.f").alias("ema_fast"),
+        F.col("x.s").alias("ema_slow"),
+        F.col("x.dir").alias("direction"),
+    ).orderBy("day")

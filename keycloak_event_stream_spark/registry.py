@@ -105,6 +105,10 @@ _PRIORITY = [
     "q_value_histogram_text",
     "q_schema_drift_audit",
     "q_dup_key_audit",
+    "q_percentile_bands_exact",
+    "q_winsorized_mean_by",
+    "q_rolling_median",
+    "q_ema_crossover",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
