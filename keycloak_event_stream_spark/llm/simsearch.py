@@ -711,3 +711,81 @@ ORACLE["q_mrr_eval"] = ORACLE["q_mrr_eval"].format(
     cos_e=duck_cosine("q.qv", "e.v"),
     cos_b=duck_cosine("q.qv", "b.v"),
 )
+
+
+@_q(
+    "q_embedding_bucket_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, label, {_duck_bucket('v')} AS bucket FROM e),
+    cells AS (
+      SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY bucket, label
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(sum(c) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS n_labels,
+             arg_min(label, concat(lpad(CAST(100000000 - c AS VARCHAR),
+                                        9, '0'),
+                                   lpad(CAST(label AS VARCHAR), 4, '0')))
+               AS top_label,
+             CAST(max(c) AS BIGINT) AS top_label_n
+      FROM cells GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT pb.bucket, pb.n_vecs, pb.n_labels,
+           CAST(pb.top_label AS BIGINT) AS top_label, pb.top_label_n,
+           CAST(pb.n_vecs AS DOUBLE) / tot.n AS share,
+           CAST(pb.top_label_n AS DOUBLE) / pb.n_vecs AS purity
+    FROM per_bucket pb CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def q_embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket diagnostics for the sign-projection index behind
+    q_sim_search_lsh: per bucket, the occupancy, its share of the
+    corpus, label diversity, and purity (dominant ground-truth label's
+    share) — the index-health report that decides whether 4 bits is
+    enough (one bucket holding 40% of vectors means probes degrade to
+    brute force; purity ≈ 1 means the buckets track semantics).
+
+    Bucketing is the same per-row md5-hyperplane expression (scan
+    speed, no shuffle); stats are one keyed aggregate over (bucket,
+    label) cells. Dominant label picks deterministically by
+    (count desc, label asc) via a zero-padded composite sort key —
+    both engines' arg_min/min_by resolve ties identically."""
+    e = _emb(spark, sf_dir)
+    b = e.withColumn("bucket", F.expr(_spark_bucket("v")))
+    cells = b.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tie_key = F.concat(
+        F.lpad((F.lit(100000000) - F.col("c")).cast("string"), 9, "0"),
+        F.lpad(F.col("label").cast("string"), 4, "0"),
+    )
+    per_bucket = cells.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.min_by("label", tie_key).cast("bigint").alias("top_label"),
+        F.max("c").cast("bigint").alias("top_label_n"),
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_vecs",
+            "n_labels",
+            "top_label",
+            "top_label_n",
+            (F.col("n_vecs").cast("double") / F.col("n")).alias("share"),
+            (F.col("top_label_n").cast("double") / F.col("n_vecs")).alias(
+                "purity"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -2207,3 +2207,290 @@ def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@_q(
+    "q_keyword_extraction",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per DOCUMENT by TF-IDF — q_tfidf zoomed from
+    source-level to document-level: the per-doc tags a search index or
+    a dataset card's sample annotations are built from. IDF over
+    documents (not sources), ln rounded at 6 dp (libm discipline),
+    (score desc, term) total order for a deterministic cut.
+
+    explode → (doc, term) counts → vocabulary-sized df table broadcast
+    back → per-doc windowed top-k. The window partitions on doc_id
+    (millions of small partitions — the healthy case); only the tiny
+    keyword rows survive."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", "score",
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@_q(
+    "q_token_cooccurrence_pmi",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM dt GROUP BY term
+    ),
+    vocab AS (SELECT term, df FROM df WHERE df >= 10),
+    vt AS (
+      SELECT dt.doc_id, dt.term, v.df
+      FROM dt JOIN vocab v ON v.term = dt.term
+    ),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             max(a.df) AS df_a, max(b.df) AS df_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM vt a JOIN vt b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT term_a, term_b, c_ab,
+           CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+           round(ln(CAST(n.n_docs AS DOUBLE) * c_ab / (df_a * df_b)), 6)
+             AS pmi
+    FROM pairs CROSS JOIN n
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 20
+    """,
+)
+def q_token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of within-document token pairs —
+    the collocation detector (PMI ≫ 0 means the pair co-occurs far
+    beyond chance: named entities, idioms, template fragments worth a
+    tokenizer merge or a dedup feature).
+
+    Scale discipline: the pair fan-out is the danger, so terms pass a
+    document-frequency cut FIRST (df ≥ 10 — vocabulary-sized broadcast)
+    and pairs are generated by a self-equi-join on doc_id over the
+    filtered (doc, term) table — fan-out bounded by per-doc FREQUENT
+    vocab squared, not raw text length squared (the q_sparse_cosine
+    posting-list discipline). PMI's ln rounds at 6 dp; top-20 by the
+    (pmi, a, b) total order is a TakeOrderedAndProject."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    vocab = df_.filter(F.col("df") >= 10)
+    vt = dt.join(F.broadcast(vocab), "term")
+    a = vt.select(
+        F.col("doc_id"),
+        F.col("term").alias("term_a"),
+        F.col("df").alias("dfa"),
+    )
+    b = vt.select(
+        F.col("doc_id"),
+        F.col("term").alias("term_b"),
+        F.col("df").alias("dfb"),
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.max("dfa").alias("df_a"),
+            F.max("dfb").alias("df_b"),
+            F.count(F.lit(1)).cast("bigint").alias("c_ab"),
+        )
+        .filter(F.col("c_ab") >= 5)
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+@_q(
+    "q_shingle_size_sensitivity",
+    oracle="""
+    WITH ks AS (SELECT unnest([3, 5, 8]) AS k),
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT k, doc_id, sh FROM (
+        SELECT ks.k, words.doc_id,
+               unnest(CASE WHEN len(w) >= ks.k THEN
+                 list_transform(generate_series(1, len(w) - ks.k + 1),
+                   i -> md5(array_to_string(
+                          list_slice(w, i, i + ks.k - 1), ' ')))
+                 ELSE [] END) AS sh
+        FROM words CROSS JOIN ks
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.k, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingles a JOIN shingles b
+        ON a.k = b.k AND a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    sh_stats AS (
+      SELECT k, CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles
+      FROM shingles GROUP BY k
+    ),
+    pair_stats AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_candidate_pairs
+      FROM cand GROUP BY k
+    ),
+    docs_in AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_docs_in_pairs FROM (
+        SELECT DISTINCT k, doc_a AS d FROM cand
+        UNION
+        SELECT DISTINCT k, doc_b FROM cand
+      ) GROUP BY k
+    )
+    SELECT s.k, s.n_shingles,
+           COALESCE(p.n_candidate_pairs, 0) AS n_candidate_pairs,
+           COALESCE(d.n_docs_in_pairs, 0) AS n_docs_in_pairs
+    FROM sh_stats s
+    LEFT JOIN pair_stats p ON p.k = s.k
+    LEFT JOIN docs_in d ON d.k = s.k
+    ORDER BY s.k
+    """,
+)
+def q_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup blocking sensitivity to shingle size: for k ∈ {3,5,8},
+    how many distinct word-k-shingles the corpus has and how many
+    candidate pairs share at least one — the tuning table behind every
+    MinHash pipeline (small k = high recall / candidate explosion,
+    large k = cheap / misses paraphrase). Shingle expansion guards
+    short docs (len < k → empty, the sequence-descending trap) and is
+    map-side; candidates come from the shingle equi-self-join, never
+    all-pairs."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    frames = []
+    for k in (3, 5, 8):
+        sh = words.select(
+            F.lit(k).alias("k"),
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("w") >= k,
+                    F.expr(
+                        f"transform(sequence(1, size(w) - {k} + 1),"
+                        f" i -> md5(array_join(slice(w, i, {k}), ' ')))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("sh"),
+        ).distinct()
+        frames.append(sh)
+    shingles = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    shingles = shingles.persist()
+    a = shingles.select("k", F.col("doc_id").alias("doc_a"), "sh")
+    b = shingles.select("k", F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, ["k", "sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("k", "doc_a", "doc_b")
+        .distinct()
+    )
+    cand = cand.persist()
+    pair_stats = cand.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    docs_in = (
+        cand.select("k", F.col("doc_a").alias("d"))
+        .unionByName(cand.select("k", F.col("doc_b").alias("d")))
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in_pairs"))
+    )
+    sh_stats = shingles.groupBy("k").agg(
+        F.countDistinct("sh").cast("bigint").alias("n_shingles")
+    )
+    return (
+        sh_stats.join(pair_stats, "k", "left")
+        .join(docs_in, "k", "left")
+        .select(
+            "k",
+            "n_shingles",
+            F.coalesce("n_candidate_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs"),
+        )
+        .orderBy("k")
+    )

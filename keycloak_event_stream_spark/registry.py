@@ -109,6 +109,10 @@ _PRIORITY = [
     "q_winsorized_mean_by",
     "q_rolling_median",
     "q_ema_crossover",
+    "q_keyword_extraction",
+    "q_token_cooccurrence_pmi",
+    "q_shingle_size_sensitivity",
+    "q_embedding_bucket_stats",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
