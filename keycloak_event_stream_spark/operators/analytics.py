@@ -2595,3 +2595,83 @@ def q_active_streak_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), "user_id", "start_day")
         .limit(10)
     )
+
+
+@_q(
+    "q_cohort_matrix_triangle",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+    ),
+    matrix AS (
+      SELECT c.cohort_week, u.week - c.cohort_week AS age_weeks,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM uw u JOIN cohorts c ON c.user_id = u.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, n_active AS cohort_size
+      FROM matrix WHERE age_weeks = 0
+    )
+    SELECT m.cohort_week, m.age_weeks, m.n_active, s.cohort_size,
+           CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM matrix m JOIN sizes s ON s.cohort_week = m.cohort_week
+    ORDER BY m.cohort_week, m.age_weeks
+    """,
+)
+def q_cohort_matrix_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly retention triangle: users grouped by first-active
+    week (cohort), each cohort's active count at every age — the
+    upper-triangular matrix every retention dashboard renders, with
+    retention normalized to the cohort's week-0 size. Complements
+    q_retention_cohort (day-grain, one cohort dimension) with the
+    full week×age grid.
+
+    All equi-joins on user_id / cohort_week over the DEDUPED (user,
+    week) membership — the raw events reduce once; the matrix is
+    |cohorts|×|ages| tiny. Week indexing uses explicit floor division
+    (the q_growth_accounting discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).distinct()
+    uw = uw.persist()
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    matrix = (
+        uw.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = matrix.filter(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._scale import (
     exact_ntile,
     two_phase_window,
@@ -701,4 +701,90 @@ def q_basket_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(100.0)
         ).alias("value_per_extra_line"),
+    )
+
+
+@_q(
+    "q_supplier_balance_abc",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name, s.s_suppkey,
+             CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    ranked AS (
+      SELECT r_name, s_suppkey, cents,
+             row_number() OVER (PARTITION BY r_name
+                                ORDER BY cents DESC, s_suppkey) AS rn,
+             count(*) OVER (PARTITION BY r_name) AS n
+      FROM base
+    ),
+    classed AS (
+      SELECT r_name, cents,
+             CASE WHEN rn * 5 <= n THEN 'A'
+                  WHEN rn * 2 <= n THEN 'B'
+                  ELSE 'C' END AS abc,
+             n
+      FROM ranked
+    )
+    SELECT r_name, abc,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(cents) AS BIGINT) AS balance_cents,
+           CAST(count(*) AS DOUBLE) / max(n) AS share_of_region
+    FROM classed
+    GROUP BY r_name, abc
+    ORDER BY r_name, abc
+    """,
+)
+def q_supplier_balance_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance ABC segmentation within each region:
+    top 20% of suppliers by balance = A, next 30% = B, rest = C — the
+    procurement-risk view (who holds the money per region), with class
+    balance totals in exact cents.
+
+    The rank runs through ``two_phase_window`` partitioned by the
+    5-value region key (the skewed-group discipline: a naive per-region
+    window sorts |suppliers|/5 rows in one task each); class cuts are
+    integer cross-products (rn·5 ≤ n), never float percents. Dims
+    broadcast into the fact scan."""
+    s = spread(load_table(spark, sf_dir, "supplier"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    base = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "s_suppkey", cents.alias("cents"))
+    )
+    ranked = two_phase_window(
+        base,
+        [F.col("cents").desc(), F.col("s_suppkey")],
+        partition_by=["r_name"],
+        row_number="rn",
+    )
+    nper = base.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    classed = ranked.join(F.broadcast(nper), "r_name").select(
+        "r_name",
+        "cents",
+        "n",
+        F.when(F.col("rn") * 5 <= F.col("n"), "A")
+        .when(F.col("rn") * 2 <= F.col("n"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("r_name", "abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("balance_cents"),
+            (F.count(F.lit(1)).cast("double") / F.max("n")).alias(
+                "share_of_region"
+            ),
+        )
+        .orderBy("r_name", "abc")
     )

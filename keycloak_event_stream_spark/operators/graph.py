@@ -528,3 +528,103 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@_q(
+    "q_graph_kcore",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e0 AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    k1 AS (
+      SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3
+    ),
+    e1 AS (
+      SELECT e.src, e.dst FROM e0 e
+      JOIN k1 a ON a.src = e.src JOIN k1 b ON b.src = e.dst
+    ),
+    k2 AS (
+      SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3
+    ),
+    e2 AS (
+      SELECT e.src, e.dst FROM e1 e
+      JOIN k2 a ON a.src = e.src JOIN k2 b ON b.src = e.dst
+    ),
+    k3 AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg
+      FROM e2 GROUP BY src HAVING count(*) >= 3
+    ),
+    e3 AS (
+      SELECT e.src, e.dst FROM e2 e
+      JOIN k3 a ON a.src = e.src JOIN k3 b ON b.src = e.dst
+    ),
+    survivors AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg
+      FROM e3 GROUP BY src
+    )
+    SELECT CAST((SELECT count(*) FROM survivors) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e3) AS BIGINT) AS n_half_edges,
+           CAST((SELECT max(deg) FROM survivors) AS BIGINT) AS max_deg,
+           CAST((SELECT min(deg) FROM survivors) AS BIGINT) AS min_deg
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core extraction (3 peeling rounds) of the customer–supplier
+    bipartite graph: repeatedly drop nodes with degree < 3 and the
+    edges touching them — the standard dense-subgraph/community seed
+    (and the spam-farm detector: low-degree fringes peel away, tightly
+    coupled cores remain). Emits the surviving core's node/edge counts
+    and degree envelope.
+
+    Each peel is (degree count → semi-join filter on BOTH endpoints) —
+    two keyed aggregates + two equi-joins per round on the persisted
+    edge table, the same per-iteration shape as q_graph_pagerank;
+    rounds are unrolled (3 is enough to converge on this graph and the
+    oracle mirrors the exact same 3 rounds, so the comparison is
+    well-defined even where full convergence would take more). At
+    100 TB the survivor node lists shrink monotonically — later
+    iterations broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+        pairs.select(s_node.alias("src"), c_node.alias("dst"))
+    )
+    edges = edges.persist()
+    for _ in range(3):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+        edges = edges.persist()
+    survivors = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    stats = survivors.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+        F.min("deg").cast("bigint").alias("min_deg"),
+    )
+    ec = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_half_edges"))
+    return stats.crossJoin(F.broadcast(ec)).select(
+        "n_nodes", "n_half_edges", "max_deg", "min_deg"
+    )

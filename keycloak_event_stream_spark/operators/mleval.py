@@ -974,3 +974,239 @@ def q_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin", "vec_id")
         .limit(50)
     )
+
+
+@_q(
+    "q_robust_scaler",
+    oracle="""
+    WITH scored AS (
+      SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS score
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT label, vec_id, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score, vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM scored
+    ),
+    stats AS (
+      SELECT label,
+             CAST(max(n) AS BIGINT) AS n,
+             (min(CASE WHEN rn = (n + 1) // 2 THEN score END)
+              + min(CASE WHEN rn = n // 2 + 1 THEN score END)) / 2.0
+               AS median,
+             min(CASE WHEN rn = (n * 25 + 99) // 100 THEN score END) AS q25,
+             min(CASE WHEN rn = (n * 75 + 99) // 100 THEN score END) AS q75
+      FROM ranked GROUP BY label
+    )
+    SELECT s.label, s.n, s.median, s.q25, s.q75,
+           s.q75 - s.q25 AS iqr,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored x
+             WHERE x.label = s.label
+               AND (x.score < s.median - 3.0 * (s.q75 - s.q25)
+                 OR x.score > s.median + 3.0 * (s.q75 - s.q25)))
+             AS n_outliers
+    FROM stats s
+    ORDER BY s.label
+    """,
+)
+def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler fit per label: exact median and IQR of the score
+    (embedding dim 1) from NEAREST-RANK order statistics — the
+    outlier-immune alternative to mean/std standardization (one
+    saturated score wrecks a z-scaler; quartiles don't move). The
+    3·IQR fence count per label is the robust outlier census the
+    scaled features feed into.
+
+    Ranks via ``two_phase_window`` partitioned by the 10-value label
+    key (skewed-group discipline); medians/quartiles are conditional
+    aggregates over integer rank hits; the fence pass re-reads only
+    (label, score) against the broadcast per-label stats."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        "vec_id",
+        "label",
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias(
+            "score"
+        ),
+    )
+    scored = scored.persist()
+    ranked = two_phase_window(
+        scored,
+        [F.col("score"), F.col("vec_id")],
+        partition_by=["label"],
+        row_number="rn",
+    )
+    nper = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = ranked.join(F.broadcast(nper), "label")
+    stats = j.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("rn") * 2 == (F.col("n") + 1) - ((F.col("n") + 1) % 2),
+                        F.col("score"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("rn") == F.floor(F.col("n") / 2) + 1,
+                        F.col("score"),
+                    )
+                )
+            )
+            / 2.0
+        ).alias("median"),
+        F.min(
+            F.when(
+                F.col("rn") * 100
+                == (F.col("n") * 25 + 99) - ((F.col("n") * 25 + 99) % 100),
+                F.col("score"),
+            )
+        ).alias("q25"),
+        F.min(
+            F.when(
+                F.col("rn") * 100
+                == (F.col("n") * 75 + 99) - ((F.col("n") * 75 + 99) % 100),
+                F.col("score"),
+            )
+        ).alias("q75"),
+    )
+    fenced = scored.join(F.broadcast(stats), "label").filter(
+        (F.col("score") < F.col("median") - 3.0 * (F.col("q75") - F.col("q25")))
+        | (F.col("score") > F.col("median") + 3.0 * (F.col("q75") - F.col("q25")))
+    )
+    n_out = fenced.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_outliers")
+    )
+    return (
+        stats.join(n_out, "label", "left")
+        .select(
+            "label",
+            "n",
+            "median",
+            "q25",
+            "q75",
+            (F.col("q75") - F.col("q25")).alias("iqr"),
+            F.coalesce("n_outliers", F.lit(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+@_q(
+    "q_pr_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             vec_id
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT pos,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+      FROM scored
+    ),
+    deciles AS (
+      SELECT least(CAST((rn - 1) * 10 // n AS BIGINT), 9) AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             max(tot_pos) AS tot_pos
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_rows, n_pos,
+             CAST(sum(n_rows) OVER w AS BIGINT) AS cum_rows,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+             max(tot_pos) OVER () AS tot_pos
+      FROM deciles
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, cum_rows, cum_pos,
+           CAST(cum_pos AS DOUBLE) / cum_rows AS precision_at,
+           CAST(cum_pos AS DOUBLE) / tot_pos AS recall_at
+    FROM cum
+    ORDER BY decile
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at top-k% cutoffs (decile thresholds of the
+    model score): the operating-point table behind threshold selection
+    — q_auc_roc summarizes ranking quality in one number, this shows
+    what precision you BUY at each recall level.
+
+    Same scaffold as q_gain_curve: the corpus-sized rank is the
+    two-phase range-partitioned primitive, decile assignment is the
+    integer cross-product (rn−1)·10/n, and the cumulative window runs
+    over the bounded 10-row decile rollup. Ratios are one integer
+    division each."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias(
+            "score"
+        ),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        "vec_id",
+    )
+    ranked = two_phase_window(
+        scored,
+        [F.col("score").desc(), F.col("vec_id")],
+        row_number="rn",
+    )
+    ranked = with_totals(
+        ranked,
+        {
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "tot_pos": F.sum("pos").cast("bigint"),
+        },
+    )
+    deciles = (
+        ranked.groupBy(
+            F.least(
+                F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("bigint"),
+                F.lit(9),
+            ).alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.max("tot_pos").alias("tot_pos"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        deciles.select(
+            "decile",
+            F.sum("n_rows").over(wc).cast("bigint").alias("cum_rows"),
+            F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+            F.max("tot_pos").over(wall).alias("tp"),
+        )
+        .select(
+            "decile",
+            "cum_rows",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("cum_rows")).alias(
+                "precision_at"
+            ),
+            (F.col("cum_pos").cast("double") / F.col("tp")).alias(
+                "recall_at"
+            ),
+        )
+        .orderBy("decile")
+    )

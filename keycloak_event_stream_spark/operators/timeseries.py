@@ -1840,3 +1840,119 @@ def q_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.s").alias("ema_slow"),
         F.col("x.dir").alias("direction"),
     ).orderBy("day")
+
+
+@_q(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily
+    ),
+    params AS (
+      SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sigma
+      FROM m
+    ),
+    series AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             list(day ORDER BY day) AS d,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily
+    ),
+    fold AS (
+      SELECT 1 AS i,
+             greatest(CAST(0.0 AS DOUBLE),
+                      se.v[1] - p.mean - 0.5 * p.sigma) AS s
+      FROM series se, params p
+      UNION ALL
+      SELECT f.i + 1,
+             greatest(CAST(0.0 AS DOUBLE),
+                      f.s + (se.v[f.i + 1] - p.mean - 0.5 * p.sigma))
+      FROM fold f, series se, params p
+      WHERE f.i < se.n_days
+    )
+    SELECT se.d[f.i] AS day, f.s AS cusum,
+           f.s > 4.0 * p.sigma AS alarm
+    FROM fold f, series se, params p
+    WHERE f.s > 0.0
+    ORDER BY day
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection on the daily event-count
+    series: S_t = max(0, S_{t−1} + (x_t − μ − ½σ)); every day with
+    accumulating evidence (S_t > 0) is emitted, with an ``alarm`` flag
+    at the 4σ decision boundary — the classic drift detector that
+    catches a sustained small level shift long before a per-day
+    z-score fence (q_anomaly_zscore) fires, and the full S-path (not
+    just alarms) is what gets plotted to watch the drift build. μ/σ
+    come from exact integer moments of the daily counts (one sqrt
+    each engine, identical expression).
+
+    Sequential by nature — same discipline as q_ema_crossover: raw
+    events reduce to the calendar-bounded daily array in one shuffle,
+    the recurrence folds through a struct accumulator engine-side, and
+    the oracle replays the identical IEEE recurrence as a row-per-step
+    recursive CTE; every alarm (day, S) hash-matches bitwise."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    daily = daily.persist()
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    params = m.select(
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        (
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("n")
+        ).alias("sigma"),
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> cast(s.c as double))"
+        ).alias("v"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> s.day)"
+        ).alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    joined = series.crossJoin(F.broadcast(params))
+    step = "greatest(cast(0.0 as double), acc.s + (element_at(v, i) - mean - 0.5 * sigma))"
+    fold = (
+        f"aggregate(sequence(2, cast(n_days as int)),"
+        f" named_struct("
+        f"   's', greatest(cast(0.0 as double),"
+        f"        element_at(v, 1) - mean - 0.5 * sigma),"
+        f"   'out', IF(greatest(cast(0.0 as double),"
+        f"             element_at(v, 1) - mean - 0.5 * sigma) > 0.0,"
+        f"         array(named_struct('i', 1,"
+        f"           'sv', greatest(cast(0.0 as double),"
+        f"                 element_at(v, 1) - mean - 0.5 * sigma))),"
+        f"         cast(array() as array<struct<i:int,sv:double>>))),"
+        f" (acc, i) -> named_struct("
+        f"   's', {step},"
+        f"   'out', IF({step} > 0.0,"
+        f"             concat(acc.out, array(named_struct('i', i, 'sv', {step}))),"
+        f"             acc.out)))"
+    )
+    flips = joined.select(
+        "d", "sigma", F.explode(F.expr(fold + ".out")).alias("x")
+    )
+    return flips.select(
+        F.element_at("d", F.col("x.i")).alias("day"),
+        F.col("x.sv").alias("cusum"),
+        (F.col("x.sv") > 4.0 * F.col("sigma")).alias("alarm"),
+    ).orderBy("day")

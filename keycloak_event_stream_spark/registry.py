@@ -113,6 +113,12 @@ _PRIORITY = [
     "q_token_cooccurrence_pmi",
     "q_shingle_size_sensitivity",
     "q_embedding_bucket_stats",
+    "q_cohort_matrix_triangle",
+    "q_supplier_balance_abc",
+    "q_robust_scaler",
+    "q_pr_curve",
+    "q_changepoint_cusum",
+    "q_graph_kcore",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",

@@ -175,6 +175,7 @@ def test_fixed_queries_have_no_global_window(spark, name):
 BOUNDED_GLOBAL_WINDOWS = {
     "q_session_depth_hist": "depth histogram (a few dozen distinct depths)",
     "q_rolling_median": "daily series (calendar-bounded)",
+    "q_pr_curve": "10-row decile rollup",
     "q_acf_multi": "daily-series lags (calendar-bounded)",
     "q_ar2_yule_walker": "daily series",
     "q_durbin_watson": "daily series",
