@@ -1171,3 +1171,57 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_DUCK_MINHASH_LSH}),
+    ts AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE)
+             AS threshold)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN s.jaccard >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN s.jaccard >= t.threshold
+                                    THEN s.doc_b END) AS BIGINT)
+             AS n_docs_removable
+    FROM ts t CROSS JOIN scored s
+    GROUP BY t.threshold
+    ORDER BY t.threshold
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup capacity curve: for Jaccard thresholds 0.2/0.4/0.6/0.8,
+    how many confirmed near-dup pairs survive and how many documents
+    would be removed (higher doc_id of each qualifying pair) — the
+    sizing table that decides where to set the production cut before
+    anyone runs the full dedup (too low deletes paraphrases, too high
+    keeps templates).
+
+    Candidates and exact Jaccard come from the SAME banded-LSH pass as
+    q_dedup_near_minhash (one candidate join, re-rolled under four
+    thresholds as conditional aggregates — the sweep costs one small
+    cross join with a 4-row literal table, not four dedup runs)."""
+    scored = QUERIES["q_dedup_near_minhash"](spark, sf_dir)
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+        ).alias("threshold")
+    )
+    return (
+        ts.crossJoin(scored)
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("jaccard") >= F.col("threshold"), F.col("doc_b"))
+            )
+            .cast("bigint")
+            .alias("n_docs_removable"),
+        )
+        .orderBy("threshold")
+    )

@@ -2494,3 +2494,78 @@ def q_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@_q(
+    "q_mixture_temperature_sweep",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS n FROM src),
+    terms AS (
+      SELECT s.source, s.tokens,
+             CAST(s.tokens AS DOUBLE) / t.n AS p,
+             CAST(round(power(CAST(s.tokens AS DOUBLE) / t.n, 0.3), 6)
+                  AS DECIMAL(18,6)) AS t03,
+             CAST(round(power(CAST(s.tokens AS DOUBLE) / t.n, 0.7), 6)
+                  AS DECIMAL(18,6)) AS t07
+      FROM src s CROSS JOIN tot t
+    ),
+    z AS (
+      SELECT CAST(sum(t03) AS DECIMAL(27,6)) AS z03,
+             CAST(sum(t07) AS DECIMAL(27,6)) AS z07
+      FROM terms
+    )
+    SELECT tr.source, tr.tokens, tr.p AS w_t10,
+           CAST(tr.t03 AS DOUBLE) / CAST(z.z03 AS DOUBLE) AS w_t03,
+           CAST(tr.t07 AS DOUBLE) / CAST(z.z07 AS DOUBLE) AS w_t07
+    FROM terms tr CROSS JOIN z
+    ORDER BY tr.source
+    """,
+)
+def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature sweep for the training mix: per source, the
+    natural token share (T=1) next to temperature-flattened weights
+    w ∝ p^T for T=0.3 and T=0.7 — the table a data-mix meeting actually
+    compares (low T upsamples rare sources; q_mixture_weights fixes one
+    T, this shows the trade-off curve).
+
+    Token counts reduce per source (integer); p^T goes through the
+    6-dp-round libm discipline (pow's last ulp is engine-specific)
+    before DECIMAL normalization sums, so the normalized weights are
+    bitwise stable. Corpus scalars travel as 1-row broadcasts."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").cast("bigint").alias("n"))
+    p = F.col("tokens").cast("double") / F.col("n")
+    terms = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        p.alias("p"),
+        F.round(F.pow(p, 0.3), 6).cast("decimal(18,6)").alias("t03"),
+        F.round(F.pow(p, 0.7), 6).cast("decimal(18,6)").alias("t07"),
+    )
+    z = terms.agg(
+        F.sum("t03").cast("decimal(27,6)").alias("z03"),
+        F.sum("t07").cast("decimal(27,6)").alias("z07"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "tokens",
+            F.col("p").alias("w_t10"),
+            (F.col("t03").cast("double") / F.col("z03").cast("double")).alias(
+                "w_t03"
+            ),
+            (F.col("t07").cast("double") / F.col("z07").cast("double")).alias(
+                "w_t07"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1455,3 +1455,74 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("d").alias("dist"), "med", "mad")
         .orderBy("label", "vec_id")
     )
+
+
+@_q(
+    "q_embed_dim_variance",
+    oracle="""
+    WITH cells AS (
+      SELECT i.i AS dim,
+             CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS vi
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    m AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vi) AS BIGINT) AS s1,
+             CAST(sum(CAST(vi AS DECIMAL(38,0)) * vi) AS DECIMAL(38,0))
+               AS s2
+      FROM cells GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           CAST(s1 AS DOUBLE) / n / 1e6 AS mean,
+           CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+             / n / n / 1e12 AS variance
+    FROM m
+    ORDER BY dim
+    """,
+)
+def q_embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the
+    collapsed-dimension detector (a dim with ~zero variance carries no
+    information: dead units, truncated exports, or whitening bugs all
+    show up here first; feeds q_embed_pca_power's sanity check).
+
+    The corpus explodes to (dim, value) cells — a tall-skinny shuffle
+    keyed on 64 dims — and reduces to exact micro-unit integer moments.
+    Quantization is ``floor(v·1e6)`` — floor is tie-free, unlike a
+    double→DECIMAL cast whose half-way policy differs across engines
+    (HALF_UP vs HALF_EVEN bit us here at one boundary value); squares
+    accumulate in DECIMAL(38,0), and the single integer-valued
+    decimal→double cast is correctly rounded in both engines."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    cells = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        )
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000).cast("bigint").alias("vi"),
+    )
+    m = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vi").cast("bigint").alias("s1"),
+        F.sum(F.col("vi").cast("decimal(38,0)") * F.col("vi"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / F.lit(1e6)).alias("mean"),
+        (
+            (
+                F.col("n") * F.col("s2")
+                - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+            ).cast("double")
+            / F.col("n")
+            / F.col("n")
+            / F.lit(1e12)
+        ).alias("variance"),
+    ).orderBy("dim")

@@ -1345,3 +1345,113 @@ def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_duration_s"
         ),
     )
+
+
+@_q(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 'c' AS kind, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 'p' AS kind, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, kind, us,
+             max(CASE WHEN kind = 'c'
+                      THEN struct_pack(us := us, eid := event_id) END)
+               OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS back,
+             min(CASE WHEN kind = 'c'
+                      THEN struct_pack(us := us, eid := event_id) END)
+               OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+                WHEN fwd IS NULL THEN back.eid
+                WHEN back IS NULL THEN fwd.eid
+                WHEN us - back.us <= fwd.us - us THEN back.eid
+                ELSE fwd.eid END AS nearest_click_id,
+           CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+                WHEN fwd IS NULL THEN us - back.us
+                WHEN back IS NULL THEN fwd.us - us
+                ELSE least(us - back.us, fwd.us - us) END AS dist_us
+    FROM marked
+    WHERE kind = 'p'
+    ORDER BY purchase_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each purchase matched to its
+    temporally CLOSEST click (either direction; ties to the earlier
+    click) — the attribution variant backward-only ASOF can't express
+    (a click 2 s after the purchase event is a better match than one
+    3 days before when clocks are skewed or events land out of order).
+
+    Spark has no native ASOF in either direction, so this is the
+    union+window idiom run once in each: tag purchases and clicks into
+    ONE user-keyed stream, take the running max of click (us, id)
+    structs for the backward candidate and the reverse-frame min for
+    the forward candidate, then pick the nearer in integer
+    microseconds. One shuffle on user_id serves both directions; the
+    ORACLE builds the identical windows (not a correlated LATERAL), so
+    struct-ordering tie-breaks are engine-identical by construction."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", "c").otherwise("p").alias(
+            "kind"
+        ),
+        F.unix_micros("ts").alias("us"),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_struct = F.when(
+        F.col("kind") == "c", F.struct(F.col("us"), F.col("event_id").alias("eid"))
+    )
+    marked = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        "us",
+        F.max(click_struct).over(wb).alias("back"),
+        F.min(click_struct).over(wf).alias("fwd"),
+    )
+    p = marked.filter(F.col("kind") == "p")
+    back_us, fwd_us = F.col("back.us"), F.col("fwd.us")
+    nearest = (
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(None))
+        .when(F.col("fwd").isNull(), F.col("back.eid"))
+        .when(F.col("back").isNull(), F.col("fwd.eid"))
+        .when(F.col("us") - back_us <= fwd_us - F.col("us"), F.col("back.eid"))
+        .otherwise(F.col("fwd.eid"))
+    )
+    dist = (
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(None))
+        .when(F.col("fwd").isNull(), F.col("us") - back_us)
+        .when(F.col("back").isNull(), fwd_us - F.col("us"))
+        .otherwise(F.least(F.col("us") - back_us, fwd_us - F.col("us")))
+    )
+    return p.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.cast("bigint").alias("nearest_click_id"),
+        dist.cast("bigint").alias("dist_us"),
+    ).orderBy("purchase_id")

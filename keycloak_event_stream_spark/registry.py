@@ -119,6 +119,10 @@ _PRIORITY = [
     "q_pr_curve",
     "q_changepoint_cusum",
     "q_graph_kcore",
+    "q_dedup_threshold_sweep",
+    "q_mixture_temperature_sweep",
+    "q_embed_dim_variance",
+    "q_join_asof_nearest",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
