@@ -1566,3 +1566,79 @@ def q_safety_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "q_repetition_profile",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 8 THEN
+                 list_transform(generate_series(1, len(w) - 7),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_gram_n
+      FROM (SELECT doc_id, sh, count(*) AS c
+            FROM grams GROUP BY doc_id, sh)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct, top_gram_n,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS rep_ratio
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile over word 8-grams: total vs
+    distinct gram counts, the most-repeated gram's frequency, and the
+    repetition ratio — the Gopher/RefinedWeb "repetitive document"
+    signal (boilerplate, keyword stuffing, and decoding loops all show
+    as rep_ratio ≫ 0) that complements q_quality_gopher's length/symbol
+    rules and q_dedup_segments' CROSS-document span removal.
+
+    Gram expansion is map-side with the short-doc guard (len < 8 →
+    empty, never a descending sequence); the reduce is keyed by
+    (doc_id, gram) then doc_id — shuffle volume is gram counts, not
+    text. Ratios are one integer division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # materialize the token array ONCE — inlining split() into the gram
+    # lambda re-tokenizes per gram index (the q_ngram_novelty 3x
+    # regression class)
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 8,
+                F.expr(
+                    "transform(sequence(1, size(w) - 7),"
+                    " i -> array_join(slice(w, i, 8), ' '))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("sh"),
+    )
+    per_gram = grams.groupBy("doc_id", "sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_gram_n"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "top_gram_n",
+        (
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")

@@ -2569,3 +2569,59 @@ def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "q_doc_language_mismatch",
+    oracle="""
+    WITH scored AS (
+      SELECT source, lang AS declared,
+             CASE WHEN (CAST(length(text) AS DOUBLE)
+                        - length(replace(text, 'e', '')))
+                       / CAST(length(text) AS DOUBLE) >= 0.10 THEN 'en'
+                  WHEN (CAST(length(text) AS DOUBLE)
+                        - length(replace(text, 'e', '')))
+                       / CAST(length(text) AS DOUBLE) >= 0.08 THEN 'fr'
+                  WHEN (CAST(length(text) AS DOUBLE)
+                        - length(replace(text, 'a', '')))
+                       / CAST(length(text) AS DOUBLE) >= 0.10 THEN 'es'
+                  WHEN (CAST(length(text) AS DOUBLE)
+                        - length(replace(text, 'a', '')))
+                       / CAST(length(text) AS DOUBLE) >= 0.08 THEN 'de'
+                  ELSE 'zh' END AS detected
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN declared <> detected THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(sum(CASE WHEN declared <> detected THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS mismatch_rate
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_doc_language_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language disagreement per SOURCE — the
+    metadata-trust audit: q_confusion_matrix grades the detector
+    corpus-wide, but what a curation pipeline acts on is WHICH FEED
+    ships mislabeled languages (a crawler writing 'en' on everything
+    shows up as one source with a high mismatch rate, not as detector
+    noise). Same per-row heuristic as q_lang_id at scan speed; one
+    keyed aggregate to |sources| rows; rate is one integer division."""
+    from keycloak_event_stream_spark.operators.mleval import _predicted_col
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    m = (F.col("lang") != _predicted_col()).cast("int")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(m).cast("bigint").alias("n_mismatch"),
+            (F.sum(m).cast("double") / F.count(F.lit(1))).alias(
+                "mismatch_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2675,3 +2675,170 @@ def q_cohort_matrix_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@_q(
+    "q_session_handoff",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id,
+             ts
+      FROM ordered
+    ),
+    spans AS (
+      SELECT user_id, session_id,
+             min(ts) AS t_start, max(ts) AS t_end
+      FROM sess GROUP BY user_id, session_id
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('second', lag(t_end) OVER
+                    (PARTITION BY user_id ORDER BY session_id), t_start)
+                  AS BIGINT) AS gap_s
+      FROM spans
+    )
+    SELECT CAST(length(bin(greatest(gap_s // 60, 1))) AS BIGINT)
+             AS gap_min_log2_bin,
+           CAST(count(*) AS BIGINT) AS n_returns,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    ORDER BY gap_min_log2_bin
+    """,
+)
+def q_session_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-time distribution: the gap between one session's end and
+    the user's next session's start, binned into log2 minute buckets —
+    the habit-loop curve (a spike at ~24 h means a daily ritual; mass
+    in the minutes bins means the 30-min session cut is too tight).
+    Extends q_sessionize/q_session_metrics from WITHIN-session to
+    BETWEEN-session structure.
+
+    The one user-keyed shuffle serves sessionization, the span rollup,
+    and the handoff lag; the histogram is integer log2 via
+    binary-string length (the q_value_histogram_text discipline) over
+    minutes clamped to ≥1."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+    ).cast("int")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    spans = (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    ws = W.partitionBy("user_id").orderBy("session_id")
+    gaps = spans.select(
+        (
+            F.col("t_start").cast("long")
+            - F.lag(F.col("t_end").cast("long")).over(ws)
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    binned = gaps.select(
+        "gap_s",
+        F.length(
+            F.expr("bin(greatest(gap_s div 60, 1))")
+        )
+        .cast("bigint")
+        .alias("gap_min_log2_bin"),
+    )
+    return (
+        binned.groupBy("gap_min_log2_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("gap_min_log2_bin")
+    )
+
+
+@_q(
+    "q_market_share_shift",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT yr, CAST(sum(cents) AS BIGINT) AS yr_cents
+      FROM rev GROUP BY yr
+    ),
+    shares AS (
+      SELECT r.nation, r.yr,
+             CAST(r.cents AS DOUBLE) / t.yr_cents AS share
+      FROM rev r JOIN tot t ON t.yr = r.yr
+    )
+    SELECT nation, yr, share,
+           share - lag(share) OVER (PARTITION BY nation ORDER BY yr)
+             AS share_delta
+    FROM shares
+    ORDER BY nation, yr
+    """,
+)
+def q_market_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue share per year with the year-over-year
+    share delta — the competitive-dynamics view (TPC-H Q8's market
+    share question generalized to every nation at once): who is
+    gaining and who is bleeding, in share points.
+
+    The star join broadcasts supplier/nation into the lineitem scan;
+    revenue reduces to |nations|×|years| cells in exact cents; yearly
+    totals come back as a broadcast; share and its lag run over the
+    tiny rollup. One big shuffle total."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    rev = (
+        l.join(o.select("o_orderkey", "o_orderdate"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    rev = rev.persist()
+    tot = rev.groupBy("yr").agg(F.sum("cents").cast("bigint").alias("yr_cents"))
+    shares = rev.join(F.broadcast(tot), "yr").select(
+        "nation",
+        "yr",
+        (F.col("cents").cast("double") / F.col("yr_cents")).alias("share"),
+    )
+    wn = W.partitionBy("nation").orderBy("yr")
+    return shares.select(
+        "nation",
+        "yr",
+        "share",
+        (F.col("share") - F.lag("share").over(wn)).alias("share_delta"),
+    ).orderBy("nation", "yr")

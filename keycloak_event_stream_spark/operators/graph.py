@@ -628,3 +628,103 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(ec)).select(
         "n_nodes", "n_half_edges", "max_deg", "min_deg"
     )
+
+
+@_q(
+    "q_graph_bfs_levels",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    seed AS (
+      SELECT src AS node FROM edges
+      GROUP BY src ORDER BY count(*) DESC, src LIMIT 1
+    ),
+    l0 AS (SELECT node, 0 AS lvl FROM seed),
+    l1 AS (
+      SELECT DISTINCT e.dst AS node, 1 AS lvl
+      FROM edges e JOIN l0 ON l0.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT e.dst AS node, 2 AS lvl
+      FROM edges e JOIN l1 ON l1.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT e.dst AS node, 3 AS lvl
+      FROM edges e JOIN l2 ON l2.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+        AND e.dst NOT IN (SELECT node FROM l2)
+    ),
+    allv AS (
+      SELECT * FROM l0 UNION ALL SELECT * FROM l1
+      UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+    )
+    SELECT CAST(lvl AS INTEGER) AS level,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM allv GROUP BY lvl ORDER BY level
+    """,
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability frontier sizes from the highest-degree
+    node of the customer–supplier graph, 3 hops deep — the blast-radius
+    query (how much of the graph a hub touches in k hops; bipartite
+    structure shows as alternating customer/supplier frontiers).
+
+    Classic distributed BFS: each hop is one equi-join of the CURRENT
+    frontier against the persisted edge table plus an anti-join against
+    the visited set — frontiers broadcast while small, and the hop
+    count is a static bound (3), not a convergence loop. The oracle
+    unrolls the identical 3 hops."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+        pairs.select(s_node.alias("src"), c_node.alias("dst"))
+    )
+    edges = edges.persist()
+    seed = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
+    )
+    visited = seed
+    frontier = seed.select("node")
+    levels = [seed]
+    for lvl in (1, 2, 3):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).alias("lvl"))
+        )
+        nxt = nxt.persist()
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt.select("node")
+    allv = levels[0]
+    for x in levels[1:]:
+        allv = allv.unionByName(x)
+    return (
+        allv.groupBy(F.col("lvl").cast("int").alias("level"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("level")
+    )

@@ -123,6 +123,11 @@ _PRIORITY = [
     "q_mixture_temperature_sweep",
     "q_embed_dim_variance",
     "q_join_asof_nearest",
+    "q_repetition_profile",
+    "q_doc_language_mismatch",
+    "q_session_handoff",
+    "q_market_share_shift",
+    "q_graph_bfs_levels",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
