@@ -1225,3 +1225,67 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@_q(
+    "q_dedup_normalization_ladder",
+    oracle="""
+    WITH levels AS (
+      SELECT doc_id, 0 AS level, text AS t FROM documents
+      UNION ALL
+      SELECT doc_id, 1, lower(text) FROM documents
+      UNION ALL
+      SELECT doc_id, 2, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 3, trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))
+      FROM documents
+    )
+    SELECT CAST(level AS INTEGER) AS level,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(t)) AS BIGINT) AS n_dups,
+           CAST(count(*) - count(DISTINCT md5(t)) AS DOUBLE) / count(*)
+             AS dup_rate
+    FROM levels
+    GROUP BY level
+    ORDER BY level
+    """,
+)
+def q_dedup_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalization ladder: exact-dup rates under progressively
+    aggressive canonicalization — raw → lowercase → alphanumeric-only →
+    whitespace-collapsed — the table that decides how much of the
+    "near-dup problem" is really an exact-dup problem in disguise
+    (case/punct variants of the same page), before any MinHash spend.
+
+    Each level is a per-row expression; dedup counting is
+    count(DISTINCT md5(t)) — the shuffle carries 16-byte hashes, never
+    normalized text (the q_dedup_exact discipline). One Expand-style
+    pass, four levels, |levels| output rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    lvl0 = F.col("text")
+    lvl1 = F.lower("text")
+    lvl2 = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    lvl3 = F.trim(F.regexp_replace(lvl2, " +", " "))
+    levels = None
+    for i, t in enumerate([lvl0, lvl1, lvl2, lvl3]):
+        part = d.select(F.lit(i).alias("level"), F.md5(t).alias("h"))
+        levels = part if levels is None else levels.unionByName(part)
+    return (
+        levels.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h"))
+            .cast("bigint")
+            .alias("n_dups"),
+            (
+                (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("level")
+    )

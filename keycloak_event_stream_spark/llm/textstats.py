@@ -2625,3 +2625,4 @@ def q_doc_language_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+

@@ -2842,3 +2842,137 @@ def q_market_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         (F.col("share") - F.lag("share").over(wn)).alias("share_delta"),
     ).orderBy("nation", "yr")
+
+
+@_q(
+    "q_funnel_cohort",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, s.t_signup, min(e.ts) AS t_purchase
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.t_signup
+      GROUP BY s.user_id, s.t_signup
+    ),
+    cohorts AS (
+      SELECT s.user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                        CAST(s.t_signup AS DATE)) / 7.0) AS BIGINT)
+               AS cohort_week,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+    )
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) AS DOUBLE) / count(*) AS conversion
+    FROM cohorts
+    GROUP BY cohort_week
+    ORDER BY cohort_week
+    """,
+)
+def q_funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion BY SIGNUP COHORT (week): the funnel
+    (q_funnel) crossed with cohorting (q_cohort_matrix_triangle) —
+    whether conversion is improving for NEWER cohorts is the growth
+    question a single corpus-wide rate hides.
+
+    First-signup and first-post-signup-purchase reduce per user (the
+    q_funnel shape); cohort weeks use explicit floor division; the
+    report is |weeks| rows, each rate one integer division."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    cohorts = s.join(p, "user_id", "left").select(
+        F.floor(
+            F.datediff(
+                F.col("t_signup").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("cohort_week"),
+        F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0).alias(
+            "converted"
+        ),
+    )
+    return (
+        cohorts.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+                "conversion"
+            ),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+@_q(
+    "q_error_burst_detection",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(ts AS DATE) AS day,
+             time_bucket(INTERVAL 5 MINUTES, ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(max(n_errors) AS BIGINT) AS peak_5min_errors,
+           CAST(sum(n_errors) AS BIGINT) AS day_errors,
+           CAST(count(*) AS BIGINT) AS active_buckets,
+           CAST(max(n_errors) AS DOUBLE) / sum(n_errors)
+             AS peak_concentration
+    FROM buckets
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error burstiness per day: the worst 5-minute error bucket vs the
+    day's total — peak_concentration near 1 means the day's errors hit
+    in ONE burst (deploy/outage shape), near uniform means background
+    noise (the incident-review cut of q_burstiness' hourly Fano
+    factor, at pager granularity).
+
+    Errors bucket to 5-minute cells (one keyed aggregate — tumbling
+    windows in batch are just truncation arithmetic), then reduce per
+    day. Integer counts; one division per day."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.window("ts", "5 minutes").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_errors"))
+    )
+    return (
+        buckets.groupBy("day")
+        .agg(
+            F.max("n_errors").cast("bigint").alias("peak_5min_errors"),
+            F.sum("n_errors").cast("bigint").alias("day_errors"),
+            F.count(F.lit(1)).cast("bigint").alias("active_buckets"),
+            (F.max("n_errors").cast("double") / F.sum("n_errors")).alias(
+                "peak_concentration"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -281,3 +281,72 @@ def q_dup_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+@_q(
+    "q_join_skew_stats",
+    oracle="""
+    WITH fan AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_keys
+      FROM fan GROUP BY c
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS keys,
+             CAST(sum(c) AS BIGINT) AS rows_total,
+             CAST(max(c) AS BIGINT) AS max_fan
+      FROM fan
+    )
+    SELECT h.c AS fan_out, h.n_keys,
+           CAST(h.c * h.n_keys AS BIGINT) AS rows_in_band,
+           CAST(h.c * h.n_keys AS DOUBLE) / t.rows_total AS row_share,
+           t.max_fan,
+           CAST(t.rows_total AS DOUBLE) / t.keys AS mean_fan
+    FROM hist h CROSS JOIN tot t
+    ORDER BY fan_out
+    """,
+)
+def q_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the orders⋈lineitem key: the fan-out
+    histogram (how many keys carry how many rows) with each band's
+    share of total rows, plus max/mean fan-out — the table you read
+    BEFORE choosing a join strategy (a max_fan ≫ mean_fan key wants
+    AQE skew splitting or salting, q_join_salted_skew; a flat profile
+    means plain shuffle-hash is fine).
+
+    Two keyed aggregates (key → fan-out, fan-out → key count); corpus
+    scalars ride a 1-row broadcast. Output is |distinct fan-outs| rows
+    — bounded by the fact-table's max multiplicity, not its size."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    fan = l.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fan = fan.persist()
+    hist = fan.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    tot = fan.agg(
+        F.count(F.lit(1)).cast("bigint").alias("keys"),
+        F.sum("c").cast("bigint").alias("rows_total"),
+        F.max("c").cast("bigint").alias("max_fan"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("fan_out"),
+            "n_keys",
+            (F.col("c") * F.col("n_keys")).cast("bigint").alias("rows_in_band"),
+            (
+                (F.col("c") * F.col("n_keys")).cast("double")
+                / F.col("rows_total")
+            ).alias("row_share"),
+            "max_fan",
+            (F.col("rows_total").cast("double") / F.col("keys")).alias(
+                "mean_fan"
+            ),
+        )
+        .orderBy("fan_out")
+    )

@@ -128,6 +128,10 @@ _PRIORITY = [
     "q_session_handoff",
     "q_market_share_shift",
     "q_graph_bfs_levels",
+    "q_dedup_normalization_ladder",
+    "q_join_skew_stats",
+    "q_funnel_cohort",
+    "q_error_burst_detection",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
