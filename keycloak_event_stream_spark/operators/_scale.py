@@ -92,8 +92,20 @@ def two_phase_window(
     k = _num_partitions(df, k)
 
     range_cols = [*[F.col(c) for c in partition_by], *order_by]
-    ranged = df.repartitionByRange(k, *range_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # PIN the range-partitioned layout: the subtree below is consumed
+    # TWICE (per-partition totals + the main join path). Catalyst's
+    # ReuseExchange usually materializes the range shuffle once, but a
+    # consumer shape that defeats reuse (e.g. a row-level filter above
+    # the join) re-executes it — and the range partitioner re-SAMPLES
+    # boundaries, so the offsets no longer match the main path's
+    # layout (observed: duplicated/missing global row numbers in
+    # q_systematic_sample). persist() makes both branches read one
+    # materialization; the footprint is the same data the shuffle
+    # already wrote, spill-backed.
+    ranged = (
+        df.repartitionByRange(k, *range_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
     )
 
     # per-(group, pid) totals: k (× groups) rows — always tiny

@@ -1455,3 +1455,116 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.cast("bigint").alias("nearest_click_id"),
         dist.cast("bigint").alias("dist_us"),
     ).orderBy("purchase_id")
+
+
+@_q(
+    "q_rate_limit_window",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    counted AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_last_hour
+      FROM base
+    )
+    SELECT user_id,
+           CAST(max(n_last_hour) AS BIGINT) AS peak_hour_rate,
+           CAST(sum(CASE WHEN n_last_hour > 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_throttled
+    FROM counted
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_rate_limit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour request rate per event via a TIME-RANGE window
+    frame (RANGE 3600 PRECEDING over epoch seconds — peers enter by
+    TIME distance, not row count, so bursts and sparse traffic are
+    measured on the same clock), reduced to each user's peak hourly
+    rate and how many events a >20/hour throttle would have rejected —
+    the rate-limiter sizing query.
+
+    The window partitions on user_id (healthy keyed shuffle) and
+    orders by floored epoch seconds — both engines floor the
+    microsecond timestamps identically (the q_session_metrics gap
+    discipline), and the frame arithmetic is pure integers. The rollup
+    reuses the same partitioning."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    counted = base.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+    )
+    return (
+        counted.groupBy("user_id")
+        .agg(
+            F.max("n_last_hour").cast("bigint").alias("peak_hour_rate"),
+            F.sum(F.when(F.col("n_last_hour") > 20, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_throttled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q_systematic_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE rn % 97 = 1
+    ORDER BY rn
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-97 sample along the event-time order: every
+    97th row of the (ts, event_id) total order — the
+    stream-representative sample (uniform over TIME, unlike a hash
+    sample which is uniform over keys and can miss bursts), and the
+    deterministic alternative to rand()-based sampling that no two
+    runs can disagree on.
+
+    The global order comes from the two-phase range-partition
+    primitive (never a single-task sort); the modulus cut is a per-row
+    predicate after it. A prime step (97) avoids beating against any
+    periodic structure in the stream."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window as _tpw,
+    )
+
+    ranked = _tpw(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        [F.col("ts"), F.col("event_id")],
+        row_number="rn",
+    )
+    return (
+        ranked.filter(F.col("rn") % 97 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("rn")
+    )

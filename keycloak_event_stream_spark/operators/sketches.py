@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.operators._scale import two_phase_window
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -473,3 +474,115 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+@_q(
+    "q_quantile_sketch_eval",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM base
+    )
+    SELECT CAST(p AS BIGINT) AS p,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN rn = (n * p + 99) // 100 THEN cents END)
+                AS BIGINT) AS exact_cents,
+           TRUE AS within_bound
+    FROM ranked CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)
+    GROUP BY p
+    ORDER BY p
+    """,
+)
+def q_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch EVALUATED (q_ann_recall's pattern applied to
+    approx_percentile): for p50/p90/p99 of order value, compute the
+    sketch estimate AND the exact nearest-rank value in one pass, then
+    check the sketch's rank-error contract — approx_percentile(acc=10k)
+    guarantees the returned value's rank is within n/10000 of the
+    target. The hashed surface carries the exact values and the
+    ``within_bound`` verdicts; the estimate's jitter stays off it —
+    so q_sketch_quantiles' machinery is now semi-verified instead of
+    rows-only.
+
+    Exact ranks come from the two-phase global order; the sketch value's
+    actual rank is one count-below aggregate against the broadcast
+    estimates. All integer cents."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select(cents.alias("cents"), "o_orderkey")
+    base = base.persist()
+    acc = 10000
+    approx = base.agg(
+        F.percentile_approx(
+            "cents", [0.50, 0.90, 0.99], acc
+        ).alias("av"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        F.posexplode("av").alias("i", "approx_cents"),
+        "n",
+    ).select(
+        F.element_at(F.array(F.lit(50), F.lit(90), F.lit(99)),
+                     F.col("i") + 1).alias("p"),
+        "approx_cents",
+        "n",
+    )
+    # actual rank of each sketch estimate = #values <= estimate
+    rank_of = (
+        base.crossJoin(F.broadcast(approx))
+        .groupBy("p", "approx_cents", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") <= F.col("approx_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_le")
+        )
+    )
+    ranked = two_phase_window(
+        base, [F.col("cents"), F.col("o_orderkey")], row_number="rn"
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = (
+        ranked.crossJoin(F.broadcast(nrow))
+        .crossJoin(
+            F.broadcast(
+                nrow.select(
+                    F.explode(
+                        F.array(F.lit(50), F.lit(90), F.lit(99))
+                    ).alias("p")
+                )
+            )
+        )
+        .filter(
+            F.col("rn") * 100
+            == (F.col("n") * F.col("p") + 99)
+            - ((F.col("n") * F.col("p") + 99) % 100)
+        )
+        .groupBy("p")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("exact_cents"),
+        )
+    )
+    # rank-error contract: |rank(approx) - target_rank| <= n/acc + 1
+    joined = exact.join(rank_of.select("p", "rank_le"), "p")
+    target = (F.col("n") * F.col("p") + 99) - (
+        (F.col("n") * F.col("p") + 99) % 100
+    )
+    return joined.select(
+        F.col("p").cast("bigint").alias("p"),
+        "n",
+        "exact_cents",
+        (
+            F.abs(F.col("rank_le") * 100 - target)
+            <= (F.col("n") * 100 / acc + 100)
+        ).alias("within_bound"),
+    ).orderBy("p")

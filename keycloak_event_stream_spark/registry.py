@@ -132,6 +132,9 @@ _PRIORITY = [
     "q_join_skew_stats",
     "q_funnel_cohort",
     "q_error_burst_detection",
+    "q_rate_limit_window",
+    "q_systematic_sample",
+    "q_quantile_sketch_eval",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
