@@ -604,6 +604,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.persist()
     for _ in range(3):
+        # the surviving-node list is |nodes|-sized (and shrinks every
+        # round) — broadcast both endpoint filters so each peel is two
+        # broadcast-hash semi joins over the persisted edges, never a
+        # SortMerge at full shuffle width
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -611,8 +615,8 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
         )
         edges = (
-            edges.join(keep, "src")
-            .join(keep.select(F.col("src").alias("dst")), "dst")
+            edges.join(F.broadcast(keep), "src")
+            .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst")
             .select("src", "dst")
         )
         edges = edges.persist()
@@ -709,11 +713,13 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = seed.select("node")
     levels = [seed]
     for lvl in (1, 2, 3):
+        # visited is |nodes|-sized — broadcast the anti join too, or
+        # every hop pays a full-width SortMerge against a tiny set
         nxt = (
             edges.join(F.broadcast(frontier), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
             .select("node", F.lit(lvl).alias("lvl"))
         )
         nxt = nxt.persist()
