@@ -2626,3 +2626,48 @@ def q_doc_language_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
+
+
+@_q(
+    "q_text_ascii_ratio",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[ -~]', '', 'g')))
+                AS BIGINT) AS n_ascii_printable,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[ -~]', '', 'g')))
+                AS DOUBLE) / sum(length(text)) AS ascii_ratio
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_text_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Printable-ASCII character share per source — the
+    encoding-cleanliness probe (mojibake, binary spill-through, and
+    wrong-charset crawls all crater this ratio long before a language
+    model chokes on them; for CJK sources a LOW ratio is the expected
+    baseline, which is why it's reported per source, not corpus-wide).
+
+    Counted by deleting the printable-ASCII class and diffing lengths —
+    a per-row regexp at scan speed, identical character-class semantics
+    in both engines; one keyed aggregate; one division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ascii_n = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[ -~]", "")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.sum(ascii_n).cast("bigint").alias("n_ascii_printable"),
+            (
+                F.sum(ascii_n).cast("double") / F.sum(F.length("text"))
+            ).alias("ascii_ratio"),
+        )
+        .orderBy("source")
+    )

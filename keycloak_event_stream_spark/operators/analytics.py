@@ -2976,3 +2976,156 @@ def q_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_MKV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _mkv_oracle() -> str:
+    ts_ = _MKV_TYPES
+    cells = ",\n             ".join(
+        f"CAST(sum(CASE WHEN prev = '{a}' AND cur = '{b}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{a}_{b}"
+        for a in ts_
+        for b in ts_
+    )
+    rowsums = ",\n             ".join(
+        f"({' + '.join(f'c_{a}_{b}' for b in ts_)}) AS r_{a}" for a in ts_
+    )
+    probs = ",\n             ".join(
+        f"CAST(c_{a}_{b} AS DOUBLE) / r_{a} AS p_{a}_{b}"
+        for a in ts_
+        for b in ts_
+    )
+    # unrolled power iteration: v0 = uniform, 10 steps
+    steps = ["i0 AS (SELECT p.*, "
+             + ", ".join(f"CAST(0.2 AS DOUBLE) AS v_{t}" for t in ts_)
+             + " FROM p)"]
+    excl = ", ".join(f"v_{t}" for t in ts_)
+    for k in range(1, 11):
+        vs = ", ".join(
+            f"({' + '.join(f'v_{a} * p_{a}_{b}' for a in ts_)}) AS v_{b}"
+            for b in ts_
+        )
+        # EXCLUDE the previous iterate's v columns — `p.*, v_click AS
+        # ...` would leave two v_click columns and later references
+        # resolve to the FIRST (the stale one), silently freezing the
+        # iteration at v0
+        steps.append(
+            f"i{k} AS (SELECT p.* EXCLUDE ({excl}), {vs} FROM i{k-1} AS p)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{t}' AS event_type, v_{t} AS stationary FROM i10"
+        for t in ts_
+    )
+    return f"""
+    WITH seq AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev,
+             event_type AS cur
+      FROM events
+    ),
+    pairs AS (SELECT prev, cur FROM seq WHERE prev IS NOT NULL),
+    wide AS (
+      SELECT {cells}
+      FROM pairs
+    ),
+    sums AS (
+      SELECT *,
+             {rowsums}
+      FROM wide
+    ),
+    p AS (
+      SELECT *,
+             {probs}
+      FROM sums
+    ),
+    {", ".join(steps)}
+    {finals}
+    ORDER BY event_type
+    """
+
+
+@_q("q_markov_stationary", oracle=_mkv_oracle())
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: where a
+    user's behavior settles if the observed transition structure keeps
+    running — the long-run attention share per event type, which can
+    differ sharply from the raw frequency mix when some states are
+    "sticky" (q_transition_matrix gives the counts; this gives their
+    fixed point). Computed by 10 power-iteration steps from the uniform
+    start — plenty for a 5-state ergodic chain.
+
+    Scale split: the corpus-sized work is ONE user-keyed lag window +
+    one conditional aggregate to a single 25-cell row; the iteration is
+    column arithmetic on that one row (both engines unroll the
+    identical 10 steps with term order fixed alphabetically, so every
+    double is bitwise)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    ts_ = _MKV_TYPES
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    wide = pairs.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("prev") == a) & (F.col("cur") == b), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c_{a}_{b}")
+            for a in ts_
+            for b in ts_
+        ]
+    )
+    sums = wide.select(
+        "*",
+        *[
+            sum(
+                (F.col(f"c_{a}_{b}") for b in ts_[1:]),
+                F.col(f"c_{a}_{ts_[0]}"),
+            ).alias(f"r_{a}")
+            for a in ts_
+        ],
+    )
+    p = sums.select(
+        "*",
+        *[
+            (F.col(f"c_{a}_{b}").cast("double") / F.col(f"r_{a}")).alias(
+                f"p_{a}_{b}"
+            )
+            for a in ts_
+            for b in ts_
+        ],
+    )
+    cur = p.select("*", *[F.lit(0.2).cast("double").alias(f"v_{t}") for t in ts_])
+    for _ in range(10):
+        cur = cur.select(
+            *[c for c in cur.columns if not c.startswith("v_")],
+            *[
+                sum(
+                    (
+                        F.col(f"v_{a}") * F.col(f"p_{a}_{b}")
+                        for a in ts_[1:]
+                    ),
+                    F.col(f"v_{ts_[0]}") * F.col(f"p_{ts_[0]}_{b}"),
+                ).alias(f"_nv_{b}")
+                for b in ts_
+            ],
+        ).select(
+            *[c for c in p.columns],
+            *[F.col(f"_nv_{b}").alias(f"v_{b}") for b in ts_],
+        )
+    stacked = cur.selectExpr(
+        "stack({n}, {args}) AS (event_type, stationary)".format(
+            n=len(ts_),
+            args=", ".join(f"'{t}', v_{t}" for t in ts_),
+        )
+    )
+    return stacked.orderBy("event_type")

@@ -788,3 +788,145 @@ def q_supplier_balance_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "abc")
     )
+
+
+@_q(
+    "q_returns_wilson",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    )
+    SELECT nation, n_items, n_returned,
+           CAST(n_returned AS DOUBLE) / n_items AS return_rate,
+           (CAST(n_returned AS DOUBLE) / n_items + 1.9208 / n_items
+            - 1.96 * sqrt((CAST(n_returned AS DOUBLE) / n_items)
+                * (1.0 - CAST(n_returned AS DOUBLE) / n_items) / n_items
+                + 0.9604 / (CAST(n_items AS DOUBLE) * n_items)))
+             / (1.0 + 3.8416 / n_items) AS wilson_lo,
+           (CAST(n_returned AS DOUBLE) / n_items + 1.9208 / n_items
+            + 1.96 * sqrt((CAST(n_returned AS DOUBLE) / n_items)
+                * (1.0 - CAST(n_returned AS DOUBLE) / n_items) / n_items
+                + 0.9604 / (CAST(n_items AS DOUBLE) * n_items)))
+             / (1.0 + 3.8416 / n_items) AS wilson_hi
+    FROM base
+    ORDER BY nation
+    """,
+)
+def q_returns_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per supplier nation with a 95% Wilson score interval
+    — the supplier-quality league table done honestly: a nation with 20
+    items and 3 returns overlaps one with 20,000 items and 12% returns,
+    and the Wilson interval (unlike the naive ±1.96·√(p̂q̂/n) Wald
+    band) stays inside [0,1] and behaves at small n.
+
+    Counts reduce per nation behind broadcast dims; the interval is a
+    closed-form expression over (n, k) written token-for-token
+    identically in both engines (one sqrt each) — no simulation, no
+    approximation on the hashed surface."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+               l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returned"),
+        )
+    )
+    p = F.col("n_returned").cast("double") / F.col("n_items")
+    ni = F.col("n_items")
+    half = 1.96 * F.sqrt(
+        p * (F.lit(1.0) - p) / ni
+        + F.lit(0.9604) / (ni.cast("double") * ni)
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / ni
+    return base.select(
+        "nation",
+        "n_items",
+        "n_returned",
+        p.alias("return_rate"),
+        ((p + F.lit(1.9208) / ni - half) / denom).alias("wilson_lo"),
+        ((p + F.lit(1.9208) / ni + half) / denom).alias("wilson_hi"),
+    ).orderBy("nation")
+
+
+@_q(
+    "q_discount_band_elasticity",
+    oracle="""
+    WITH banded AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS qty_c,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT disc_pct,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(qty_c) AS BIGINT) AS qty_c,
+             CAST(sum(price_c) AS BIGINT) AS rev_c
+      FROM banded GROUP BY disc_pct
+    ),
+    tot AS (SELECT CAST(sum(n_items) AS BIGINT) AS n FROM cells)
+    SELECT c.disc_pct, c.n_items,
+           CAST(c.qty_c AS DOUBLE) / c.n_items / 100.0 AS avg_qty,
+           CAST(c.rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(c.n_items AS DOUBLE) / t.n AS item_share
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.disc_pct
+    """,
+)
+def q_discount_band_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity and revenue per whole-percent discount band — the
+    pricing team's elasticity table (does a deeper discount actually
+    move more units, or just give margin away on orders that would
+    have happened anyway — TPC-H Q6's revenue-change question turned
+    into the full band curve).
+
+    Discounts quantize to integer percent (round of a 2-dp stored
+    value — exact, no tie risk); quantities/revenue sum in integer
+    cents; one keyed aggregate to ≤ 11 bands, shares off a 1-row
+    broadcast."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    banded = l.select(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("qty_c"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    cells = banded.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("qty_c").cast("bigint").alias("qty_c"),
+        F.sum("price_c").cast("bigint").alias("rev_c"),
+    )
+    tot = cells.agg(F.sum("n_items").cast("bigint").alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "disc_pct",
+            "n_items",
+            (F.col("qty_c").cast("double") / F.col("n_items") / 100.0).alias(
+                "avg_qty"
+            ),
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            (F.col("n_items").cast("double") / F.col("n")).alias("item_share"),
+        )
+        .orderBy("disc_pct")
+    )

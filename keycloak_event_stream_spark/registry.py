@@ -135,6 +135,10 @@ _PRIORITY = [
     "q_rate_limit_window",
     "q_systematic_sample",
     "q_quantile_sketch_eval",
+    "q_returns_wilson",
+    "q_discount_band_elasticity",
+    "q_text_ascii_ratio",
+    "q_markov_stationary",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
