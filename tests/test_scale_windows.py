@@ -325,3 +325,32 @@ def test_two_phase_property_random(spark):
             for r in fast_mx.select("id", "mi", "me").collect()
         }
         assert got_mx == naive_mx, f"seed={seed}"
+
+
+def test_two_phase_rownumber_exact_under_filter_consumer(spark):
+    """Regression (round 3): a row-level filter ABOVE the two-phase
+    join defeated ReuseExchange, the range partitioner re-sampled
+    boundaries for the totals branch, and global row numbers came out
+    duplicated/missing (first seen as q_systematic_sample returning
+    103-106 rows run to run). The ranged subtree is now persisted;
+    the filter consumer must see every 97th rn exactly once."""
+    import pyspark.sql.functions as F
+
+    # round-robin repartition upstream reproduces the original shape
+    df = (
+        spark.range(0, 10000)
+        .select(
+            F.col("id"),
+            (F.col("id") * 2654435761 % 1000003).alias("k"),
+        )
+        .repartition(8)
+    )
+    tp = two_phase_window(df, [F.col("k"), F.col("id")], row_number="rn")
+    picked = tp.filter(F.col("rn") % 97 == 1)
+    for _ in range(3):
+        rows = picked.collect()
+        rns = sorted(r.rn for r in rows)
+        assert rns == list(range(1, 10001, 97)), (
+            f"got {len(rns)} rows, dupes="
+            f"{len(rns) - len(set(rns))}"
+        )
