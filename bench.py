@@ -102,7 +102,9 @@ PASSES = 3
 CANARY = "q_tpch_q6"
 
 # representative subset re-timed on the 10x replica (scan-agg, big-join,
-# basket fan-out, running-window two-phase family, star-join rollup)
+# basket fan-out, running-window two-phase family, star-join rollup,
+# plus the LLM-pipeline shapes: TF-IDF explode+agg, banded-LSH dedup,
+# LSH ANN — documents/embeddings replicate 10x too)
 SCALE10X_QUERIES = [
     "q_tpch_q1",
     "q_tpch_q18",
@@ -114,6 +116,9 @@ SCALE10X_QUERIES = [
     "q_yoy_growth",
     "q_pareto_abc",
     "q_agg_corr",
+    "q_tfidf",
+    "q_dedup_near_minhash",
+    "q_sim_search_lsh",
 ]
 SCALE10X_BUDGET_S = 300.0
 

@@ -1289,3 +1289,60 @@ def q_dedup_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@_q(
+    "q_dedup_cross_source",
+    oracle=f"""
+    WITH scored AS ({_DUCK_MINHASH_LSH}),
+    meta AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(s.jaccard) AS DOUBLE) AS min_jaccard,
+           CAST(max(s.jaccard) AS DOUBLE) AS max_jaccard
+    FROM scored s
+    JOIN meta a ON a.doc_id = s.doc_a
+    JOIN meta b ON b.doc_id = s.doc_b
+    WHERE a.source <> b.source
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_a, source_b
+    LIMIT 15
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE near-duplicate matrix: which feed pairs share
+    near-identical documents — the syndication/mirror detector (two
+    crawls of the same wire service look like independent sources
+    until their near-dup pair count gives them away; within-source
+    dups are deliberately excluded since those are ordinary
+    re-publication). Top pairs by volume with the Jaccard range.
+
+    Candidates + exact Jaccard come from the one banded-LSH pass
+    (q_dedup_near_minhash); source labels join in as a broadcast
+    doc→source map; the matrix is ≤ |sources|² cells with a
+    (count desc, pair) total-order top-k."""
+    scored = QUERIES["q_dedup_near_minhash"](spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    b = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        scored.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("jaccard").cast("double").alias("min_jaccard"),
+            F.max("jaccard").cast("double").alias("max_jaccard"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+        .limit(15)
+    )

@@ -3129,3 +3129,273 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.orderBy("event_type")
+
+
+@_q(
+    "q_percentile_trend_weekly",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             row_number() OVER (
+               PARTITION BY CAST(date_trunc('week', o_orderdate) AS DATE)
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), o_orderkey) AS rn,
+             count(*) OVER (
+               PARTITION BY CAST(date_trunc('week', o_orderdate) AS DATE))
+               AS n
+      FROM orders
+    )
+    SELECT week,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END)
+                AS BIGINT) AS p90_cents
+    FROM ranked
+    GROUP BY week
+    ORDER BY week
+    """,
+)
+def q_percentile_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90 order-value trend — the distribution-aware revenue
+    monitor (a flat mean can hide the p90 whale segment collapsing;
+    tracking two exact quantiles per week shows which end of the
+    distribution moved). Nearest-rank order statistics in integer
+    cents, per ISO week.
+
+    Weeks are plentiful and balanced, so the rank window partitions by
+    the week key directly (hundreds of healthy partitions — unlike
+    q_percentile_bands_exact's 3-value flag key, no two-phase spread
+    needed; THAT's the decision rule: partition count and balance, not
+    reflex). Band extraction is the usual integer rank-hit aggregate."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week"),
+        cents.alias("cents"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("week").orderBy("cents", "o_orderkey")
+    wn = W.partitionBy("week")
+    ranked = base.select(
+        "week",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def hit(p):
+        t = F.col("n") * p + 99
+        return F.col("rn") * 100 == t - (t % 100)
+
+    return (
+        ranked.groupBy("week")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.min(F.when(hit(50), F.col("cents")))
+            .cast("bigint")
+            .alias("p50_cents"),
+            F.min(F.when(hit(90), F.col("cents")))
+            .cast("bigint")
+            .alias("p90_cents"),
+        )
+        .orderBy("week")
+    )
+
+
+@_q(
+    "q_cart_abandonment",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id
+      FROM ordered
+    ),
+    per_sess AS (
+      SELECT user_id, session_id,
+             CAST(min(ts) AS DATE) AS day,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_view,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(sum(has_view) AS BIGINT) AS sessions_with_view,
+           CAST(sum(CASE WHEN has_view = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS abandoned,
+           CAST(sum(CASE WHEN has_view = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(has_view) AS abandonment_rate
+    FROM per_sess
+    WHERE has_view = 1
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level abandonment per day: of sessions that contained a
+    view, how many ended without a purchase — the canonical e-commerce
+    leak metric, computed on the SAME session assignment as
+    q_sessionize/q_session_metrics (one definition of "session" across
+    the whole metric family, or the numbers silently disagree).
+
+    One user-keyed shuffle does sessionization and the per-session
+    flag rollup; the daily report is a second tiny aggregate. Flags
+    are max-of-indicator integers; the rate is one division."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+    ).cast("int")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    per_sess = (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").cast("date").alias("day"),
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("has_view"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_purchase"),
+        )
+        .filter(F.col("has_view") == 1)
+    )
+    abandoned = F.when(
+        (F.col("has_view") == 1) & (F.col("has_purchase") == 0), 1
+    ).otherwise(0)
+    return (
+        per_sess.groupBy("day")
+        .agg(
+            F.sum("has_view").cast("bigint").alias("sessions_with_view"),
+            F.sum(abandoned).cast("bigint").alias("abandoned"),
+            (F.sum(abandoned).cast("double") / F.sum("has_view")).alias(
+                "abandonment_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@_q(
+    "q_retention_curve_fit",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cw FROM uw GROUP BY user_id
+    ),
+    cells AS (
+      SELECT u.week - c.cw AS age, CAST(count(*) AS BIGINT) AS active
+      FROM uw u JOIN cohorts c ON c.user_id = u.user_id
+      GROUP BY 1
+    ),
+    base AS (SELECT active AS a0 FROM cells WHERE age = 0),
+    pts AS (
+      SELECT CAST(age AS BIGINT) AS x,
+             CAST(round(ln(CAST(c.active AS DOUBLE) / b.a0) * 1000000, 0)
+                  AS BIGINT) AS y
+      FROM cells c CROSS JOIN base b
+      WHERE c.age >= 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_ages,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0
+                AS DOUBLE) AS weekly_decay_rate
+    FROM m
+    """,
+)
+def q_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: regress ln(active(age)/active(0))
+    on cohort age (weeks) — the single decay-rate number that
+    summarizes q_cohort_matrix_triangle's whole grid (e^slope = the
+    week-over-week survival multiplier; LTV models consume exactly
+    this). Ages pool across cohorts, so the fit reads the aggregate
+    curve, not one cohort's noise.
+
+    The corpus reduces to |ages| cells; the log points quantize to
+    integer micro-units (6-dp — ln is libm-territory) so the OLS
+    moments are exact integers and the slope is one double division,
+    scaled back by the quantization factor."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).distinct()
+    uw = uw.persist()
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cw"))
+    cells = (
+        uw.join(cohorts, "user_id")
+        .groupBy((F.col("week") - F.col("cw")).alias("age"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active"))
+    )
+    cells = cells.persist()
+    base = cells.filter(F.col("age") == 0).select(
+        F.col("active").alias("a0")
+    )
+    pts = (
+        cells.filter(F.col("age") >= 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("age").cast("bigint").alias("x"),
+            F.round(
+                F.log(F.col("active").cast("double") / F.col("a0")) * 1e6, 0
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_ages"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        ).alias("weekly_decay_rate"),
+    )

@@ -139,6 +139,10 @@ _PRIORITY = [
     "q_discount_band_elasticity",
     "q_text_ascii_ratio",
     "q_markov_stationary",
+    "q_percentile_trend_weekly",
+    "q_cart_abandonment",
+    "q_retention_curve_fit",
+    "q_dedup_cross_source",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
