@@ -1210,3 +1210,115 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@_q(
+    "q_threshold_optimizer",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             vec_id
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT pos,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(pos) OVER () AS BIGINT) AS tot_pos,
+             score
+      FROM scored
+    ),
+    deciles AS (
+      SELECT least(CAST((rn - 1) * 10 // n AS BIGINT), 9) AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             max(tot_pos) AS tot_pos,
+             min(score) AS threshold
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, threshold,
+             CAST(sum(n_rows) OVER w AS BIGINT) AS tp_fp,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS tp,
+             max(tot_pos) OVER () AS tot_pos
+      FROM deciles
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    f1s AS (
+      SELECT decile, threshold, tp, tp_fp, tot_pos,
+             2.0 * tp / (tp_fp + tot_pos) AS f1
+      FROM cum
+    )
+    SELECT decile AS best_decile, threshold, tp, tp_fp, tot_pos, f1
+    FROM f1s
+    ORDER BY f1 DESC, decile
+    LIMIT 1
+    """,
+)
+def q_threshold_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: of the ten decile cutoffs on the model
+    score, return the one maximizing F1 — the last step after
+    q_pr_curve draws the curve (a deployed classifier needs ONE
+    threshold, and F1 = 2·TP/(predicted_pos + actual_pos) needs no
+    division until the final compare). Deterministic argmax via the
+    (f1 desc, decile) total order.
+
+    Same two-phase rank + bounded decile rollup scaffold as
+    q_pr_curve; F1 across cutoffs is ten arithmetic rows; the argmax
+    is a LIMIT 1 on the sorted 10-row table."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias(
+            "score"
+        ),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        "vec_id",
+    )
+    ranked = two_phase_window(
+        scored, [F.col("score").desc(), F.col("vec_id")], row_number="rn"
+    )
+    ranked = with_totals(
+        ranked,
+        {
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "tot_pos": F.sum("pos").cast("bigint"),
+        },
+    )
+    deciles = ranked.groupBy(
+        F.least(
+            F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("bigint"),
+            F.lit(9),
+        ).alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.max("tot_pos").alias("tot_pos"),
+        F.min("score").alias("threshold"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = deciles.select(
+        "decile",
+        "threshold",
+        F.sum("n_rows").over(wc).cast("bigint").alias("tp_fp"),
+        F.sum("n_pos").over(wc).cast("bigint").alias("tp"),
+        F.max("tot_pos").over(wall).alias("tot_pos"),
+    )
+    f1s = cum.select(
+        F.col("decile").alias("best_decile"),
+        "threshold",
+        "tp",
+        "tp_fp",
+        "tot_pos",
+        (F.lit(2.0) * F.col("tp") / (F.col("tp_fp") + F.col("tot_pos"))).alias(
+            "f1"
+        ),
+    )
+    return f1s.orderBy(F.desc("f1"), "best_decile").limit(1)

@@ -3776,3 +3776,105 @@ def q_winsorized_mean_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "q_spearman_corr",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY price_c, o_orderkey) AS rx,
+             row_number() OVER (ORDER BY n_lines, o_orderkey) AS ry
+      FROM per_order
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(CAST(rx AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(sum(CAST(rx AS DECIMAL(38,0)) * rx) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(sum(CAST(ry AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0))
+               AS syy
+      FROM ranked
+    )
+    SELECT n,
+           CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                            AS DOUBLE)
+                       * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                              AS DOUBLE))
+                AS DOUBLE) AS spearman_rho
+    FROM m
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and basket size —
+    the monotonic-association companion to q_agg_corr's Pearson r
+    (robust to the heavy price tail: a whale order can't drag ranks
+    the way it drags raw cents). Ranks break ties by o_orderkey in
+    BOTH variables, stated, so ρ is fully deterministic.
+
+    The per-order rollup is one join+aggregate; BOTH rank columns come
+    from two-phase range-partitioned row_numbers (two order spreads,
+    no single-task sort); the Pearson-on-ranks moments are exact
+    integers in DECIMAL(38,0) with one double division at the end."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(o.o_orderkey, "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+            "n_lines",
+        )
+    )
+    per_order = per_order.persist()
+    rx = two_phase_window(
+        per_order, [F.col("price_c"), F.col("o_orderkey")], row_number="rx"
+    ).select("o_orderkey", "rx")
+    ry = two_phase_window(
+        per_order, [F.col("n_lines"), F.col("o_orderkey")], row_number="ry"
+    ).select("o_orderkey", "ry")
+    ranked = rx.join(ry, "o_orderkey")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).cast("double")
+        * (
+            F.col("n") * F.col("syy")
+            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+        ).cast("double")
+    )
+    return m.select("n", (num / den).alias("spearman_rho"))

@@ -143,6 +143,9 @@ _PRIORITY = [
     "q_cart_abandonment",
     "q_retention_curve_fit",
     "q_dedup_cross_source",
+    "s_session_flags",
+    "q_threshold_optimizer",
+    "q_spearman_corr",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",

@@ -788,3 +788,76 @@ def s_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@_q(
+    "s_session_flags",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTES AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_view,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_purchase
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT * FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def s_session_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows WITH behavioral flags: each closed
+    session carries view/purchase indicators alongside its event count
+    — the streaming feed q_cart_abandonment's batch rate is computed
+    from, emitted per session as the watermark closes it (the realtime
+    abandonment pager needs the flag at session close, not at
+    end-of-day batch).
+
+    Same stateful session_window aggregation as s_session_windows plus
+    two conditional-max flags folded into the same state — no extra
+    shuffle or operator; the oracle reproduces it as the
+    gaps-and-islands rollup filtered to watermark-closed sessions."""
+    stream = read_stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("has_view"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("has_purchase"),
+        )
+    )
+    res = _run_to_memory(agg, "append")
+    return res.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "has_view",
+        "has_purchase",
+    )
