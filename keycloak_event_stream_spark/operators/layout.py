@@ -269,3 +269,71 @@ def q_layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@_q(
+    "q_partition_size_audit",
+    oracle="""
+    WITH parts AS (
+      SELECT CAST(ts AS DATE) AS dt, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(max(n_rows) AS BIGINT) AS max_rows
+      FROM parts
+    )
+    SELECT p.dt, p.n_rows,
+           CAST(p.n_rows AS DOUBLE) / t.total AS row_share,
+           CAST(p.n_rows AS DOUBLE) * t.n_parts / t.total
+             AS skew_vs_mean,
+           CAST(greatest((p.n_rows * 64 + 134217727) // 134217728, 1)
+                AS BIGINT) AS files_at_128mb
+    FROM parts p CROSS JOIN tot t
+    ORDER BY p.dt
+    """,
+)
+def q_partition_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition balance audit for the dt layout the store writes
+    (S10/terraform's dt=/hour= scheme): rows per day-partition, each
+    partition's skew against the mean, and the file count a 128 MB
+    target implies at ~64 B/row — the table a compaction/ingest
+    planner reads before q_compaction_bins plans the rewrite (a
+    partition at 20× mean is tomorrow's straggler task; one at 0.05×
+    is small-file pollution).
+
+    One keyed aggregate to |partitions| rows; corpus totals ride a
+    1-row broadcast; the file-count ceiling is integer arithmetic
+    ((n·64 + target−1) // target)."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = parts.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    target = 134217728
+    files = F.greatest(
+        ((F.col("n_rows") * 64 + (target - 1)) - ((F.col("n_rows") * 64 + (target - 1)) % target)) / target,
+        F.lit(1),
+    ).cast("bigint")
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .select(
+            "dt",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total")).alias(
+                "row_share"
+            ),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("n_parts")
+                / F.col("total")
+            ).alias("skew_vs_mean"),
+            files.alias("files_at_128mb"),
+        )
+        .orderBy("dt")
+    )

@@ -1568,3 +1568,65 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+@_q(
+    "q_window_nth_value",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER w AS rn,
+             nth_value(ts, 1) OVER wf AS t1,
+             nth_value(ts, 2) OVER wf AS t2,
+             nth_value(ts, 3) OVER wf AS t3
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t1, t2, t3,
+           CAST(date_diff('second', t1, t2) AS BIGINT) AS gap12_s,
+           CAST(date_diff('second', t2, t3) AS BIGINT) AS gap23_s
+    FROM p WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/second/third purchase timestamps per user with the gaps
+    between them — the repeat-purchase velocity feature (time to 2nd
+    purchase is the classic early-retention predictor), expressed with
+    ``nth_value`` over the FULL-partition frame (the builtin this
+    registry hadn't exercised; note nth_value needs the unbounded
+    frame or it silently reads only up to the current row).
+
+    One user-keyed window; one row per purchasing user via the rn=1
+    cut; gaps as floored-second integers (the session-gap
+    discipline)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    marked = p.select(
+        "user_id",
+        F.row_number().over(wo).alias("rn"),
+        F.nth_value("ts", 1).over(wf).alias("t1"),
+        F.nth_value("ts", 2).over(wf).alias("t2"),
+        F.nth_value("ts", 3).over(wf).alias("t3"),
+    )
+    return (
+        marked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (F.col("t2").cast("long") - F.col("t1").cast("long"))
+            .cast("bigint")
+            .alias("gap12_s"),
+            (F.col("t3").cast("long") - F.col("t2").cast("long"))
+            .cast("bigint")
+            .alias("gap23_s"),
+        )
+        .orderBy("user_id")
+    )

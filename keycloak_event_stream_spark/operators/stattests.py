@@ -3878,3 +3878,115 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
     )
     return m.select("n", (num / den).alias("spearman_rho"))
+
+
+@_q(
+    "q_ab_sequential",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day,
+             CAST(sum(CASE WHEN grp = 'A' THEN n ELSE 0 END)
+               OVER w AS BIGINT) AS na,
+             CAST(sum(CASE WHEN grp = 'A' THEN x ELSE 0 END)
+               OVER w AS BIGINT) AS xa,
+             CAST(sum(CASE WHEN grp = 'B' THEN n ELSE 0 END)
+               OVER w AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN grp = 'B' THEN x ELSE 0 END)
+               OVER w AS BIGINT) AS xb
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    dedup AS (
+      SELECT day, max(na) AS na, max(xa) AS xa,
+             max(nb) AS nb, max(xb) AS xb
+      FROM cum GROUP BY day
+    ),
+    z AS (
+      SELECT day, na, xa, nb, xb,
+             (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+               / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                      * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb)) AS z_stat
+      FROM dedup WHERE na > 0 AND nb > 0 AND xa + xb > 0
+    )
+    SELECT day, na, nb, z_stat,
+           abs(z_stat) > 3.0 AS crossed
+    FROM z
+    ORDER BY day
+    """,
+)
+def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B monitoring: the pooled two-proportion z statistic
+    recomputed on CUMULATIVE counts every day, with a Haybittle–Peto
+    stopping boundary (|z| > 3) — the peeking-safe companion to
+    q_ab_test_proportions' single final test (looking daily at an
+    unadjusted 1.96 boundary inflates false positives several-fold;
+    the conservative 3.0 interim boundary is the classic fix).
+
+    Events reduce to |days|×2 cells in one shuffle; the cumulative
+    window runs over the bounded daily spine; z is a closed-form
+    expression over four integers, written token-identically in both
+    engines (one sqrt)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum(F.when(F.col("grp") == "A", F.col("n")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == "A", F.col("x")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("xa"),
+        F.sum(F.when(F.col("grp") == "B", F.col("n")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("grp") == "B", F.col("x")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("xb"),
+    )
+    dedup = cum.groupBy("day").agg(
+        F.max("na").alias("na"),
+        F.max("xa").alias("xa"),
+        F.max("nb").alias("nb"),
+        F.max("xb").alias("xb"),
+    )
+    na, xa, nb, xb = (F.col(c) for c in ("na", "xa", "nb", "xb"))
+    pooled = (xa + xb).cast("double") / (na + nb)
+    z = (xa.cast("double") / na - xb.cast("double") / nb) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return (
+        dedup.filter((na > 0) & (nb > 0) & (xa + xb > 0))
+        .select(
+            "day",
+            "na",
+            "nb",
+            z.alias("z_stat"),
+            (F.abs(z) > 3.0).alias("crossed"),
+        )
+        .orderBy("day")
+    )

@@ -146,6 +146,9 @@ _PRIORITY = [
     "s_session_flags",
     "q_threshold_optimizer",
     "q_spearman_corr",
+    "q_ab_sequential",
+    "q_window_nth_value",
+    "q_partition_size_audit",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",

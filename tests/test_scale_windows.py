@@ -177,6 +177,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_rolling_median": "daily series (calendar-bounded)",
     "q_pr_curve": "10-row decile rollup",
     "q_threshold_optimizer": "10-row decile rollup",
+    "q_ab_sequential": "daily series (calendar-bounded)",
     "q_acf_multi": "daily-series lags (calendar-bounded)",
     "q_ar2_yule_walker": "daily series",
     "q_durbin_watson": "daily series",
