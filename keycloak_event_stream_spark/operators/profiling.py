@@ -350,3 +350,145 @@ def q_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fan_out")
     )
+
+
+@_q(
+    "q_feed_freshness",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             max(ts) AS latest,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    corpus AS (SELECT max(ts) AS tip FROM events)
+    SELECT p.event_type, p.latest, p.n_events,
+           CAST(date_diff('second', p.latest, c.tip) AS BIGINT)
+             AS staleness_s,
+           date_diff('second', p.latest, c.tip) > 86400 AS stale_alert
+    FROM per_type p CROSS JOIN corpus c
+    ORDER BY p.event_type
+    """,
+)
+def q_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed freshness: each event type's latest event time against the
+    corpus tip, with a >24 h staleness alert — the first thing an
+    on-call checks when a dashboard flatlines (one producer silently
+    stopping shows as a single stale type long before volume charts
+    move; the reference's Firehose buffering makes up to 600 s of lag
+    NORMAL, so the alert threshold sits far above it).
+
+    One keyed aggregate; the corpus tip is a 1-row broadcast;
+    staleness is floored-second integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    tip = ev.agg(F.max("ts").alias("tip"))
+    stale = F.col("tip").cast("long") - F.col("latest").cast("long")
+    return (
+        per_type.crossJoin(F.broadcast(tip))
+        .select(
+            "event_type",
+            "latest",
+            "n_events",
+            stale.cast("bigint").alias("staleness_s"),
+            (stale > 86400).alias("stale_alert"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q_sampling_bias_check",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    sample AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS s_n
+      FROM ranked WHERE rn % 97 = 1 GROUP BY event_type
+    ),
+    corpus AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c_n
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(s_n) AS BIGINT) AS s_tot FROM sample
+    ),
+    ctot AS (
+      SELECT CAST(sum(c_n) AS BIGINT) AS c_tot FROM corpus
+    ),
+    cells AS (
+      SELECT c.event_type,
+             COALESCE(s.s_n, 0) AS observed,
+             CAST(c.c_n AS DOUBLE) * t.s_tot / ct.c_tot AS expected
+      FROM corpus c
+      LEFT JOIN sample s ON s.event_type = c.event_type
+      CROSS JOIN tot t CROSS JOIN ctot ct
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CAST(round((observed - expected) * (observed - expected)
+                               / expected, 6) AS DECIMAL(27,6)))
+                AS DOUBLE) AS chi_square
+    FROM cells
+    """,
+)
+def q_sampling_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit audit OF the sampler: does q_systematic_sample's
+    1-in-97 cut reproduce the corpus event-type mix? Pearson χ² between
+    the sample's observed type counts and the corpus-share-scaled
+    expectations — the meta-check that belongs next to every sampling
+    operator (a systematic step that beats against periodic structure
+    shows up here as a fat χ² long before a model trained on the
+    sample misbehaves).
+
+    The rank reuses the two-phase global order; both count vectors are
+    |types|-sized; per-cell (O−E)²/E terms round at 6 dp into an
+    order-independent DECIMAL sum (the q_chi_square discipline)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window as _tpw,
+    )
+
+    ranked = _tpw(
+        ev.select("event_type", "ts", "event_id"),
+        [F.col("ts"), F.col("event_id")],
+        row_number="rn",
+    )
+    sample = (
+        ranked.filter(F.col("rn") % 97 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_n"))
+    )
+    corpus = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_n")
+    )
+    tot = sample.agg(F.sum("s_n").cast("bigint").alias("s_tot"))
+    ctot = corpus.agg(F.sum("c_n").cast("bigint").alias("c_tot"))
+    cells = (
+        corpus.join(sample, "event_type", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            F.coalesce("s_n", F.lit(0)).alias("observed"),
+            (
+                F.col("c_n").cast("double")
+                * F.col("s_tot")
+                / F.col("c_tot")
+            ).alias("expected"),
+        )
+    )
+    term = F.round(
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected"),
+        6,
+    ).cast("decimal(27,6)")
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(term).cast("double").alias("chi_square"),
+    )

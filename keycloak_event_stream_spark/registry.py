@@ -149,6 +149,8 @@ _PRIORITY = [
     "q_ab_sequential",
     "q_window_nth_value",
     "q_partition_size_audit",
+    "q_feed_freshness",
+    "q_sampling_bias_check",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
