@@ -3034,3 +3034,79 @@ def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "q_histogram_2d",
+    oracle="""
+    WITH rng AS (
+      SELECT CAST(min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS pmin,
+             CAST(max(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS pmax,
+             CAST(min(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS qmin,
+             CAST(max(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS qmax
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT least(((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) - r.pmin) * 8)
+                   // (r.pmax - r.pmin + 1), 7) AS price_bin,
+             least(((CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                          AS BIGINT) - r.qmin) * 8)
+                   // (r.qmax - r.qmin + 1), 7) AS qty_bin
+      FROM lineitem CROSS JOIN rng r
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM binned)
+    SELECT CAST(price_bin AS BIGINT) AS price_bin,
+           CAST(qty_bin AS BIGINT) AS qty_bin,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(*) AS DOUBLE) / max(t.n) AS share
+    FROM binned CROSS JOIN tot t
+    GROUP BY price_bin, qty_bin
+    ORDER BY price_bin, qty_bin
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8×8 equi-width 2-D histogram of (price, quantity) — the joint
+    heat map behind every price-volume scatter dashboard, and the
+    discretization a mutual-information or copula estimate consumes
+    (q_histogram_equiwidth is the 1-D marginal; the JOINT cells are
+    where "cheap items sell in bulk" becomes visible).
+
+    Bin arithmetic is ALL integer: values quantize to exact cents,
+    bin = (v − min)·8 // (max − min + 1), clamped — no float widths,
+    so edge values land identically in both engines. Corpus min/max
+    ride a 1-row broadcast; one keyed aggregate to ≤64 cells."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    base = l.select(pc.alias("p"), qc.alias("q"))
+    rng = base.agg(
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+    )
+
+    def bin_(v, lo, hi):
+        num = (F.col(v) - F.col(lo)) * 8
+        den = F.col(hi) - F.col(lo) + 1
+        return F.least((num - num % den) / den, F.lit(7)).cast("bigint")
+
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        bin_("p", "pmin", "pmax").alias("price_bin"),
+        bin_("q", "qmin", "qmax").alias("qty_bin"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("price_bin", "qty_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (F.count(F.lit(1)).cast("double") / F.max("n")).alias("share"),
+        )
+        .orderBy("price_bin", "qty_bin")
+    )

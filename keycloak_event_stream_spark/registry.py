@@ -151,6 +151,7 @@ _PRIORITY = [
     "q_partition_size_audit",
     "q_feed_freshness",
     "q_sampling_bias_check",
+    "q_histogram_2d",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
