@@ -190,12 +190,19 @@ def main() -> int:
     times = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(times.values()), 3)
+    warm = canary_passes[1:] if len(canary_passes) >= 3 else canary_passes
     canary = {
         "query": CANARY,
         "passes": canary_passes,
+        # all-pass spread includes pass-1's JVM/JIT/page-cache ramp —
+        # real, but not container noise; the warm spread (passes 2+) is
+        # the cross-round normalization signal
         "spread_pct": round(
             100.0 * (max(canary_passes) - min(canary_passes)) / min(canary_passes),
             1,
+        ),
+        "spread_pct_warm": round(
+            100.0 * (max(warm) - min(warm)) / min(warm), 1
         ),
     }
     scale10x = (
