@@ -93,18 +93,19 @@ _PRIORITY = [
     "q_multimodal_media",
     "q_multimodal_frames",
     "q_multimodal_audio",
+    # numerically subtle round-3 ops — keep inside the driver window
+    "q_markov_stationary",
+    "q_quantile_sketch_eval",
+    "q_join_asof_nearest",
+    "q_systematic_sample",
     # round-3 new queries register here as they land (keep new names
     # ABOVE the refill block so they stay inside the driver's window)
     "q_window_count_if",
     "q_session_depth_hist",
     "q_order_gap_outliers",
-    "q_weekday_seasonality_map",
     "q_first_last_touch_compare",
     "q_active_streak_top",
-    "q_null_rate_matrix",
-    "q_value_histogram_text",
     "q_schema_drift_audit",
-    "q_dup_key_audit",
     "q_percentile_bands_exact",
     "q_winsorized_mean_by",
     "q_rolling_median",
@@ -122,7 +123,10 @@ _PRIORITY = [
     "q_dedup_threshold_sweep",
     "q_mixture_temperature_sweep",
     "q_embed_dim_variance",
-    "q_join_asof_nearest",
+    "q_weekday_seasonality_map",
+    "q_null_rate_matrix",
+    "q_value_histogram_text",
+    "q_dup_key_audit",
     "q_repetition_profile",
     "q_doc_language_mismatch",
     "q_session_handoff",
@@ -133,12 +137,9 @@ _PRIORITY = [
     "q_funnel_cohort",
     "q_error_burst_detection",
     "q_rate_limit_window",
-    "q_systematic_sample",
-    "q_quantile_sketch_eval",
     "q_returns_wilson",
     "q_discount_band_elasticity",
     "q_text_ascii_ratio",
-    "q_markov_stationary",
     "q_percentile_trend_weekly",
     "q_cart_abandonment",
     "q_retention_curve_fit",
