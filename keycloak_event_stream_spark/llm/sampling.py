@@ -764,3 +764,50 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double").alias("chi2"),
         )
     )
+
+
+@_q(
+    "q_reservoir_aes",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(power(
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) AS DOUBLE) / 4503599627370496.0,
+               1.0 / n_chars), 9) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_reservoir_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling via Efraimidis–Spirakis: each doc
+    draws a deterministic uniform u from md5(doc_id) and competes with
+    key u^(1/weight); the top-k keys ARE a weighted random sample
+    WITHOUT replacement of exactly k items — the guarantee
+    q_sample_weighted's independent coin-flips can't give (its sample
+    SIZE is random; a training-batch builder usually needs exactly k).
+    Weight = n_chars, so longer documents proportionally likelier.
+
+    Fully deterministic: u is the first 52 bits of md5 (an exact
+    double in both engines), the pow rounds at 9 dp (libm last-ulp
+    discipline) and ties break on doc_id; selection is a
+    TakeOrderedAndProject top-k, never a global sort. One scan, no
+    shuffle before the k-row cut."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    u = (
+        F.expr(
+            "conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10)"
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), "doc_id").limit(50)

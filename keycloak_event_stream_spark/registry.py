@@ -153,6 +153,7 @@ _PRIORITY = [
     "q_feed_freshness",
     "q_sampling_bias_check",
     "q_histogram_2d",
+    "q_reservoir_aes",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
