@@ -586,3 +586,69 @@ def q_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (F.col("n") * 100 / acc + 100)
         ).alias("within_bound"),
     ).orderBy("p")
+
+
+@_q(
+    "q_hll_merge_eval",
+    oracle="""
+    WITH exact AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT)
+      FROM events
+    )
+    SELECT event_type, exact_users, TRUE AS within_bound
+    FROM exact
+    ORDER BY event_type
+    """,
+)
+def q_hll_merge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-sketch path evaluated (q_quantile_sketch_eval's
+    pattern applied to q_sketch_hll): per-type HLL sketches are built
+    once, estimated at the leaf level AND union-merged to the corpus
+    level, then every estimate — including the merged one, where
+    mergeability errors would compound — is checked against the exact
+    distinct at a 5σ bound (lgK=12 → rsd ≈ 1.04/√2¹² ≈ 1.6%, gate at
+    8%). The hashed surface carries exact counts and verdicts; sketch
+    jitter stays off it. Together with q_agg_approx_distinct this
+    closes the loop: the datasketches rollup machinery — build,
+    estimate, MERGE — is all under verification.
+
+    One scan builds the sketches; the merge level aggregates bytes,
+    exactly as a 100 TB per-partition rollup would."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    per_type = per_type.persist()
+    leveled = per_type.select(
+        "event_type",
+        "exact_users",
+        F.expr("hll_sketch_estimate(sketch)").cast("long").alias("approx"),
+    )
+    total = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+        .cast("long")
+        .alias("approx"),
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("ea")
+    )
+    total = total.crossJoin(F.broadcast(exact_all)).select(
+        "event_type", F.col("ea").alias("exact_users"), "approx"
+    )
+    out = leveled.unionByName(total)
+    return out.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.08)
+        ).alias("within_bound"),
+    ).orderBy("event_type")

@@ -3990,3 +3990,111 @@ def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "q_ab_heterogeneity",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             event_type AS segment,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY user_id, event_type
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN grp = 'A' THEN n_ev ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN grp = 'B' THEN n_ev ELSE 0 END) AS BIGINT)
+               AS sb,
+             CAST(sum(CASE WHEN grp = 'A' THEN n_ev * n_ev ELSE 0 END)
+                  AS BIGINT) AS qa,
+             CAST(sum(CASE WHEN grp = 'B' THEN n_ev * n_ev ELSE 0 END)
+                  AS BIGINT) AS qb
+      FROM per_user GROUP BY segment
+    )
+    SELECT segment, na, nb,
+           CAST(sa AS DOUBLE) / na AS mean_a,
+           CAST(sb AS DOUBLE) / nb AS mean_b,
+           CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS lift,
+           (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+             / sqrt(CAST(na * qa - sa * sa AS DOUBLE) / na / na / na
+                    + CAST(nb * qb - sb * sb AS DOUBLE) / nb / nb / nb)
+             AS z_stat
+    FROM seg
+    WHERE na > 1 AND nb > 1
+      AND (na * qa - sa * sa > 0 OR nb * qb - sb * sb > 0)
+    ORDER BY segment
+    """,
+)
+def q_ab_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects: the A/B difference in mean
+    events-per-user recomputed PER EVENT-TYPE SEGMENT with a Welch
+    z statistic — a flat overall effect often hides one segment
+    driving everything (the Simpson's-trap check every experiment
+    readout needs next to q_ab_test_proportions' single number), and
+    a continuous outcome avoids the degenerate-proportion trap (on
+    this fixture nearly every user converts, so proportion lifts are
+    vacuous).
+
+    Per-(user, segment) counts reduce in one shuffle; each segment's
+    z comes from six exact integer moments (n, Σx, Σx² per arm) with
+    the variance combination written token-identically in both
+    engines — one sqrt, one division."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    per_user = ev.groupBy(
+        "user_id",
+        F.col("event_type").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ev")).select(
+        "*",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+    )
+    a = F.col("grp") == "A"
+    seg = per_user.groupBy("segment").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(a, F.col("n_ev")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(~a, F.col("n_ev")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(a, F.col("n_ev") * F.col("n_ev")).otherwise(0))
+        .cast("bigint")
+        .alias("qa"),
+        F.sum(F.when(~a, F.col("n_ev") * F.col("n_ev")).otherwise(0))
+        .cast("bigint")
+        .alias("qb"),
+    )
+    na, nb, sa, sb, qa, qb = (
+        F.col(c) for c in ("na", "nb", "sa", "sb", "qa", "qb")
+    )
+    mean_a = sa.cast("double") / na
+    mean_b = sb.cast("double") / nb
+    lift = mean_a - mean_b
+    z = lift / F.sqrt(
+        (na * qa - sa * sa).cast("double") / na / na / na
+        + (nb * qb - sb * sb).cast("double") / nb / nb / nb
+    )
+    return (
+        seg.filter(
+            (na > 1)
+            & (nb > 1)
+            & ((na * qa - sa * sa > 0) | (nb * qb - sb * sb > 0))
+        )
+        .select(
+            "segment",
+            "na",
+            "nb",
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            lift.alias("lift"),
+            z.alias("z_stat"),
+        )
+        .orderBy("segment")
+    )

@@ -154,6 +154,8 @@ _PRIORITY = [
     "q_sampling_bias_check",
     "q_histogram_2d",
     "q_reservoir_aes",
+    "q_hll_merge_eval",
+    "q_ab_heterogeneity",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
