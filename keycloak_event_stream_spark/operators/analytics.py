@@ -3399,3 +3399,168 @@ def q_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("weekly_decay_rate"),
     )
+
+
+@_q(
+    "q_churn_hazard_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, min(week) AS first_w, max(week) AS last_w
+      FROM uw GROUP BY user_id
+    ),
+    horizon AS (SELECT max(week) AS h FROM uw),
+    at_risk AS (
+      SELECT w.week,
+             CAST(count(*) AS BIGINT) AS n_at_risk,
+             CAST(sum(CASE WHEN s.last_w = w.week THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_churned
+      FROM spans s
+      CROSS JOIN horizon hz
+      JOIN (SELECT DISTINCT week FROM uw) w
+        ON w.week >= s.first_w AND w.week <= s.last_w
+      WHERE w.week < hz.h
+      GROUP BY w.week
+    )
+    SELECT week, n_at_risk, n_churned,
+           CAST(n_churned AS DOUBLE) / n_at_risk AS hazard
+    FROM at_risk
+    ORDER BY week
+    """,
+)
+def q_churn_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: for each week, the share of users
+    still "alive" (between their first and last active week) whose
+    activity ENDS that week — the conditional-risk curve behind
+    q_survival_km's survival function and the per-period number a
+    retention team can actually act on (a hazard spike at week 2 means
+    onboarding, not product, is leaking). The horizon week is excluded:
+    censored users (active at the corpus edge) are not churners.
+
+    The membership table reduces to per-user (first, last) spans; each
+    user then EXPLODES into their ≤|weeks| at-risk weeks via a range
+    join against the tiny distinct-week table (the calendar, not the
+    corpus), and hazards are one division per week."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).distinct()
+    uw = uw.persist()
+    spans = uw.groupBy("user_id").agg(
+        F.min("week").alias("first_w"), F.max("week").alias("last_w")
+    )
+    horizon = uw.agg(F.max("week").alias("h"))
+    at_risk = (
+        spans.select(
+            "last_w",
+            F.explode(
+                F.expr("sequence(first_w, last_w)")
+            ).alias("week"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("week") < F.col("h"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("last_w") == F.col("week"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+    )
+    return at_risk.select(
+        "week",
+        "n_at_risk",
+        "n_churned",
+        (F.col("n_churned").cast("double") / F.col("n_at_risk")).alias(
+            "hazard"
+        ),
+    ).orderBy("week")
+
+
+@_q(
+    "q_seasonal_index_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    per_dow AS (
+      SELECT dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY dow
+    ),
+    overall AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(sum(n_days) AS BIGINT) AS days
+      FROM per_dow
+    )
+    SELECT p.dow, p.n_days,
+           CAST(p.cents AS DOUBLE) / p.n_days / 100.0 AS mean_revenue,
+           (CAST(p.cents AS DOUBLE) / p.n_days)
+             / (CAST(o.tot AS DOUBLE) / o.days) AS seasonal_index
+    FROM per_dow p CROSS JOIN overall o
+    ORDER BY p.dow
+    """,
+)
+def q_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of revenue: mean daily revenue per
+    ISO weekday divided by the overall daily mean — the classical
+    multiplicative seasonal factors (index 1.3 on Monday = Mondays run
+    30% hot), the deseasonalization input for every forecast op here
+    (q_holt_winters estimates these jointly; this is the direct-ratio
+    estimate planners sanity-check it against).
+
+    Orders reduce to daily cents, then to 7 weekday cells; the overall
+    mean rides a 1-row broadcast; indexes are exact-integer ratios
+    with two double divisions, and ISO numbering is pinned
+    (weekday()+1 ≡ isodow)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.expr("weekday(cast(o_orderdate as date))") + 1)
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    overall = per_dow.agg(
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum("n_days").cast("bigint").alias("days"),
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            (F.col("cents").cast("double") / F.col("n_days") / 100.0).alias(
+                "mean_revenue"
+            ),
+            (
+                (F.col("cents").cast("double") / F.col("n_days"))
+                / (F.col("tot").cast("double") / F.col("days"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

@@ -734,3 +734,121 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("level")
     )
+
+
+@_q(
+    "q_graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    ed AS (
+      SELECT a.d AS dx, b.d AS dy
+      FROM edges e
+      JOIN deg a ON a.node = e.src
+      JOIN deg b ON b.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(CAST(dx AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(sum(CAST(dx AS DECIMAL(38,0)) * dx) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(sum(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0))
+               AS syy
+      FROM ed
+    )
+    SELECT n AS n_half_edges,
+           CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                            AS DOUBLE)
+                       * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                              AS DOUBLE))
+                AS DOUBLE) AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier graph: the Pearson
+    correlation of endpoint degrees over all (directed) edges —
+    negative means hubs attach to leaves (the typical
+    bipartite-commerce shape: big suppliers serve many small
+    customers), positive means a rich-club core. One number that says
+    which mixing regime the graph is in before anyone runs community
+    detection on it.
+
+    Degrees come from one keyed aggregate; attaching them to both
+    endpoints is two equi-joins against the node-sized degree table
+    (broadcast); the correlation uses exact DECIMAL(38,0) moments
+    with one sqrt+division (the q_spearman_corr discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+        pairs.select(s_node.alias("src"), c_node.alias("dst"))
+    )
+    edges = edges.persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).cast("double")
+        * (
+            F.col("n") * F.col("syy")
+            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+        ).cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_half_edges"),
+        (num / den).alias("assortativity"),
+    )

@@ -156,6 +156,9 @@ _PRIORITY = [
     "q_reservoir_aes",
     "q_hll_merge_eval",
     "q_ab_heterogeneity",
+    "q_churn_hazard_weekly",
+    "q_seasonal_index_dow",
+    "q_graph_assortativity",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
