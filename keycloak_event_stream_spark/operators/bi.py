@@ -930,3 +930,73 @@ def q_discount_band_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disc_pct")
     )
+
+
+@_q(
+    "q_catalog_freshness",
+    oracle="""
+    WITH first_seen AS (
+      SELECT l.l_partkey,
+             min(CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS fm
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_partkey
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT CASE
+               WHEN f.fm = CAST(date_trunc('month', o.o_orderdate) AS DATE)
+               THEN l.l_partkey END) AS BIGINT) AS n_new_parts
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN first_seen f ON f.l_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT month, n_parts, n_new_parts,
+           CAST(n_new_parts AS DOUBLE) / n_parts AS novelty_rate
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def q_catalog_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog novelty per month: of the parts ordered each month, how
+    many were ordered for the FIRST time — the assortment-freshness
+    curve (a decaying novelty rate means the catalog has been fully
+    explored; merchandising reads this before launching anything).
+    The item-side twin of q_new_vs_returning's user metric.
+
+    First-seen months reduce per part in one keyed aggregate; the
+    monthly rollup joins that |parts|-sized table back on the part
+    key. Distinct part counts per month are exact; the rate is one
+    division."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    base = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_partkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    base = base.persist()
+    first_seen = base.groupBy("l_partkey").agg(F.min("month").alias("fm"))
+    monthly = (
+        base.join(first_seen, "l_partkey")
+        .groupBy("month")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.countDistinct(
+                F.when(F.col("fm") == F.col("month"), F.col("l_partkey"))
+            )
+            .cast("bigint")
+            .alias("n_new_parts"),
+        )
+    )
+    return monthly.select(
+        "month",
+        "n_parts",
+        "n_new_parts",
+        (F.col("n_new_parts").cast("double") / F.col("n_parts")).alias(
+            "novelty_rate"
+        ),
+    ).orderBy("month")

@@ -4098,3 +4098,83 @@ def q_ab_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@_q(
+    "q_poisson_fit_lines",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS obs
+      FROM per_order GROUP BY k
+    ),
+    m AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS n,
+             CAST(sum(k * obs) AS BIGINT) AS total_k
+      FROM hist
+    ),
+    scored AS (
+      SELECT h.k, h.obs,
+             round(m.n * exp(-(CAST(m.total_k AS DOUBLE) / m.n))
+                   * power(CAST(m.total_k AS DOUBLE) / m.n, h.k)
+                   / factorial(CAST(h.k AS INTEGER)), 6) AS expected
+      FROM hist h CROSS JOIN m
+    )
+    SELECT CAST(k AS BIGINT) AS k, obs, expected,
+           round((obs - expected) * (obs - expected)
+                 / greatest(expected, 0.000001), 6) AS chi2_term
+    FROM scored
+    ORDER BY k
+    """,
+)
+def q_poisson_fit_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit for lines-per-order: the observed basket
+    size histogram against the Poisson(λ̂ = mean) expectations with
+    per-cell χ² terms — whether basket sizes are "random arrivals"
+    (independent item picks) or structured (bundles, minimums); big
+    terms at specific k point at WHERE the model breaks, which a
+    single p-value hides.
+
+    Lineitem reduces to the |distinct k| histogram in one shuffle; λ̂
+    comes from integer moments; the Poisson pmf term
+    (n·e^-λ·λ^k / k!) uses integer factorial and rounds at 6 dp (the
+    libm discipline for exp/pow), as does each χ² term with a
+    floor-guarded denominator — identical expressions both engines."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    hist = per_order.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    m = hist.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.sum(F.col("k") * F.col("obs")).cast("bigint").alias("total_k"),
+    )
+    lam = F.col("total_k").cast("double") / F.col("n")
+    expected = F.round(
+        F.col("n")
+        * F.exp(-lam)
+        * F.pow(lam, F.col("k"))
+        / F.expr("factorial(cast(k as int))"),
+        6,
+    )
+    scored = hist.crossJoin(F.broadcast(m)).select(
+        F.col("k").cast("bigint").alias("k"),
+        "obs",
+        expected.alias("expected"),
+    )
+    return scored.select(
+        "k",
+        "obs",
+        "expected",
+        F.round(
+            (F.col("obs") - F.col("expected"))
+            * (F.col("obs") - F.col("expected"))
+            / F.greatest(F.col("expected"), F.lit(0.000001)),
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("k")

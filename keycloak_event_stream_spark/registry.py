@@ -159,6 +159,8 @@ _PRIORITY = [
     "q_churn_hazard_weekly",
     "q_seasonal_index_dow",
     "q_graph_assortativity",
+    "q_catalog_freshness",
+    "q_poisson_fit_lines",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
