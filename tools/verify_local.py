@@ -134,6 +134,14 @@ def main() -> int:
             n_fail += 1
             continue
         spark_times[name] = round(time.time() - t0, 3)
+        # drop per-query persisted intermediates: across a 400+-query
+        # sweep the accumulated caches exhaust a default-memory session
+        # (the vanilla JVM died mid-sweep twice at ~200 queries before
+        # this; the engine session's 8g just hides the same leak)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         if name not in oracle:
             print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
