@@ -492,3 +492,79 @@ def q_sampling_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.sum(term).cast("double").alias("chi_square"),
     )
+
+
+@_q(
+    "q_invoice_reconciliation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2))))
+                  AS DECIMAL(38,6)) AS gross
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    rec AS (
+      SELECT o.o_orderkey,
+             CAST((l.gross - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  * 1000000 AS BIGINT) AS diff_micro
+      FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN diff_micro = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN diff_micro <> 0
+                          AND abs(diff_micro) <= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1c,
+           CAST(sum(CASE WHEN abs(diff_micro) > 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_off,
+           CAST(max(abs(diff_micro)) AS BIGINT) AS max_abs_diff_micro
+    FROM rec
+    """,
+)
+def q_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice reconciliation: recompute each order's gross from its
+    line items (extendedprice × (1−discount) × (1+tax), all in exact
+    DECIMAL — the money discipline, no doubles anywhere) and diff it
+    against the order header's total — the classic finance-data close
+    job, bucketed into exact matches, ≤1¢ rounding drift, and real
+    discrepancies with the worst offset. On synthetic fixtures the
+    headers don't derive from lines, so "n_off" is large — which is
+    precisely what the audit is for: the pipeline reports it instead
+    of anyone assuming the invariant.
+
+    One keyed rollup of lines co-partitioned with the header join;
+    diffs quantize to exact micro-units (decimal scale 6 → BIGINT);
+    the report is one row of integer counts."""
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    gross_line = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    lines = l.groupBy("l_orderkey").agg(
+        F.sum(gross_line).cast("decimal(38,6)").alias("gross")
+    )
+    rec = (
+        o.select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp"))
+        .join(lines, F.col("o_orderkey") == lines.l_orderkey)
+        .select(
+            ((F.col("gross") - F.col("tp")) * 1000000)
+            .cast("bigint")
+            .alias("diff_micro")
+        )
+    )
+    d = F.col("diff_micro")
+    return rec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when((d != 0) & (F.abs(d) <= 10000), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_1c"),
+        F.sum(F.when(F.abs(d) > 10000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_off"),
+        F.max(F.abs(d)).cast("bigint").alias("max_abs_diff_micro"),
+    )

@@ -161,6 +161,7 @@ _PRIORITY = [
     "q_graph_assortativity",
     "q_catalog_freshness",
     "q_poisson_fit_lines",
+    "q_invoice_reconciliation",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
