@@ -3564,3 +3564,73 @@ def q_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@_q(
+    "q_top_movers_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    shifted AS (
+      SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM weekly
+    )
+    SELECT event_type, week, n, prev_n,
+           CAST(n - prev_n AS BIGINT) AS delta,
+           CAST(n - prev_n AS DOUBLE) / prev_n AS pct_change
+    FROM shifted
+    WHERE prev_n IS NOT NULL AND prev_n > 0
+    ORDER BY abs(CAST(n - prev_n AS DOUBLE) / prev_n) DESC,
+             event_type, week
+    LIMIT 10
+    """,
+)
+def q_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 week-over-week movers: the (event type, week) cells with
+    the largest relative volume swing — the "what changed" list at the
+    top of every weekly ops review (an absolute-delta ranking would
+    only ever show the biggest stream; relative change surfaces the
+    small feed that tripled).
+
+    Events reduce to |types|×|weeks| cells; the lag runs per type over
+    the bounded weekly spine; the leaderboard is a
+    TakeOrderedAndProject over the (|pct| desc, type, week) total
+    order — deterministic cut, weeks via explicit floor division."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    weekly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("week")
+    shifted = weekly.select(
+        "event_type",
+        "week",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+    ).filter(F.col("prev_n").isNotNull() & (F.col("prev_n") > 0))
+    pct = (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n")
+    return (
+        shifted.select(
+            "event_type",
+            "week",
+            "n",
+            "prev_n",
+            (F.col("n") - F.col("prev_n")).cast("bigint").alias("delta"),
+            pct.alias("pct_change"),
+        )
+        .orderBy(F.abs(pct).desc(), "event_type", "week")
+        .limit(10)
+    )

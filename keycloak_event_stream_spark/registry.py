@@ -162,6 +162,7 @@ _PRIORITY = [
     "q_catalog_freshness",
     "q_poisson_fit_lines",
     "q_invoice_reconciliation",
+    "q_top_movers_wow",
     # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
