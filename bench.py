@@ -1,8 +1,11 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line LAST:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+(scalar canary/scale10x summaries only — the full detail, including the
+per-query 10x table, is written to ``BENCH_LOCAL.json`` so a bounded
+tail capture of stdout always contains the parseable gate numbers).
 
 Each query is forced through full execution with the noop sink (all
 partitions materialized executor-side, nothing collected to the driver)
@@ -19,6 +22,12 @@ measured a 21% whole-run inflation on identical code. Three defenses:
   since round 1) is timed at the start of every pass and reported
   separately; round-over-round comparisons divide by the canary before
   calling anything a regression.
+- **cold-plan timing** (round-4): ``spark.catalog.clearCache()`` runs
+  before EVERY timed execution, so operators that persist a subtree
+  (two-phase windows, pagerank edges, …) are re-executed, not read back
+  from the pass-1 InMemoryRelation — the per-query minimum is plan
+  cost, not warm-cache throughput, and entries no longer accumulate
+  across the run. (Numbers re-baselined in BASELINE.md accordingly.)
 - **10x scale leg**: a replicated-disjoint-key ~sf1 dataset (reused
   from ``tools/scale_probe.py``) re-times a representative subset so
   every BENCH artifact carries the scale-growth ratios, not just the
@@ -129,6 +138,24 @@ def _run(queries, name, spark, sf_dir) -> float:
     return time.monotonic() - t0
 
 
+def _clear_cache(spark) -> None:
+    """Drop every CacheManager entry between timed passes.
+
+    Many operators persist a subtree (the two-phase window primitive,
+    pagerank's edge table, …) and Spark's CacheManager substitutes any
+    semantically identical plan with the cached InMemoryRelation — so
+    without this, passes 2+ of a persisting query measure a warm-cache
+    read, not plan cost (round-4 ADVICE). Clearing between passes keeps
+    the per-query minimum an honest cold-plan number.
+    """
+    spark.catalog.clearCache()
+
+
+def _run_cold(queries, name, spark, sf_dir) -> float:
+    _clear_cache(spark)
+    return _run(queries, name, spark, sf_dir)
+
+
 def _scale10x(queries, spark, sf_dir) -> dict:
     """Bounded 10x leg: build/reuse the disjoint-key replica and re-time
     the representative subset, best-of-2 each, under a wall budget."""
@@ -147,8 +174,8 @@ def _scale10x(queries, spark, sf_dir) -> dict:
         if time.monotonic() - t_start > SCALE10X_BUDGET_S:
             out["skipped"].append(name)
             continue
-        t1 = min(_run(queries, name, spark, sf_dir) for _ in range(2))
-        t10 = min(_run(queries, name, spark, OUT) for _ in range(2))
+        t1 = min(_run_cold(queries, name, spark, sf_dir) for _ in range(2))
+        t10 = min(_run_cold(queries, name, spark, OUT) for _ in range(2))
         out["queries"][name] = {
             "sf1x": round(t1, 3),
             "sf10x": round(t10, 3),
@@ -182,11 +209,13 @@ def main() -> int:
     canary_passes: list[float] = []
     samples: dict[str, list[float]] = {}
     for _ in range(PASSES):
-        canary_passes.append(round(_run(queries, CANARY, spark, sf_dir), 3))
+        canary_passes.append(round(_run_cold(queries, CANARY, spark, sf_dir), 3))
         for name in HEADLINE:
             if name not in queries:
                 continue
-            samples.setdefault(name, []).append(_run(queries, name, spark, sf_dir))
+            samples.setdefault(name, []).append(
+                _run_cold(queries, name, spark, sf_dir)
+            )
     times = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(times.values()), 3)
@@ -210,20 +239,46 @@ def main() -> int:
         if os.environ.get("SPARK_GRAFT_BENCH_SCALE10X", "1") != "0"
         else {"skipped": SCALE10X_QUERIES}
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "passes": PASSES,
-                "canary": canary,
-                "scale10x": scale10x,
-            }
-        )
-    )
+
+    # Artifact discipline (round-4, per r3 verdict #1): the driver's tail
+    # capture is bounded, and round 3's single giant line (queries +
+    # canary + scale10x detail) got its HEAD clipped — `BENCH_r03.json`
+    # ended up `parsed: null`. Two-channel emission fixes it for good:
+    #   - the FULL result (incl. per-query scale10x detail and the raw
+    #     canary passes) goes to ``BENCH_LOCAL.json`` in-repo, and
+    #   - stdout gets ONE compact contract line, printed LAST, holding
+    #     only the gate numbers: metric/value/unit/sf/queries plus
+    #     scalar canary + scale10x summaries (~2 KB, survives any
+    #     bounded tail capture).
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "passes": PASSES,
+        "canary": canary,
+        "scale10x": scale10x,
+    }
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout — stdout line still carries gates
+        print(f"[bench] BENCH_LOCAL.json not written: {exc}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "passes": PASSES,
+        "canary_spread_pct_warm": canary["spread_pct_warm"],
+        "scale10x_max_ratio": scale10x.get("max_ratio"),
+        "scale10x_n": len(scale10x.get("queries", {})),
+        "detail": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     return 0
 
 

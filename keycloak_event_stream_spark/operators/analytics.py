@@ -2451,14 +2451,14 @@ def q_weekday_seasonality_map(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, min(ts) AS p_ts,
              arg_min(event_id,
                      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                       || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+                       || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                AS p_eid
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     prior AS (
       SELECT e.user_id, e.event_type,
              lpad(CAST(epoch_us(e.ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(e.event_id AS VARCHAR), 10, '0') AS ord_key
+               || lpad(CAST(e.event_id AS VARCHAR), 20, '0') AS ord_key
       FROM events e JOIN fp ON fp.user_id = e.user_id
       WHERE e.ts < fp.p_ts
          OR (e.ts = fp.p_ts AND e.event_id < fp.p_eid)
@@ -2495,9 +2495,12 @@ def q_first_last_touch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-touch.
 
     The first-purchase table is |users| rows (broadcast); prior events
-    reduce per user via arg_min/arg_max over a zero-padded
-    (epoch_us, event_id) string key — a total order both engines sort
-    identically, the deterministic-tiebreak discipline."""
+    reduce per user via arg_min/arg_max: Spark orders a NUMERIC
+    (epoch_us, event_id) struct; DuckDB's arg_min can't take a struct
+    key, so the oracle zero-pads both fields to the FULL int64 width
+    (20 chars each) — for non-negative values that string order equals
+    the numeric order at any ID width (round-4 ADVICE: the previous
+    10-char pad silently truncated event_ids beyond 10 digits)."""
     ev = spread(load_table(spark, sf_dir, "events"))
     p = ev.filter(F.col("event_type") == "purchase")
     fp = p.groupBy("user_id").agg(
@@ -2507,9 +2510,9 @@ def q_first_last_touch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fpk.ts").alias("p_ts"),
         F.col("fpk.event_id").alias("p_eid"),
     )
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    ord_key = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
     )
     prior = (
         ev.join(F.broadcast(fp), "user_id")
@@ -3443,9 +3446,14 @@ def q_churn_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     censored users (active at the corpus edge) are not churners.
 
     The membership table reduces to per-user (first, last) spans; each
-    user then EXPLODES into their ≤|weeks| at-risk weeks via a range
-    join against the tiny distinct-week table (the calendar, not the
-    corpus), and hazards are one division per week."""
+    user then EXPLODES into their ≤|weeks| at-risk weeks, which are
+    then semi-joined against the tiny OBSERVED-week spine — both
+    engines evaluate hazards over the same week domain (weeks with
+    corpus-wide activity), so a calendar week with zero events
+    corpus-wide contributes no at-risk row on either side (round-4
+    ADVICE: previously Spark kept every calendar week in the span
+    while the oracle kept only observed weeks — coincidentally equal
+    on week-dense fixtures, divergent on sparse ones)."""
     ev = load_table(spark, sf_dir, "events")
     uw = ev.select(
         "user_id",
@@ -3463,6 +3471,7 @@ def q_churn_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("week").alias("first_w"), F.max("week").alias("last_w")
     )
     horizon = uw.agg(F.max("week").alias("h"))
+    observed_weeks = uw.select("week").distinct()
     at_risk = (
         spans.select(
             "last_w",
@@ -3470,6 +3479,7 @@ def q_churn_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("sequence(first_w, last_w)")
             ).alias("week"),
         )
+        .join(F.broadcast(observed_weeks), "week", "semi")
         .crossJoin(F.broadcast(horizon))
         .filter(F.col("week") < F.col("h"))
         .groupBy("week")

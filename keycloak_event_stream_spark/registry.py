@@ -53,29 +53,91 @@ _MODULES = [
 
 
 # Registration order is part of the driver contract: the driver's
-# correctness report caps at the first N registered queries, so each
-# round's NEW or RISKIEST operators must register first. Keep this list
-# to roughly the cap (~50); everything else follows in module order
-# (the relational core sits there — it has been driver-green since r1).
+# correctness report caps at the FIRST ~50 registered queries — ONLY
+# the first ~50 names below get driver-window evidence in a given
+# round; everything after the "refill" marker is documentation of past
+# windows plus module-order spillover, NOT driver-checked this round
+# (round-4 ADVICE: say so explicitly instead of implying the whole
+# list lands in the window).
 #
-# Round-3 window (per VERDICT r2 "Next round #1"): the round-1 red rows
-# and the core streaming ops have been fixed + locally verified since
-# round 1 but have NEVER appeared green in a driver CORRECTNESS file
-# (r2's 50-query window covered only the newest additions). Spend this
-# round's window on exactly that evidence, plus everything round 3
-# touched (ADVICE fixes, new oracles, new queries).
+# Round-4 window (per VERDICT r3 "Next round #2"): rounds 1–3 covered
+# ~144 unique names of 479; this round's 50 slots go to families that
+# have NEVER appeared in any driver CORRECTNESS file — TPC-H Q1–Q22
+# (only Q3/Q18 ever checked), scale_patterns, graph, sketches (incl.
+# the two newly-oracled raw sketches), the privacy ladder, mleval —
+# plus this round's code changes that need fresh proof
+# (q_dedup_near_minhash exact-clone collapse, the two ADVICE-fixed
+# never-checked names).
 _PRIORITY = [
-    # round-1 red rows — fixed in r2, never driver-green
+    # TPC-H: the canonical relational gauntlet; only Q3/Q18 have ever
+    # been driver-green (r1). 20 first-time names.
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # scale_patterns: the 100 TB survival kit (skew, CDC, incremental)
+    "q_join_salted_skew",
+    "q_join_bloom_prefilter",
+    "q_join_range_binned",
+    "q_cdc_apply",
+    "q_incremental_agg",
+    "q_skew_diagnosis",
+    "q_profile_table",
+    # graph suite (kcore/bfs_levels already green r3; rest first-time)
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_degree_dist",
+    "q_graph_hits",
+    "q_graph_common_neighbors",
+    "q_graph_assortativity",
+    # sketches: q_sketch_hll/q_sketch_quantiles gained value-checked
+    # oracles this round (VERDICT #5 — rows-only set reaches 0)
+    "q_sketch_hll",
+    "q_sketch_quantiles",
+    "q_sketch_cms",
+    "q_approx_topk",
+    "q_heavy_hitters",
+    "q_hll_merge_eval",
+    # privacy ladder — never driver-checked
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_dp_count_laplace",
+    "q_pseudonymize",
+    # round-4 code changes needing fresh driver proof
+    "q_dedup_near_minhash",  # exact-clone collapse before LSH (r3 verdict #3)
+    "q_churn_hazard_weekly",  # ADVICE week-domain fix, never checked
+    "s_session_flags",  # ADVICE boundary fix, never checked
+    # mleval suite — first driver look
+    "q_confusion_matrix",
+    "q_classifier_prf1",
+    "q_ndcg_eval",
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",
     "q_pivot",
-    # core streaming — fixed in r2 (session independence), never driver-green
     "s_ingest_flatten",
     "s_tumbling_counts",
     "s_sliding_agg",
     "s_session_windows",
     "s_watermark_late",
     "s_stream_dedup",
-    # two-phase global-window rewrites — rewritten in r2, never driver-green
     "q_auc_roc",
     "q_ks_test",
     "q_gini",
@@ -83,23 +145,18 @@ _PRIORITY = [
     "q_pareto_abc",
     "q_pack_sequences",
     "q_skyline",
-    # round-3 ADVICE fixes (oracle/plan changed this round — re-prove)
     "q_session_metrics",
     "q_growth_accounting",
     "q_stickiness",
     "q_log_loss_brier",
-    # round-3 new oracles (were rows-only)
     "q_agg_approx_distinct",
     "q_multimodal_media",
     "q_multimodal_frames",
     "q_multimodal_audio",
-    # numerically subtle round-3 ops — keep inside the driver window
     "q_markov_stationary",
     "q_quantile_sketch_eval",
     "q_join_asof_nearest",
     "q_systematic_sample",
-    # round-3 new queries register here as they land (keep new names
-    # ABOVE the refill block so they stay inside the driver's window)
     "q_window_count_if",
     "q_session_depth_hist",
     "q_order_gap_outliers",
