@@ -210,11 +210,42 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, band_key) instead of an n² similarity join; the
     exact verify runs only on candidates. Only the band table (doc_id,
     band, key — bytes per doc) is persisted for the self-join; shingles
-    recompute from the scan, so nothing corpus-sized is ever cached."""
+    recompute from the scan, so nothing corpus-sized is ever cached.
+
+    Round-4 (r3 verdict #3 — LSH bucket blowup): EXACT clones collapse
+    BEFORE shingling. Identical texts share every band key, so a group
+    of k clones used to inflate the bucket self-join by k² candidate
+    rows, each dragging its shingle array through the exact-Jaccard
+    verify — the 7.4× ratio the 10× verbatim-replica leg exposed, and
+    exactly what a boilerplate-heavy crawl corpus does in production.
+    Now: group by md5(text), run the whole LSH pipeline on one
+    REPRESENTATIVE (min doc_id) per distinct text, then re-expand —
+    intra-group pairs are emitted directly with Jaccard exactly 1.0
+    (identical shingle sets; same double the division produces), and
+    each surviving representative pair fans out to its groups' members
+    via two cheap equi-joins on the clone key, inheriting the
+    representative Jaccard (identical texts ⇒ identical shingles ⇒
+    identical similarity). Output is bitwise-identical to the
+    all-pairs formulation (oracle unchanged); candidate-generation
+    cost now scales with UNIQUE texts, while only the final fan-out —
+    the part of the output that is genuinely quadratic in clone-group
+    size — pays for the clones."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    docs = (
+    eligible = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", "text")
+    )
+    # clone table: doc -> distinct-text key; group representatives
+    clones = eligible.select(
+        "doc_id", F.md5("text").alias("ckey")
+    ).persist()
+    reps = clones.groupBy("ckey").agg(F.min("doc_id").alias("rep_id"))
+    docs = (
+        eligible.join(
+            reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi"
+        )
+        .withColumn("w", F.split("text", " "))
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
     )
     hashed = docs.select(
@@ -250,13 +281,58 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
     )
-    return (
+    rep_pairs = (
         pairs.join(x, "doc_a")
         .join(y, "doc_b")
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # fan-out 1: every pair WITHIN a clone group, Jaccard exactly 1.0
+    # (a group's k members contribute k·(k−1)/2 output rows — quadratic
+    # only because the OUTPUT is; the join itself is an equi-join)
+    ca, cb = clones.alias("ca"), clones.alias("cb")
+    intra = (
+        ca.join(
+            cb,
+            (F.col("ca.ckey") == F.col("cb.ckey"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+            (F.lit(1).cast("double") / F.lit(1)).alias("jaccard"),
+        )
+    )
+    # fan-out 2: each surviving representative pair expands to the
+    # cross product of its two clone groups (distinct groups, so no
+    # overlap with intra pairs; each doc pair maps to exactly one
+    # group pair, so no duplicates either)
+    rk = reps.select("rep_id", "ckey")
+    ma = clones.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("m_a"))
+    mb = clones.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(
+            rk.select(
+                F.col("rep_id").alias("doc_a"), F.col("ckey").alias("ckey_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            rk.select(
+                F.col("rep_id").alias("doc_b"), F.col("ckey").alias("ckey_b")
+            ),
+            "doc_b",
+        )
+        .join(ma, "ckey_a")
+        .join(mb, "ckey_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

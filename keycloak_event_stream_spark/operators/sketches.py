@@ -3,9 +3,12 @@
 At 100 TB exact distinct/percentile either shuffles every value or
 sorts; sketches shuffle kilobytes per group and merge associatively —
 the only viable shape for interactive cardinality/quantile queries at
-that scale. All entries are approximate by nature, so the driver
-records the weaker rows-only check (`__spark_entry__` contract); the
-unit tests pin accuracy envelopes instead.
+that scale. All entries are approximate by nature, but every one is
+still HASH-checked: deterministic sketches (CMS) compare bitwise, and
+the estimate-based ones carry their exact counterpart plus a
+``within_bound`` error-envelope flag on the result surface (round-4 —
+the rows-only set is now empty), with unit tests pinning the accuracy
+envelopes besides.
 
 - HLL (Apache DataSketches via hll_sketch_agg): build per-group, merge
   across groups with hll_union_agg — the two-level rollup pattern where
@@ -36,42 +39,138 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-@_q("q_sketch_hll")  # approximate — rows-only check
+@_q(
+    "q_sketch_hll",
+    oracle="""
+    SELECT event_type, n_events, exact_users, TRUE AS within_bound
+    FROM (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT user_id) AS BIGINT)
+      FROM events
+    ) t
+    """,
+)
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level HLL rollup: per-(type) user sketches, then a grand
     total by *merging sketches* (hll_union_agg) — the raw data is read
     once; the second level aggregates bytes. This is how per-partition
-    cardinality rolls up to corpus cardinality without a second scan."""
+    cardinality rolls up to corpus cardinality without a second scan.
+
+    Round-4: hash-checked via the q_agg_approx_distinct bound-flag
+    pattern (was the last rows-only pair with q_sketch_quantiles) —
+    the query emits the exact distinct alongside ``within_bound`` =
+    |estimate − exact| / exact ≤ 5·rsd, where rsd = 1.04/√2^lgK
+    (lgK = 12 → 1.63%); the estimate's jitter stays off the hashed
+    surface while a broken sketch or union fails the oracle. The
+    union row's bound is checked against the GLOBAL exact distinct, so
+    the merge path itself is gated, not just the leaf sketches."""
     ev = spread(load_table(spark, sf_dir, "events"))
+    rsd = 1.04 / (2**12) ** 0.5
     per_type = ev.groupBy("event_type").agg(
         F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
     leveled = per_type.select(
         "event_type",
         "n_events",
-        F.expr("hll_sketch_estimate(sketch)").cast("long").alias("approx_users"),
+        "exact_users",
+        F.expr("hll_sketch_estimate(sketch)").alias("approx"),
     )
-    total = per_type.agg(
-        F.lit("__all__").alias("event_type"),
-        F.sum("n_events").alias("n_events"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
-        .cast("long")
-        .alias("approx_users"),
+    g_exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
-    return leveled.unionByName(total)
+    total = (
+        per_type.agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))").alias(
+                "approx"
+            ),
+        )
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_events",
+            "exact_users",
+            "approx",
+        )
+    )
+    return leveled.unionByName(total).select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(5 * rsd)
+        ).alias("within_bound"),
+    )
 
 
-@_q("q_sketch_quantiles")  # approximate — rows-only check
+@_q(
+    "q_sketch_quantiles",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_in_bound, TRUE AS p99_in_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-error approximate quantiles per group
     (percentile_approx, accuracy 10000 ≈ 0.01% rank error): constant
-    memory per group vs the exact sort-based percentile()."""
+    memory per group vs the exact sort-based percentile().
+
+    Round-4: hash-checked via the bound-flag pattern, gated in RANK
+    space — the Greenwald-Khanna guarantee itself: for returned value
+    v, count(x < v)/n ≤ p + ε' and count(x ≤ v)/n ≥ p − ε', with
+    ε' = 10·ε + 1.5/n (ε = 1/accuracy = 1e-4; the 1.5/n slack covers
+    the sketch returning a DISCRETE data value one position off an
+    interpolated rank — a value-space bound fails spuriously on small
+    groups where adjacent order statistics are far apart). The rank
+    counts come from a broadcast join of the 3-row sketch table back
+    to orders; the oracle pins group, count, and both flags TRUE."""
     o = spread(load_table(spark, sf_dir, "orders"))
-    return o.groupBy("o_orderstatus").agg(
+    eps = 1.0 / 10000
+    sk = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    )
+
+    def _rank_ok(p: float, v: str):
+        n = F.col("n").cast("double")
+        e = F.lit(10 * eps) + F.lit(1.5) / n
+        frac_lt = F.col(f"lt_{v}").cast("double") / n
+        frac_le = F.col(f"le_{v}").cast("double") / n
+        return (frac_lt <= F.lit(p) + e) & (frac_le >= F.lit(p) - e)
+
+    counted = (
+        o.join(F.broadcast(sk), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("o_totalprice") < F.col("p50")).cast("long"))
+            .cast("bigint")
+            .alias("lt_p50"),
+            F.sum((F.col("o_totalprice") <= F.col("p50")).cast("long"))
+            .cast("bigint")
+            .alias("le_p50"),
+            F.sum((F.col("o_totalprice") < F.col("p99")).cast("long"))
+            .cast("bigint")
+            .alias("lt_p99"),
+            F.sum((F.col("o_totalprice") <= F.col("p99")).cast("long"))
+            .cast("bigint")
+            .alias("le_p99"),
+        )
+    )
+    return counted.select(
+        "o_orderstatus",
+        "n",
+        _rank_ok(0.5, "p50").alias("p50_in_bound"),
+        _rank_ok(0.99, "p99").alias("p99_in_bound"),
     )
 
 

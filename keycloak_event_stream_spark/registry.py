@@ -201,7 +201,6 @@ _PRIORITY = [
     "q_cart_abandonment",
     "q_retention_curve_fit",
     "q_dedup_cross_source",
-    "s_session_flags",
     "q_threshold_optimizer",
     "q_spearman_corr",
     "q_ab_sequential",
@@ -211,11 +210,8 @@ _PRIORITY = [
     "q_sampling_bias_check",
     "q_histogram_2d",
     "q_reservoir_aes",
-    "q_hll_merge_eval",
     "q_ab_heterogeneity",
-    "q_churn_hazard_weekly",
     "q_seasonal_index_dow",
-    "q_graph_assortativity",
     "q_catalog_freshness",
     "q_poisson_fit_lines",
     "q_invoice_reconciliation",
@@ -231,7 +227,6 @@ _PRIORITY = [
     "s_quarantine_ingest",
     "s_upsert_latest",
     "s_stateful_profile",
-    "q_tpch_q12",
     "q_recursive_hierarchy",
     # correctness-fix follow-ups
     "q_permutation_test",
@@ -242,7 +237,6 @@ _PRIORITY = [
     # LLM pipeline core (first driver look at these families)
     "q_bpe_pair_stats",
     "q_bpe_encode",
-    "q_ndcg_eval",
     "q_cohen_kappa",
     "q_random_projection",
     "q_embed_pca_power",
@@ -251,8 +245,6 @@ _PRIORITY = [
     "q_embed_mmd",
     "q_skipgram_cooc",
     "q_hard_negatives",
-    "q_graph_hits",
-    "q_graph_common_neighbors",
     "q_shapley_attribution",
     "q_markov_attribution",
     "q_holt_winters",
@@ -266,7 +258,6 @@ _PRIORITY = [
     "q_dedup_exact",
     "q_dedup_segments",
     "q_dedup_containment",
-    "q_dedup_near_minhash",
     "q_dedup_simhash",
     "q_dedup_embed_cosine",
     "q_dedup_semantic",
@@ -283,7 +274,6 @@ _PRIORITY = [
     "q_bm25",
     "q_decontaminate",
     "q_pii_scrub",
-    "q_l_diversity",
     "q_quality_gopher",
     "q_chunk_documents",
     "q_train_test_split",

@@ -48,7 +48,47 @@ def test_minhash_lsh_finds_near_dups(spark, corpus):
     }
     assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact copy
     assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # one-word edit
+    # cross-group fan-out: doc 1 pairs with EVERY member of 0's clone
+    # group at the same jaccard, not just the representative
+    assert pairs[(1, 2)] == pairs[(0, 1)]
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_clone_collapse_emits_all_pairs(spark, tmp_path):
+    """Clone-heavy corpus (the r3 verdict's 10×-replica hazard): a text
+    cloned 5×, a near-dup of it cloned 3×, one unrelated doc. The
+    exact-clone collapse must still emit every intra-group pair at
+    jaccard exactly 1.0 (C(5,2)+C(3,2) = 13) and the full 5×3
+    cross-group fan-out at the representative jaccard."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy cat near the river bank today"
+    other = "completely different content about spark query engines and shuffles"
+    rows = (
+        [(i, base, "en", "s", len(base)) for i in range(5)]
+        + [(10 + i, near, "en", "s", len(near)) for i in range(3)]
+        + [(99, other, "en", "s", len(other))]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = dedup.q_dedup_near_minhash(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert len(pairs) == len(out)  # no duplicate pairs from the fan-out
+    ones = {p for p, j in pairs.items() if j == 1.0}
+    base_ids, near_ids = list(range(5)), [10, 11, 12]
+    want_intra = {
+        (a, b)
+        for grp in (base_ids, near_ids)
+        for a in grp
+        for b in grp
+        if a < b
+    }
+    assert ones == want_intra
+    cross = {p: j for p, j in pairs.items() if j < 1.0}
+    assert set(cross) == {(a, b) for a in base_ids for b in near_ids}
+    assert len(set(cross.values())) == 1  # all inherit the rep jaccard
+    assert not any(99 in p for p in pairs)
 
 
 def test_simhash_exact_copies_collide(spark, corpus):

@@ -9,15 +9,12 @@ from keycloak_event_stream_spark.operators._exact import davg, dsum
 from keycloak_event_stream_spark.registry import collect
 
 # rows-only by design: approximate or non-SQL-expressible (documented in
-# each op's docstring; the driver records the weaker check)
-ROWS_ONLY = {
-    # round 3 moved q_agg_approx_distinct (5σ bound flag) and the three
-    # q_multimodal_* ops (PPM/WAV codecs + closed-form oracles) to full
-    # oracle checks; only the two mergeable sketches remain — their
-    # estimates have no cross-engine-reproducible value by construction.
-    "q_sketch_hll",
-    "q_sketch_quantiles",
-}
+# each op's docstring; the driver records the weaker check).
+# Round 4 emptied the set: the two mergeable sketches (q_sketch_hll,
+# q_sketch_quantiles) now carry exact counts + within-bound flags on
+# the hashed surface (the q_agg_approx_distinct pattern), so all 479
+# registered queries are value-checked.
+ROWS_ONLY: set[str] = set()
 
 
 def test_registry_collects_without_errors(capsys):
