@@ -1422,3 +1422,89 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "source_a", "source_b")
         .limit(15)
     )
+
+
+_BUCKET_CAP = 32  # candidate-generation pre-flight: buckets above this
+# size would contribute k*(k-1)/2 >~ 500 pairs each — the quadratic
+# hazard the exact-clone collapse defends against
+
+
+def _lsh_occupancy_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= {_SHINGLE}
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             {", ".join(f"{_duck_hash_arr(g)} AS h{g}" for g in range(_N_GROUPS))}
+      FROM docs
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))} AS bk{b}" for b in range(_B))}
+      FROM hashed
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM sigs" for b in range(_B))}
+    ),
+    buckets AS (
+      SELECT band, bkey, CAST(count(*) AS BIGINT) AS k
+      FROM bands GROUP BY band, bkey
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(k) AS BIGINT) AS max_bucket,
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(CASE WHEN k > {_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_cap,
+           CAST(sum(CASE WHEN k > {_BUCKET_CAP}
+                         THEN k * (k - 1) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_over_cap
+    FROM buckets
+    GROUP BY band
+    ORDER BY band
+    """
+
+
+@_q("q_lsh_band_occupancy", oracle=_lsh_occupancy_oracle())
+def q_lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight occupancy audit of the MinHash-LSH band buckets the
+    near-dup self-join runs on: per band, bucket count, largest
+    bucket, the exact candidate-pair bill Σ k·(k−1)/2, and how much of
+    it comes from buckets above the {32}-doc cap — the number that
+    says BEFORE the join whether a corpus is about to go quadratic
+    (the 10×-replica hazard of r3's verdict). On a healthy corpus
+    pairs_over_cap ≈ 0; a boilerplate-heavy crawl shows the bill
+    concentrated over the cap, which is the operational signal to run
+    q_dedup_exact first (the clone collapse q_dedup_near_minhash now
+    performs internally).
+
+    Same no-shuffle per-row signature pipeline as band_keys(); the
+    audit itself is one groupBy over (band, bkey) then 16 band rows —
+    pure integer arithmetic, bitwise oracle-checked like the rest of
+    the md5-deterministic LSH family."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bands = band_keys(d.select("doc_id", "text"))
+    buckets = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    pairs = F.expr("k * (k - 1) div 2").cast("bigint")
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("k").cast("bigint").alias("max_bucket"),
+            F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+            F.sum((F.col("k") > _BUCKET_CAP).cast("long"))
+            .cast("bigint")
+            .alias("n_over_cap"),
+            F.sum(
+                F.when(F.col("k") > _BUCKET_CAP, pairs).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pairs_over_cap"),
+        )
+        .orderBy("band")
+    )

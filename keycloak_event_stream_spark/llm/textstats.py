@@ -2671,3 +2671,101 @@ def q_text_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "q_kn_bigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, s.i, s.t
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS i) s
+    ), big AS (
+      SELECT t AS w1,
+             lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM tok
+    ), cb AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ), cu AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+             CAST(count(*) AS BIGINT) AS n1p_fwd
+      FROM cb GROUP BY w1
+    ), bwd AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd
+      FROM cb GROUP BY w2
+    ), btypes AS (
+      SELECT CAST(count(*) AS BIGINT) AS b FROM cb
+    )
+    SELECT cb.w1, cb.w2, cb.c AS c_bigram,
+           cu.cw1 AS c_context,
+           (CAST(cb.c AS DOUBLE) - 0.75) / cu.cw1
+             + (0.75 * cu.n1p_fwd / cu.cw1)
+               * (CAST(bwd.n1p_bwd AS DOUBLE) / btypes.b) AS p_kn
+    FROM cb
+    JOIN cu ON cb.w1 = cu.w1
+    JOIN bwd ON cb.w2 = bwd.w2
+    CROSS JOIN btypes
+    ORDER BY cb.c DESC, cb.w1, cb.w2
+    LIMIT 50
+    """,
+)
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities for the corpus's top-50
+    bigrams — THE n-gram smoothing that modern LM evaluation still
+    baselines against (unlike q_bigram_lm's add-one, KN backs off to
+    CONTINUATION counts: "Francisco" is frequent but follows almost
+    nothing except "San", so its unigram backoff weight is tiny):
+
+        P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                      + D·N1+(w1·)/c(w1) · N1+(·w2)/|bigram types|
+
+    with absolute discount D = 0.75. Every input is an integer count
+    (bigram counts, context totals, forward/backward continuation
+    type counts, total bigram types); only the final probability is
+    double math, identically associated in both engines — and since
+    every observed bigram has c ≥ 1 > D, the max() never binds and is
+    omitted. Bigrams build in-row from the split array (pairs never
+    leave their document), then one explode feeds three count
+    aggregations; the two count tables and the 1-row type total join
+    back by key (broadcast-sized). Top-50 by (count, w1, w2) total
+    order."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.split("text", " ").alias("w"))
+    pairs = toks.select(
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(1, size(w) - 1), "
+            "i -> struct(w[i-1] AS w1, w[i] AS w2)) "
+            "ELSE array() END"
+        ).alias("bigrams")
+    ).select(F.explode("bigrams").alias("bg"))
+    cb = pairs.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("cw1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
+    )
+    bwd = cb.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
+    )
+    btypes = cb.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    p_kn = (F.col("c").cast("double") - F.lit(0.75)) / F.col("cw1") + (
+        F.lit(0.75) * F.col("n1p_fwd") / F.col("cw1")
+    ) * (F.col("n1p_bwd").cast("double") / F.col("b"))
+    return (
+        cb.join(cu, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c_bigram"),
+            F.col("cw1").alias("c_context"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(50)
+    )

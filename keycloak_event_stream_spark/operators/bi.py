@@ -1000,3 +1000,158 @@ def q_catalog_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_rate"
         ),
     ).orderBy("month")
+
+
+# exact powers of 0.9 (p^{d-1} for d = 1..10) as decimal literals —
+# injected into BOTH engines so no cross-engine pow() is ever called;
+# each literal parses to the identical nearest double on both sides.
+_RBO_P_POWERS = [
+    "1.0",
+    "0.9",
+    "0.81",
+    "0.729",
+    "0.6561",
+    "0.59049",
+    "0.531441",
+    "0.4782969",
+    "0.43046721",
+    "0.387420489",
+]
+_RBO_WEIGHT_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {w}" for d, w in enumerate(_RBO_P_POWERS, start=1)
+) + " END"
+
+
+def _rbo_oracle() -> str:
+    return f"""
+    WITH h1 AS (
+      SELECT o_custkey,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1995-07-01'
+      GROUP BY o_custkey
+    ), h2 AS (
+      SELECT o_custkey,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-07-01'
+        AND o_orderdate < DATE '1996-01-01'
+      GROUP BY o_custkey
+    ), ta AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS ra
+      FROM h1 ORDER BY cents DESC, o_custkey LIMIT 10
+    ), tb AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rb
+      FROM h2 ORDER BY cents DESC, o_custkey LIMIT 10
+    ), merged AS (
+      SELECT COALESCE(ta.o_custkey, tb.o_custkey) AS ck, ra, rb
+      FROM ta FULL OUTER JOIN tb ON ta.o_custkey = tb.o_custkey
+    ), depths AS (
+      SELECT unnest(generate_series(1, 10)) AS d
+    ), per_depth AS (
+      SELECT d,
+             CAST(count(*) FILTER (WHERE ra <= d AND rb <= d) AS BIGINT)
+               AS overlap
+      FROM depths LEFT JOIN merged ON true
+      GROUP BY d
+    ), terms AS (
+      SELECT d, overlap,
+             round(({_RBO_WEIGHT_CASE}) * overlap / d, 9) AS t,
+             {_RBO_WEIGHT_CASE} AS w
+      FROM per_depth
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT overlap FROM per_depth WHERE d = 10) AS BIGINT)
+             AS overlap_at_k,
+           CAST(sum(CAST(t AS DECIMAL(27,9))) AS DOUBLE)
+             / CAST(sum(CAST(round(w, 9) AS DECIMAL(27,9))) AS DOUBLE)
+             AS rbo
+    FROM terms
+    """
+
+
+@_q("q_rank_biased_overlap", oracle=_rbo_oracle())
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 0.9, truncated at depth 10) between the
+    top-10 customer revenue rankings of 1995-H1 vs 1995-H2 — the
+    top-weighted list-similarity measure for "did the leaderboard
+    actually change?" (Kendall/Spearman over full lists drown the
+    head in tail noise; RBO weights depth d by p^{d-1}).
+
+    rbo = Σ_d p^{d-1}·(|A_d ∩ B_d|/d) / Σ_d p^{d-1} — normalized so
+    identical lists score 1.0. Overlap counts are integers from a
+    full-outer join of the two 10-row lists against a 10-row depth
+    spine; the p-powers are injected as exact decimal literals in both
+    engines (no libm pow), per-depth terms rounded to 9 decimals and
+    DECIMAL-summed. Everything after the two revenue aggregations is
+    constant-size (≤10-row) work; the rank windows run over limit-10
+    inputs (statically bounded)."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    cents = F.expr(_CENTS)
+
+    def top10(lo: str, hi: str, rank_name: str) -> DataFrame:
+        rev = (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("date"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).cast("bigint").alias("cents"))
+            .orderBy(F.col("cents").desc(), "o_custkey")
+            .limit(10)
+        )
+        w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+        return rev.select(
+            "o_custkey", F.row_number().over(w).alias(rank_name)
+        )
+
+    ta = top10("1995-01-01", "1995-07-01", "ra")
+    tb = top10("1995-07-01", "1996-01-01", "rb")
+    merged = ta.join(tb, "o_custkey", "full_outer")
+    depths = spark.range(1, 11).select(F.col("id").alias("d"))
+    per_depth = (
+        depths.crossJoin(F.broadcast(merged))
+        .groupBy("d")
+        .agg(
+            # coalesce both per-row (NULL ranks from the outer join)
+            # and post-sum (a depth with zero overlap must be 0, not
+            # NULL, to match the oracle's count FILTER)
+            F.coalesce(
+                F.sum(
+                    F.coalesce(
+                        (
+                            (F.col("ra") <= F.col("d"))
+                            & (F.col("rb") <= F.col("d"))
+                        ).cast("long"),
+                        F.lit(0),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    weight = F.expr(_RBO_WEIGHT_CASE)
+    terms = per_depth.select(
+        "d",
+        "overlap",
+        F.round(weight * F.col("overlap") / F.col("d"), 9).alias("t"),
+        weight.alias("w"),
+    )
+    overlap_k = per_depth.filter(F.col("d") == 10).select(
+        F.col("overlap").alias("overlap_at_k")
+    )
+    return terms.crossJoin(F.broadcast(overlap_k)).agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.min("overlap_at_k").cast("bigint").alias("overlap_at_k"),
+        (
+            F.sum(F.col("t").cast("decimal(27,9)")).cast("double")
+            / F.sum(F.round(F.col("w"), 9).cast("decimal(27,9)")).cast(
+                "double"
+            )
+        ).alias("rbo"),
+    )

@@ -3110,3 +3110,119 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bin", "qty_bin")
     )
+
+
+@_q(
+    "q_attribution_position_based",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS p_ts,
+             arg_min(event_id,
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS p_eid,
+             arg_min(CAST(value AS DOUBLE),
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS p_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    prior AS (
+      SELECT e.user_id, e.event_type, fp.p_value,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE (e.ts < fp.p_ts
+             OR (e.ts = fp.p_ts AND e.event_id < fp.p_eid))
+        AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+      SELECT event_type,
+             round(p_value *
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN rn = 1 OR rn = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END, 6) AS credit
+      FROM prior
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(credit AS DECIMAL(27,6))) AS DOUBLE)
+             AS attributed_value
+    FROM credited
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: each user's first
+    purchase credits its value 40% to the FIRST prior touch, 40% to
+    the LAST, and splits the remaining 20% equally across the middle
+    (journeys of 1 or 2 touches degrade to 100% / 50-50) — the
+    industry-default compromise between q_attribution_first_touch and
+    _last_touch that q_shapley_attribution is usually benchmarked
+    against.
+
+    One broadcast of the |users|-row first-purchase table tags prior
+    events; position and journey length come from one user-partitioned
+    window pass; weights are CASE rationals over integer (rn, n);
+    per-touch credits round to 6 decimals before the DECIMAL channel
+    sum (the q_chi_square order-independence discipline). The purchase
+    value rides along via arg_min over the zero-padded
+    (epoch_us, event_id) total order (full int64 pad widths)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase")
+    fpk = F.min(
+        F.struct(
+            "ts", "event_id", F.col("value").cast("double").alias("value")
+        )
+    ).alias("fpk")
+    fp = p.groupBy("user_id").agg(fpk).select(
+        "user_id",
+        F.col("fpk.ts").alias("p_ts"),
+        F.col("fpk.event_id").alias("p_eid"),
+        F.col("fpk.value").alias("p_value"),
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    prior = (
+        ev.join(F.broadcast(fp), "user_id")
+        .filter(
+            (
+                (F.col("ts") < F.col("p_ts"))
+                | (
+                    (F.col("ts") == F.col("p_ts"))
+                    & (F.col("event_id") < F.col("p_eid"))
+                )
+            )
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "p_value",
+            F.row_number().over(w_rn).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = prior.select(
+        "event_type",
+        F.round(F.col("p_value") * weight, 6).alias("credit"),
+    )
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.col("credit").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

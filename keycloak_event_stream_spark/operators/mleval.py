@@ -1322,3 +1322,161 @@ def q_threshold_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return f1s.orderBy(F.desc("f1"), "best_decile").limit(1)
+
+
+@_q(
+    "q_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ), ext AS (
+      SELECT min(s) AS lo, max(s) AS hi FROM scored
+    ), binned AS (
+      SELECT LEAST(CAST(floor((s - lo) / (hi - lo) * 10) AS BIGINT), 9)
+               AS bin,
+             s, pos
+      FROM scored CROSS JOIN ext
+    ), bins AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             abs(CAST(sum(pos) AS DOUBLE) / count(*)
+                 - CAST(sum(CAST(round(s, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*)) AS gap
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n FROM bins
+    )
+    SELECT (SELECT big_n FROM tot) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CAST(round(n * gap, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             / (SELECT big_n FROM tot) AS ece,
+           max(gap) AS mce
+    FROM bins
+    """,
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / Maximum Calibration Error — the two scalars a model
+    card quotes from q_calibration_bins' reliability diagram:
+    ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|
+    over the same 10 equal-width bins.
+
+    Same determinism chain as q_calibration_bins (shared min/max
+    broadcast, 6-dp decimal score sums, integer hit rates); the only
+    new float step is the cross-bin reduction, where each bin's
+    n·gap term — a double derived identically in both engines — is
+    rounded to 6 decimals and DECIMAL-summed (10 bins, the q_chi_square
+    discipline), and MCE is a max (order-independent by nature)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias("s"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    ext = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        "s",
+        "pos",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.abs(
+            F.sum("pos").cast("double") / F.count(F.lit(1))
+            - F.sum(F.round(F.col("s"), 6).cast("decimal(27,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("gap"),
+    )
+    return bins.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.sum(
+                F.round(F.col("n") * F.col("gap"), 6).cast("decimal(27,6)")
+            ).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("ece"),
+        F.max("gap").alias("mce"),
+    )
+
+
+@_q(
+    "q_label_noise_rate",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ), means AS (
+      SELECT
+        CAST(sum(CASE WHEN pos = 1
+                      THEN CAST(round(s, 6) AS DECIMAL(27,6)) END)
+             AS DOUBLE)
+          / sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS m1,
+        CAST(sum(CASE WHEN pos = 0
+                      THEN CAST(round(s, 6) AS DECIMAL(27,6)) END)
+             AS DOUBLE)
+          / sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS m0
+      FROM scored
+    )
+    SELECT pos AS label_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN (pos = 1 AND s < m0)
+                           OR (pos = 0 AND s > m1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+           CAST(sum(CASE WHEN (pos = 1 AND s < m0)
+                           OR (pos = 0 AND s > m1)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS suspect_rate
+    FROM scored CROSS JOIN means
+    GROUP BY pos
+    ORDER BY pos
+    """,
+)
+def q_label_noise_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-style label-noise screen: per labeled class,
+    the share of examples whose score lands BEYOND the other class's
+    mean (a positive scoring below the negative-class mean, or a
+    negative above the positive-class mean) — the cheap first-pass
+    filter a labeling pipeline runs before paying for relabeling; on
+    a calibrated scorer the suspect sets concentrate actual flips.
+
+    The two class means are one 2-value broadcast (6-dp decimal sums /
+    integer counts — deterministic doubles); the per-row comparisons
+    and suspect counts are then pure integers. One scan + one 2-group
+    aggregation."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = e.select(
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias("s"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    dsum6 = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.round(F.col("s"), 6).cast("decimal(27,6)"))
+    ).cast("double")
+    means = scored.agg(
+        (dsum6(F.col("pos") == 1) / F.sum((F.col("pos") == 1).cast("long")))
+        .alias("m1"),
+        (dsum6(F.col("pos") == 0) / F.sum((F.col("pos") == 0).cast("long")))
+        .alias("m0"),
+    )
+    suspect = (
+        (F.col("pos") == 1) & (F.col("s") < F.col("m0"))
+    ) | ((F.col("pos") == 0) & (F.col("s") > F.col("m1")))
+    return (
+        scored.crossJoin(F.broadcast(means))
+        .groupBy(F.col("pos").alias("label_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(suspect.cast("long")).cast("bigint").alias("n_suspect"),
+            (F.sum(suspect.cast("long")).cast("double") / F.count(F.lit(1)))
+            .alias("suspect_rate"),
+        )
+        .orderBy("label_class")
+    )

@@ -427,6 +427,78 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id AS purchase_id, p.user_id,
+                  p.ts AS purchase_ts, c.event_id AS click_id,
+                  c.ts AS click_ts
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+         )
+    SELECT purchase_id, user_id, purchase_ts,
+           CASE WHEN click_ts >= purchase_ts - INTERVAL 1 HOUR
+                THEN click_id END AS click_id,
+           CASE WHEN click_ts >= purchase_ts - INTERVAL 1 HOUR
+                THEN epoch_us(purchase_ts) - epoch_us(click_ts) END
+             AS gap_us,
+           CAST(CASE WHEN click_ts >= purchase_ts - INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END AS BIGINT) AS matched
+    FROM m
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance: each purchase takes its
+    latest preceding click only if it happened within the last hour —
+    the attribution-window variant every marketing pipeline actually
+    runs (an unbounded ASOF credits a click from last month). Beyond
+    the tolerance the match is NULL and ``matched`` = 0, so downstream
+    rates don't silently count stale joins.
+
+    Same union-tag + running-last window idiom as q_join_asof (one
+    shuffle on user_id, no range explosion — the tolerance is a
+    per-row CASE after the window, NOT a join predicate, so the plan
+    is identical to the unbounded as-of); the oracle applies the same
+    CASE over DuckDB's native ASOF."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_probe")
+    )
+    both = p.unionByName(c)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_probe"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_id = F.when(F.col("is_probe") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    enriched = both.withColumn(
+        "raw_click_id", F.last(click_id, ignorenulls=True).over(w)
+    ).withColumn("raw_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+    in_tol = F.col("raw_click_ts") >= F.col("ts") - F.expr(
+        "INTERVAL 1 HOUR"
+    )
+    return enriched.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_tol, F.col("raw_click_id")).alias("click_id"),
+        F.when(
+            in_tol,
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("raw_click_ts")),
+        ).alias("gap_us"),
+        F.when(in_tol, 1).otherwise(0).cast("bigint").alias("matched"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------

@@ -4178,3 +4178,229 @@ def q_poisson_fit_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     ).orderBy("k")
+
+
+@_q(
+    "q_g_test",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, dow, o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+             CAST(sum(o) OVER () AS BIGINT) AS g
+      FROM cells
+    ), contrib AS (
+      SELECT round(o * ln(CAST(o AS DOUBLE)
+                          / (CAST(rt AS DOUBLE) * ct / g)), 6) AS c
+      FROM tot
+    )
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           2.0 * CAST(sum(CAST(c AS DECIMAL(27,6))) AS DOUBLE) AS g_stat
+    FROM contrib
+    """,
+)
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence: event type vs
+    ISO day-of-week — the additive cousin of q_chi_square that modern
+    references prefer for sparse cells (G decomposes over partitions
+    of the table; Pearson's X² does not). G = 2·Σ O·ln(O/E) with E
+    from the same integer marginals as q_chi_square.
+
+    Observed counts never vanish (cells exist only where O ≥ 1), so
+    every ln argument is positive. Per-cell terms are deterministic
+    scalar doubles rounded to 6 decimals and summed in DECIMAL
+    (order-independent — the q_chi_square discipline); one shuffle to
+    the |types × 7| contingency cells, window marginals over cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("weekday(cast(ts as date)) + 1").cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("bigint").alias("ct"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("g"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("g")
+    contrib = tot.select(
+        F.round(
+            F.col("o") * F.log(F.col("o").cast("double") / e), 6
+        ).alias("c")
+    )
+    n_cells = cells.count()
+    return contrib.agg(
+        F.lit(n_cells).cast("bigint").alias("n_cells"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("c").cast("decimal(27,6)")).cast("double")
+        ).alias("g_stat"),
+    )
+
+
+@_q(
+    "q_hill_tail_index",
+    oracle="""
+    WITH ordered AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 101
+    ), thr AS (
+      SELECT min(x) AS xk1 FROM ordered
+    ), topk AS (
+      SELECT x FROM ordered ORDER BY x DESC, x LIMIT 100
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           (SELECT xk1 FROM thr) AS threshold,
+           CAST(sum(CAST(round(ln(x / (SELECT xk1 FROM thr)), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) / 100.0
+             AS inv_alpha,
+           100.0 / CAST(sum(CAST(round(ln(x / (SELECT xk1 FROM thr)), 6)
+                                 AS DECIMAL(27,6))) AS DOUBLE)
+             AS alpha_hat
+    FROM topk
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent over the top-k order
+    totals (k = 100): α̂⁻¹ = (1/k)·Σ ln(x_(i)/x_(k+1)) — the standard
+    diagnostic for whether a spend/size distribution is Pareto-like
+    (α ≤ 2 means infinite variance: sampling and sketch error bounds
+    built on CLT assumptions quietly break). A training-data pipeline
+    runs this on document lengths and dup-cluster sizes before
+    trusting any mean-based budget arithmetic.
+
+    Scale shape: the only global structure needed is the top k+1
+    rows — TakeOrderedAndProject (bounded k, no full sort, no
+    two-phase window needed). Ties at the boundary don't disturb the
+    statistic: the tiebreak (orderkey) only chooses WHICH of the tied
+    equal values enter, so the value multiset is invariant. Per-row
+    ln ratios are rounded to 6 decimals and DECIMAL-summed."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    top = (
+        o.select(F.col("o_totalprice").cast("double").alias("x"), "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(101)
+    )
+    thr = top.agg(F.min("x").alias("xk1"))
+    topk = (
+        top.crossJoin(F.broadcast(thr))
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(100)
+    )
+    ssum = F.sum(
+        F.round(F.log(F.col("x") / F.col("xk1")), 6).cast("decimal(27,6)")
+    ).cast("double")
+    return topk.agg(
+        F.lit(100).cast("bigint").alias("k"),
+        F.min("xk1").alias("threshold"),
+        (ssum / F.lit(100.0)).alias("inv_alpha"),
+        (F.lit(100.0) / ssum).alias("alpha_hat"),
+    )
+
+
+_BB_L = 7  # moving-block length (days): preserves week-scale dependence
+
+
+def _bb_oracle() -> str:
+    m = "CAST(ceil(CAST(n AS DOUBLE) / {L}) AS INTEGER)".format(L=_BB_L)
+    start = (
+        "CAST(CAST(('0x' || substr(md5(r || '#' || j), 1, 6)) AS BIGINT)"
+        " % (n - {L} + 1) + 1 AS INTEGER)"
+    ).format(L=_BB_L)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ), means AS (
+      SELECT n,
+             list_sort(list_transform(generate_series(1, {_BOOT_B}),
+               r -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      flatten(list_transform(generate_series(1, {m}),
+                        j -> list_transform(generate_series(0, {_BB_L} - 1),
+                               o -> v[{start} + o])))),
+                      (a, b) -> a + b) / ({m} * {_BB_L}))) AS ms
+      FROM series
+    )
+    SELECT n AS n_days, {_BOOT_B} AS n_resamples,
+           CAST({_BB_L} AS BIGINT) AS block_len,
+           ms[CAST(ceil(0.025 * {_BOOT_B}) AS INTEGER)] AS ci_lo,
+           ms[CAST(ceil(0.975 * {_BOOT_B}) AS INTEGER)] AS ci_hi,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms),
+                       (a, b) -> a + b) / {_BOOT_B} AS boot_mean
+    FROM means
+    """
+
+
+@_q("q_block_bootstrap_ci", oracle=_bb_oracle())
+def q_block_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-block bootstrap CI for the mean daily event count — the
+    time-series-correct cousin of q_bootstrap_ci: i.i.d. resampling
+    shatters autocorrelation and understates the variance of a
+    dependent series, so each resample here draws ⌈n/L⌉ CONSECUTIVE
+    blocks of L = 7 days (week-scale dependence survives inside every
+    block). Block starts are md5-derived from (resample, block) — the
+    deterministic-resampling discipline of q_bootstrap_ci, so both
+    engines replay the identical "randomness".
+
+    Same one-row array-expression shape after the daily rollup:
+    per-resample means are index-order sequential folds over the
+    flattened block draws, percentile picks are integer ranks on the
+    sorted mean list. The distributed form at 100 TB keys draws by
+    (resample, block) and hash-filters scans, exactly like the i.i.d.
+    variant."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " s -> cast(s.c as double))"
+        ).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    m = f"cast(ceil(cast(n as double) / {_BB_L}) as int)"
+    start = (
+        f"cast(cast(conv(substr(md5(concat(r, '#', j)), 1, 6), 16, 10)"
+        f" as bigint) % (n - {_BB_L} + 1) + 1 as int)"
+    )
+    mean_r = (
+        f"aggregate(flatten(transform(sequence(1, {m}),"
+        f" j -> transform(sequence(0, {_BB_L} - 1),"
+        f" o -> element_at(v, {start} + o)))),"
+        f" cast(0.0 as double), (a, b) -> a + b) / ({m} * {_BB_L})"
+    )
+    means = series.select(
+        "n",
+        F.expr(
+            f"array_sort(transform(sequence(1, {_BOOT_B}), r -> {mean_r}))"
+        ).alias("ms"),
+    )
+    import math
+
+    lo_rank = math.ceil(0.025 * _BOOT_B)
+    hi_rank = math.ceil(0.975 * _BOOT_B)
+    return means.select(
+        F.col("n").alias("n_days"),
+        F.lit(_BOOT_B).alias("n_resamples"),
+        F.lit(_BB_L).cast("bigint").alias("block_len"),
+        F.expr(f"element_at(ms, {lo_rank})").alias("ci_lo"),
+        F.expr(f"element_at(ms, {hi_rank})").alias("ci_hi"),
+        F.expr(
+            f"aggregate(ms, cast(0.0 as double), (a, b) -> a + b)"
+            f" / {_BOOT_B}"
+        ).alias("boot_mean"),
+    )

@@ -128,6 +128,18 @@ _PRIORITY = [
     "q_confusion_matrix",
     "q_classifier_prf1",
     "q_ndcg_eval",
+    # ---- round-4 additions (below the cap — locally verified at
+    # sf0.01 + sf0.001; FIRST candidates for the round-5 window) ----
+    "q_g_test",
+    "q_hill_tail_index",
+    "q_calibration_ece",
+    "q_label_noise_rate",
+    "q_rank_biased_overlap",
+    "q_join_asof_tolerance",
+    "q_kn_bigram_lm",
+    "q_block_bootstrap_ci",
+    "q_attribution_position_based",
+    "q_lsh_band_occupancy",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",

@@ -173,6 +173,7 @@ def test_fixed_queries_have_no_global_window(spark, name):
 # window must either be rewritten on _scale.two_phase_window or be
 # added here with its bound — test_registry_window_hygiene enforces it.
 BOUNDED_GLOBAL_WINDOWS = {
+    "q_rank_biased_overlap": "rank windows over limit-10 inputs",
     "q_session_depth_hist": "depth histogram (a few dozen distinct depths)",
     "q_rolling_median": "daily series (calendar-bounded)",
     "q_pr_curve": "10-row decile rollup",
@@ -185,6 +186,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_forecast_eval": "daily series",
     "q_autocorr_lag1": "daily series",
     "q_chi_square": "contingency cells (|event_types| x 2)",
+    "q_g_test": "contingency cells (|event_types| x 7)",
     "q_compaction_bins": "file-size bins",
     "q_cramers_v": "contingency cells",
     "q_cusum_changepoint": "daily series",
