@@ -1642,3 +1642,109 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
         ).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+@_q(
+    "q_dp_mean_laplace",
+    oracle="""
+    WITH clamped AS (
+      SELECT c_nationkey,
+             CAST(CAST(least(greatest(CAST(c_acctbal AS DECIMAL(18,2)),
+                                      0.00), 10000.00) * 100 AS BIGINT)
+                  AS BIGINT) AS cents
+      FROM customer
+    ),
+    stats AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM clamped GROUP BY c_nationkey
+    ),
+    seeded AS (
+      SELECT c_nationkey, n,
+             CAST(sum_cents AS DOUBLE) / n / 100.0 AS true_mean,
+             (CAST(('0x' || substr(md5('dp-mean-seed:'
+                      || CAST(c_nationkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM stats
+    )
+    SELECT c_nationkey, n, true_mean,
+           round(true_mean
+                 + (10000.0 / n)
+                   * CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                          ELSE -ln(2.0 * (1.0 - u)) END, 6) AS noisy_mean,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM seeded
+    ORDER BY c_nationkey
+    """,
+)
+def q_dp_mean_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-nation mean account balance — the
+    bounded-mean rung of the privacy ladder above q_dp_count_laplace:
+    values are CLAMPED to [0, 10000] first (bounding each user's
+    contribution is what gives the mean its sensitivity Δ = C/n), then
+    the Laplace mechanism adds noise with scale b = Δ/ε = C/(n·ε),
+    ε = 1. The same seeded-md5 inverse-CDF draw as the DP count keeps
+    the mechanism bitwise oracle-checkable; a production release swaps
+    the seed per epoch.
+
+    Determinism: clamping and the mean run in exact integer cents
+    (money discipline); only the final noise expression is double,
+    rounded at 6 dp so libm ln ulps cannot surface. Scale: one shuffle
+    to |nations| cells, then closed-form per-row math."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (
+        F.least(
+            F.greatest(
+                F.col("c_acctbal").cast("decimal(18,2)"),
+                F.lit("0.00").cast("decimal(18,2)"),
+            ),
+            F.lit("10000.00").cast("decimal(18,2)"),
+        )
+        * 100
+    ).cast("bigint")
+    stats = cust.select("c_nationkey", cents.alias("cents")).groupBy(
+        "c_nationkey"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp-mean-seed:"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    true_mean = F.col("sum_cents").cast("double") / F.col("n") / F.lit(100.0)
+    lap = F.when(
+        F.col("u") < 0.5, F.log(F.lit(2.0) * F.col("u"))
+    ).otherwise(-F.log(F.lit(2.0) * (F.lit(1.0) - F.col("u"))))
+    return (
+        stats.select(
+            "c_nationkey",
+            "n",
+            true_mean.alias("true_mean"),
+            u.alias("u"),
+        )
+        .select(
+            "c_nationkey",
+            "n",
+            "true_mean",
+            F.round(
+                F.col("true_mean") + (F.lit(10000.0) / F.col("n")) * lap, 6
+            ).alias("noisy_mean"),
+            F.lit(1.0).alias("epsilon"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -789,3 +789,187 @@ def q_embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_NPROBES = [1, 2, 4]
+
+
+def _ivf_sweep_oracle() -> str:
+    nps = ", ".join(f"({np})" for np in _NPROBES)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id < {_N_QUERIES}),
+    cell AS (
+      SELECT label, s.pos, CAST(v[s.pos + 1] AS DOUBLE) AS val, vec_id
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(0, len(v) - 1)) AS pos) s
+    ),
+    dim AS (
+      SELECT label, pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(val ORDER BY vec_id)), (a, b) -> a + b)
+               / count(*) AS mean_val
+      FROM cell GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(mean_val ORDER BY pos) AS c
+      FROM dim GROUP BY label
+    ),
+    qcr AS (
+      SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY {duck_cosine('q.qv', 'cent.c')} DESC, label)
+               AS crank
+      FROM q CROSS JOIN cent
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {duck_cosine('q.qv', 'e.v')} DESC, e.vec_id)
+                 AS rn
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+      WHERE rn <= {_TOP_K}
+    ),
+    probes AS (
+      SELECT t.np, qcr.q_id, qcr.label
+      FROM (VALUES {nps}) t(np)
+      JOIN qcr ON qcr.crank <= t.np
+    ),
+    scored AS (
+      SELECT p.np, p.q_id, e.vec_id,
+             {duck_cosine('q.qv', 'e.v')} AS cosine
+      FROM probes p
+      JOIN q ON q.q_id = p.q_id
+      JOIN e ON e.label = p.label
+      WHERE e.vec_id <> p.q_id
+    ),
+    cands AS (
+      SELECT np, q_id, CAST(count(*) AS BIGINT) AS n_cand
+      FROM scored GROUP BY np, q_id
+    ),
+    approx AS (
+      SELECT np, q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY np, q_id
+                 ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= {_TOP_K}
+    ),
+    hits AS (
+      SELECT a.np, CAST(count(*) AS BIGINT) AS n_hit
+      FROM approx a JOIN exact x
+        ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+      GROUP BY a.np
+    )
+    SELECT c.np AS nprobe,
+           CAST(sum(c.n_cand) AS BIGINT) AS total_candidates,
+           COALESCE(any_value(h.n_hit), 0) AS n_hits,
+           CAST(COALESCE(any_value(h.n_hit), 0) AS DOUBLE)
+             / ({_N_QUERIES} * {_TOP_K}) AS recall_at_k
+    FROM cands c LEFT JOIN hits h ON c.np = h.np
+    GROUP BY c.np
+    ORDER BY c.np
+    """
+
+
+@_q("q_ann_ivf_nprobe_sweep", oracle=_ivf_sweep_oracle())
+def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe tuning table: recall@{10} and candidate volume
+    at nprobe ∈ {1, 2, 4} — THE curve an ANN deployment reads to pick
+    its recall/cost point (probe 1 cluster and miss boundary
+    neighbors, or probe 4 and scan 4× the candidates). Extends
+    q_sim_search_ivf (fixed probe=1, assigned cluster) to probing the
+    np NEAREST centroids by query-centroid cosine, and q_ann_recall's
+    evaluation discipline to a whole sweep.
+
+    Centroids are the exact per-label means (vec_id-ordered sequential
+    folds per (label, dim) cell — bitwise-portable, the
+    q_embed_centroid shape); cluster ranking, candidate scoring, and
+    the exact baseline all order by (cosine DESC, id) total orders.
+    Scale: centroids are a |labels|×dim reduction; the query-centroid
+    ranking is |q|×|labels| rows; candidate scoring joins probed
+    clusters only (np/|labels| of the corpus, map-side vs the
+    broadcast query set) — the brute-force exact pass exists here
+    only because the operator's OUTPUT is the quality evaluation."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cells = e.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
+    dim = cells.groupBy("label", "pos").agg(
+        (
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(vec_id, val))),"
+                " s -> s.val), cast(0.0 as double), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    cent = dim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean_val))),"
+            " s -> s.mean_val)"
+        ).alias("c")
+    )
+    w_cl = W.partitionBy("q_id").orderBy(
+        spark_cosine("qv", "c").desc(), F.col("label")
+    )
+    qcr = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "label", F.row_number().over(w_cl).alias("crank"))
+    )
+    w_ex = W.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    nps = spark.createDataFrame([(np,) for np in _NPROBES], "np int")
+    probes = nps.join(
+        F.broadcast(qcr), qcr.crank <= nps.np
+    ).select("np", "q_id", "label")
+    scored = (
+        e.join(F.broadcast(probes), "label")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", spark_cosine("qv", "v"))
+        .select("np", "q_id", "vec_id", "cosine")
+    )
+    cands = scored.groupBy("np", "q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    w_ap = W.partitionBy("np", "q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w_ap))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("np", "q_id", "vec_id")
+    )
+    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("np").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        cands.groupBy("np")
+        .agg(F.sum("n_cand").cast("bigint").alias("total_candidates"))
+        .join(hits, "np", "left")
+        .select(
+            F.col("np").alias("nprobe"),
+            "total_candidates",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.lit(_N_QUERIES * _TOP_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )

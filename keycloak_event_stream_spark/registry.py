@@ -140,6 +140,8 @@ _PRIORITY = [
     "q_block_bootstrap_ci",
     "q_attribution_position_based",
     "q_lsh_band_occupancy",
+    "q_ann_ivf_nprobe_sweep",
+    "q_dp_mean_laplace",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",
