@@ -4404,3 +4404,107 @@ def q_block_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {_BOOT_B}"
         ).alias("boot_mean"),
     )
+
+
+@_q(
+    "q_neyman_allocation",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM customer
+    ),
+    strata AS (
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS sxx
+      FROM cents GROUP BY seg
+    ),
+    scored AS (
+      SELECT seg, n_pop,
+             sqrt(CAST(n_pop * sxx - sx * sx AS DOUBLE)
+                  / (CAST(n_pop AS DOUBLE) * (n_pop - 1))) / 100.0
+               AS std_bal,
+             round(n_pop * (sqrt(CAST(n_pop * sxx - sx * sx AS DOUBLE)
+                    / (CAST(n_pop AS DOUBLE) * (n_pop - 1))) / 100.0), 6)
+               AS nh_sh
+      FROM strata
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(nh_sh AS DECIMAL(27,6))) AS DOUBLE) AS d,
+             CAST(sum(n_pop) AS BIGINT) AS big_n
+      FROM scored
+    )
+    SELECT seg, n_pop, std_bal,
+           CAST(round(1000.0 * nh_sh / d, 0) AS BIGINT) AS alloc_neyman,
+           CAST(round(1000.0 * n_pop / big_n, 0) AS BIGINT)
+             AS alloc_proportional
+    FROM scored CROSS JOIN tot
+    ORDER BY seg
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: for a budget of
+    1000 draws over the market-segment strata, n_h ∝ N_h·S_h (stratum
+    size × stratum std of account balance) — the design that minimizes
+    the variance of the stratified mean, vs the proportional n_h ∝ N_h
+    baseline emitted alongside. This is the sampling-design rung under
+    q_stratified_sample: a training-data pipeline allocating an
+    annotation or eval budget across sources runs exactly this
+    arithmetic on quality-score variance.
+
+    Per-stratum moments are exact integer cents in DECIMAL(38,0)
+    (n·Σx² − (Σx)² stays integral, no float cancellation); S_h is one
+    sqrt per stratum; the 5-term denominator Σ N_h·S_h rounds each
+    term at 6 dp and sums in DECIMAL (order-independent). One shuffle
+    to |segments| cells."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = cust.select(
+        F.col("c_mktsegment").alias("seg"), x.alias("x")
+    )
+    strata = cents.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    std_bal = (
+        F.sqrt(
+            (F.col("n_pop") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n_pop").cast("double") * (F.col("n_pop") - 1))
+        )
+        / F.lit(100.0)
+    )
+    scored = strata.select(
+        "seg",
+        "n_pop",
+        std_bal.alias("std_bal"),
+        F.round(F.col("n_pop") * std_bal, 6).alias("nh_sh"),
+    )
+    tot = scored.agg(
+        F.sum(F.col("nh_sh").cast("decimal(27,6)")).cast("double").alias("d"),
+        F.sum("n_pop").cast("bigint").alias("big_n"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n_pop",
+            "std_bal",
+            F.round(F.lit(1000.0) * F.col("nh_sh") / F.col("d"), 0)
+            .cast("bigint")
+            .alias("alloc_neyman"),
+            F.round(F.lit(1000.0) * F.col("n_pop") / F.col("big_n"), 0)
+            .cast("bigint")
+            .alias("alloc_proportional"),
+        )
+        .orderBy("seg")
+    )

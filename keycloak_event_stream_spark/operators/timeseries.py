@@ -1956,3 +1956,86 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.sv").alias("cusum"),
         (F.col("x.sv") > 4.0 * F.col("sigma")).alias("alarm"),
     ).orderBy("day")
+
+
+@_q(
+    "q_twap_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS us,
+             CAST(CAST(round(value, 6) AS DECIMAL(27,6)) * 1000000
+                  AS BIGINT) AS v_micro,
+             lead(epoch_us(ts)) OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    ),
+    segs AS (
+      SELECT day,
+             CAST(v_micro AS DECIMAL(38,0)) * (next_us - us) AS wv,
+             next_us - us AS w
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT day,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(sum(w) AS BIGINT) AS span_us,
+           CAST(CAST(sum(wv) AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0
+             / CAST(sum(w) AS DOUBLE) AS twap
+    FROM segs
+    GROUP BY day
+    HAVING sum(w) > 0
+    ORDER BY day
+    """,
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event ``value`` per day — the
+    irregular-sampling mean every monitoring/finance pipeline needs
+    instead of the naive row mean (a value that held for 6 hours
+    should weigh 6 hours, not 1 row). Each value is weighted by the
+    microseconds until the NEXT same-day event (a right-open step
+    function); days whose events all share one timestamp drop (zero
+    span).
+
+    Exactness: weights are integer microseconds from one lead() over
+    the (day)-partitioned timeline; values quantize to INTEGER 6-dp
+    micro-units (value·1e6 as BIGINT), so every weighted product and
+    the day sums are exact INTEGER-valued decimals — the int128
+    fractional-decimal→double drift class cannot occur (caught here
+    at first verify: a DECIMAL(38,6) sum whose internal integer
+    exceeds 2^53 converts to double differently across engines) —
+    and the double appears only in the final division chain. One
+    shuffle on day; state per group is two accumulators."""
+    ev = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy(F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        (F.round("value", 6).cast("decimal(27,6)") * 1000000)
+        .cast("bigint")
+        .alias("v_micro"),
+        F.lead(F.unix_micros("ts")).over(w_day).alias("next_us"),
+    )
+    segs = seq.filter(F.col("next_us").isNotNull()).select(
+        "day",
+        (
+            F.col("v_micro").cast("decimal(38,0)")
+            * (F.col("next_us") - F.col("us"))
+        ).alias("wv"),
+        (F.col("next_us") - F.col("us")).alias("w"),
+    )
+    return (
+        segs.groupBy("day")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+            F.sum("w").cast("bigint").alias("span_us"),
+            (
+                F.sum("wv").cast("decimal(38,0)").cast("double")
+                / F.lit(1000000.0)
+                / F.sum("w").cast("double")
+            ).alias("twap"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("day")
+    )

@@ -142,6 +142,8 @@ _PRIORITY = [
     "q_lsh_band_occupancy",
     "q_ann_ivf_nprobe_sweep",
     "q_dp_mean_laplace",
+    "q_twap_daily",
+    "q_neyman_allocation",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",
