@@ -144,6 +144,7 @@ _PRIORITY = [
     "q_dp_mean_laplace",
     "q_twap_daily",
     "q_neyman_allocation",
+    "s_tumbling_approx_uniques",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",

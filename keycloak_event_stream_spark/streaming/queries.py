@@ -724,6 +724,55 @@ def s_tumbling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s_tumbling_approx_uniques",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+             AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_tumbling_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per 1 h tumbling window, streaming — the
+    constant-memory drop-in s_tumbling_uniques' docstring promises,
+    now as a first-class query with the q_agg_approx_distinct
+    evaluation discipline: the SAME stateful aggregate carries both
+    the sketch estimate and (via collect_set size) the exact distinct,
+    and the hashed surface is the exact count plus ``within_bound`` =
+    |approx − exact|/exact ≤ 5·rsd (rsd 0.02) — so the estimate's
+    jitter stays off the hash while a broken sketch fails the oracle.
+
+    One stateful operator (no dedup pre-stage needed): per-window
+    state is the HLL registers plus the exact set used only for
+    verification — a production query drops the set and keeps the
+    O(kB) sketch, which is the point of the operator at 100 TB."""
+    stream = read_stream_events(spark, sf_dir)
+    rsd = 0.02
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.size(F.collect_set("user_id")).cast("bigint").alias(
+                "exact_users"
+            ),
+        )
+    )
+    res = _run_to_memory(agg, "complete")
+    return res.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(5 * rsd) * F.col("exact_users") + F.lit(2.0)
+        ).alias("within_bound"),
+    )
+
+
+@_q(
     "s_rate_alert",
     oracle="""
     WITH hourly AS (
