@@ -337,3 +337,179 @@ def q_partition_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dt")
     )
+
+
+_N_FILES = 64  # simulated files per layout
+_N_PROBES = 4  # probe rectangles (1/16 of each dimension's span)
+
+
+def _skip_eval_oracle() -> str:
+    probes = ", ".join(f"({i})" for i in range(_N_PROBES))
+    z = _zvalue_sql(
+        "((o_custkey - c0) * 65535 // greatest(c1 - c0, 1))",
+        "((eday - d0) * 65535 // greatest(d1 - d0, 1))",
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS eday
+      FROM orders
+    ),
+    ext AS (
+      SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+             min(eday) AS d0, max(eday) AS d1
+      FROM base
+    ),
+    tagged AS (
+      SELECT o_custkey, eday,
+             ((o_custkey - c0) * {_N_FILES})
+               // greatest(c1 - c0 + 1, 1) AS f_nat,
+             ({z}) >> {_CELL_SHIFT} AS f_zo
+      FROM base, ext
+    ),
+    nat AS (
+      SELECT f_nat AS f, min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+             min(eday) AS mnd, max(eday) AS mxd
+      FROM tagged GROUP BY f_nat
+    ),
+    zo AS (
+      SELECT f_zo AS f, min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+             min(eday) AS mnd, max(eday) AS mxd
+      FROM tagged GROUP BY f_zo
+    ),
+    pr AS (
+      SELECT i,
+             c0 + (c1 - c0) * (2 * i + 1) // 8 AS pc0,
+             c0 + (c1 - c0) * (2 * i + 2) // 8 AS pc1,
+             d0 + (d1 - d0) * (2 * i + 1) // 8 AS pd0,
+             d0 + (d1 - d0) * (2 * i + 2) // 8 AS pd1
+      FROM (VALUES {probes}) t(i), ext
+    )
+    SELECT pr.i AS probe,
+           CAST((SELECT count(*) FROM nat
+                 WHERE mxc >= pr.pc0 AND mnc <= pr.pc1
+                   AND mxd >= pr.pd0 AND mnd <= pr.pd1) AS BIGINT)
+             AS files_natural,
+           CAST((SELECT count(*) FROM zo
+                 WHERE mxc >= pr.pc0 AND mnc <= pr.pc1
+                   AND mxd >= pr.pd0 AND mnd <= pr.pd1) AS BIGINT)
+             AS files_zorder,
+           CAST((SELECT count(*) FROM tagged
+                 WHERE o_custkey BETWEEN pr.pc0 AND pr.pc1
+                   AND eday BETWEEN pr.pd0 AND pr.pd1) AS BIGINT)
+             AS matching_rows
+    FROM pr
+    ORDER BY probe
+    """
+
+
+@_q("q_zone_map_skip_eval", oracle=_skip_eval_oracle())
+def q_zone_map_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer) file-skipping evaluation: simulate two
+    physical layouts of orders — insertion/natural order (files =
+    contiguous o_custkey ranges, the "sorted by one key" layout) and
+    Z-order (files = the {64} top-level Morton cells of
+    q_cluster_zorder) — compute each simulated file's (custkey, day)
+    bounding box, then count how many files a two-dimensional probe
+    rectangle (1/16 of each dimension's span, 4 diagonal probes)
+    CANNOT skip under each layout. This is the number a table-
+    maintenance service quotes to justify re-clustering: the natural
+    layout prunes on custkey but every file spans the full date range,
+    so a date-selective probe touches ~every matching-custkey file,
+    while z-cells stay near-square and prune on BOTH predicates.
+
+    All integer arithmetic (normalized 16-bit interleave, integer
+    division file assignment, closed-interval box intersection) — one
+    shuffle per layout to |files| cells, probe evaluation on the tiny
+    stats tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_custkey",
+        "datediff(to_date(o_orderdate), date'1970-01-01') AS eday",
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("c0"),
+        F.max("o_custkey").alias("c1"),
+        F.min("eday").alias("d0"),
+        F.max("eday").alias("d1"),
+    )
+    tagged = base.crossJoin(F.broadcast(ext)).selectExpr(
+        "o_custkey",
+        "eday",
+        "c0",
+        "c1",
+        "d0",
+        "d1",
+        f"((o_custkey - c0) * {_N_FILES})"
+        " div greatest(c1 - c0 + 1, 1) AS f_nat",
+        "shiftright("
+        + _zvalue_spark(
+            "((o_custkey - c0) * 65535 div greatest(c1 - c0, 1))",
+            "((eday - d0) * 65535 div greatest(d1 - d0, 1))",
+        )
+        + f", {_CELL_SHIFT}) AS f_zo",
+    ).persist()
+
+    def stats(key: str) -> DataFrame:
+        return tagged.groupBy(F.col(key).alias("f")).agg(
+            F.min("o_custkey").alias("mnc"),
+            F.max("o_custkey").alias("mxc"),
+            F.min("eday").alias("mnd"),
+            F.max("eday").alias("mxd"),
+        )
+
+    nat, zo = stats("f_nat"), stats("f_zo")
+    pr = (
+        spark.range(_N_PROBES)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(F.broadcast(ext))
+        .selectExpr(
+            "i",
+            "c0 + (c1 - c0) * (2 * i + 1) div 8 AS pc0",
+            "c0 + (c1 - c0) * (2 * i + 2) div 8 AS pc1",
+            "d0 + (d1 - d0) * (2 * i + 1) div 8 AS pd0",
+            "d0 + (d1 - d0) * (2 * i + 2) div 8 AS pd1",
+        )
+    )
+    hit = (
+        (F.col("mxc") >= F.col("pc0"))
+        & (F.col("mnc") <= F.col("pc1"))
+        & (F.col("mxd") >= F.col("pd0"))
+        & (F.col("mnd") <= F.col("pd1"))
+    )
+
+    def touched(files: DataFrame, alias: str) -> DataFrame:
+        return (
+            pr.join(F.broadcast(files), hit)
+            .groupBy("i")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    # probe spine broadcasts into the corpus scan (never the reverse —
+    # broadcasting the data side would be the classic scale-killer)
+    rows = (
+        tagged.select("o_custkey", "eday")
+        .join(
+            F.broadcast(pr),
+            (F.col("o_custkey") >= F.col("pc0"))
+            & (F.col("o_custkey") <= F.col("pc1"))
+            & (F.col("eday") >= F.col("pd0"))
+            & (F.col("eday") <= F.col("pd1")),
+        )
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("matching_rows"))
+    )
+    return (
+        touched(nat, "files_natural")
+        .join(touched(zo, "files_zorder"), "i")
+        .join(rows, "i", "left")
+        .select(
+            F.col("i").alias("probe"),
+            "files_natural",
+            "files_zorder",
+            F.coalesce("matching_rows", F.lit(0))
+            .cast("bigint")
+            .alias("matching_rows"),
+        )
+        .orderBy("probe")
+    )

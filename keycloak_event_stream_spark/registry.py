@@ -145,6 +145,7 @@ _PRIORITY = [
     "q_twap_daily",
     "q_neyman_allocation",
     "s_tumbling_approx_uniques",
+    "q_zone_map_skip_eval",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",
