@@ -366,11 +366,22 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    w_init = F.row_number().over(Window.orderBy("vec_id"))
+    # Deterministic init: the 4 lowest vec_ids become cid 0..3. Rank
+    # within the 4-row seed set via a 1-row sorted-id broadcast +
+    # array_position instead of an unpartitioned row_number window —
+    # same values, but the plan carries no global WindowExec at all
+    # (the single-partition sort warning this emitted was the last one
+    # left in the bench stderr).
+    first4 = v.orderBy("vec_id").limit(4)
+    seed_ids = first4.agg(F.array_sort(F.collect_list("vec_id")).alias("_ids"))
     centroids = (
-        v.orderBy("vec_id")
-        .limit(4)
-        .select((w_init - 1).alias("cid"), F.col("v").alias("c"))
+        first4.crossJoin(F.broadcast(seed_ids))
+        .select(
+            (F.expr("array_position(_ids, vec_id)") - 1)
+            .cast("int")
+            .alias("cid"),
+            F.col("v").alias("c"),
+        )
     )
 
     def assign(cents: DataFrame) -> DataFrame:

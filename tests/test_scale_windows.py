@@ -191,7 +191,6 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_cramers_v": "contingency cells",
     "q_cusum_changepoint": "daily series",
     "q_interpolate_linear": "daily series",
-    "q_kmeans_lloyd": "k centroids",
     "q_lorenz_deciles": "10 deciles",
     "q_mann_kendall": "daily series",
     "q_percent_of_total": "|nation| = 25-row rollup",
