@@ -1482,7 +1482,8 @@ def q_lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     performs internally).
 
     Same no-shuffle per-row signature pipeline as band_keys(); the
-    audit itself is one groupBy over (band, bkey) then 16 band rows —
+    audit itself is one groupBy over (band, bkey) then _B (= 8) band
+    rows —
     pure integer arithmetic, bitwise oracle-checked like the rest of
     the md5-deterministic LSH family."""
     d = spread(load_table(spark, sf_dir, "documents"))

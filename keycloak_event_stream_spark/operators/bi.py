@@ -1113,7 +1113,11 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = ta.join(tb, "o_custkey", "full_outer")
     depths = spark.range(1, 11).select(F.col("id").alias("d"))
     per_depth = (
-        depths.crossJoin(F.broadcast(merged))
+        # LEFT join on true (not crossJoin): an empty merged set must
+        # still emit one NULL-rank row per depth so each depth scores
+        # overlap 0, matching the oracle's LEFT JOIN ... ON true
+        # (round-4 ADVICE)
+        depths.join(F.broadcast(merged), F.lit(True), "left")
         .groupBy("d")
         .agg(
             # coalesce both per-row (NULL ranks from the outer join)

@@ -499,14 +499,22 @@ def q_zone_map_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.count(F.lit(1)).cast("bigint").alias("matching_rows"))
     )
+    # left-join from the probe spine so a probe rectangle that
+    # intersects ZERO file boxes in a layout still emits its row with
+    # count 0, matching the oracle's scalar subqueries (round-4 ADVICE)
     return (
-        touched(nat, "files_natural")
-        .join(touched(zo, "files_zorder"), "i")
+        pr.select("i")
+        .join(touched(nat, "files_natural"), "i", "left")
+        .join(touched(zo, "files_zorder"), "i", "left")
         .join(rows, "i", "left")
         .select(
             F.col("i").alias("probe"),
-            "files_natural",
-            "files_zorder",
+            F.coalesce("files_natural", F.lit(0))
+            .cast("bigint")
+            .alias("files_natural"),
+            F.coalesce("files_zorder", F.lit(0))
+            .cast("bigint")
+            .alias("files_zorder"),
             F.coalesce("matching_rows", F.lit(0))
             .cast("bigint")
             .alias("matching_rows"),

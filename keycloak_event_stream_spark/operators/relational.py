@@ -380,7 +380,10 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_asof",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+         -- max-event_id pre-reduce pins the duplicate-ts pick to the
+         -- same tiebreak the Spark window order uses (round-4 ADVICE)
+         c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts)
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
            c.event_id AS last_click_id, c.ts AS last_click_ts
     FROM p ASOF LEFT JOIN c
@@ -432,8 +435,12 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'purchase'),
-         c AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'click'),
+         -- pre-reduce clicks to one row per (user_id, ts): DuckDB's
+         -- ASOF pick among duplicate right-side timestamps is not
+         -- defined, so pin the same max-event_id tiebreak the Spark
+         -- window order uses (round-4 ADVICE)
+         c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts),
          m AS (
            SELECT p.event_id AS purchase_id, p.user_id,
                   p.ts AS purchase_ts, c.event_id AS click_id,
