@@ -40,6 +40,56 @@ def _q(name: str, oracle: str | None = None):
 _DAMP = 0.85
 _ITERS = 5
 
+# --- size-guarded broadcast for |V|-sized iteration state -----------------
+#
+# Every iterative algorithm here re-joins a node-sized state vector
+# (rank / hub score / surviving-node set / BFS frontier) against a
+# persisted edge table each round. Broadcasting that vector keeps the
+# edge table from ever re-shuffling — the right plan while |V| fits in
+# executor memory — but an unconditional F.broadcast() hint overrides
+# Spark's size threshold, so at a 100 TB graph (|V| in the billions) it
+# OOMs instead of degrading. The guard: broadcast only while the node
+# count is at or under spark.kes.graph.broadcastMaxNodes (default 10M
+# nodes ≈ low hundreds of MB of (id, double) state — comfortably inside
+# a production executor's broadcast budget); above it, drop the hint so
+# the planner falls back to a shuffle join whose state side is |V| rows
+# (cheap to exchange) while the edge table stays in its cached layout,
+# hash-partitioned on the per-iteration join key, and never crosses the
+# wire (EnsureRequirements sees the cached HashPartitioning and only
+# adds the |V|-sized exchange + per-partition sorts). Setting the conf
+# to 0 forces the shuffle path — how tests/test_plans.py pins both
+# plan shapes on the same fixture.
+
+_BCAST_MAX_NODES_CONF = "spark.kes.graph.broadcastMaxNodes"
+_BCAST_MAX_NODES_DEFAULT = 10_000_000
+
+
+def _bcast_limit(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                _BCAST_MAX_NODES_CONF, str(_BCAST_MAX_NODES_DEFAULT)
+            )
+        )
+    except ValueError:
+        return _BCAST_MAX_NODES_DEFAULT
+
+
+def _use_broadcast(spark: SparkSession, n_nodes: int | None) -> bool:
+    """True when a |V|-sized state vector should carry a broadcast
+    hint. ``n_nodes=None`` means the caller has no count handy (and no
+    action is worth spending to get one) — then only the conf gates it,
+    giving operators the same escape hatch without extra driver
+    round-trips."""
+    limit = _bcast_limit(spark)
+    if limit <= 0:
+        return False
+    return n_nodes is None or n_nodes <= limit
+
+
+def _state(df: DataFrame, bcast: bool) -> DataFrame:
+    return F.broadcast(df) if bcast else df
+
 
 def _duck_pagerank() -> str:
     head = """
@@ -91,10 +141,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates lineage so the plan stays O(1) deep instead of growing
     5 joins tall. Symmetric edges mean no dangling-mass correction is
     needed and every node receives inbound mass each step. The rank
-    vector broadcasts into the edge join (it is |nodes|-sized, tiny
-    next to |edges|); at a scale where it no longer fits, the fallback
-    is a pre-partitioned edge table so the per-iteration join zippers
-    locally."""
+    vector broadcasts into the edge join while |nodes| is at or under
+    spark.kes.graph.broadcastMaxNodes (size-guarded — see _use_broadcast);
+    above the limit the hint drops away and the per-iteration join
+    zippers the |V|-row rank exchange against the src-pre-partitioned
+    cached edge table instead of OOMing the executors."""
     o = spread(load_table(spark, sf_dir, "orders"))
     l = spread(load_table(spark, sf_dir, "lineitem"))
     pairs = (
@@ -126,20 +177,31 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the node set is read twice (count + rank init): one pass, cached
     nodes = edges_deg.select("src").distinct().persist()
     n_nodes = nodes.count()
+    bcast = _use_broadcast(spark, n_nodes)
+    if not bcast:
+        # shuffle mode: the loop joins on src, so re-cache the edge
+        # table hash-partitioned by src ONCE (one |E| shuffle at mode
+        # switch) — each iteration then exchanges only the |V|-row rank
+        # vector while the cached edge layout satisfies the join's
+        # clustering requirement.
+        loop_edges = edges_deg.repartition(n_shuffle, "src").persist()
+        edges_deg.unpersist()
+    else:
+        loop_edges = edges_deg
     ranks = nodes.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     ).localCheckpoint()
     for _ in range(_ITERS):
-        # the rank vector is |nodes| rows — broadcast it so the edge
-        # table never re-shuffles across iterations (fall back to a
-        # pre-partitioned shuffle join only when ranks outgrow memory).
-        # No per-iteration localCheckpoint: each broadcast exchange
+        # the rank vector is |nodes| rows — size-guarded broadcast so
+        # the edge table never re-shuffles across iterations while |V|
+        # fits, degrading to the co-partitioned shuffle join above the
+        # conf limit. No per-iteration localCheckpoint: each exchange
         # already materializes its round exactly once at action time,
         # so the eager checkpoint only added an extra driver action
         # per iteration (measured ~5.1s → ~4.2s at sf0.1); lineage
-        # depth stays bounded at _ITERS broadcast stages.
+        # depth stays bounded at _ITERS join stages.
         ranks = (
-            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
+            loop_edges.join(_state(ranks, bcast), loop_edges.src == ranks.node)
             .withColumn("contrib", F.round(F.col("r") / F.col("deg"), 6))
             .groupBy("dst")
             .agg(
@@ -294,8 +356,11 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark idiom mirrors pagerank: the edge table is computed ONCE and
     persisted; the driver loop re-joins only the score vectors
-    (|nodes| rows, broadcast into the edge join so edges never
-    re-shuffle); localCheckpoint truncates lineage each iteration.
+    (|nodes| rows, size-guarded broadcast into the edge join so edges
+    never re-shuffle while |V| fits — above
+    spark.kes.graph.broadcastMaxNodes the hint drops and the scores
+    exchange against per-key cached edge layouts instead);
+    localCheckpoint truncates lineage each iteration.
     Map-side partial aggregation bounds each half-step's shuffle at
     |nodes| x partitions rows regardless of |edges|.
 
@@ -315,6 +380,22 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_hubs = edges.select("src").distinct().count()
+    bcast = _use_broadcast(spark, n_hubs)
+    if bcast:
+        edges_by = {"src": edges, "dst": edges}
+    else:
+        # shuffle mode: the half-steps alternate join keys, so cache
+        # the edge table in BOTH layouts once (two |E| shuffles at
+        # mode-switch time) — each of the 8 half-step joins then
+        # exchanges only the |V|-row score vector against the matching
+        # cached layout.
+        n_shuffle = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        edges_by = {
+            "src": edges.repartition(n_shuffle, "src").persist(),
+            "dst": edges.repartition(n_shuffle, "dst").persist(),
+        }
     h = (
         edges.select("src")
         .distinct()
@@ -327,8 +408,8 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
         raw = (
-            edges.join(
-                F.broadcast(score), F.col(in_key) == F.col("node")
+            edges_by[in_key].join(
+                _state(score, bcast), F.col(in_key) == F.col("node")
             )
             .groupBy(out_key)
             .agg(d6(F.col("r")).alias("r"))
@@ -430,9 +511,12 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
     d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
+    # degree tables are |V|-sized: same guard as the iterative state
+    # vectors, via the conf-only path (no count action worth spending)
+    bcast = _use_broadcast(spark, None)
     return (
-        common.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        common.join(_state(d1, bcast), "s1")
+        .join(_state(d2, bcast), "s2")
         .select(
             "s1",
             "s2",
@@ -607,11 +691,16 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(s_node.alias("src"), c_node.alias("dst"))
     )
     edges = edges.persist()
+    # |V| is bounded by the first round's degree-table size; count it
+    # once so the keep-set joins are size-guarded like the other
+    # iterative state vectors (keep ⊆ nodes, shrinking every round)
+    bcast = _use_broadcast(spark, edges.select("src").distinct().count())
     for _ in range(3):
         # the surviving-node list is |nodes|-sized (and shrinks every
-        # round) — broadcast both endpoint filters so each peel is two
-        # broadcast-hash semi joins over the persisted edges, never a
-        # SortMerge at full shuffle width
+        # round) — broadcast both endpoint filters while it fits so
+        # each peel is two broadcast-hash semi joins over the persisted
+        # edges; above the guard the hints drop and the |V|-row keep
+        # set exchanges instead (never the reverse)
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -619,8 +708,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
         )
         edges = (
-            edges.join(F.broadcast(keep), "src")
-            .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst")
+            edges.join(_state(keep, bcast), "src")
+            .join(
+                _state(keep.select(F.col("src").alias("dst")), bcast), "dst"
+            )
             .select("src", "dst")
         )
         edges = edges.persist()
@@ -706,6 +797,9 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(s_node.alias("src"), c_node.alias("dst"))
     )
     edges = edges.persist()
+    # frontier and visited are both bounded by |V| — size-guard their
+    # broadcast hints off one node count, like the other state vectors
+    bcast = _use_broadcast(spark, edges.select("src").distinct().count())
     seed = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -717,13 +811,17 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = seed.select("node")
     levels = [seed]
     for lvl in (1, 2, 3):
-        # visited is |nodes|-sized — broadcast the anti join too, or
-        # every hop pays a full-width SortMerge against a tiny set
+        # visited is |nodes|-sized — broadcast the anti join too while
+        # it fits (else every hop pays a full-width SortMerge against a
+        # tiny set); above the guard both hints drop and the |V|-row
+        # frontier/visited sets exchange instead
         nxt = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            edges.join(_state(frontier, bcast), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .join(
+                _state(visited.select("node"), bcast), "node", "left_anti"
+            )
             .select("node", F.lit(lvl).alias("lvl"))
         )
         nxt = nxt.persist()
@@ -813,13 +911,25 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
+    # |V|-sized degree table: size-guarded hint (conf-only path)
+    bcast = _use_broadcast(spark, None)
     ed = (
         edges.join(
-            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))),
+            _state(
+                deg.select(
+                    F.col("node").alias("src"), F.col("d").alias("dx")
+                ),
+                bcast,
+            ),
             "src",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))),
+            _state(
+                deg.select(
+                    F.col("node").alias("dst"), F.col("d").alias("dy")
+                ),
+                bcast,
+            ),
             "dst",
         )
         .select("dx", "dy")

@@ -338,3 +338,63 @@ def test_followed_by_matrix_no_self_join(spark, queries):
     plan = _plan(queries["q_followed_by_matrix"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+class TestGraphBroadcastSizeGuard:
+    """The iterative graph family's |V|-sized state vectors (rank /
+    hub score / keep set / BFS frontier) carry a size-guarded
+    broadcast: hinted while the node count fits under
+    spark.kes.graph.broadcastMaxNodes, dropped above it so the planner
+    falls back to exchanging the |V|-row state against the cached edge
+    layout instead of OOMing at a 100 TB graph. Both plan shapes are
+    pinned on the same fixture, and the shuffle path must reproduce
+    the broadcast path's rows exactly."""
+
+    GRAPH_QUERIES = (
+        "q_graph_pagerank",
+        "q_graph_hits",
+        "q_graph_kcore",
+        "q_graph_bfs_levels",
+    )
+
+    CONF = "spark.kes.graph.broadcastMaxNodes"
+
+    def _rows(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_default_mode_broadcasts_state(self, spark, queries):
+        spark.conf.unset(self.CONF)
+        plan = _plan(queries["q_graph_pagerank"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_forced_shuffle_mode_drops_broadcast_hint(self, spark, queries):
+        # with the guard off, the state join must no longer be
+        # hint-FORCED: disabling Spark's own auto threshold simulates
+        # "planner estimates the state as too big" — an unconditional
+        # F.broadcast() hint would override that and still plan BHJ
+        # (the pre-guard bug), while the guarded code degrades to a
+        # shuffle join
+        prev_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set(self.CONF, "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = queries["q_graph_pagerank"](spark, SF)
+            plan = _plan(df)
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.unset(self.CONF)
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev_auto
+            )
+
+    @pytest.mark.parametrize("name", GRAPH_QUERIES)
+    def test_shuffle_mode_rows_identical(self, spark, queries, name):
+        spark.conf.unset(self.CONF)
+        expected = self._rows(queries[name](spark, SF))
+        spark.conf.set(self.CONF, "0")
+        try:
+            got = self._rows(queries[name](spark, SF))
+        finally:
+            spark.conf.unset(self.CONF)
+        assert got == expected
