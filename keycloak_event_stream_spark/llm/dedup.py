@@ -81,6 +81,29 @@ _B, _R = 8, 2
 _SHINGLE = 3  # word n-gram size
 _JACCARD_MIN = 0.2
 
+# Per-(band, bkey) bucket cap for the LSH candidate join. The exact-
+# clone collapse (round 4) killed the byte-identical blowup, but
+# NEAR-identical boilerplate — the same template differing by a date
+# stamp — still shares most band keys and floods a bucket with k
+# unique texts, costing k² candidate pairs. Above the cap a bucket
+# keeps its `cap` LOWEST doc_ids (deterministic; same rows every run)
+# and drops the rest from THAT bucket only — a doc dropped from one
+# over-full band bucket still pairs through its 7 other bands, so
+# recall degrades gracefully instead of the join exploding. Fixture
+# max occupancy on unique texts is 12 (sf0.1), so the default 512
+# never engages on the standard fixtures and the oracle comparison is
+# unaffected; the overflow is observable (never silent) through the
+# Observation recorded in LAST_CAP_OBSERVATION and through
+# q_lsh_band_occupancy's candidate-pair bill.
+_LSH_BUCKET_CAP_CONF = "spark.kes.dedup.lshBucketCap"
+_LSH_BUCKET_CAP_DEFAULT = 512
+
+#: Observation attached to the most recent q_dedup_near_minhash plan;
+#: after the returned DataFrame executes, ``.get`` yields
+#: {"overflow_rows": <band rows dropped by the cap>,
+#:  "overflow_buckets": <buckets that exceeded the cap>}.
+LAST_CAP_OBSERVATION = None
+
 _SPARK_SHINGLES = (
     "array_distinct(transform(sequence(1, size(w) - {k}), "
     "i -> concat_ws(' ', {terms})))"
@@ -229,7 +252,18 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs formulation (oracle unchanged); candidate-generation
     cost now scales with UNIQUE texts, while only the final fan-out —
     the part of the output that is genuinely quadratic in clone-group
-    size — pays for the clones."""
+    size — pays for the clones.
+
+    Round-5 (r4 verdict #3 — near-identical boilerplate): each
+    (band, bkey) bucket is CAPPED at spark.kes.dedup.lshBucketCap
+    members (default 512; fixture max occupancy is 12, so the cap
+    never engages on the standard fixtures and the oracle comparison
+    is exact). Date-stamped template text — not byte-identical, so the
+    clone collapse can't absorb it — shares most band keys and would
+    otherwise pay k² candidates per flooded bucket; over the cap a
+    bucket keeps its `cap` lowest doc_ids deterministically and the
+    dropped row/bucket counts surface through LAST_CAP_OBSERVATION
+    (never a silent cap)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     eligible = (
         d.withColumn("w", F.split("text", " "))
@@ -264,7 +298,36 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(_B)])).alias(
             "band", "bkey"
         ),
-    ).persist()
+    )
+    # bucket cap: rank members within each (band, bkey) bucket and keep
+    # the cap lowest doc_ids. The rank window hash-partitions on the
+    # SAME (band, bkey) keys the self-join below clusters on, so the
+    # cap rides the exchange the join needed anyway (one extra
+    # per-partition sort, no extra shuffle). Dropped rows are counted
+    # through an Observation so an engaged cap is visible, not silent.
+    cap = int(
+        spark.conf.get(_LSH_BUCKET_CAP_CONF, str(_LSH_BUCKET_CAP_DEFAULT))
+    )
+    from pyspark.sql import Observation
+
+    global LAST_CAP_OBSERVATION
+    obs = Observation()
+    LAST_CAP_OBSERVATION = obs
+    ranked = bands.withColumn(
+        "brank",
+        F.row_number().over(
+            W.partitionBy("band", "bkey").orderBy("doc_id")
+        ),
+    ).observe(
+        obs,
+        F.sum((F.col("brank") > cap).cast("long")).alias("overflow_rows"),
+        # exactly one row per overflowing bucket carries brank == cap+1
+        # (observe() forbids distinct aggregates)
+        F.sum((F.col("brank") == cap + 1).cast("long")).alias(
+            "overflow_buckets"
+        ),
+    )
+    bands = ranked.filter(F.col("brank") <= cap).drop("brank").persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -246,3 +246,58 @@ def test_store_read_error_is_not_swallowed(spark, tmp_path):
         df = _read_store(spark, str(corrupt))
         assert df is not None
         df.collect()
+
+
+def test_lsh_bucket_cap_bounds_boilerplate(spark, tmp_path):
+    """Date-stamped boilerplate (the r4 verdict's near-identical
+    hazard): 40 copies of one template differing only by a trailing
+    date token. Not byte-identical, so the exact-clone collapse can't
+    absorb them — they flood the band buckets instead. With the bucket
+    cap forced to 6, every (band, bkey) bucket is bounded at 6
+    members, candidate pairs stay ≤ B·C(6,2) instead of C(40,2)·B, and
+    the dropped rows surface through LAST_CAP_OBSERVATION (no silent
+    cap). With the default cap (512) the same corpus emits the full
+    pair set — the cap only engages when configured into range."""
+    tpl = (
+        "terms of service agreement for the example site all rights "
+        "reserved contact support for questions updated on"
+    )
+    rows = [
+        (i, f"{tpl} 2024-01-{i + 1:02d}", "en", "s", 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # default cap: never engages, full quadratic pair set comes out
+    out_full = dedup.q_dedup_near_minhash(spark, str(tmp_path))
+    n_full = out_full.count()
+    assert n_full == 40 * 39 // 2
+    assert dedup.LAST_CAP_OBSERVATION.get["overflow_rows"] == 0
+    assert dedup.LAST_CAP_OBSERVATION.get["overflow_buckets"] == 0
+
+    # forced-low cap: candidates bounded, overflow observable
+    spark.conf.set("spark.kes.dedup.lshBucketCap", "6")
+    try:
+        out = dedup.q_dedup_near_minhash(spark, str(tmp_path))
+        pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.kes.dedup.lshBucketCap")
+    # each of the 8 bands keeps ≤6 members per bucket → ≤ 8·C(6,2)
+    # distinct candidate pairs survive (deterministic lowest doc_ids)
+    assert len(pairs) <= 8 * 15
+    assert len(pairs) >= 15  # the kept bucket members still pair up
+    obs = dedup.LAST_CAP_OBSERVATION.get
+    assert obs["overflow_rows"] > 0
+    assert obs["overflow_buckets"] > 0
+    # determinism: same rows on a re-run
+    spark.conf.set("spark.kes.dedup.lshBucketCap", "6")
+    try:
+        again = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.q_dedup_near_minhash(spark, str(tmp_path)).collect()
+        }
+    finally:
+        spark.conf.unset("spark.kes.dedup.lshBucketCap")
+    assert again == pairs
