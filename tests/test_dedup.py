@@ -253,11 +253,12 @@ def test_lsh_bucket_cap_bounds_boilerplate(spark, tmp_path):
     hazard): 40 copies of one template differing only by a trailing
     date token. Not byte-identical, so the exact-clone collapse can't
     absorb them — they flood the band buckets instead. With the bucket
-    cap forced to 6, every (band, bkey) bucket is bounded at 6
-    members, candidate pairs stay ≤ B·C(6,2) instead of C(40,2)·B, and
-    the dropped rows surface through LAST_CAP_OBSERVATION (no silent
-    cap). With the default cap (512) the same corpus emits the full
-    pair set — the cap only engages when configured into range."""
+    cap forced to 6, flooded (band, bkey) buckets drop WHOLE: the
+    near-quadratic candidate set collapses to what survives in
+    non-flooded buckets, and the dropped bucket/row counts surface
+    through LAST_CAP_OBSERVATION (no silent cap). With the default cap
+    (512) the same corpus emits the full pair set — the cap only
+    engages when configured into range."""
     tpl = (
         "terms of service agreement for the example site all rights "
         "reserved contact support for questions updated on"
@@ -274,8 +275,7 @@ def test_lsh_bucket_cap_bounds_boilerplate(spark, tmp_path):
     out_full = dedup.q_dedup_near_minhash(spark, str(tmp_path))
     n_full = out_full.count()
     assert n_full == 40 * 39 // 2
-    assert dedup.LAST_CAP_OBSERVATION.get["overflow_rows"] == 0
-    assert dedup.LAST_CAP_OBSERVATION.get["overflow_buckets"] == 0
+    assert dedup.LAST_CAP_AUDIT.count() == 0
 
     # forced-low cap: candidates bounded, overflow observable
     spark.conf.set("spark.kes.dedup.lshBucketCap", "6")
@@ -284,13 +284,13 @@ def test_lsh_bucket_cap_bounds_boilerplate(spark, tmp_path):
         pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
     finally:
         spark.conf.unset("spark.kes.dedup.lshBucketCap")
-    # each of the 8 bands keeps ≤6 members per bucket → ≤ 8·C(6,2)
-    # distinct candidate pairs survive (deterministic lowest doc_ids)
-    assert len(pairs) <= 8 * 15
-    assert len(pairs) >= 15  # the kept bucket members still pair up
-    obs = dedup.LAST_CAP_OBSERVATION.get
-    assert obs["overflow_rows"] > 0
-    assert obs["overflow_buckets"] > 0
+    # flooded buckets (the template-dominated ones holding most of the
+    # 40 docs) are gone; only pairs meeting in a small (≤6-member)
+    # bucket survive, far below the quadratic full set
+    assert len(pairs) < n_full // 2
+    audit = dedup.LAST_CAP_AUDIT.collect()
+    assert len(audit) > 0  # at least one bucket tripped the cap
+    assert all(r.n > 6 for r in audit)
     # determinism: same rows on a re-run
     spark.conf.set("spark.kes.dedup.lshBucketCap", "6")
     try:
