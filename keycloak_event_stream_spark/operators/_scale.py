@@ -37,6 +37,44 @@ __all__ = ["two_phase_window", "with_totals", "exact_ntile"]
 
 _PID = "_tp_pid"
 
+# Bounded FIFO pool for the persisted range subtrees. Every
+# two_phase_window call persists its ranged layout (see the PIN
+# comment below); without a release, a long-lived session composing
+# many two-phase operators accumulates one CacheManager entry per
+# call. Each new call now retires the oldest entries beyond
+# spark.kes.twoPhase.cachePool (default 16) — entries unpersist in
+# arrival order, so the bounded contract is: a two-phase DataFrame
+# should be EXECUTED within that many subsequent two_phase_window
+# calls (every real flow — driver contract, bench, verify, tests —
+# executes immediately). After retirement the plan still computes
+# correct results whenever Catalyst's ReuseExchange holds (the normal
+# case); the persist exists to pin the rare reuse-defeating consumer
+# shape, so size the pool to your composition depth if you hold many
+# unexecuted two-phase plans.
+_CACHE_POOL_CONF = "spark.kes.twoPhase.cachePool"
+_CACHE_POOL_DEFAULT = 16
+_cache_pool: list[DataFrame] = []
+
+
+def _pool_persist(ranged: DataFrame) -> DataFrame:
+    ranged = ranged.persist()
+    _cache_pool.append(ranged)
+    try:
+        limit = int(
+            ranged.sparkSession.conf.get(
+                _CACHE_POOL_CONF, str(_CACHE_POOL_DEFAULT)
+            )
+        )
+    except ValueError:
+        limit = _CACHE_POOL_DEFAULT
+    while len(_cache_pool) > max(limit, 1):
+        old = _cache_pool.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session of the old entry may already be gone
+    return ranged
+
 
 def _num_partitions(df: DataFrame, k: int | None) -> int:
     if k:
@@ -101,11 +139,12 @@ def two_phase_window(
     # layout (observed: duplicated/missing global row numbers in
     # q_systematic_sample). persist() makes both branches read one
     # materialization; the footprint is the same data the shuffle
-    # already wrote, spill-backed.
-    ranged = (
-        df.repartitionByRange(k, *range_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
+    # already wrote, spill-backed. The persist is pooled: old entries
+    # retire FIFO once the pool exceeds its bound (see _pool_persist).
+    ranged = _pool_persist(
+        df.repartitionByRange(k, *range_cols).withColumn(
+            _PID, F.spark_partition_id()
+        )
     )
 
     # per-(group, pid) totals: k (× groups) rows — always tiny

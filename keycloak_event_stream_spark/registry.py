@@ -56,21 +56,80 @@ _MODULES = [
 # correctness report caps at the FIRST ~50 registered queries — ONLY
 # the first ~50 names below get driver-window evidence in a given
 # round; everything after the "refill" marker is documentation of past
-# windows plus module-order spillover, NOT driver-checked this round
-# (round-4 ADVICE: say so explicitly instead of implying the whole
-# list lands in the window).
+# windows plus module-order spillover, NOT driver-checked this round.
 #
-# Round-4 window (per VERDICT r3 "Next round #2"): rounds 1–3 covered
-# ~144 unique names of 479; this round's 50 slots go to families that
-# have NEVER appeared in any driver CORRECTNESS file — TPC-H Q1–Q22
-# (only Q3/Q18 ever checked), scale_patterns, graph, sketches (incl.
-# the two newly-oracled raw sketches), the privacy ladder, mleval —
-# plus this round's code changes that need fresh proof
-# (q_dedup_near_minhash exact-clone collapse, the two ADVICE-fixed
-# never-checked names).
+# Round-5 window (per VERDICT r4 "Next round #2"): rounds 1-4 covered
+# 194 unique names of 495; this round's ~50 slots go to (a) the 16
+# round-4 additions queued by the r4 verdict (q_g_test ...
+# q_zone_map_skip_eval — including the three ADVICE-fixed queries
+# q_rank_biased_overlap / q_join_asof_tolerance / q_zone_map_skip_eval),
+# (b) the three queries whose CODE changed this round and need fresh
+# driver proof (q_dedup_near_minhash bucket cap; q_graph_bfs_levels /
+# q_graph_kcore size-guarded broadcasts; q_dedup_components batched LP
+# rides along in the LLM block), and (c) the never-checked LLM core —
+# BPE, the dedup variants, sim_search exact/IVF/LSH, curation,
+# text-stats — plus the four remaining never-checked s_* streaming
+# names and the splits family. 50 of the 52 are first-time names.
 _PRIORITY = [
-    # TPC-H: the canonical relational gauntlet; only Q3/Q18 have ever
-    # been driver-green (r1). 20 first-time names.
+    # (a) round-4 additions + ADVICE fixes (16, all first-time)
+    "q_g_test",
+    "q_hill_tail_index",
+    "q_calibration_ece",
+    "q_label_noise_rate",
+    "q_rank_biased_overlap",
+    "q_join_asof_tolerance",
+    "q_kn_bigram_lm",
+    "q_block_bootstrap_ci",
+    "q_attribution_position_based",
+    "q_lsh_band_occupancy",
+    "q_ann_ivf_nprobe_sweep",
+    "q_dp_mean_laplace",
+    "q_twap_daily",
+    "q_neyman_allocation",
+    "s_tumbling_approx_uniques",
+    "q_zone_map_skip_eval",
+    # (b) round-5 code changes needing fresh driver proof
+    "q_dedup_near_minhash",
+    "q_graph_bfs_levels",
+    "q_graph_kcore",
+    # (c) LLM pipeline core — first driver look at these families
+    "q_bpe_pair_stats",
+    "q_bpe_encode",
+    "q_dedup_simhash",
+    "q_dedup_segments",
+    "q_dedup_containment",
+    "q_dedup_semantic",
+    "q_dedup_components",
+    "q_dedup_exact",
+    "q_dedup_embed_cosine",
+    "q_minhash_eval",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_pii_scrub",
+    "q_quality_gopher",
+    "q_chunk_documents",
+    "q_train_test_split",
+    "q_kmeans_lloyd",
+    "q_text_stats",
+    "q_bm25",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_tfidf",
+    "q_decontaminate",
+    # remaining never-checked streaming names
+    "s_stream_stream_join",
+    "s_quarantine_ingest",
+    "s_upsert_latest",
+    "s_stateful_profile",
+    # splits/sampling family (first-time; bottom of the window)
+    "q_group_kfold",
+    "q_temporal_split_embargo",
+    "q_sample_weighted",
+    "q_curriculum_interleave",
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round)
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q4",
@@ -91,7 +150,6 @@ _PRIORITY = [
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
-    # scale_patterns: the 100 TB survival kit (skew, CDC, incremental)
     "q_join_salted_skew",
     "q_join_bloom_prefilter",
     "q_join_range_binned",
@@ -99,55 +157,28 @@ _PRIORITY = [
     "q_incremental_agg",
     "q_skew_diagnosis",
     "q_profile_table",
-    # graph suite (kcore/bfs_levels already green r3; rest first-time)
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_graph_degree_dist",
     "q_graph_hits",
     "q_graph_common_neighbors",
     "q_graph_assortativity",
-    # sketches: q_sketch_hll/q_sketch_quantiles gained value-checked
-    # oracles this round (VERDICT #5 — rows-only set reaches 0)
     "q_sketch_hll",
     "q_sketch_quantiles",
     "q_sketch_cms",
     "q_approx_topk",
     "q_heavy_hitters",
     "q_hll_merge_eval",
-    # privacy ladder — never driver-checked
     "q_k_anonymity",
     "q_l_diversity",
     "q_t_closeness",
     "q_dp_count_laplace",
     "q_pseudonymize",
-    # round-4 code changes needing fresh driver proof
-    "q_dedup_near_minhash",  # exact-clone collapse before LSH (r3 verdict #3)
-    "q_churn_hazard_weekly",  # ADVICE week-domain fix, never checked
-    "s_session_flags",  # ADVICE boundary fix, never checked
-    # mleval suite — first driver look
+    "q_churn_hazard_weekly",
+    "s_session_flags",
     "q_confusion_matrix",
     "q_classifier_prf1",
     "q_ndcg_eval",
-    # ---- round-4 additions (below the cap — locally verified at
-    # sf0.01 + sf0.001; FIRST candidates for the round-5 window) ----
-    "q_g_test",
-    "q_hill_tail_index",
-    "q_calibration_ece",
-    "q_label_noise_rate",
-    "q_rank_biased_overlap",
-    "q_join_asof_tolerance",
-    "q_kn_bigram_lm",
-    "q_block_bootstrap_ci",
-    "q_attribution_position_based",
-    "q_lsh_band_occupancy",
-    "q_ann_ivf_nprobe_sweep",
-    "q_dp_mean_laplace",
-    "q_twap_daily",
-    "q_neyman_allocation",
-    "s_tumbling_approx_uniques",
-    "q_zone_map_skip_eval",
-    # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round)
     "q_sessionize",
     "q_pivot",
     "s_ingest_flatten",
@@ -194,7 +225,6 @@ _PRIORITY = [
     "q_robust_scaler",
     "q_pr_curve",
     "q_changepoint_cusum",
-    "q_graph_kcore",
     "q_dedup_threshold_sweep",
     "q_mixture_temperature_sweep",
     "q_embed_dim_variance",
@@ -206,7 +236,6 @@ _PRIORITY = [
     "q_doc_language_mismatch",
     "q_session_handoff",
     "q_market_share_shift",
-    "q_graph_bfs_levels",
     "q_dedup_normalization_ladder",
     "q_join_skew_stats",
     "q_funnel_cohort",
@@ -234,27 +263,17 @@ _PRIORITY = [
     "q_poisson_fit_lines",
     "q_invoice_reconciliation",
     "q_top_movers_wow",
-    # r2 family never driver-green (refill below the ~50 cap)
     "q_time_to_convert",
     "q_interval_merge",
     "q_mannwhitney",
     "q_quantile_normalize",
     "q_lorenz_deciles",
-    "q_curriculum_interleave",
-    "s_stream_stream_join",
-    "s_quarantine_ingest",
-    "s_upsert_latest",
-    "s_stateful_profile",
     "q_recursive_hierarchy",
-    # correctness-fix follow-ups
     "q_permutation_test",
     "q_ngram_novelty",
     "q_bigram_lm",
     "q_char_ngram_profile",
     "q_sink_pydatasource_roundtrip",
-    # LLM pipeline core (first driver look at these families)
-    "q_bpe_pair_stats",
-    "q_bpe_encode",
     "q_cohen_kappa",
     "q_random_projection",
     "q_embed_pca_power",
@@ -273,32 +292,6 @@ _PRIORITY = [
     "q_length_batching",
     "q_source_card",
     "q_source_overlap",
-    "q_dedup_exact",
-    "q_dedup_segments",
-    "q_dedup_containment",
-    "q_dedup_simhash",
-    "q_dedup_embed_cosine",
-    "q_dedup_semantic",
-    "q_dedup_components",
-    "q_minhash_eval",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_text_stats",
-    "q_token_count",
-    "q_quality_score",
-    "q_lang_id",
-    "q_tfidf",
-    "q_bm25",
-    "q_decontaminate",
-    "q_pii_scrub",
-    "q_quality_gopher",
-    "q_chunk_documents",
-    "q_train_test_split",
-    "q_group_kfold",
-    "q_temporal_split_embargo",
-    "q_sample_weighted",
-    "q_kmeans_lloyd",
 ]
 
 

@@ -357,3 +357,37 @@ def test_two_phase_rownumber_exact_under_filter_consumer(spark):
             f"got {len(rns)} rows, dupes="
             f"{len(rns) - len(set(rns))}"
         )
+
+
+def test_two_phase_cache_pool_bounded(spark):
+    """Each two_phase_window call persists its ranged subtree; the FIFO
+    pool must retire old entries so a long-lived session composing many
+    two-phase operators does not grow the CacheManager without bound
+    (round-4 verdict #6). Results of immediately-executed calls stay
+    correct throughout."""
+    from keycloak_event_stream_spark.operators import _scale
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def n_cached():
+        return cm.cachedData().size()
+
+    spark.catalog.clearCache()
+    _scale._cache_pool.clear()
+    base = n_cached()
+    spark.conf.set("spark.kes.twoPhase.cachePool", "4")
+    try:
+        for i in range(10):
+            df = spark.range(200).select(
+                (F.col("id") * 37 % 211).alias("v"), F.col("id")
+            )
+            out = two_phase_window(
+                df, [F.col("v"), F.col("id")], row_number="rn", k=5
+            )
+            got = sorted(r.rn for r in out.collect())
+            assert got == list(range(1, 201))
+            assert n_cached() - base <= 4
+    finally:
+        spark.conf.unset("spark.kes.twoPhase.cachePool")
+        _scale._cache_pool.clear()
+        spark.catalog.clearCache()
