@@ -41,6 +41,7 @@ _MODULES = [
     "keycloak_event_stream_spark.sources.formats",
     "keycloak_event_stream_spark.sources.pushgen",
     "keycloak_event_stream_spark.sources.pysink",
+    "keycloak_event_stream_spark.sources.pygen",
     "keycloak_event_stream_spark.llm.dedup",
     "keycloak_event_stream_spark.llm.simsearch",
     "keycloak_event_stream_spark.llm.textstats",
@@ -88,10 +89,12 @@ _PRIORITY = [
     "q_neyman_allocation",
     "s_tumbling_approx_uniques",
     "q_zone_map_skip_eval",
-    # (b) round-5 code changes needing fresh driver proof
+    # (b) round-5 code changes / additions needing fresh driver proof
     "q_dedup_near_minhash",
     "q_graph_bfs_levels",
     "q_graph_kcore",
+    "s_stream_stream_left_join",  # new r5: outer stream join, TTL state
+    "q_source_pydatasource_pushdown",  # new r5: pushdown Python source
     # (c) LLM pipeline core — first driver look at these families
     "q_bpe_pair_stats",
     "q_bpe_encode",

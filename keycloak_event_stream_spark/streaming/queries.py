@@ -362,6 +362,76 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s_stream_stream_left_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM p),
+                        (SELECT max(ts) FROM c))
+                  - INTERVAL 1 HOUR AS w
+         )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE c.event_id IS NOT NULL
+       OR p.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+)
+def s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-TTL'd state: every
+    purchase emits, matched rows immediately, unmatched ones with NULL
+    click columns — but only once the watermark passes the end of the
+    purchase's match window (purchase_ts + 1 h) and its state is
+    evicted, which is what bounds the join state at any scale (the
+    production attribution shape: "purchases with no preceding-hour
+    click" must flow too, not just the happy path).
+
+    Eviction semantics pinned by the oracle: matched rows always emit;
+    an unmatched purchase emits exactly when the TERMINAL global
+    watermark — min(max purchase_ts, max click_ts) − 1 h delay, the
+    min-policy across both inputs — lies STRICTLY beyond
+    purchase_ts + 1 h (state is held while a future click at the
+    watermark could still land inside the window). Bounded replay
+    flushes that state through the final no-data micro-batch, so the
+    emitted set is deterministic and the batch LEFT JOIN + watermark
+    CASE is the oracle."""
+    p = read_stream_events(spark, sf_dir)
+    c = read_stream_events(spark, sf_dir)
+    purchases = (
+        p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        c.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts > purchases.purchase_ts)
+        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return _run_to_memory(joined, "append")
+
+
+@_q(
     "s_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, e.event_type,
