@@ -398,3 +398,78 @@ class TestGraphBroadcastSizeGuard:
         finally:
             spark.conf.unset(self.CONF)
         assert got == expected
+
+
+def test_range_binned_join_aqe_skew_splits_hot_bin(spark, tmp_path):
+    """Event-time range joins skew in TIME, not key: a flash crowd
+    lands 99% of clicks in one 15-minute bin, and the binned equi-join
+    (q_join_range_binned) funnels them into one reducer. The bin key
+    is an ordinary shuffle key, so AQE's skew-join splitting must
+    repair it at runtime — pinned here on a flash-crowd fixture, with
+    the row count checked against a brute-force evaluation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # 40 errors scattered over 10 hours
+    for i in range(40):
+        rows.append((i, 1, "error", base + dt.timedelta(minutes=15 * i)))
+    # flash crowd: 30k clicks inside ONE 15-minute window
+    for i in range(30_000):
+        rows.append(
+            (
+                1000 + i,
+                2,
+                "click",
+                base + dt.timedelta(minutes=30, seconds=i % 900),
+            )
+        )
+    # background clicks elsewhere
+    for i in range(500):
+        rows.append(
+            (
+                50_000 + i,
+                3,
+                "click",
+                base + dt.timedelta(minutes=17 * (i % 35), seconds=7),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    df.coalesce(2).write.parquet(str(tmp_path / "events.parquet"))
+
+    brute = df.filter(F.col("event_type") == "error").alias("e").join(
+        df.filter(F.col("event_type") == "click").alias("c"),
+        (F.col("c.ts") >= F.col("e.ts"))
+        & (F.col("c.ts") < F.col("e.ts") + F.expr("INTERVAL 15 MINUTE")),
+    )
+    want = brute.count()
+    assert want > 30_000  # the flash crowd really matches
+
+    from keycloak_event_stream_spark.registry import collect as _collect
+
+    q = _collect()[0]["q_join_range_binned"]
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = q(spark, str(tmp_path))
+        rows = out.collect()  # execute THIS plan so AQE finalizes it
+        assert len(rows) == want
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan  # the hot bin was split at runtime
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
