@@ -1572,3 +1572,204 @@ def q_lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_EVAL_CAPS = (4, 8, 16, 1 << 30)  # last = effectively uncapped
+
+
+def _lsh_cap_recall_oracle() -> str:
+    caps_sql = ", ".join(str(c) for c in _EVAL_CAPS)
+    return f"""
+    WITH uniq AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    docs AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM uniq)
+      WHERE len(w) >= {_SHINGLE}
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             {", ".join(f"{_duck_hash_arr(g)} AS h{g}" for g in range(_N_GROUPS))}
+      FROM docs
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))} AS bk{b}" for b in range(_B))}
+      FROM hashed
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM sigs" for b in range(_B))}
+    ),
+    bsz AS (
+      SELECT band, bkey, CAST(count(*) AS BIGINT) AS n
+      FROM bands GROUP BY band, bkey
+    ),
+    pair_min_bucket AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             min(z.n) AS min_bsz
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+      JOIN bsz z ON z.band = a.band AND z.bkey = a.bkey
+      GROUP BY 1, 2
+    ),
+    true_pairs AS (
+      SELECT p.doc_a, p.doc_b, p.min_bsz
+      FROM pair_min_bucket p
+      JOIN docs x ON p.doc_a = x.doc_id
+      JOIN docs y ON p.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.shingles, y.shingles)))
+            >= {_JACCARD_MIN}
+    ),
+    caps AS (SELECT CAST(unnest([{caps_sql}]) AS BIGINT) AS cap)
+    SELECT cap,
+           CAST((SELECT count(*) FROM bsz WHERE n > cap) AS BIGINT)
+             AS buckets_dropped,
+           CAST(COALESCE((SELECT sum(n * (n - 1) // 2)
+                          FROM bsz WHERE n <= cap), 0) AS BIGINT)
+             AS candidate_pairs,
+           CAST((SELECT count(*) FROM true_pairs) AS BIGINT)
+             AS true_pairs_total,
+           CAST((SELECT count(*) FROM true_pairs WHERE min_bsz <= cap)
+                AS BIGINT) AS true_pairs_kept,
+           CAST((SELECT count(*) FROM true_pairs WHERE min_bsz <= cap)
+                AS DOUBLE)
+             / (SELECT count(*) FROM true_pairs) AS recall
+    FROM caps
+    ORDER BY cap
+    """
+
+
+@_q("q_lsh_cap_recall_eval", oracle=_lsh_cap_recall_oracle())
+def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost curve for the LSH bucket cap: at each candidate
+    cap {4, 8, 16, uncapped}, how many buckets the drop-whole-bucket
+    rule would discard, the surviving candidate-pair bill
+    Σ_{{n≤cap}} n·(n−1)/2, and — the half that justifies the knob — the
+    fraction of TRUE near-dup pairs (exact-Jaccard-confirmed, on
+    unique texts, mirroring q_dedup_near_minhash's post-collapse
+    pipeline) that still meet in at least one surviving bucket. A pair
+    survives cap c iff the SMALLEST bucket the two docs co-occupy has
+    ≤ c members, so one pass computes min co-bucket size per confirmed
+    pair and every cap row is a cheap filtered aggregate over it.
+
+    This is the tuning table a 100 TB dedup deployment reads before
+    setting spark.kes.dedup.lshBucketCap: candidate cost collapses
+    quadratically as the cap tightens while recall (on non-flooded
+    corpora) stays ~1.0 — and a recall cliff at small caps is the
+    signal the corpus needs boilerplate stripping, not a bigger cap.
+    All-integer until the final division; one bucket-keyed self-join
+    (the same shape the capped production join runs) plus bounded
+    per-pair aggregates."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    uniq = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    docs = (
+        uniq.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+        .persist()
+    )
+    bands = band_keys(
+        uniq.join(docs.select("doc_id"), "doc_id", "semi")
+    ).persist()
+    bsz = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # disambiguated copy for the three-way self-join lineage
+    zsz = bsz.select(
+        F.col("band").alias("z_band"),
+        F.col("bkey").alias("z_bkey"),
+        "n",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pair_min_bucket = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .join(
+            zsz,
+            (F.col("a.band") == F.col("z_band"))
+            & (F.col("a.bkey") == F.col("z_bkey")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.min("n").alias("min_bsz"))
+    )
+    x = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    y = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    jaccard = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    true_pairs = (
+        pair_min_bucket.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(jaccard >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "min_bsz")
+        .persist()
+    )
+    caps = spark.createDataFrame(
+        [(int(c),) for c in _EVAL_CAPS], "cap bigint"
+    )
+    # per-cap aggregates: every branch reduces to one row, so the cap
+    # spine joins three tiny broadcasts (never the data side)
+    bill = (
+        caps.join(bsz, bsz.n <= caps.cap, "left")
+        .groupBy("cap")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("candidate_pairs")
+        )
+    )
+    dropped = (
+        caps.join(bsz, bsz.n > caps.cap, "left")
+        .groupBy("cap")
+        .agg(
+            F.count(bsz.n).cast("bigint").alias("buckets_dropped")
+        )
+    )
+    kept = (
+        caps.join(true_pairs, true_pairs.min_bsz <= caps.cap, "left")
+        .groupBy("cap")
+        .agg(F.count(true_pairs.min_bsz).cast("bigint").alias(
+            "true_pairs_kept"
+        ))
+    )
+    total = true_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_pairs_total")
+    )
+    return (
+        caps.join(dropped, "cap")
+        .join(bill, "cap")
+        .join(F.broadcast(total), F.lit(True), "left")
+        .join(kept, "cap")
+        .select(
+            "cap",
+            "buckets_dropped",
+            "candidate_pairs",
+            "true_pairs_total",
+            "true_pairs_kept",
+            (
+                F.col("true_pairs_kept").cast("double")
+                / F.col("true_pairs_total")
+            ).alias("recall"),
+        )
+        .orderBy("cap")
+    )

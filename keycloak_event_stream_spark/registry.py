@@ -94,7 +94,9 @@ _PRIORITY = [
     "q_graph_bfs_levels",
     "q_graph_kcore",
     "s_stream_stream_left_join",  # new r5: outer stream join, TTL state
+    "s_stream_stream_full_join",  # new r5: both-side outer, TTL state
     "q_source_pydatasource_pushdown",  # new r5: pushdown Python source
+    "q_lsh_cap_recall_eval",  # new r5: bucket-cap recall/cost curve
     # (c) LLM pipeline core — first driver look at these families
     "q_bpe_pair_stats",
     "q_bpe_encode",

@@ -432,6 +432,81 @@ def s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s_stream_stream_full_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM p),
+                        (SELECT max(ts) FROM c))
+                  - INTERVAL 1 HOUR AS w
+         )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM p FULL OUTER JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE (p.event_id IS NOT NULL AND c.event_id IS NOT NULL)
+       OR (c.event_id IS NULL
+           AND p.ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+       OR (p.event_id IS NULL AND c.ts < (SELECT w FROM wm))
+    """,
+)
+def s_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: both the click-less purchases AND
+    the purchase-less clicks flow through with NULLs on the absent
+    side — the reconciliation shape (every event accounted for exactly
+    once, match or not). State TTL is the same watermark mechanics as
+    the left join, applied on BOTH sides.
+
+    Eviction boundaries differ per side, and the oracle pins both
+    (probed empirically, 197/207-row exact at sf0.001): an unmatched
+    purchase emits when the terminal watermark lies strictly beyond
+    purchase_ts + 1 h (its match window's end), while an unmatched
+    click emits when the watermark passes click_ts itself — a click
+    can only match a STRICTLY EARLIER purchase (c.ts > p.ts), so its
+    state closes as soon as no future purchase can precede it."""
+    p = read_stream_events(spark, sf_dir)
+    c = read_stream_events(spark, sf_dir)
+    purchases = (
+        p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        c.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts > purchases.purchase_ts)
+        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    return _run_to_memory(joined, "append")
+
+
+@_q(
     "s_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, e.event_type,
