@@ -1725,8 +1725,11 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = spark.createDataFrame(
         [(int(c),) for c in _EVAL_CAPS], "cap bigint"
     )
-    # per-cap aggregates: every branch reduces to one row, so the cap
-    # spine joins three tiny broadcasts (never the data side)
+    # per-cap aggregates: the 4-row cap spine BROADCASTS into each
+    # inequality join (a bounded 4x fan-out BNLJ over the bucket /
+    # confirmed-pair tables — never the reverse), and each branch
+    # partial-aggregates map-side down to 4 cap rows before the final
+    # equi-joins stitch the columns together
     bill = (
         caps.join(bsz, bsz.n <= caps.cap, "left")
         .groupBy("cap")
