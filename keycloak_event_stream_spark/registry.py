@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_graph_kcore",
     "s_stream_stream_left_join",  # new r5: outer stream join, TTL state
     "s_stream_stream_full_join",  # new r5: both-side outer, TTL state
+    "s_stream_stream_semi_join",  # new r5: streaming EXISTS
     "q_source_pydatasource_pushdown",  # new r5: pushdown Python source
     "q_lsh_cap_recall_eval",  # new r5: bucket-cap recall/cost curve
     # (c) LLM pipeline core — first driver look at these families

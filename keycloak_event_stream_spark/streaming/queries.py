@@ -507,6 +507,59 @@ def s_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s_stream_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT user_id, ts FROM events
+                     WHERE event_type = 'click') c
+      WHERE c.user_id = p.user_id
+        AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    )
+    """,
+)
+def s_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases that got at least one
+    click within the following hour, emitted ONCE regardless of how
+    many clicks arrive — the streaming EXISTS (alert on "converted
+    within the window" without duplicating per click). Same watermark
+    + time-range state TTL as the inner join; a left row emits on its
+    first match and its state is marked done, so bounded replay emits
+    exactly the EXISTS set and the batch semi join is the oracle with
+    no watermark clause at all (matches always emit; only NON-matches
+    depend on eviction, and a semi join never emits those)."""
+    p = read_stream_events(spark, sf_dir)
+    c = read_stream_events(spark, sf_dir)
+    purchases = (
+        p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        c.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts > purchases.purchase_ts)
+        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("purchase_id", "user_id", "purchase_ts")
+    return _run_to_memory(joined, "append")
+
+
+@_q(
     "s_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, e.event_type,
