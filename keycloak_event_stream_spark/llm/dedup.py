@@ -1661,14 +1661,28 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora) stays ~1.0 — and a recall cliff at small caps is the
     signal the corpus needs boilerplate stripping, not a bigger cap.
     All-integer until the final division; one bucket-keyed self-join
-    (the same shape the capped production join runs) plus bounded
-    per-pair aggregates."""
+    plus bounded per-pair aggregates. NOTE the eval intentionally runs
+    UNCAPPED (it must see the pairs a cap would drop), so on a
+    flooded 100 TB corpus it pays the quadratic bill the cap exists to
+    avoid — there, set spark.kes.dedup.recallEvalSampleMod = N to run
+    the identical measurement on the deterministic 1/N md5(text)
+    sample (default 1 = every doc, which is what the oracle replays;
+    recall is a ratio, so it is sample-stable)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     uniq = (
         d.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "text")
     )
+    sample_mod = int(
+        spark.conf.get("spark.kes.dedup.recallEvalSampleMod", "1")
+    )
+    if sample_mod > 1:
+        uniq = uniq.filter(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("bigint") % sample_mod
+            == 0
+        )
     docs = (
         uniq.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= _SHINGLE)
