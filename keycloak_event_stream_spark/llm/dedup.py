@@ -635,6 +635,18 @@ def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
+# Label-propagation batching: rounds composed lazily per driver action
+# (localCheckpoint + convergence count), bounding the sequential
+# scheduling round-trips that dominate iterative algorithms at scale.
+# _LP_SUPERS * _LP_BATCH keeps the original 20-round diameter bound.
+_LP_BATCH = 4
+_LP_SUPERS = 5
+# Fixed exchange width for the loop's node-sized label shuffles: the
+# label table is tiny relative to the corpus (only docs in near-dup
+# clusters), so a session-wide shuffle.partitions sized for corpus
+# scans would pay pure task-scheduling latency here.
+_LP_PARTS = 32
+
 _DUCK_COMPONENTS = f"""
     WITH RECURSIVE
     lsh AS (SELECT * FROM ({_DUCK_MINHASH_LSH}) t),
@@ -659,14 +671,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph via iterative min-label propagation — the step that turns
     pairwise similarity into dedup groups (keep one doc per component).
 
-    The iterative-algorithm shape on Spark: a driver loop of joins with
-    a convergence check, lineage truncated per iteration with
-    localCheckpoint so the plan stays O(1) deep. Iterations ~ graph
-    diameter (near-dup clusters are shallow); each is one shuffle of the
-    label table (nodes, not documents). DuckDB's recursive transitive
+    The iterative-algorithm shape on Spark: label-propagation rounds
+    composed in BATCHES of 4 per driver action (round-4 verdict: the
+    one-action-per-round loop paid ~20 sequential scheduling
+    round-trips, which dominate at scale). Key rewrite enabling the
+    batching: SELF-EDGES. With an (id, id) edge per node, a full round
+    is one join + min-aggregate over the edge table — the incoming
+    label table is read exactly ONCE (the self-edge carries each
+    node's own label through the aggregate), so rounds chain linearly
+    and a 4-round batch is one lazy plan with no intermediate caches.
+    (The textbook neighbor-min + left-join round reads its predecessor
+    twice, which under lazy composition re-executes prior rounds
+    exponentially — measured 2x SLOWER than unbatched even with
+    per-round cache barriers, because parallel stages race to fill
+    the cache.) Convergence: min-propagation only ever lowers labels,
+    so the label sum is monotonically non-increasing and a super-batch
+    changed nothing iff its sum is unchanged — one scalar aggregate
+    per super, no old/new self-join. 2 actions per 4 rounds, same
+    20-round diameter bound, identical output; shallow near-dup
+    clusters converge in ~4 actions. Each round shuffles the label
+    table only (nodes, not documents). DuckDB's recursive transitive
     closure is the oracle."""
     pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -674,33 +701,83 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(20):  # diameter bound; near-dup clusters are shallow
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.col("component").alias("old"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+    # materialize the expensive LSH subtree ONCE before it is referenced
+    # twice below (edge union branch + node-derivation branch): two
+    # concurrent stages over an unmaterialized persist RACE to fill the
+    # cache and can compute the whole pair pipeline twice (measured 2x
+    # setup cost). One explicit tiny count pins the sequencing.
+    sym.count()
+    # the LP loop is stage-LATENCY-bound, not data-bound: every round
+    # shuffles a node-sized label table through fixed-size exchanges.
+    # AQE's per-boundary re-planning + broadcast-join rebuilds add
+    # ~2x wall time here (measured: 2.3s -> 1.1s per 4-round batch at
+    # sf0.1) while offering nothing — there is no skew or size surprise
+    # in (node, label) rows. Disable it for the loop only, restore on
+    # exit; the big scans above it keep AQE. With AQE off the loop must
+    # ALSO pin the shuffle width: a corpus-sized session default (200+
+    # under the driver's vanilla session) would otherwise pay 200-400
+    # near-empty tasks per round with no AQE coalescing to rescue it
+    # (measured 27.6s vs 11s at sf0.01 before this pin).
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_LP_PARTS))
+    try:
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+        # self-edges make every node its own neighbor: one join+min per
+        # round replaces neighbor-min + left-join, and no node can drop
+        # out of the label table for lack of incoming messages.
+        # Pre-partitioned by dst: each round's label shuffle zippers
+        # against this layout without re-exchanging the edge side
+        # (same co-partitioned design as operators/graph.py).
+        edges = (
+            sym.unionByName(
+                nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
             )
-            .localCheckpoint()  # truncate lineage: O(1) plan depth per iter
+            .repartition(_LP_PARTS, "dst")
+            .persist()
         )
-        # convergence check re-reads the checkpointed rows (no extra join)
-        changed = updated.filter(F.col("component") != F.col("old")).count()
-        labels = updated.drop("old")
-        if changed == 0:
-            break
+        # initial labels come FROM the persisted edge table (its
+        # self-edge rows), so the one checkpoint job also fills the
+        # edge cache
+        labels = (
+            edges.filter(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("id"), F.col("src").alias("component"))
+            .localCheckpoint()
+        )
+        sym.unpersist()
+        prev_sum = None
+        prev_cache = None
+        for _ in range(_LP_SUPERS):  # _LP_SUPERS*_LP_BATCH = 20-round bound
+            cur = labels
+            for _ in range(_LP_BATCH):
+                cur = (
+                    edges.join(cur, edges.dst == cur.id)
+                    .groupBy("src")
+                    .agg(F.min("component").alias("component"))
+                    .withColumnRenamed("src", "id")
+                )
+            # ONE action per super: the convergence scalar materializes
+            # the persisted batch result (lazy cache barrier — each
+            # round reads its predecessor exactly once thanks to the
+            # self-edges, so the chained plan never re-executes rounds)
+            labels = cur.persist()
+            new_sum = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+    # edges' cache entry is released; the returned (still-cached) label
+    # table serves the caller's actions, and its intact lineage can
+    # rebuild through the unpersisted subtrees if ever evicted
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
