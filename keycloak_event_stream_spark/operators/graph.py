@@ -966,3 +966,87 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_half_edges"),
         (num / den).alias("assortativity"),
     )
+
+
+@_q(
+    "q_graph_resource_alloc",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (SELECT c, count(*) AS cd FROM pairs GROUP BY c),
+    kept AS MATERIALIZED (
+      SELECT p.c, p.s, cdeg.cd FROM pairs p JOIN cdeg ON cdeg.c = p.c
+      WHERE cdeg.cd <= {_LP_HUB_CAP}
+    ),
+    scored AS (
+      SELECT a.s AS s1, b.s AS s2,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(1000000000 // a.cd) AS BIGINT) AS ra_micro
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, cn, ra_micro,
+           CAST(ra_micro AS DOUBLE) / 1e9 AS ra
+    FROM scored
+    ORDER BY ra_micro DESC, cn DESC, s1, s2
+    LIMIT 25
+    """,
+)
+def q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index (Zhou/Lu/Zhang 2009 —
+    the Adamic-Adar family score with 1/deg weights instead of
+    1/ln(deg)): supplier pairs ranked by how much 'resource' their
+    shared customers forward, a shared LOW-degree customer being far
+    stronger evidence of a real relationship than a shared hub. Same
+    bipartite customer<->supplier graph and hub-cap discipline as
+    q_graph_common_neighbors (customers above {_LP_HUB_CAP} suppliers
+    are dropped whole: a hub shared by everyone carries no pairwise
+    signal and is exactly the k^2 blowup the cap exists to bound).
+
+    Chosen over Adamic-Adar's 1/ln(deg) deliberately: the weight
+    1e9 div deg is pure INTEGER arithmetic, so the pair scores are
+    bitwise-reproducible across engines (a transcendental ln in the
+    weight would expose the sum to last-ulp libm differences between
+    the JVM and the oracle — the one cross-engine hazard this repo's
+    value-hash gate cannot tolerate). The quantization floor (div vs
+    true division) is at most 1 part in 1e7 of the smallest weight.
+    The per-pair aggregate shuffles (s1, s2, weight) only; top-25 via
+    TakeOrderedAndProject on the (ra_micro, cn, s1, s2) total order."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
+    kept = (
+        pairs.join(cdeg.filter(F.col("cd") <= _LP_HUB_CAP), "c")
+        .select("c", "s", "cd")
+        .persist()
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000000 div a.cd")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "s1",
+            "s2",
+            "cn",
+            "ra_micro",
+            (F.col("ra_micro").cast("double") / F.lit(1e9)).alias("ra"),
+        )
+        .orderBy(F.col("ra_micro").desc(), F.col("cn").desc(), "s1", "s2")
+        .limit(25)
+    )
