@@ -13,6 +13,7 @@ Usage:  python tools/verify_local.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import gc
 import math
 import os
 import sys
@@ -102,16 +103,18 @@ def main() -> int:
     # so a partial run or an early failure surfaces the riskiest ops
     names = args or list(queries)
 
-    if vanilla:
-        from pyspark.sql import SparkSession
+    def _make_session():
+        if vanilla:
+            from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .appName("verify_local_vanilla")
-            .getOrCreate()
-        )
-    else:
-        spark = get_spark("verify_local")
+            return (
+                SparkSession.builder.master("local[32]")
+                .appName("verify_local_vanilla")
+                .getOrCreate()
+            )
+        return get_spark("verify_local")
+
+    spark = _make_session()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = table_path(sf_dir, t)
@@ -119,6 +122,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rowsonly = 0
+    retried: set[str] = set()
     spark_times: dict[str, float] = {}
     for name in names:
         if name not in queries:
@@ -130,9 +134,45 @@ def main() -> int:
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as exc:
-            print(f"{name}: SPARK ERROR {type(exc).__name__}: {exc}")
-            n_fail += 1
-            continue
+            # a dead JVM (heap exhaustion kills the local-mode driver)
+            # would fail every later query with ConnectionRefused —
+            # rebuild the session and retry THIS query once on the
+            # fresh JVM rather than cascading one OOM into 450 phantom
+            # failures (the triggering query is usually a victim of
+            # accumulated debris, not the culprit: round-5's crash
+            # query passed in 10s on a fresh session). A query that
+            # fails twice — once with the sweep's debris, once clean —
+            # is a real failure.
+            msg = f"{type(exc).__name__}: {exc}"
+            dead = (
+                "Connection refused" in msg
+                or "Answer from Java side is empty" in msg
+                or "Java heap space" in msg
+            )
+            if dead and name not in retried:
+                retried.add(name)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = _make_session()
+                print(f"-- JVM died on {name}; session rebuilt, retrying --")
+                try:
+                    sdf = queries[name](spark, sf_dir)
+                    scols = sdf.columns
+                    srows = sdf.collect()
+                except Exception as exc2:
+                    print(f"{name}: SPARK ERROR {type(exc2).__name__}: {exc2}")
+                    n_fail += 1
+                    continue
+            else:
+                print(f"{name}: SPARK ERROR {msg}")
+                n_fail += 1
+                continue
         spark_times[name] = round(time.time() - t0, 3)
         # drop per-query persisted intermediates: across a 400+-query
         # sweep the accumulated caches exhaust a default-memory session
@@ -142,6 +182,21 @@ def main() -> int:
             spark.catalog.clearCache()
         except Exception:
             pass
+        # clearCache drops persist() entries but NOT broadcast variables
+        # or localCheckpoint blocks — those free only when ContextCleaner
+        # sees their JVM references die, and py4j holds references until
+        # Python GC runs. In the round-5 sweep the debris of 48 heavy
+        # LSH/graph/streaming queries OOMed the vanilla 1g JVM at query
+        # 49 even with clearCache per query; an explicit Python GC per
+        # query plus a JVM System.gc() every 10 queries lets the cleaner
+        # reap dead broadcast/checkpoint blocks before they pile up.
+        gc.collect()
+        n_done = n_pass + n_fail + n_rowsonly
+        if n_done % 10 == 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         if name not in oracle:
             print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
