@@ -71,6 +71,21 @@ _MODULES = [
 # BPE, the dedup variants, sim_search exact/IVF/LSH, curation,
 # text-stats — plus the four remaining never-checked s_* streaming
 # names and the splits family. 50 of the 52 are first-time names.
+#
+# Round-6 rotation queue (computed at r5 close-out; assumes
+# CORRECTNESS_r05 lands green on the window above): 242/501 unique
+# names will then have driver evidence, 259 never checked. Fill the
+# round-6 window from these never-checked families, heaviest-value
+# first — the r5-late addition q_graph_resource_alloc; the ml-eval
+# block (q_ann_recall, q_calibration_bins, q_confusion_matrix,
+# q_ndcg/q_mrr companions not yet windowed); the A/B suite (q_ab_cuped,
+# q_ab_sequential, q_ab_test_proportions, q_ab_heterogeneity); the
+# stats-test family (q_anova_oneway, q_benjamini_hochberg, q_benford,
+# q_bootstrap_ci, ...); the agg extensions (q_agg_corr, q_agg_linreg,
+# q_agg_mode, q_agg_skew_kurtosis, q_argmax); array/bit/scalar func
+# packs; and the timeseries block (q_acf_multi, q_autocorr_lag1,
+# q_anomaly_seasonal, ...). Full 259-name list reproducible with:
+# set(queries) - union(CORRECTNESS_r01..r04) - _PRIORITY[:50].
 _PRIORITY = [
     # (a) round-4 additions + ADVICE fixes (16, all first-time)
     "q_g_test",
