@@ -18,6 +18,18 @@ shuffle). The centroid is one shuffle keyed by (label, dim) —
 even at 100 TB; the ordered-fold ``collect_list`` per (label, dim)
 group holds one double per input row of that label, the same residency
 as any exact mean.
+
+Result-surface discipline (round-6): NO nested types (array/map/struct)
+at any registered query's result surface. The driver's canonicalizer
+sorts result rows with pandas before hashing, and a list cell raises
+``TypeError: unhashable type`` there — q_kmeans_lloyd was round 5's one
+red CORRECTNESS row for exactly this. Every vector-valued result is
+therefore emitted TALL — one (id, pos, value) row per dimension — with
+the oracle flattened the same way, and
+``tests/test_oracle_types.py::test_no_nested_oracle_columns`` gates the
+class out registry-wide. The tall surface is also the honest 100 TB
+shape: downstream consumers (ANN index builders, trainers) re-assemble
+per-partition; the engine never ships a 64-double cell as one value.
 """
 
 from __future__ import annotations
@@ -51,32 +63,42 @@ _SSQ = (
     "q_embed_norm",
     oracle="""
     WITH t AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding, x ->
+                      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, b) -> a + b)) AS l2
       FROM embeddings
     )
-    SELECT vec_id, label,
-           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(v, x -> x * x)), (a, b) -> a + b)) AS l2,
-           list_transform(v, x -> x / sqrt(
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(v, x -> x * x)), (a, b) -> a + b))) AS unit
-    FROM t
+    SELECT vec_id, label, l2,
+           CAST(s.pos AS INTEGER) AS pos,
+           v[s.pos + 1] / l2 AS unit_val
+    FROM t, LATERAL (
+      SELECT unnest(generate_series(0, len(v) - 1)) AS pos) s
     """,
 )
 def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings to unit vectors (plus the norm itself) —
     the standard prep so cosine similarity reduces to a dot product in
-    every downstream ANN query. Per-row higher-order functions only:
-    zero shuffles, codegen'd, scan speed at any corpus size."""
+    every downstream ANN query. Per-row higher-order functions +
+    posexplode only: zero shuffles, codegen'd, scan speed at any corpus
+    size. Tall (vec_id, pos, unit_val) result surface — see the module
+    docstring's no-nested-surface rule."""
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    return e.select(
+    unit = e.select(
         "vec_id",
         "label",
         F.expr(f"sqrt({_SSQ})").alias("l2"),
         F.expr(f"transform(v, x -> x / sqrt({_SSQ}))").alias("unit"),
     )
+    return unit.select(
+        "vec_id",
+        "label",
+        "l2",
+        F.posexplode("unit").alias("pos", "unit_val"),
+    ).select("vec_id", "label", "l2", "pos", "unit_val")
 
 
 @_q(
@@ -87,22 +109,21 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(embedding[s.pos + 1] AS DOUBLE) AS val, vec_id
       FROM embeddings, LATERAL (
         SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos) s
-    ),
-    dim AS (
-      SELECT label, pos,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(val ORDER BY vec_id)), (a, b) -> a + b)
-               / count(*) AS mean_val
-      FROM cell GROUP BY label, pos
     )
-    SELECT label, list(mean_val ORDER BY pos) AS centroid
-    FROM dim GROUP BY label
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(val ORDER BY vec_id)), (a, b) -> a + b)
+             / count(*) AS mean_val
+    FROM cell GROUP BY label, pos
     """,
 )
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid: posexplode to (label, dim) cells, mean
     per cell as a vec_id-ordered sequential fold (bitwise-portable,
-    unlike engine-order double sums), reassembled into a 64-dim array.
+    unlike engine-order double sums). The result stays TALL —
+    (label, pos, mean_val), one row per centroid dimension — per the
+    module's no-nested-surface rule; consumers that want an array
+    re-assemble with collect_list over pos.
 
     The shuffle key is (label, dim): the aggregate output is
     |labels| x 64 cells however large the input — the classic
@@ -114,7 +135,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "label", "vec_id", F.posexplode("v").alias("pos", "val")
     )
-    dim = cells.groupBy("label", "pos").agg(
+    return cells.groupBy("label", "pos").agg(
         (
             F.expr(
                 "aggregate(transform(array_sort(collect_list(struct(vec_id, val))),"
@@ -122,12 +143,6 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.count(F.lit(1))
         ).alias("mean_val")
-    )
-    return dim.groupBy("label").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, mean_val))),"
-            " s -> s.mean_val)"
-        ).alias("centroid")
     )
 
 
@@ -143,10 +158,11 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT vec_id, mn, mx,
-           list_transform(v, x -> CAST(least(
-             floor((x - mn) * 255.0 / (mx - mn)), 255.0) AS INTEGER) - 128)
-             AS q8
-    FROM rng
+           CAST(s.pos AS INTEGER) AS pos,
+           CAST(least(floor((v[s.pos + 1] - mn) * 255.0 / (mx - mn)),
+                      255.0) AS INTEGER) - 128 AS q8_val
+    FROM rng, LATERAL (
+      SELECT unnest(generate_series(0, len(v) - 1)) AS pos) s
     """,
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +170,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     [-128, 127] with floor binning (floor, not round — round's tie
     behavior is engine-specific, floor is IEEE-exact everywhere). The
     4x-compression step before shipping vectors to an index; per-row,
-    no shuffle. min/max/scale ride along for dequantization."""
+    no shuffle. min/max/scale ride along for dequantization. Tall
+    (vec_id, pos, q8_val) surface per the no-nested-surface rule."""
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -164,7 +181,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("v").alias("mn"),
         F.array_max("v").alias("mx"),
     )
-    return rng.select(
+    q8 = rng.select(
         "vec_id",
         "mn",
         "mx",
@@ -173,6 +190,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor((x - mn) * 255.0 / (mx - mn)), 255.0d) as int) - 128)"
         ).alias("q8"),
     )
+    return q8.select(
+        "vec_id", "mn", "mx", F.posexplode("q8").alias("pos", "q8_val")
+    ).select("vec_id", "mn", "mx", "pos", "q8_val")
 
 
 @_q(
@@ -200,10 +220,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY dist, cid) AS rn
       FROM dists
     )
-    SELECT vec_id,
-           list(CAST(cid AS INTEGER) ORDER BY s) AS pq_codes
+    SELECT vec_id, CAST(s AS INTEGER) AS subspace,
+           CAST(cid AS INTEGER) AS code
     FROM best WHERE rn = 1
-    GROUP BY vec_id
     """,
 )
 def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,9 +238,10 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims (1-based ``element_at`` mirrors DuckDB list indexing), so the
     doubles are bitwise-identical across engines and the argmin —
     tie-broken by centroid id — picks the same code. Assignment is a
-    broadcast of the 16-row codebook against the vector scan: no
-    shuffle until the 8-row-per-vector regroup, which partial-aggregates
-    map-side.
+    broadcast of the 16-row codebook against the vector scan; the only
+    shuffle is the per-(vector, subspace) argmin window. Tall
+    (vec_id, subspace, code) surface — one row per byte of the code —
+    per the no-nested-surface rule.
     """
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -256,11 +276,10 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("vec_id", "s").orderBy("dist", "cid"))
         .alias("rn"),
     ).filter(F.col("rn") == 1)
-    return best.groupBy("vec_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, cid))),"
-            " x -> cast(x.cid as int))"
-        ).alias("pq_codes")
+    return best.select(
+        "vec_id",
+        F.col("s").cast("int").alias("subspace"),
+        F.col("cid").cast("int").alias("code"),
     )
 
 
@@ -323,16 +342,12 @@ _D2 = (
         SELECT unnest(generate_series(0, len(v.v) - 1)) AS pos) s
     )
     SELECT cid AS cluster_id,
-           CAST(sum(n_cell) / 64 AS BIGINT) AS n_members,
-           list(mean_val ORDER BY pos) AS centroid
-    FROM (
-      SELECT cid, pos,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(val ORDER BY vec_id)), (a, b) -> a + b)
-               / count(*) AS mean_val,
-             count(*) AS n_cell
-      FROM cell2 GROUP BY cid, pos)
-    GROUP BY cid
+           CAST(pos AS INTEGER) AS pos,
+           CAST(count(*) AS BIGINT) AS n_members,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(val ORDER BY vec_id)), (a, b) -> a + b)
+             / count(*) AS centroid_val
+    FROM cell2 GROUP BY cid, pos
     """,
 )
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +372,10 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two iterations are unrolled in the DuckDB oracle, so every float of
     the final centroids and every membership count is bitwise-checked —
     an *iterative* algorithm held to the same exactness bar as the
-    relational operators. A production run loops until movement < eps
+    relational operators. The result is emitted TALL —
+    (cluster_id, pos, n_members, centroid_val), one row per centroid
+    dimension — per the module's no-nested-surface rule (round 5's one
+    driver-red row was this query's former array<double> column). A production run loops until movement < eps
     with the identical per-iteration plan (centroids re-broadcast each
     pass; lineage stays flat because each iteration materializes only
     the k×64 centroid table driver-side, never the corpus).
@@ -422,13 +440,15 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = assign(c1)
     dim2 = update(a2)
-    return dim2.groupBy("cid").agg(
-        (F.sum("n_cell") / 64).cast("bigint").alias("n_members"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, mean_val))),"
-            " s -> s.mean_val)"
-        ).alias("centroid"),
-    ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid")
+    # Tall result surface — one (cluster, dim) row, no array column
+    # (the no-nested-surface rule; the centroid ARRAY stays an internal
+    # broadcast shape between iterations, never a result cell).
+    return dim2.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("pos").alias("pos"),
+        F.col("n_cell").cast("bigint").alias("n_members"),
+        F.col("mean_val").alias("centroid_val"),
+    )
 
 
 @_q(

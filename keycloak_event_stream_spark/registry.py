@@ -59,35 +59,97 @@ _MODULES = [
 # round; everything after the "refill" marker is documentation of past
 # windows plus module-order spillover, NOT driver-checked this round.
 #
-# Round-5 window (per VERDICT r4 "Next round #2"): rounds 1-4 covered
-# 194 unique names of 495; this round's ~50 slots go to (a) the 16
-# round-4 additions queued by the r4 verdict (q_g_test ...
-# q_zone_map_skip_eval — including the three ADVICE-fixed queries
-# q_rank_biased_overlap / q_join_asof_tolerance / q_zone_map_skip_eval),
-# (b) the three queries whose CODE changed this round and need fresh
-# driver proof (q_dedup_near_minhash bucket cap; q_graph_bfs_levels /
-# q_graph_kcore size-guarded broadcasts; q_dedup_components batched LP
-# rides along in the LLM block), and (c) the never-checked LLM core —
-# BPE, the dedup variants, sim_search exact/IVF/LSH, curation,
-# text-stats — plus the four remaining never-checked s_* streaming
-# names and the splits family. 50 of the 52 are first-time names.
+# Round-6 window (per VERDICT r5 "Next round #1/#3"). Bookkeeping
+# correction first (r5 ADVICE): the round-5 head listed 57 names
+# against the ~50 cap, so the last 7 (q_group_kfold,
+# q_temporal_split_embargo, q_sample_weighted, q_curriculum_interleave,
+# s_quarantine_ingest, s_upsert_latest, s_stateful_profile) got NO
+# driver evidence despite being "windowed" — CORRECTNESS_r05 confirms
+# (50 rows, none of those 7 present). They are re-queued at the top of
+# this window, and this head is trimmed to EXACTLY 50 names. Driver
+# evidence after r5: 242/501 unique names, 259 never checked
+# (reproduce: set(queries) - union(CORRECTNESS_r01..r05 keys)).
 #
-# Round-6 rotation queue (computed at r5 close-out; assumes
-# CORRECTNESS_r05 lands green on the window above): 242/501 unique
-# names will then have driver evidence, 259 never checked. Fill the
-# round-6 window from these never-checked families, heaviest-value
-# first — the r5-late addition q_graph_resource_alloc; the ml-eval
-# block (q_ann_recall, q_calibration_bins, q_confusion_matrix,
-# q_ndcg/q_mrr companions not yet windowed); the A/B suite (q_ab_cuped,
-# q_ab_sequential, q_ab_test_proportions, q_ab_heterogeneity); the
-# stats-test family (q_anova_oneway, q_benjamini_hochberg, q_benford,
-# q_bootstrap_ci, ...); the agg extensions (q_agg_corr, q_agg_linreg,
-# q_agg_mode, q_agg_skew_kurtosis, q_argmax); array/bit/scalar func
-# packs; and the timeseries block (q_acf_multi, q_autocorr_lag1,
-# q_anomaly_seasonal, ...). Full 259-name list reproducible with:
-# set(queries) - union(CORRECTNESS_r01..r04) - _PRIORITY[:50].
+# This window: (a) the five flattened-surface vector queries — the r5
+# verdict's #1 (q_kmeans_lloyd was r5's one red row: array<double>
+# result cell; all five now emit tall rows and must show green driver
+# rows); (b) round-6 code changes needing fresh proof
+# (q_dedup_components perf work) + the 7 phantom-coverage names above;
+# (c) the r5-late q_graph_resource_alloc, the ml-eval block, the A/B
+# suite, the stats-test family, and the agg extensions — all
+# first-time.
+#
+# Round-7 rotation queue (assuming this window lands green): ~292/501
+# covered. Next, heaviest-value first: the timeseries block
+# (q_acf_multi, q_autocorr_lag1, q_anomaly_seasonal, q_holt_winters,
+# q_seasonal_decompose, ...); the UDF/UDTF surface (q_udf_arrow,
+# q_udf_pandas_norm, q_udaf_apply_in_pandas, q_udtf_partition_agg,
+# q_udtf_polymorphic); the source/format roundtrips
+# (q_source_csv/json/orc_roundtrip, q_source_schema_evolution,
+# q_source_corrupt_tolerant, q_sink_pydatasource_roundtrip); the
+# remaining s_* streaming names (s_foreachbatch_mv, s_window_topk,
+# s_stream_static_join, s_tumbling_uniques, s_stream_kl_monitor,
+# s_source_pushgen_stream); then func packs (q_array/bit/date/math/
+# string_funcs) and the funnel/attribution family.
 _PRIORITY = [
-    # (a) round-4 additions + ADVICE fixes (16, all first-time)
+    # (a) flattened vector surfaces — r5 verdict #1 (5)
+    "q_kmeans_lloyd",
+    "q_embed_norm",
+    "q_embed_centroid",
+    "q_embed_quantize",
+    "q_embed_pq",
+    # (b) round-6 code changes + r5 phantom-coverage tail (8)
+    "q_dedup_components",
+    "q_group_kfold",
+    "q_temporal_split_embargo",
+    "q_sample_weighted",
+    "q_curriculum_interleave",
+    "s_quarantine_ingest",
+    "s_upsert_latest",
+    "s_stateful_profile",
+    # (c) graph late-addition + ml-eval block (8, first-time)
+    "q_graph_resource_alloc",
+    "q_ann_recall",
+    "q_calibration_bins",
+    "q_confusion_matrix",
+    "q_mrr_eval",
+    "q_threshold_optimizer",
+    "q_silhouette",
+    "q_cohen_kappa",
+    # A/B experimentation suite (4, first-time)
+    "q_ab_cuped",
+    "q_ab_sequential",
+    "q_ab_test_proportions",
+    "q_ab_heterogeneity",
+    # stats-test family (19, first-time)
+    "q_anova_oneway",
+    "q_benjamini_hochberg",
+    "q_benford",
+    "q_bootstrap_ci",
+    "q_chi_square",
+    "q_cramers_v",
+    "q_cronbach_alpha",
+    "q_effect_size",
+    "q_kendall_tau",
+    "q_levene_test",
+    "q_mannwhitney",
+    "q_mann_kendall",
+    "q_permutation_test",
+    "q_runs_test",
+    "q_spearman",
+    "q_welch_ttest",
+    "q_kl_divergence",
+    "q_js_divergence",
+    "q_psi_drift",
+    # agg extensions (6, first-time) — window cap reached at 50
+    "q_agg_corr",
+    "q_agg_linreg",
+    "q_agg_mode",
+    "q_agg_skew_kurtosis",
+    "q_argmax",
+    "q_agg_bool",
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round)
     "q_g_test",
     "q_hill_tail_index",
     "q_calibration_ece",
@@ -104,23 +166,20 @@ _PRIORITY = [
     "q_neyman_allocation",
     "s_tumbling_approx_uniques",
     "q_zone_map_skip_eval",
-    # (b) round-5 code changes / additions needing fresh driver proof
     "q_dedup_near_minhash",
     "q_graph_bfs_levels",
     "q_graph_kcore",
-    "s_stream_stream_left_join",  # new r5: outer stream join, TTL state
-    "s_stream_stream_full_join",  # new r5: both-side outer, TTL state
-    "s_stream_stream_semi_join",  # new r5: streaming EXISTS
-    "q_source_pydatasource_pushdown",  # new r5: pushdown Python source
-    "q_lsh_cap_recall_eval",  # new r5: bucket-cap recall/cost curve
-    # (c) LLM pipeline core — first driver look at these families
+    "s_stream_stream_left_join",
+    "s_stream_stream_full_join",
+    "s_stream_stream_semi_join",
+    "q_source_pydatasource_pushdown",
+    "q_lsh_cap_recall_eval",
     "q_bpe_pair_stats",
     "q_bpe_encode",
     "q_dedup_simhash",
     "q_dedup_segments",
     "q_dedup_containment",
     "q_dedup_semantic",
-    "q_dedup_components",
     "q_dedup_exact",
     "q_dedup_embed_cosine",
     "q_minhash_eval",
@@ -131,7 +190,6 @@ _PRIORITY = [
     "q_quality_gopher",
     "q_chunk_documents",
     "q_train_test_split",
-    "q_kmeans_lloyd",
     "q_text_stats",
     "q_bm25",
     "q_token_count",
@@ -139,18 +197,7 @@ _PRIORITY = [
     "q_lang_id",
     "q_tfidf",
     "q_decontaminate",
-    # remaining never-checked streaming names
     "s_stream_stream_join",
-    "s_quarantine_ingest",
-    "s_upsert_latest",
-    "s_stateful_profile",
-    # splits/sampling family (first-time; bottom of the window)
-    "q_group_kfold",
-    "q_temporal_split_embargo",
-    "q_sample_weighted",
-    "q_curriculum_interleave",
-    # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round)
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q4",
@@ -197,7 +244,6 @@ _PRIORITY = [
     "q_pseudonymize",
     "q_churn_hazard_weekly",
     "s_session_flags",
-    "q_confusion_matrix",
     "q_classifier_prf1",
     "q_ndcg_eval",
     "q_sessionize",
@@ -269,16 +315,13 @@ _PRIORITY = [
     "q_cart_abandonment",
     "q_retention_curve_fit",
     "q_dedup_cross_source",
-    "q_threshold_optimizer",
     "q_spearman_corr",
-    "q_ab_sequential",
     "q_window_nth_value",
     "q_partition_size_audit",
     "q_feed_freshness",
     "q_sampling_bias_check",
     "q_histogram_2d",
     "q_reservoir_aes",
-    "q_ab_heterogeneity",
     "q_seasonal_index_dow",
     "q_catalog_freshness",
     "q_poisson_fit_lines",
@@ -286,16 +329,13 @@ _PRIORITY = [
     "q_top_movers_wow",
     "q_time_to_convert",
     "q_interval_merge",
-    "q_mannwhitney",
     "q_quantile_normalize",
     "q_lorenz_deciles",
     "q_recursive_hierarchy",
-    "q_permutation_test",
     "q_ngram_novelty",
     "q_bigram_lm",
     "q_char_ngram_profile",
     "q_sink_pydatasource_roundtrip",
-    "q_cohen_kappa",
     "q_random_projection",
     "q_embed_pca_power",
     "q_dbscan_core",

@@ -39,6 +39,34 @@ def test_no_hugeint_oracle_columns(oracle_con):
     assert not flagged, f"oracles returning HUGEINT (add CAST AS BIGINT): {flagged}"
 
 
+def test_no_nested_oracle_columns(oracle_con):
+    """No Array/Map/Struct at any registered result surface — the
+    driver's canonicalizer sorts result rows with pandas before
+    hashing, and a list cell raises ``TypeError: unhashable type``
+    there (round 5's one red row: q_kmeans_lloyd's array<double>
+    centroid). Every registered query is value-oracled and the driver
+    separately asserts Spark-schema == oracle-schema, so gating the
+    oracle DESCRIBE (no data scanned) gates both sides: a nested Spark
+    surface either has a nested oracle (caught here) or mismatches its
+    flat oracle (caught by the driver's schema check). Vector-valued
+    results go TALL — (id, pos, value) rows — see llm/vectors.py."""
+    _, oracle = collect()
+    flagged = {}
+    for name, sql in oracle.items():
+        desc = oracle_con.execute(f"DESCRIBE ({sql})").fetchall()
+        nested = [
+            (c, t)
+            for c, t, *_ in desc
+            if "[]" in t
+            or t.upper().startswith(("STRUCT", "MAP", "UNION", "LIST"))
+        ]
+        if nested:
+            flagged[name] = nested
+    assert not flagged, (
+        f"oracles returning nested types (flatten to tall rows): {flagged}"
+    )
+
+
 def test_no_decimal_oracle_columns(oracle_con):
     """Boundary-type discipline: DECIMAL is the engine's *internal*
     exact-arithmetic type; result surfaces must be DOUBLE/BIGINT.

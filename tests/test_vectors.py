@@ -18,15 +18,20 @@ from tests.conftest import SF_DIR
 def test_embed_norm_unit_length(spark):
     rows = q_embed_norm(spark, SF_DIR).collect()
     assert rows
+    by_vec: dict = {}
     for r in rows:
         assert r["l2"] > 0
-        unit_l2 = math.sqrt(sum(x * x for x in r["unit"]))
+        by_vec.setdefault(r["vec_id"], []).append((r["pos"], r["unit_val"]))
+    for vec_id, cells in by_vec.items():
+        assert sorted(p for p, _ in cells) == list(range(64))
+        unit_l2 = math.sqrt(sum(x * x for _, x in cells))
         assert abs(unit_l2 - 1.0) < 1e-9
-        assert len(r["unit"]) == 64
 
 
 def test_embed_centroid_matches_plain_mean(spark):
-    cents = {r["label"]: r["centroid"] for r in q_embed_centroid(spark, SF_DIR).collect()}
+    cents: dict = {}
+    for r in q_embed_centroid(spark, SF_DIR).collect():
+        cents.setdefault(r["label"], {})[r["pos"]] = r["mean_val"]
     emb = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .select("label", F.col("embedding").cast("array<double>").alias("v"))
@@ -46,12 +51,16 @@ def test_embed_centroid_matches_plain_mean(spark):
 def test_embed_quantize_bounds_and_monotonic(spark):
     rows = q_embed_quantize(spark, SF_DIR).collect()
     assert rows
+    by_vec: dict = {}
     for r in rows:
         assert r["mn"] < r["mx"]
-        assert all(-128 <= q <= 127 for q in r["q8"])
+        assert -128 <= r["q8_val"] <= 127
+        by_vec.setdefault(r["vec_id"], []).append(r["q8_val"])
+    for q8 in by_vec.values():
+        assert len(q8) == 64
         # extremes map to the ends of the range
-        assert max(r["q8"]) == 127
-        assert min(r["q8"]) == -128
+        assert max(q8) == 127
+        assert min(q8) == -128
 
 
 def test_pq_codes_shape_and_self_encoding(spark):
@@ -60,15 +69,17 @@ def test_pq_codes_shape_and_self_encoding(spark):
 
     rows = q_embed_pq(spark, SF_DIR).collect()
     emb = load_table(spark, SF_DIR, "embeddings")
-    assert len(rows) == emb.count()
+    by_vec: dict = {}
     for r in rows:
-        assert len(r.pq_codes) == 8
-        assert all(0 <= c < 16 for c in r.pq_codes)
+        assert 0 <= r.code < 16
+        by_vec.setdefault(r.vec_id, {})[r.subspace] = r.code
+    assert len(by_vec) == emb.count()
+    for codes in by_vec.values():
+        assert sorted(codes) == list(range(8))
     # codebook vectors must encode to themselves (distance 0, tiebreak
     # by centroid id can only matter on exact duplicates)
-    own = {r.vec_id: r.pq_codes for r in rows if r.vec_id < 16}
-    for vid, codes in own.items():
-        assert codes == [vid] * 8
+    for vid in range(16):
+        assert [by_vec[vid][s] for s in range(8)] == [vid] * 8
 
 
 def test_pca_power_eigenpair_quality(spark):
