@@ -641,11 +641,16 @@ def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _LP_SUPERS * _LP_BATCH keeps the original 20-round diameter bound.
 _LP_BATCH = 4
 _LP_SUPERS = 5
-# Fixed exchange width for the loop's node-sized label shuffles: the
-# label table is tiny relative to the corpus (only docs in near-dup
+# Exchange width for the loop's node-sized label shuffles: the label
+# table is tiny relative to the corpus (only docs in near-dup
 # clusters), so a session-wide shuffle.partitions sized for corpus
-# scans would pay pure task-scheduling latency here.
+# scans would pay pure task-scheduling latency here. The actual width
+# is derived from the measured edge count (see q_dedup_components):
+# floor 4, cap max(session width, _LP_PARTS); _LP_ROWS_PER_PART says
+# how many (long, long) edge rows one loop partition should carry
+# before another task is worth its launch overhead.
 _LP_PARTS = 32
+_LP_ROWS_PER_PART = 65536
 
 _DUCK_COMPONENTS = f"""
     WITH RECURSIVE
@@ -685,20 +690,31 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponentially — measured 2x SLOWER than unbatched even with
     per-round cache barriers, because parallel stages race to fill
     the cache.) Convergence: min-propagation only ever lowers labels,
-    so the label sum is monotonically non-increasing and a super-batch
-    changed nothing iff its sum is unchanged — one scalar aggregate
-    per super, no old/new self-join. 2 actions per 4 rounds, same
-    20-round diameter bound, identical output; shallow near-dup
-    clusters converge in ~4 actions. Each round shuffles the label
-    table only (nodes, not documents). DuckDB's recursive transitive
-    closure is the oracle."""
+    so the label sum is monotonically non-increasing and a round
+    changed nothing iff its sum is unchanged. Both scalars — the sum
+    after round B-1 and after round B — ride in the ONE action that
+    materializes the super (their branches share the round-B-1 subtree
+    via ReuseExchange), so a fixed point is detected inside the super
+    that reaches it instead of costing a confirmation super (round 5's
+    1.4-1.9x sf0.1 regression was exactly that extra super). 1 action
+    per 4 rounds, same 20-round diameter bound, identical output;
+    shallow near-dup clusters converge in 3 actions total (pair pin,
+    edge pin, one super). The loop's exchange width is sized from
+    the measured edge count — the AQE coalescing decision, made once
+    (AQE itself stays off in the loop; see the inline note). Each
+    round shuffles the label table only (nodes, not documents).
+    DuckDB's recursive transitive closure is the oracle."""
     pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # No distinct() on the symmetrized edges: near-minhash pairs are
+    # already unique (doc_a < doc_b), so the two directed projections
+    # cannot collide — and min-label propagation is indifferent to
+    # duplicate edges anyway (min over a multiset), so dropping the
+    # pair-sized dedup shuffle is free correctness-wise.
     sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .distinct()
         .persist()
     )
     # materialize the expensive LSH subtree ONCE before it is referenced
@@ -706,7 +722,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrent stages over an unmaterialized persist RACE to fill the
     # cache and can compute the whole pair pipeline twice (measured 2x
     # setup cost). One explicit tiny count pins the sequencing.
-    sym.count()
+    n_sym = sym.count()
     # the LP loop is stage-LATENCY-bound, not data-bound: every round
     # shuffles a node-sized label table through fixed-size exchanges.
     # AQE's per-boundary re-planning + broadcast-join rebuilds add
@@ -717,11 +733,33 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALSO pin the shuffle width: a corpus-sized session default (200+
     # under the driver's vanilla session) would otherwise pay 200-400
     # near-empty tasks per round with no AQE coalescing to rescue it
-    # (measured 27.6s vs 11s at sf0.01 before this pin).
+    # (measured 27.6s vs 11s at sf0.01 before this pin). The width is
+    # sized from the MEASURED edge count (the sym.count() above is
+    # already paid as the cache pin): this is exactly the coalescing
+    # decision AQE would make per boundary, made once for the whole
+    # loop. Floor 4 keeps local runs at a handful of tasks per stage
+    # (sf0.1's ~500-row label table spent more on 32-task launch
+    # overhead than on data); the cap is the session's own width so a
+    # cluster session with thousands of partitions configured still
+    # gets them when the pair graph is billions of edges.
+    #
+    # NOTE (single-threaded-driver assumption): these two confs are
+    # session-global for the duration of the loop — a concurrent query
+    # on the same SparkSession would run with AQE off and the loop's
+    # shuffle width, and a caller re-executing the returned labels
+    # after cache eviction recomputes under the restored session confs
+    # (correct either way; only the wall-clock regime differs). The
+    # driver contract evaluates queries sequentially on one session,
+    # which is the assumption this scoping relies on.
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        _cap = max(int(parts_was), _LP_PARTS)
+    except ValueError:
+        _cap = _LP_PARTS
+    parts = max(4, min(_cap, n_sym // _LP_ROWS_PER_PART + 1))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_LP_PARTS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         nodes = sym.select(F.col("src").alias("id")).distinct()
         # self-edges make every node its own neighbor: one join+min per
@@ -734,43 +772,56 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.unionByName(
                 nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
             )
-            .repartition(_LP_PARTS, "dst")
+            .repartition(parts, "dst")
             .persist()
         )
-        # initial labels come FROM the persisted edge table (its
-        # self-edge rows), so the one checkpoint job also fills the
-        # edge cache
-        labels = (
-            edges.filter(F.col("src") == F.col("dst"))
-            .select(F.col("src").alias("id"), F.col("src").alias("component"))
-            .localCheckpoint()
+        # one count pins the edge cache before the loop references it
+        # from several branches (a count, not localCheckpoint: the
+        # checkpoint's block-manager RDD blocks outlive clearCache()
+        # and accumulate across a long sweep, and the labels lineage is
+        # already flat — one filter over the cached edge table)
+        edges.count()
+        labels = edges.filter(F.col("src") == F.col("dst")).select(
+            F.col("src").alias("id"), F.col("src").alias("component")
         )
         sym.unpersist()
-        prev_sum = None
         prev_cache = None
+        _sum = F.sum(F.col("component").cast("decimal(38,0)"))
         for _ in range(_LP_SUPERS):  # _LP_SUPERS*_LP_BATCH = 20-round bound
             cur = labels
-            for _ in range(_LP_BATCH):
+            penult = None
+            for i in range(_LP_BATCH):
+                if i == _LP_BATCH - 1:
+                    penult = cur
                 cur = (
                     edges.join(cur, edges.dst == cur.id)
                     .groupBy("src")
                     .agg(F.min("component").alias("component"))
                     .withColumnRenamed("src", "id")
                 )
-            # ONE action per super: the convergence scalar materializes
-            # the persisted batch result (lazy cache barrier — each
-            # round reads its predecessor exactly once thanks to the
-            # self-edges, so the chained plan never re-executes rounds)
+            # ONE action per super: a single plan materializes the
+            # persisted batch result AND both convergence scalars —
+            # the label sums after round B-1 and round B. Labels only
+            # ever decrease, so equal sums mean round B changed
+            # nothing: a fixed point, detected IN the same action
+            # (round 5 paid a whole extra super just to observe that
+            # the previous one had already converged — cross-session
+            # consistent +1.4-1.9x at sf0.1). The two scalar branches
+            # share the round-B-1 subtree through ReuseExchange (lazy
+            # cache barrier still holds — each round reads its
+            # predecessor exactly once thanks to the self-edges), and
+            # the 1-row crossJoin is the usual scalar-broadcast shape.
             labels = cur.persist()
-            new_sum = labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+            row = (
+                penult.agg(_sum.alias("s_prev"))
+                .crossJoin(labels.agg(_sum.alias("s_new")))
+                .collect()[0]
+            )
             if prev_cache is not None:
                 prev_cache.unpersist()
             prev_cache = labels
-            if new_sum == prev_sum:
+            if row["s_prev"] == row["s_new"]:
                 break
-            prev_sum = new_sum
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         spark.conf.set("spark.sql.shuffle.partitions", parts_was)

@@ -328,7 +328,11 @@ def test_components_batched_rounds_few_driver_actions(spark, corpus):
     finally:
         for m, fn in originals.items():
             setattr(CDF, m, fn)
-    assert inner_actions <= 8, f"LP loop ran {inner_actions} driver actions"
+    # pair pin + edge pin + one combined convergence scalar per super;
+    # shallow clusters converge in one super -> 3 actions (the r6
+    # in-super fixed-point check removed the confirmation super, so
+    # the pin tightens from 8)
+    assert inner_actions <= 6, f"LP loop ran {inner_actions} driver actions"
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
     rows = {(r.doc_id, r.component) for r in out.collect()}
     # docs 0,1,2 are one near-dup cluster labelled by its min id; doc 3
