@@ -148,7 +148,56 @@ SCALE10X_FULL_RECORDED = {
     "median_ratio": 1.5,
     "recorded": "round-5 full leg (BASELINE.md 'Round 5 — full-headline"
     " 10x table')",
+    # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
+    # silently goes stale after perf-affecting changes). _stale_check
+    # compares this commit to HEAD over the package dir and the
+    # compact line carries scale10x_full_stale so the artifact is
+    # self-describing; re-record with SPARK_GRAFT_BENCH_SCALE10X_FULL=1
+    # and update this stamp whenever it reports stale.
+    "commit": "743cbb8",
 }
+
+# Canary-normalized total (r5 verdict #4): recorded headline totals for
+# ONE tree spanned 55.5-79.4 s across sessions (canary warm spreads
+# 4-58%), so absolute seconds need prose to interpret. The compact line
+# therefore also carries value_canary_norm = total / min(warm canary
+# passes) — dimensionless, container-speed-free — and value_noise_adj_sec
+# = total * (_CANARY_REF_SEC / min warm canary), i.e. the total this
+# session WOULD have measured at the reference container speed. The
+# reference constant is the r5 clean-session canary (BASELINE.md
+# "Round 6 — canary normalization constant"): compare rounds on
+# value_noise_adj_sec without caveats.
+_CANARY_REF_SEC = 0.400
+
+
+def _stale_check() -> bool:
+    """True if the package changed since the recorded full-10x sweep."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                "git", "-C", REPO, "diff", "--name-only",
+                SCALE10X_FULL_RECORDED["commit"], "HEAD", "--",
+                "keycloak_event_stream_spark",
+            ],
+            capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return False  # unknown commit / not a checkout — can't tell
+        changed = [ln for ln in out.stdout.splitlines() if ln.strip()]
+        if changed:
+            print(
+                f"[bench] scale10x_full_recorded is STALE: "
+                f"{len(changed)} package file(s) changed since "
+                f"{SCALE10X_FULL_RECORDED['commit']} "
+                f"(e.g. {changed[0]}) — re-record with "
+                "SPARK_GRAFT_BENCH_SCALE10X_FULL=1",
+                file=sys.stderr,
+            )
+        return bool(changed)
+    except Exception:
+        return False
 
 
 def _run(queries, name, spark, sf_dir) -> float:
@@ -242,6 +291,7 @@ def main() -> int:
 
     total = round(sum(times.values()), 3)
     warm = canary_passes[1:] if len(canary_passes) >= 3 else canary_passes
+    canary_min_warm = min(warm)
     canary = {
         "query": CANARY,
         "passes": canary_passes,
@@ -272,6 +322,7 @@ def main() -> int:
     #     only the gate numbers: metric/value/unit/sf/queries plus
     #     scalar canary + scale10x summaries (~2 KB, survives any
     #     bounded tail capture).
+    stale = _stale_check()
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -280,8 +331,14 @@ def main() -> int:
         "sf": sf,
         "passes": PASSES,
         "canary": canary,
+        "canary_ref_sec": _CANARY_REF_SEC,
+        "value_canary_norm": round(total / canary_min_warm, 1),
+        "value_noise_adj_sec": round(
+            total * _CANARY_REF_SEC / canary_min_warm, 1
+        ),
         "scale10x": scale10x,
         "scale10x_full_recorded": SCALE10X_FULL_RECORDED,
+        "scale10x_full_stale": stale,
     }
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
@@ -297,6 +354,12 @@ def main() -> int:
         "sf": sf,
         "passes": PASSES,
         "canary_spread_pct_warm": canary["spread_pct_warm"],
+        # noise-robust scalars (r5 verdict #4): dimensionless
+        # canary-relative total + the noise-adjusted seconds a future
+        # round can compare directly (constant in BASELINE.md)
+        "canary_min_warm_sec": canary_min_warm,
+        "value_canary_norm": full["value_canary_norm"],
+        "value_noise_adj_sec": full["value_noise_adj_sec"],
         # subset = this run's representative leg; full = the recorded
         # whole-headline sweep (unambiguous full-coverage number)
         "scale10x_subset_max_ratio": scale10x.get("max_ratio"),
@@ -304,6 +367,8 @@ def main() -> int:
         "scale10x_full_max_ratio": SCALE10X_FULL_RECORDED["max_ratio"],
         "scale10x_full_max_query": SCALE10X_FULL_RECORDED["max_query"],
         "scale10x_full_recorded": SCALE10X_FULL_RECORDED["recorded"],
+        "scale10x_full_commit": SCALE10X_FULL_RECORDED["commit"],
+        "scale10x_full_stale": stale,
         "detail": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact))

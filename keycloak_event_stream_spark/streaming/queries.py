@@ -361,6 +361,58 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def purchase_click_stream_join(p: DataFrame, c: DataFrame, how: str) -> DataFrame:
+    """Shared topology of the three stream-stream joins (left_outer /
+    full_outer / left_semi) over two raw event streams with columns
+    (event_id, user_id, event_type, ts): 1-hour watermarks both sides,
+    click-follows-purchase-within-an-hour time-range condition. The
+    registered s_stream_stream_* queries AND the checkpoint-restart
+    tests both build through here, so the restart tests exercise the
+    exact production join state machine, not a test-local copy."""
+    purchases = (
+        p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    csel = [
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ]
+    if how == "left_semi":
+        csel = csel[1:]  # semi never projects the click side
+    clicks = (
+        c.filter(F.col("event_type") == "click")
+        .select(*csel)
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts > purchases.purchase_ts)
+        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
+        how,
+    )
+    if how == "left_outer":
+        return joined.select(
+            "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
+        )
+    if how == "full_outer":
+        return joined.select(
+            "purchase_id",
+            "click_id",
+            F.coalesce("user_id", "c_user_id").alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+        )
+    return joined.select("purchase_id", "user_id", "purchase_ts")
+
+
+
 @_q(
     "s_stream_stream_left_join",
     oracle="""
@@ -400,35 +452,11 @@ def s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark could still land inside the window). Bounded replay
     flushes that state through the final no-data micro-batch, so the
     emitted set is deterministic and the batch LEFT JOIN + watermark
-    CASE is the oracle."""
+    CASE is the oracle. Join-state checkpoint-restart is pinned by
+    tests/test_streaming.py::test_stream_stream_join_state_survives_restart."""
     p = read_stream_events(spark, sf_dir)
     c = read_stream_events(spark, sf_dir)
-    purchases = (
-        p.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    clicks = (
-        c.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.c_user_id)
-        & (clicks.click_ts > purchases.purchase_ts)
-        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(purchase_click_stream_join(p, c, "left_outer"), "append")
 
 
 @_q(
@@ -469,41 +497,12 @@ def s_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase_ts + 1 h (its match window's end), while an unmatched
     click emits when the watermark passes click_ts itself — a click
     can only match a STRICTLY EARLIER purchase (c.ts > p.ts), so its
-    state closes as soon as no future purchase can precede it."""
+    state closes as soon as no future purchase can precede it.
+    Join-state checkpoint-restart is pinned by
+    tests/test_streaming.py::test_stream_stream_join_state_survives_restart."""
     p = read_stream_events(spark, sf_dir)
     c = read_stream_events(spark, sf_dir)
-    purchases = (
-        p.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    clicks = (
-        c.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.c_user_id)
-        & (clicks.click_ts > purchases.purchase_ts)
-        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
-        "full_outer",
-    ).select(
-        "purchase_id",
-        "click_id",
-        F.coalesce("user_id", "c_user_id").alias("user_id"),
-        "purchase_ts",
-        "click_ts",
-    )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(purchase_click_stream_join(p, c, "full_outer"), "append")
 
 
 @_q(
@@ -529,34 +528,12 @@ def s_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     first match and its state is marked done, so bounded replay emits
     exactly the EXISTS set and the batch semi join is the oracle with
     no watermark clause at all (matches always emit; only NON-matches
-    depend on eviction, and a semi join never emits those)."""
+    depend on eviction, and a semi join never emits those).
+    Join-state checkpoint-restart is pinned by
+    tests/test_streaming.py::test_stream_stream_join_state_survives_restart."""
     p = read_stream_events(spark, sf_dir)
     c = read_stream_events(spark, sf_dir)
-    purchases = (
-        p.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    clicks = (
-        c.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.c_user_id)
-        & (clicks.click_ts > purchases.purchase_ts)
-        & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
-        "left_semi",
-    ).select("purchase_id", "user_id", "purchase_ts")
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(purchase_click_stream_join(p, c, "left_semi"), "append")
 
 
 @_q(
