@@ -37,26 +37,53 @@ __all__ = ["two_phase_window", "with_totals", "exact_ntile"]
 
 _PID = "_tp_pid"
 
-# Bounded FIFO pool for the persisted range subtrees. Every
+# Bounded pool for the persisted range subtrees. Every
 # two_phase_window call persists its ranged layout (see the PIN
 # comment below); without a release, a long-lived session composing
 # many two-phase operators accumulates one CacheManager entry per
-# call. Each new call now retires the oldest entries beyond
-# spark.kes.twoPhase.cachePool (default 16) — entries unpersist in
-# arrival order, so the bounded contract is: a two-phase DataFrame
-# should be EXECUTED within that many subsequent two_phase_window
-# calls (every real flow — driver contract, bench, verify, tests —
-# executes immediately). After retirement the plan still computes
-# correct results whenever Catalyst's ReuseExchange holds (the normal
-# case); the persist exists to pin the rare reuse-defeating consumer
-# shape, so size the pool to your composition depth if you hold many
-# unexecuted two-phase plans.
+# call. Each new call retires old entries beyond
+# spark.kes.twoPhase.cachePool (default 16).
+#
+# Retirement is MATERIALIZATION-AWARE (r5 ADVICE: blind FIFO could
+# unpersist a correctness-critical persist while its two-phase
+# DataFrame was still unexecuted — on later execution, with the cache
+# gone, the offs and main branches can read different re-sampled
+# spark_partition_id layouts unless ReuseExchange happens to hold,
+# silently duplicating/missing global row numbers). An entry is
+# retired only once the CacheManager reports its column buffers
+# LOADED (the consumer executed — the pin already did its job; a
+# recompute after that re-reads one materialization per execution
+# through ReuseExchange in the same plan) or the entry is GONE from
+# the CacheManager (clearCache etc. — nothing left to lose). Entries
+# still PENDING are skipped; if pending entries alone push the pool
+# past 4x the limit (many two-phase plans built and never executed —
+# no real flow does this), the oldest is force-retired with a
+# RuntimeWarning naming the hazard so a wrong-results scenario is
+# diagnosable.
 _CACHE_POOL_CONF = "spark.kes.twoPhase.cachePool"
 _CACHE_POOL_DEFAULT = 16
 _cache_pool: list[DataFrame] = []
 
 
+def _persist_state(df: DataFrame) -> str:
+    """'loaded' | 'pending' | 'gone' | 'unknown' for a pooled persist."""
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        cd = cm.lookupCachedData(df._jdf)
+        if not cd.isDefined():
+            return "gone"
+        loaded = (
+            cd.get().cachedRepresentation().cacheBuilder()
+            .isCachedColumnBuffersLoaded()
+        )
+        return "loaded" if loaded else "pending"
+    except Exception:
+        return "unknown"  # dead session / internal API moved
+
+
 def _pool_persist(ranged: DataFrame) -> DataFrame:
+    import warnings
+
     ranged = ranged.persist()
     _cache_pool.append(ranged)
     try:
@@ -67,8 +94,34 @@ def _pool_persist(ranged: DataFrame) -> DataFrame:
         )
     except ValueError:
         limit = _CACHE_POOL_DEFAULT
-    while len(_cache_pool) > max(limit, 1):
-        old = _cache_pool.pop(0)
+    limit = max(limit, 1)
+    while len(_cache_pool) > limit:
+        victim = None
+        forced = False
+        for i, old in enumerate(_cache_pool[:-1]):  # never the new entry
+            state = _persist_state(old)
+            if state in ("loaded", "gone", "unknown"):
+                # unknown = dead/changed session: unpersist is a no-op
+                # there, retiring cannot break a live plan
+                victim = i
+                break
+        if victim is None:
+            if len(_cache_pool) <= limit * 4:
+                break  # hold pending entries rather than risk results
+            victim, forced = 0, True
+        old = _cache_pool.pop(victim)
+        if forced:
+            warnings.warn(
+                "two_phase cache pool exceeded 4x "
+                f"{_CACHE_POOL_CONF}={limit} with only UNEXECUTED "
+                "entries; force-retiring the oldest. If that "
+                "DataFrame is executed later, its global row numbers "
+                "rely on ReuseExchange materializing the range "
+                "shuffle once — raise the pool conf if you hold many "
+                "unexecuted two-phase plans.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         try:
             old.unpersist()
         except Exception:

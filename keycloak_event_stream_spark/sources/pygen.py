@@ -1,8 +1,10 @@
 """Custom Python DataSource **reader** with filter pushdown.
 
 The reference reads its event store exclusively through Athena's
-external-table scan (``AthenaEventStoreProvider.java:61-120``) and
-relies on the engine to prune partitions from the WHERE clause. This
+external-table scan (``AbstractAthenaQuery.java:54-80`` —
+startQueryExecution/getQueryResults over the SQL that
+``AthenaEventQuery.java`` assembles) and relies on the engine to
+prune partitions from the WHERE clause. This
 module is that capability rebuilt on Spark's Python DataSource API
 (Spark 4.1 ``pushFilters``): a deterministic sharded event generator
 whose reader
@@ -214,7 +216,13 @@ def read_eventgen(
     spark: SparkSession, audit_path: str | None = None
 ) -> DataFrame:
     register(spark)
-    # planning-time pushdown for Python sources is conf-gated
+    # Planning-time pushdown for Python sources is conf-gated, and the
+    # gate is consulted at PLAN time of the returned (lazy) DataFrame,
+    # not inside this function — so the conf must stay on after we
+    # return and cannot be save/restored here. It is additive
+    # (enables pushFilters for Python sources; sources that don't
+    # implement it are unaffected), session-scoped, and documented
+    # here as a deliberate session mutation (r5 ADVICE).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     r = (
         spark.read.format("kes_eventgen")

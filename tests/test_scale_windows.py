@@ -391,3 +391,48 @@ def test_two_phase_cache_pool_bounded(spark):
         spark.conf.unset("spark.kes.twoPhase.cachePool")
         _scale._cache_pool.clear()
         spark.catalog.clearCache()
+
+
+def test_two_phase_cache_pool_spares_unexecuted_entries(spark):
+    """r5 ADVICE (medium): blind FIFO retirement could unpersist the
+    correctness-critical ranged persist of a two-phase DataFrame that
+    had NOT been executed yet — on execution, cache gone, the offset
+    and main branches could read different re-sampled partition-id
+    layouts. Retirement is now materialization-aware: a plan held
+    across many intervening calls keeps its pending persist, and its
+    eventual execution still yields exact global row numbers."""
+    from keycloak_event_stream_spark.operators import _scale
+
+    spark.catalog.clearCache()
+    _scale._cache_pool.clear()
+    spark.conf.set("spark.kes.twoPhase.cachePool", "2")
+    try:
+        df0 = spark.range(1000).select(
+            (F.col("id") * 37 % 997).alias("v"), F.col("id")
+        )
+        held = two_phase_window(
+            df0, [F.col("v"), F.col("id")], row_number="rn", k=7
+        )
+        # intervening executed calls — more than the pool limit, so the
+        # old FIFO would have retired held's pending persist long ago
+        for i in range(6):
+            df = spark.range(100).select(
+                (F.col("id") * 13 % 101).alias("v"), F.col("id")
+            )
+            out = two_phase_window(
+                df, [F.col("v"), F.col("id")], row_number="rn", k=3
+            )
+            assert sorted(r.rn for r in out.collect()) == list(range(1, 101))
+        # held's ranged persist is still pending in the pool
+        states = [_scale._persist_state(e) for e in _scale._cache_pool]
+        assert "pending" in states, states
+        got = sorted(r.rn for r in held.collect())
+        assert got == list(range(1, 1001))
+        # once executed it is 'loaded' and retirable again
+        assert "loaded" in [
+            _scale._persist_state(e) for e in _scale._cache_pool
+        ]
+    finally:
+        spark.conf.unset("spark.kes.twoPhase.cachePool")
+        _scale._cache_pool.clear()
+        spark.catalog.clearCache()
