@@ -140,7 +140,9 @@ _PRIORITY = [
     "q_welch_ttest",
     "q_kl_divergence",
     "q_js_divergence",
-    "q_psi_drift",
+    # new r6: stream-join state-size/eviction audit (verdict #6),
+    # live-state-pinned by test_join_state_audit_matches_live_state_rows
+    "s_join_state_audit",
     # agg extensions (6, first-time) — window cap reached at 50
     "q_agg_corr",
     "q_agg_linreg",
@@ -149,7 +151,9 @@ _PRIORITY = [
     "q_argmax",
     "q_agg_bool",
     # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round)
+    # (below the ~50 cap: NOT driver-checked this round; q_psi_drift
+    # yielded its slot to s_join_state_audit — head of the r7 queue)
+    "q_psi_drift",
     "q_g_test",
     "q_hill_tail_index",
     "q_calibration_ece",

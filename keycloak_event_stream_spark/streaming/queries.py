@@ -1085,3 +1085,79 @@ def s_session_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_view",
         "has_purchase",
     )
+
+
+@_q(
+    "s_join_state_audit",
+    oracle="""
+    WITH p AS (SELECT ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT ts FROM events WHERE event_type = 'click'),
+         wm AS (
+           SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                  - INTERVAL 1 HOUR AS w
+         )
+    SELECT side, bucket, CAST(count(*) AS BIGINT) AS rows_held FROM (
+      SELECT 'purchase' AS side, time_bucket(INTERVAL 1 HOUR, ts) AS bucket
+      FROM p WHERE ts + INTERVAL 1 HOUR >= (SELECT w FROM wm)
+      UNION ALL
+      SELECT 'click' AS side, time_bucket(INTERVAL 1 HOUR, ts) AS bucket
+      FROM c WHERE ts >= (SELECT w FROM wm)
+    ) GROUP BY side, bucket
+    """,
+)
+def s_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-size/eviction audit for the stream-stream join family
+    (r5 verdict #6: give the streaming side the same audit discipline
+    as the batch family's LSH band-occupancy / zone-map evals): rows
+    HELD in the purchase-click join's state store once bounded replay
+    reaches the terminal watermark, bucketed by event-time hour and
+    side.
+
+    The eviction model mirrors the join oracles exactly: a purchase
+    row is held while the watermark has not STRICTLY passed the end of
+    its match window (``purchase_ts + 1 h >= wm``, wm = min of both
+    sides' max ts − 1 h); a click row is held while ``click_ts >= wm``
+    (a click only matches a strictly earlier purchase, so its state
+    closes when the watermark reaches its own timestamp). This is the
+    quantity that bounds a production join's memory at any scale — the
+    audit makes the bound observable per watermark bucket instead of
+    trusting the delay arithmetic.
+    ``tests/test_streaming.py::test_join_state_audit_matches_live_state_rows``
+    runs the REAL streaming left join and asserts Spark's own
+    stateOperators numRowsTotal equals this audit's total, so the
+    analytic model is pinned to the engine's state store, not to this
+    docstring. Plan shape: two scans + a 1-row watermark scalar
+    broadcast + one (side, bucket) aggregate — no state of its own."""
+    from keycloak_event_stream_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("ts")
+    c = ev.filter(F.col("event_type") == "click").select("ts")
+    wm = (
+        p.agg(F.max("ts").alias("pmax"))
+        .crossJoin(c.agg(F.max("ts").alias("cmax")))
+        .select(
+            (F.least("pmax", "cmax") - F.expr("INTERVAL 1 HOUR")).alias("w")
+        )
+    )
+    held_p = (
+        p.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") + F.expr("INTERVAL 1 HOUR") >= F.col("w"))
+        .select(
+            F.lit("purchase").alias("side"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+    )
+    held_c = (
+        c.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("w"))
+        .select(
+            F.lit("click").alias("side"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+    )
+    return (
+        held_p.unionByName(held_c)
+        .groupBy("side", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_held"))
+    )

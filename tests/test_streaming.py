@@ -748,3 +748,32 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path, how):
             # click 101 has no purchase: NULL purchase side
             c101 = [t for t in interrupted if t[1] == 101]
             assert len(c101) == 1 and c101[0][0] is None
+
+
+def test_join_state_audit_matches_live_state_rows(spark, tmp_path):
+    """s_join_state_audit's analytic eviction model must equal the
+    ENGINE's own accounting: run the real stream-stream left join to
+    terminal watermark and compare Spark's stateOperators
+    numRowsTotal (the symmetricHashJoin store's surviving rows) with
+    the audit's rows_held total. This pins the audit to the state
+    store, the same discipline as the batch family's sketch/zone-map
+    evals (estimate checked against exact, not asserted)."""
+    from keycloak_event_stream_spark.streaming import queries as SQ
+    from tests.conftest import SF_DIR
+
+    s1 = SQ.read_stream_events(spark, SF_DIR)
+    s2 = SQ.read_stream_events(spark, SF_DIR)
+    joined = SQ.purchase_click_stream_join(s1, s2, "left_outer")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "symmetricHashJoin"
+    live_rows = ops[0]["numRowsTotal"]
+    audit = SQ.QUERIES["s_join_state_audit"](spark, SF_DIR).collect()
+    assert live_rows == sum(r.rows_held for r in audit)
+    assert live_rows > 0  # non-vacuous: some state survives the replay
