@@ -143,10 +143,10 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 5.5,
-    "max_query": "q_graph_pagerank",
-    "median_ratio": 1.5,
-    "recorded": "round-5 full leg (BASELINE.md 'Round 5 — full-headline"
+    "max_ratio": 5.06,
+    "max_query": "q_decontaminate",
+    "median_ratio": 1.46,
+    "recorded": "round-6 full leg (BASELINE.md 'Round 6 — full-headline"
     " 10x table')",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
     # silently goes stale after perf-affecting changes). _stale_check
@@ -154,7 +154,7 @@ SCALE10X_FULL_RECORDED = {
     # compact line carries scale10x_full_stale so the artifact is
     # self-describing; re-record with SPARK_GRAFT_BENCH_SCALE10X_FULL=1
     # and update this stamp whenever it reports stale.
-    "commit": "743cbb8",
+    "commit": "96b19c9",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
