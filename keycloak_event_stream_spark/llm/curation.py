@@ -137,11 +137,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     word {n}-gram with the held-out eval split (source = 'src0' stands
     in for the eval set on the fixture corpus).
 
-    Shape: per-row shingling (no shuffle) -> distinct -> equi-join on
-    the n-gram -> count per doc. The eval side is the distinct n-gram
-    set of the *eval corpus* — tiny relative to training data (benchmark
-    suites are MBs against a 100 TB train set), so Catalyst broadcasts
-    it and the whole check runs without shuffling the training grams.
+    Shape: per-row shingling + per-row ``array_distinct`` (the
+    (doc_id, gram) dedup the join semantics need is WITHIN a document,
+    so it runs in-row before the explode — no shuffle of the training
+    grams at all; a groupBy-distinct here was the train table's one
+    wide exchange and the dominant term of the 10x ratio) -> equi-join
+    on the n-gram -> count per doc. The eval side is the distinct
+    n-gram set of the *eval corpus* — tiny relative to training data
+    (benchmark suites are MBs against a 100 TB train set), so Catalyst
+    broadcasts it and the training side flows scan -> broadcast-probe
+    -> doc-keyed count without ever exchanging gram text.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
@@ -156,21 +161,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                starts,
-                lambda i: F.array_join(
-                    F.slice(words, i + 1, _DECON_N), " "
-                ),
+            F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: F.array_join(
+                        F.slice(words, i + 1, _DECON_N), " "
+                    ),
+                )
             )
         ).alias("gram"),
     )
     eval_grams = (
         grams.filter(F.col("source") == "src0").select("gram").distinct()
     )
-    train_grams = (
-        grams.filter(F.col("source") != "src0")
-        .select("doc_id", "gram")
-        .distinct()
+    # per-doc uniqueness already guaranteed in-row by array_distinct
+    train_grams = grams.filter(F.col("source") != "src0").select(
+        "doc_id", "gram"
     )
     hits = (
         train_grams.join(F.broadcast(eval_grams), "gram")

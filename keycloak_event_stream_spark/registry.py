@@ -143,17 +143,22 @@ _PRIORITY = [
     # new r6: stream-join state-size/eviction audit (verdict #6),
     # live-state-pinned by test_join_state_audit_matches_live_state_rows
     "s_join_state_audit",
-    # agg extensions (6, first-time) — window cap reached at 50
+    # agg extensions (5 of 6, first-time)
     "q_agg_corr",
     "q_agg_linreg",
     "q_agg_mode",
     "q_agg_skew_kurtosis",
     "q_argmax",
-    "q_agg_bool",
+    # r6 late code change needing fresh driver proof (in-row gram
+    # dedup removed the train-side shuffle; q_agg_bool yielded its
+    # slot and joins q_psi_drift at the head of the r7 queue) —
+    # window cap reached at 50
+    "q_decontaminate",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round; q_psi_drift
-    # yielded its slot to s_join_state_audit — head of the r7 queue)
+    # and q_agg_bool yielded their slots — head of the r7 queue)
     "q_psi_drift",
+    "q_agg_bool",
     "q_g_test",
     "q_hill_tail_index",
     "q_calibration_ece",
@@ -200,7 +205,6 @@ _PRIORITY = [
     "q_quality_score",
     "q_lang_id",
     "q_tfidf",
-    "q_decontaminate",
     "s_stream_stream_join",
     "q_tpch_q1",
     "q_tpch_q2",
