@@ -143,9 +143,9 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 5.06,
-    "max_query": "q_decontaminate",
-    "median_ratio": 1.46,
+    "max_ratio": 5.12,
+    "max_query": "q_graph_pagerank",
+    "median_ratio": 1.49,
     "recorded": "round-6 full leg (BASELINE.md 'Round 6 — full-headline"
     " 10x table')",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
@@ -154,7 +154,7 @@ SCALE10X_FULL_RECORDED = {
     # compact line carries scale10x_full_stale so the artifact is
     # self-describing; re-record with SPARK_GRAFT_BENCH_SCALE10X_FULL=1
     # and update this stamp whenever it reports stale.
-    "commit": "96b19c9",
+    "commit": "9bee2fc",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
@@ -164,9 +164,9 @@ SCALE10X_FULL_RECORDED = {
 # passes) — dimensionless, container-speed-free — and value_noise_adj_sec
 # = total * (_CANARY_REF_SEC / min warm canary), i.e. the total this
 # session WOULD have measured at the reference container speed. The
-# reference constant is the r5 clean-session canary (BASELINE.md
-# "Round 6 — canary normalization constant"): compare rounds on
-# value_noise_adj_sec without caveats.
+# reference constant is the r5 DRIVER-session canary (BASELINE.md
+# "Round 6 — canary normalization constant", ±15% resolution note
+# there): compare rounds on value_noise_adj_sec without caveats.
 _CANARY_REF_SEC = 0.400
 
 
