@@ -156,9 +156,15 @@ _PRIORITY = [
     "q_decontaminate",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round; q_psi_drift
-    # and q_agg_bool yielded their slots — head of the r7 queue)
+    # and q_agg_bool yielded their slots — head of the r7 queue,
+    # followed by the two post-close-out streaming state audits
+    # s_window_state_audit / s_session_state_audit, which extend the
+    # s_join_state_audit discipline to the aggregation state stores
+    # and are live-state-pinned by test_*_state_audit_matches_live_*)
     "q_psi_drift",
     "q_agg_bool",
+    "s_window_state_audit",
+    "s_session_state_audit",
     "q_g_test",
     "q_hill_tail_index",
     "q_calibration_ece",

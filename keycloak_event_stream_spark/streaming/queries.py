@@ -1161,3 +1161,171 @@ def s_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("side", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("rows_held"))
     )
+
+
+@_q(
+    "s_window_state_audit",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+         g AS (
+           SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2
+         )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS groups_held,
+           CAST(sum(n) AS BIGINT) AS events_represented
+    FROM g WHERE ws + INTERVAL 1 HOUR > (SELECT w FROM wm)
+    GROUP BY 1, 2
+    """,
+)
+def s_window_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-size/eviction audit for the watermarked tumbling-window
+    aggregation family (same audit discipline as s_join_state_audit):
+    (window, event_type) groups still HELD in the aggregation state
+    store once bounded replay reaches the terminal watermark, per
+    window, with the event count those group rows represent.
+
+    Eviction model: an append-mode windowed aggregation emits and
+    purges a group when the watermark reaches its window end
+    (s_watermark_late's emitted set is exactly the complement), so the
+    rows surviving in stateStoreSave are the groups with
+    ``window_end > wm``, wm = max(ts) − 1 h. One state row per group —
+    the ``events_represented`` column is the collapsed input volume,
+    showing how far the partial-aggregate state is from raw buffering
+    (a stream-stream join would hold every row; the agg holds one row
+    per group regardless of input rate — the reason windowed
+    aggregation state stays flat at 100 TB while join state needs the
+    tight watermark s_join_state_audit bounds).
+    ``tests/test_streaming.py::test_window_state_audit_matches_live_state_rows``
+    runs the REAL append-mode aggregation and asserts the engine's
+    stateOperators numRowsTotal equals this audit's groups_held total.
+    Plan shape: one scan + partial/final hash aggregate + a 1-row
+    watermark scalar broadcast — no state of its own, no extra
+    shuffle beyond the group-by the audited query already pays."""
+    from keycloak_event_stream_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    )
+    groups = (
+        ev.select(F.window("ts", "1 hour").alias("win"), "event_type")
+        .groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        groups.crossJoin(F.broadcast(wm))
+        .filter(F.col("win.end") > F.col("w"))
+        .groupBy(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("groups_held"),
+            F.sum("n").cast("bigint").alias("events_represented"),
+        )
+    )
+
+
+@_q(
+    "s_session_state_audit",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id, max(ts) AS last_ts, count(*) AS n
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, last_ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS sessions_held,
+           CAST(sum(n) AS BIGINT) AS events_merged
+    FROM agg
+    WHERE last_ts + INTERVAL 30 MINUTES
+          > (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    GROUP BY 1
+    """,
+)
+def s_session_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-size/eviction audit for the session-window aggregation
+    family (s_session_windows / s_session_flags): merged sessions still
+    HELD in sessionWindowStateStoreSave once bounded replay reaches the
+    terminal watermark, bucketed by the hour of each session's last
+    activity, with the event count merged into those session rows.
+
+    Eviction model: a session closes at ``last event + 30 min gap``
+    (Spark session_window semantics, the same arithmetic
+    s_session_windows' emitted-set oracle uses), and append mode purges
+    a session when the watermark reaches that close — so the state
+    holds exactly the sessions with ``last_ts + 30 min > wm``,
+    wm = max(ts) − 1 h: one MERGED row per open session, however many
+    events it absorbed (``events_merged`` shows the collapse ratio).
+    This is the number a production session-window job's memory scales
+    with — open sessions, not events — and the audit makes it
+    observable per activity bucket so a stuck-open-session regression
+    (e.g. a gap misconfigured to hours) shows up as a growing tail
+    instead of an executor OOM.
+    ``tests/test_streaming.py::test_session_state_audit_matches_live_state_rows``
+    runs the REAL session-window aggregation and asserts the engine's
+    stateOperators numRowsTotal equals this audit's sessions_held
+    total. Plan shape: gaps-and-islands over a single user_id-keyed
+    exchange (the shuffle any sessionization pays) + a 1-row watermark
+    scalar broadcast."""
+    from pyspark.sql import Window as W
+
+    from keycloak_event_stream_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts")
+    sessions = (
+        ev.select("user_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                    > 1800.0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w_user.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        sessions.crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("last_ts") + F.expr("INTERVAL 30 MINUTES") > F.col("w")
+        )
+        .groupBy(F.date_trunc("hour", F.col("last_ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sessions_held"),
+            F.sum("n").cast("bigint").alias("events_merged"),
+        )
+    )

@@ -777,3 +777,69 @@ def test_join_state_audit_matches_live_state_rows(spark, tmp_path):
     audit = SQ.QUERIES["s_join_state_audit"](spark, SF_DIR).collect()
     assert live_rows == sum(r.rows_held for r in audit)
     assert live_rows > 0  # non-vacuous: some state survives the replay
+
+
+def test_window_state_audit_matches_live_state_rows(spark, tmp_path):
+    """s_window_state_audit's analytic eviction model must equal the
+    engine's accounting: run the real append-mode tumbling aggregation
+    to terminal watermark and compare stateOperators numRowsTotal (the
+    stateStoreSave's surviving group rows) with the audit's
+    groups_held total."""
+    from pyspark.sql import functions as F
+
+    from keycloak_event_stream_spark.streaming import queries as SQ
+    from tests.conftest import SF_DIR
+
+    stream = SQ.read_stream_events(spark, SF_DIR)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "stateStoreSave"
+    live_rows = ops[0]["numRowsTotal"]
+    audit = SQ.QUERIES["s_window_state_audit"](spark, SF_DIR).collect()
+    assert live_rows == sum(r.groups_held for r in audit)
+    assert live_rows > 0  # non-vacuous: some state survives the replay
+
+
+def test_session_state_audit_matches_live_state_rows(spark, tmp_path):
+    """s_session_state_audit's analytic eviction model must equal the
+    engine's accounting: run the real append-mode session-window
+    aggregation to terminal watermark and compare stateOperators
+    numRowsTotal (one surviving row per open merged session) with the
+    audit's sessions_held total."""
+    from pyspark.sql import functions as F
+
+    from keycloak_event_stream_spark.streaming import queries as SQ
+    from tests.conftest import SF_DIR
+
+    stream = SQ.read_stream_events(spark, SF_DIR)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "sessionWindowStateStoreSaveExec"
+    live_rows = ops[0]["numRowsTotal"]
+    audit = SQ.QUERIES["s_session_state_audit"](spark, SF_DIR).collect()
+    assert live_rows == sum(r.sessions_held for r in audit)
+    assert live_rows > 0  # non-vacuous: some state survives the replay
