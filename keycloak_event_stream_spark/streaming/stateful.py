@@ -49,32 +49,44 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_profile(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Fold this batch's rows for one user into the running profile."""
-    (user_id,) = key
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        if pd.notna(batch_max):
-            last_us = max(last_us, int(batch_max.value // 1_000))
-    state.update((n, total, last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [total],
-            "last_ts": [pd.Timestamp(last_us * 1_000)],
-        }
-    )
-
-
 def running_user_profile(events_stream: DataFrame) -> DataFrame:
     """Attach the stateful profile operator to an event stream with
-    columns (user_id long, ts timestamp, value double)."""
+    columns (user_id long, ts timestamp, value double).
+
+    The update function is a SELF-CONTAINED nested closure, not a
+    module-level function: cloudpickle ships a closure by value, while
+    a module-level function travels by reference and makes every
+    Python worker ``import keycloak_event_stream_spark`` — which fails
+    under a driver whose working directory / PYTHONPATH doesn't expose
+    the repo (caught by the round-6 driver-window simulation run from
+    a different cwd). A pure-JVM query never notices; this is the one
+    windowed operator that ships Python to the workers, so it must not
+    assume the package is importable there."""
+
+    def _update_profile(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        """Fold this batch's rows for one user into the running profile."""
+        import pandas as pd  # worker-side import; closure ships by value
+
+        (user_id,) = key
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_us = max(last_us, int(batch_max.value // 1_000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1_000)],
+            }
+        )
+
     return (
         events_stream.select("user_id", "ts", "value")
         .groupBy("user_id")
