@@ -509,22 +509,39 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a source stops adding information (and the 100 stalest docs
     are the first drop candidates).
 
-    3-grams assemble in-row from the split array; one explode feeds
-    (a) the per-doc distinct gram set and (b) the min-doc first-seen
-    table, which join back on the gram key — two shuffles keyed by
-    gram, counts exact, one double division at the end. At 100 TB the
-    first-seen table is the dedup-scale object (|distinct grams|), the
-    same cardinality MinHash pipelines already shuffle.
+    3-grams assemble in-row from the split array and are deduped
+    IN-ROW with ``array_distinct`` (per-doc uniqueness is a
+    within-document property — same observation that fixed
+    q_decontaminate's 10x ratio). The gram-keyed JOIN of the old
+    formulation is gone entirely: every gram's first appearance
+    belongs to exactly one document, so per-doc novel counts are the
+    first-seen aggregate REGROUPED by first_doc — a bigint-only
+    exchange — and per-doc totals come from a doc-keyed count that
+    aggregates IN-PLACE (the explode preserves the doc_id hash
+    partitioning, so that branch adds no exchange at all). A single
+    hash exchange on doc_id sits above the gram projection so both
+    consumers ReuseExchange ONE tokenize pass; tokenization itself
+    runs wide (``spread``) below it. No filter anywhere: zero-gram
+    docs carry an empty array the explode drops, matching the
+    oracle's absent rows — an earlier draft's ``n_grams > 0`` filter
+    was pushed below the exchange and its propagated constraint made
+    Catalyst evaluate the full gram expression four times on the
+    narrow scan (measured 8 s vs 1.4 s at sf0.1). At 100 TB the plan
+    is: scan+tokenize once, one gram-array exchange, one
+    map-side-combined first-seen aggregate (the dedup-scale object,
+    |distinct grams| — the same cardinality MinHash pipelines already
+    shuffle), then bigint-only traffic and a doc-cardinality
+    broadcast-able left join.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    grams = (
+    gsets = (
         # split ONCE into a materialized column: repeating split(...)
         # inside the transform lambda re-tokenizes the document per
         # gram index (O(len²) per row — measured 7× on the bench)
         d.select("doc_id", F.split("text", " ").alias("w"))
         .select(
             "doc_id",
-            F.explode(
+            F.array_distinct(
                 # short-doc guard: sequence(1, 0) is a DESCENDING
                 # [1, 0] in Spark and element_at(w, 0) throws — a doc
                 # with < 3 tokens must yield zero grams, not an error
@@ -537,23 +554,48 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "   element_at(w, i + 2)))"
                     " ELSE array() END"
                 )
-            ).alias("g"),
+            ).alias("gs"),
         )
-        .distinct()
+        .repartition("doc_id")
     )
-    first_seen = grams.groupBy("g").agg(
+    # explode_OUTER, then drop the null rows it emits for empty-gram
+    # docs: a plain explode makes InferFiltersFromGenerate add a
+    # `size(<gram expr>) > 0 AND isnotnull(<gram expr>)` predicate
+    # whose pushdown substitutes the alias all the way down to the
+    # SCAN — the full tokenize+transform expression then runs twice
+    # per row on the narrow pre-spread partitions (measured 6.9 s vs
+    # 1.2 s at sf0.1). The not-null filter on the Generate's OUTPUT
+    # attribute cannot be pushed below the Generate, so the gram
+    # expression is evaluated exactly once, wide, below the reused
+    # exchange.
+    exploded = gsets.select(
+        "doc_id", F.explode_outer("gs").alias("g")
+    ).filter(F.col("g").isNotNull())
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    first_seen = exploded.groupBy("g").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    novel_counts = first_seen.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
     return (
-        grams.join(first_seen, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
-            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias(
-                "novelty"
-            ),
+        per_doc.join(
+            novel_counts,
+            per_doc["doc_id"] == novel_counts["first_doc"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("novelty"),
         )
         .orderBy("novelty", "doc_id")
         .limit(100)
