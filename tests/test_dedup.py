@@ -338,3 +338,25 @@ def test_components_batched_rounds_few_driver_actions(spark, corpus):
     # docs 0,1,2 are one near-dup cluster labelled by its min id; doc 3
     # never pairs and so never enters the pair graph
     assert rows == {(0, 0), (1, 0), (2, 0)}
+
+
+def test_components_broadcast_and_shuffle_plans_identical(
+    spark, corpus, monkeypatch
+):
+    """The size-guarded edge-broadcast fast path (small measured edge
+    count) and the pre-partitioned shuffle path (big graphs) must be
+    row-identical — the same two-plan-shapes contract the graph family
+    pins in tests/test_graph.py. The corpus's 3-doc clique takes the
+    broadcast path by default; forcing the guard to 0 exercises the
+    repartition+persist loop on the same input."""
+    sf = _sf_dir(corpus)
+    out_bcast = {
+        (r.doc_id, r.component)
+        for r in dedup.q_dedup_components(spark, sf).collect()
+    }
+    monkeypatch.setattr(dedup, "_LP_BROADCAST_EDGE_ROWS", 0)
+    out_shuffle = {
+        (r.doc_id, r.component)
+        for r in dedup.q_dedup_components(spark, sf).collect()
+    }
+    assert out_bcast == out_shuffle == {(0, 0), (1, 0), (2, 0)}
