@@ -59,47 +59,99 @@ _MODULES = [
 # round; everything after the "refill" marker is documentation of past
 # windows plus module-order spillover, NOT driver-checked this round.
 #
-# Round-6 window (per VERDICT r5 "Next round #1/#3"). Bookkeeping
-# correction first (r5 ADVICE): the round-5 head listed 57 names
-# against the ~50 cap, so the last 7 (q_group_kfold,
-# q_temporal_split_embargo, q_sample_weighted, q_curriculum_interleave,
-# s_quarantine_ingest, s_upsert_latest, s_stateful_profile) got NO
-# driver evidence despite being "windowed" — CORRECTNESS_r05 confirms
-# (50 rows, none of those 7 present). They are re-queued at the top of
-# this window, and this head is trimmed to EXACTLY 50 names. Driver
-# evidence after r5: 242/501 unique names, 259 never checked
-# (reproduce: set(queries) - union(CORRECTNESS_r01..r05 keys)).
+# Round-7 window (per VERDICT r6 "Next round #1"). Coverage
+# arithmetic after r6: 288/504 unique names driver-checked
+# (CORRECTNESS_r01..r06 union), 216 never checked (reproduce:
+# set(queries) - union(CORRECTNESS_r01..r06 keys)). This window holds
+# EXACTLY 50 names: 49 never-checked + 1 re-check, so a green r7
+# sheet lands coverage at 337/504 with 167 remaining (~3.5 more
+# windows at 50/round).
 #
-# This window: (a) the five flattened-surface vector queries — the r5
-# verdict's #1 (q_kmeans_lloyd was r5's one red row: array<double>
-# result cell; all five now emit tall rows and must show green driver
-# rows); (b) round-6 code changes needing fresh proof
-# (q_dedup_components perf work) + the 7 phantom-coverage names above;
-# (c) the r5-late q_graph_resource_alloc, the ml-eval block, the A/B
-# suite, the stats-test family, and the agg extensions — all
-# first-time.
+# This window, in order: (a) round-7 / post-r6-gates code changes
+# needing driver proof — q_ngram_novelty (the f45bd53 first-seen
+# regroup rewrite shipped with no driver evidence; r6 verdict
+# "What's wrong #2"), q_dedup_components (r7 rep-graph LP +
+# edge-broadcast rewrite; the only re-check), q_market_basket (r7
+# pair fan-out cap, verdict #5); (b) the documented r7 queue head —
+# q_psi_drift, q_agg_bool, and the two streaming aggregation state
+# audits; (c) the timeseries block; (d) the UDF/UDTF surface; (e) the
+# source/format roundtrips; (f) the remaining streaming names;
+# (g) the core scalar-function packs.
 #
-# Round-7 rotation queue (assuming this window lands green): ~292/501
-# covered. Next, heaviest-value first: the timeseries block
-# (q_acf_multi, q_autocorr_lag1, q_anomaly_seasonal, q_holt_winters,
-# q_seasonal_decompose, ...); the UDF/UDTF surface (q_udf_arrow,
-# q_udf_pandas_norm, q_udaf_apply_in_pandas, q_udtf_partition_agg,
-# q_udtf_polymorphic); the source/format roundtrips
-# (q_source_csv/json/orc_roundtrip, q_source_schema_evolution,
-# q_source_corrupt_tolerant, q_sink_pydatasource_roundtrip); the
-# remaining s_* streaming names (s_foreachbatch_mv, s_window_topk,
-# s_stream_static_join, s_tumbling_uniques, s_stream_kl_monitor,
-# s_source_pushgen_stream); then func packs (q_array/bit/date/math/
-# string_funcs) and the funnel/attribution family.
+# Round-8 rotation queue (assuming this window lands green):
+# s_dedup_state_audit (new this round — dropDuplicatesWithinWatermark
+# key-store audit, verdict #6) leads as a code-change slot, then the
+# funnel/attribution family, the advanced-SQL block (q_pipe_syntax,
+# q_lateral_topk, q_window_distinct_running, ...), the remaining
+# func packs (q_array_hof, q_bit_funcs, q_hash_funcs, q_try_funcs,
+# q_variant_*), the eventstore pair, and the profiling/layout names.
 _PRIORITY = [
-    # (a) flattened vector surfaces — r5 verdict #1 (5)
+    # (a) code changes needing driver proof (3)
+    "q_ngram_novelty",
+    "q_dedup_components",
+    "q_market_basket",
+    # (b) documented r7 queue head (4)
+    "q_psi_drift",
+    "q_agg_bool",
+    "s_window_state_audit",
+    "s_session_state_audit",
+    # (c) timeseries block (14, first-time)
+    "q_acf_multi",
+    "q_autocorr_lag1",
+    "q_anomaly_seasonal",
+    "q_holt_winters",
+    "q_holt_linear",
+    "q_seasonal_decompose",
+    "q_cusum_changepoint",
+    "q_interpolate_linear",
+    "q_theil_sen",
+    "q_cross_correlation",
+    "q_ewma",
+    "q_timeseries_resample",
+    "q_ts_similarity",
+    "q_cep_pattern",
+    # (d) UDF/UDTF surface (9, first-time)
+    "q_udf_python",
+    "q_udf_pandas_norm",
+    "q_udf_arrow",
+    "q_udaf_apply_in_pandas",
+    "q_sql_udf",
+    "q_cogroup_enrich",
+    "q_udtf_first_seen",
+    "q_udtf_partition_agg",
+    "q_udtf_polymorphic",
+    # (e) source/format roundtrips (8, first-time)
+    "q_source_csv_roundtrip",
+    "q_source_json_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_source_binaryfile",
+    "q_source_schema_evolution",
+    "q_source_corrupt_tolerant",
+    "q_sink_pydatasource_roundtrip",
+    "q_source_pushgen",
+    # (f) remaining streaming names (6, first-time)
+    "s_source_pushgen_stream",
+    "s_foreachbatch_mv",
+    "s_window_topk",
+    "s_stream_static_join",
+    "s_tumbling_uniques",
+    "s_stream_kl_monitor",
+    # (g) core scalar-function packs (6, first-time) — window cap
+    # reached at exactly 50
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round. The round-6
+    # window names come first — all 50 were green in CORRECTNESS_r06.)
     "q_kmeans_lloyd",
     "q_embed_norm",
     "q_embed_centroid",
     "q_embed_quantize",
     "q_embed_pq",
-    # (b) round-6 code changes + r5 phantom-coverage tail (8)
-    "q_dedup_components",
     "q_group_kfold",
     "q_temporal_split_embargo",
     "q_sample_weighted",
@@ -107,7 +159,6 @@ _PRIORITY = [
     "s_quarantine_ingest",
     "s_upsert_latest",
     "s_stateful_profile",
-    # (c) graph late-addition + ml-eval block (8, first-time)
     "q_graph_resource_alloc",
     "q_ann_recall",
     "q_calibration_bins",
@@ -116,12 +167,11 @@ _PRIORITY = [
     "q_threshold_optimizer",
     "q_silhouette",
     "q_cohen_kappa",
-    # A/B experimentation suite (4, first-time)
     "q_ab_cuped",
     "q_ab_sequential",
     "q_ab_test_proportions",
     "q_ab_heterogeneity",
-    # stats-test family (19, first-time)
+    # stats-test family (18)
     "q_anova_oneway",
     "q_benjamini_hochberg",
     "q_benford",
@@ -140,31 +190,13 @@ _PRIORITY = [
     "q_welch_ttest",
     "q_kl_divergence",
     "q_js_divergence",
-    # new r6: stream-join state-size/eviction audit (verdict #6),
-    # live-state-pinned by test_join_state_audit_matches_live_state_rows
     "s_join_state_audit",
-    # agg extensions (5 of 6, first-time)
     "q_agg_corr",
     "q_agg_linreg",
     "q_agg_mode",
     "q_agg_skew_kurtosis",
     "q_argmax",
-    # r6 late code change needing fresh driver proof (in-row gram
-    # dedup removed the train-side shuffle; q_agg_bool yielded its
-    # slot and joins q_psi_drift at the head of the r7 queue) —
-    # window cap reached at 50
     "q_decontaminate",
-    # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round; q_psi_drift
-    # and q_agg_bool yielded their slots — head of the r7 queue,
-    # followed by the two post-close-out streaming state audits
-    # s_window_state_audit / s_session_state_audit, which extend the
-    # s_join_state_audit discipline to the aggregation state stores
-    # and are live-state-pinned by test_*_state_audit_matches_live_*)
-    "q_psi_drift",
-    "q_agg_bool",
-    "s_window_state_audit",
-    "s_session_state_audit",
     "q_g_test",
     "q_hill_tail_index",
     "q_calibration_ece",
@@ -346,10 +378,8 @@ _PRIORITY = [
     "q_quantile_normalize",
     "q_lorenz_deciles",
     "q_recursive_hierarchy",
-    "q_ngram_novelty",
     "q_bigram_lm",
     "q_char_ngram_profile",
-    "q_sink_pydatasource_roundtrip",
     "q_random_projection",
     "q_embed_pca_power",
     "q_dbscan_core",
@@ -359,7 +389,6 @@ _PRIORITY = [
     "q_hard_negatives",
     "q_shapley_attribution",
     "q_markov_attribution",
-    "q_holt_winters",
     "q_mutual_information",
     "q_char_entropy",
     "q_span_corruption",

@@ -499,3 +499,36 @@ def test_geo_nearest_is_true_argmin(spark):
             ((hav(ck, s.s_suppkey), s.s_suppkey) for s in supp),
         )
         assert (got.dist_km, got.nearest_suppkey) == best
+
+
+def test_market_basket_cap_drops_mega_baskets_with_audit(
+    spark, tmp_path, monkeypatch
+):
+    """Baskets beyond spark.kes.basket.maxItems are dropped WHOLE and
+    surface in LAST_BASKET_CAP_AUDIT — the r6-verdict bound on the one
+    quadratic term in the pair fan-out. Small baskets still pair."""
+    from keycloak_event_stream_spark.operators import insights
+
+    rows = [(1, p) for p in range(10)]  # mega-basket: 10 items
+    rows += [(2, 100), (2, 101), (3, 100), (3, 101)]  # two small baskets
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tmp_path / "capfix"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+
+    spark.conf.set("spark.kes.basket.maxItems", "5")
+    try:
+        out = {
+            (r.part_a, r.part_b, r.n_orders)
+            for r in q_market_basket(spark, str(d)).collect()
+        }
+        audit = insights.LAST_BASKET_CAP_AUDIT.collect()
+    finally:
+        spark.conf.unset("spark.kes.basket.maxItems")
+    # only the small baskets' pair survives; counted across both orders
+    assert out == {(100, 101, 2)}
+    assert [(r.l_orderkey, r.n_items) for r in audit] == [(1, 10)]
+    # default cap: fixture baskets are far smaller, cap must not engage
+    full = q_market_basket(spark, str(d)).collect()
+    assert {(r.part_a, r.part_b) for r in full} >= {(100, 101)}
+    assert insights.LAST_BASKET_CAP_AUDIT.count() == 0
