@@ -145,8 +145,13 @@ _PRIORITY = [
     "q_map_funcs",
     "q_json_funcs",
     # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round. The round-6
-    # window names come first — all 50 were green in CORRECTNESS_r06.)
+    # (below the ~50 cap: NOT driver-checked this round. First the r8
+    # queue head — s_dedup_state_audit is new this round (r6 verdict
+    # #6: the dedupe key store joins the join/window/session audit
+    # discipline, live-state-pinned by
+    # test_dedup_state_audit_matches_live_state_rows) — then the
+    # round-6 window names, all 50 green in CORRECTNESS_r06.)
+    "s_dedup_state_audit",
     "q_kmeans_lloyd",
     "q_embed_norm",
     "q_embed_centroid",

@@ -1329,3 +1329,66 @@ def s_session_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("events_merged"),
         )
     )
+
+
+@_q(
+    "s_dedup_state_audit",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, first_ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS keys_held,
+           CAST(sum(n) AS BIGINT) AS events_collapsed
+    FROM k GROUP BY 1
+    """,
+)
+def s_dedup_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-size audit for the streaming dedup key store
+    (s_stream_dedup's ``dropDuplicates`` operator — r6 verdict #6,
+    completing the audit discipline across all four stateful store
+    families): distinct (user_id, event_type) keys HELD in the dedupe
+    state store, bucketed by the hour of each key's first appearance,
+    with the event count each immortal key row collapsed.
+
+    Eviction model: there is NONE — and that is the point. Watermarked
+    ``dropDuplicates`` evicts a key only when the event-time column is
+    part of the dedup subset; s_stream_dedup dedups on
+    (user_id, event_type) alone, so every key ever seen stays in the
+    store forever (verified: the engine's ``dedupe`` numRowsTotal
+    equals the distinct-key count exactly, zero evictions after the
+    terminal watermark —
+    ``tests/test_streaming.py::test_dedup_state_audit_matches_live_state_rows``
+    pins it). The audit makes the unbounded-store footgun a measured
+    curve instead of a surprise OOM: keys_held per first-seen hour IS
+    the store's growth rate, and a production fix is either putting
+    the event-time bucket in the key (the
+    q_window_count_if-style hour-bucket dedup) or
+    ``dropDuplicatesWithinWatermark``, whose per-key expiry
+    (first-arrival event time + delay) bounds the store at the cost of
+    arrival-order-dependent state —
+    ``tests/test_streaming.py::test_dedup_within_watermark_store_is_bounded``
+    pins THAT store's eviction against the same engine counter with
+    order-controlled batches. Plan shape: one (user_id, event_type)
+    aggregate then a bucket regroup — hashes and counts on the wire,
+    no state of its own. Reference parity: the reference's event store
+    never dedups (append-only Firehose put,
+    FirehoseEventStoreProvider.java:123-150); this is north-star
+    pipeline tooling."""
+    from keycloak_event_stream_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        keys.groupBy(
+            F.date_trunc("hour", F.col("first_ts")).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("keys_held"),
+            F.sum("n").cast("bigint").alias("events_collapsed"),
+        )
+    )

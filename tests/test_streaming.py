@@ -843,3 +843,106 @@ def test_session_state_audit_matches_live_state_rows(spark, tmp_path):
     audit = SQ.QUERIES["s_session_state_audit"](spark, SF_DIR).collect()
     assert live_rows == sum(r.sessions_held for r in audit)
     assert live_rows > 0  # non-vacuous: some state survives the replay
+
+
+def test_dedup_state_audit_matches_live_state_rows(spark, tmp_path):
+    """s_dedup_state_audit's no-eviction model must equal the engine's
+    accounting: run the real watermarked dropDuplicates (event-time
+    column NOT in the dedup subset — s_stream_dedup's shape) to the
+    terminal watermark and compare the dedupe operator's numRowsTotal
+    with the audit's keys_held total. Equality here PROVES the store
+    is unbounded: every distinct key ever seen is still resident."""
+    from keycloak_event_stream_spark.streaming import queries as SQ
+    from tests.conftest import SF_DIR
+
+    stream = SQ.read_stream_events(spark, SF_DIR)
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dd.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "dedupe"
+    live_rows = ops[0]["numRowsTotal"]
+    audit = SQ.QUERIES["s_dedup_state_audit"](spark, SF_DIR).collect()
+    assert live_rows == sum(r.keys_held for r in audit)
+    assert live_rows > 0  # non-vacuous: the fixture has repeated keys
+
+
+def test_dedup_within_watermark_store_is_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's key store DOES evict — the
+    bounded counterpart s_dedup_state_audit's docstring points to.
+    Order-controlled batches pin the engine's expiry model: an entry
+    expires at first-arrival event time + delay, purge runs at batch
+    END (so an expired-but-unpurged entry STILL swallows a duplicate
+    arriving in the purge batch — conservative in the dropping
+    direction), and a key re-admits (and re-emits) only in a batch
+    after its purge. The terminal store holds only unexpired keys."""
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "ddw_src")
+    _os.makedirs(src)
+
+    def write(n, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).selectExpr("user_id", "CAST(ts AS timestamp) ts")
+        df.coalesce(1).write.parquet(f"{src}/f={n}")
+        _time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+    # b0: u1@10:00 (expires 11:00), u2@10:30 (expires 11:30)
+    write(1, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:00")])
+    # b1: u3@13:00 (expires 14:00); advances wm to 12:00 for b2
+    write(2, [(3, "2024-01-01 13:00:00")])
+    # b2: u1@13:30 — u1's entry is EXPIRED (11:00 < wm 12:00) but the
+    # purge only runs at batch end, so this row is still DROPPED as a
+    # duplicate; the batch then purges u1 and u2 (numRowsRemoved=2)
+    write(3, [(1, "2024-01-01 13:30:00")])
+    # b3: u1@14:30 — u1 was purged at the end of b2, so this is a
+    # FRESH entry (expires 15:30) and the row is re-emitted
+    write(4, [(1, "2024-01-01 14:30:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    dd = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("ddw_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "dedupeWithinWatermark"
+    # terminal wm 13:30: u3 (expires 14:00) and the re-admitted u1
+    # (expires 15:30) survive; the original u1/u2 entries were purged
+    assert ops[0]["numRowsTotal"] == 2
+    removed = [
+        pr["stateOperators"][0]["numRowsRemoved"]
+        for pr in q.recentProgress
+        if pr["stateOperators"]
+    ]
+    assert max(removed) == 2  # the b2 purge of the expired u1 and u2
+    out = spark.sql("SELECT user_id, ts FROM ddw_probe").collect()
+    # u1@13:30 swallowed by the expired-unpurged entry; u1@14:30 fresh
+    assert sorted((r.user_id, str(r.ts)) for r in out) == [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 14:30:00"),
+        (2, "2024-01-01 10:30:00"),
+        (3, "2024-01-01 13:00:00"),
+    ]
