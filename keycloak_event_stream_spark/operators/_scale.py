@@ -65,10 +65,29 @@ _CACHE_POOL_DEFAULT = 16
 _cache_pool: list[DataFrame] = []
 
 
+_probe_failure_warned = False
+
+
 def _persist_state(df: DataFrame) -> str:
-    """'loaded' | 'pending' | 'gone' | 'unknown' for a pooled persist."""
+    """'loaded' | 'pending' | 'gone' | 'unknown' for a pooled persist.
+
+    Two distinct failure modes both map to 'unknown' (retirable), but
+    only one is silent by design (r6 ADVICE): a DEAD session means
+    unpersist is a no-op and retiring cannot break a live plan — quiet
+    is correct; a probe failure on a LIVE session means the py4j
+    internals this function reads (cacheManager /
+    isCachedColumnBuffersLoaded) moved in a newer Spark and retirement
+    has degraded to blind FIFO — the exact unexecuted-persist hazard
+    the materialization-aware pool exists to prevent — so that case
+    emits a one-time RuntimeWarning instead of passing as dead."""
+    global _probe_failure_warned
     try:
+        # session-validity gate: reaching the shared state proves the
+        # JVM-side session is alive and reachable
         cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+    except Exception:
+        return "unknown"  # dead session: unpersist is a no-op there
+    try:
         cd = cm.lookupCachedData(df._jdf)
         if not cd.isDefined():
             return "gone"
@@ -77,8 +96,23 @@ def _persist_state(df: DataFrame) -> str:
             .isCachedColumnBuffersLoaded()
         )
         return "loaded" if loaded else "pending"
-    except Exception:
-        return "unknown"  # dead session / internal API moved
+    except Exception as exc:
+        if not _probe_failure_warned:
+            import warnings
+
+            _probe_failure_warned = True
+            warnings.warn(
+                "two_phase cache-pool materialization probe failed on a "
+                f"LIVE session ({type(exc).__name__}) — the CacheManager "
+                "internals this Spark version exposes have likely moved. "
+                "Pool retirement degrades to blind FIFO: an unexecuted "
+                "two-phase persist may be retired early and recompute "
+                "under a re-sampled range layout. Update _persist_state "
+                "for this Spark version.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return "unknown"
 
 
 def _pool_persist(ranged: DataFrame) -> DataFrame:

@@ -436,3 +436,64 @@ def test_two_phase_cache_pool_spares_unexecuted_entries(spark):
         spark.conf.unset("spark.kes.twoPhase.cachePool")
         _scale._cache_pool.clear()
         spark.catalog.clearCache()
+
+
+def test_persist_state_probe_failure_warns_once_on_live_session(
+    spark, monkeypatch
+):
+    """A probe failure on a LIVE session (CacheManager internals moved)
+    must emit the one-time RuntimeWarning — silent degradation to
+    blind-FIFO retirement was the r6-flagged hazard — while a dead
+    session stays quiet by design. Both map to 'unknown' (retirable)."""
+    import warnings
+
+    from keycloak_event_stream_spark.operators import _scale
+
+    df = spark.range(3).persist()
+    try:
+        # break the probe BELOW the session-validity gate: _jdf raises,
+        # but sparkSession/sharedState/cacheManager still resolve
+        monkeypatch.setattr(_scale, "_probe_failure_warned", False)
+
+        class _Boom:
+            def __getattr__(self, name):
+                raise RuntimeError("internals moved")
+
+        broken = _Boom()
+        orig = _scale.DataFrame  # sanity: module imports DataFrame
+        assert orig is not None
+
+        class _FakeDF:
+            sparkSession = df.sparkSession
+
+            @property
+            def _jdf(self):
+                raise AttributeError("cachedRepresentation moved")
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            s1 = _scale._persist_state(_FakeDF())
+            s2 = _scale._persist_state(_FakeDF())
+        assert s1 == s2 == "unknown"
+        runtime = [
+            w for w in caught if issubclass(w.category, RuntimeWarning)
+        ]
+        assert len(runtime) == 1  # one-time, not per-probe
+        assert "LIVE session" in str(runtime[0].message)
+
+        # dead-session path: no sparkSession at all -> quiet 'unknown'
+        monkeypatch.setattr(_scale, "_probe_failure_warned", False)
+
+        class _DeadDF:
+            @property
+            def sparkSession(self):
+                raise RuntimeError("session stopped")
+
+        with warnings.catch_warnings(record=True) as caught2:
+            warnings.simplefilter("always")
+            assert _scale._persist_state(_DeadDF()) == "unknown"
+        assert not [
+            w for w in caught2 if issubclass(w.category, RuntimeWarning)
+        ]
+    finally:
+        df.unpersist()
