@@ -2016,3 +2016,148 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+
+
+def _lsh_intake_eval_oracle() -> str:
+    bands_cte = f"""
+    docs AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= {_SHINGLE}
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             {", ".join(f"{_duck_hash_arr(g)} AS h{g}" for g in range(_N_GROUPS))}
+      FROM docs
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{' || chr(124) || '.join(_duck_minhash(i) for i in _band_indices(b))} AS bk{b}" for b in range(_B))}
+      FROM hashed
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM sigs" for b in range(_B))}
+    )"""
+    return f"""
+    WITH {bands_cte},
+    bucket_min AS (
+      SELECT band, bkey, min(doc_id) AS min_doc FROM bands GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN bucket_min m
+        ON b.band = m.band AND b.bkey = m.bkey
+      WHERE b.doc_id > m.min_doc
+    ),
+    admitted AS (
+      SELECT doc_id FROM docs
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    tp AS (SELECT * FROM ({_DUCK_MINHASH_LSH}) t)
+    SELECT
+      CAST((SELECT count(*) FROM docs) AS BIGINT) AS n_docs,
+      CAST((SELECT count(*) FROM admitted) AS BIGINT) AS n_admitted,
+      CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_dropped,
+      CAST((SELECT count(*) FROM tp
+            WHERE doc_a IN (SELECT doc_id FROM admitted)
+              AND doc_b IN (SELECT doc_id FROM admitted)) AS BIGINT)
+        AS contaminated_true_pairs,
+      CAST((SELECT count(*) FROM dropped
+            WHERE doc_id NOT IN (SELECT doc_b FROM tp)) AS BIGINT)
+        AS unjustified_drops
+    """
+
+
+@_q("q_lsh_intake_recall_eval", oracle=_lsh_intake_eval_oracle())
+def q_lsh_intake_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision eval for the STREAMING near-dup intake filter
+    (``streaming/dedup_stream.py`` — the q_lsh_cap_recall_eval twin
+    the r6 verdict asked for): score the intake's banding-only drop
+    rule against exact-Jaccard ground truth on the same corpus.
+
+    The intake admits in arrival order and drops any doc colliding on
+    ANY (band, key) with an earlier doc (module docstring: the
+    recall-biased rule — no exact-verify step). Replayed as one batch
+    over the documents table that rule is closed-form — a doc is
+    dropped iff some band bucket contains a lower doc_id — which is
+    exactly ``admit_batch``'s intra-batch bucket-min aggregate, so the
+    eval needs no sequential simulation and no state. Columns:
+
+    - ``contaminated_true_pairs``: true near-dup pairs (exact-Jaccard
+      >= the q_dedup_near_minhash threshold) with BOTH ends admitted.
+      Structurally ZERO for the banding rule — a confirmed pair shares
+      a band bucket by construction, so the higher end always collides
+      with the lower — and the eval keeps that guarantee measured
+      rather than assumed (a future cap/nprobe-style economy on the
+      intake would show up here first).
+    - ``unjustified_drops``: dropped docs that are the higher end of NO
+      true pair — the precision price of banding without the
+      exact-verify splice, the number that says when to pay for it.
+
+    Scale: the drop rule is one (band, bkey) aggregate + one semi-join
+    over the band table (bytes per doc); ground truth reuses the
+    clone-collapsed LSH pipeline. Everything on the wire is hashes and
+    ids."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    eligible = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= _SHINGLE)
+        .select("doc_id", "text")
+    )
+    bands = band_keys(eligible).persist()
+    bucket_min = bands.groupBy("band", "bkey").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+    dropped = (
+        bands.join(bucket_min, ["band", "bkey"])
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+    admitted = eligible.select("doc_id").join(dropped, "doc_id", "left_anti")
+    tp = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
+    contaminated = (
+        tp.join(admitted.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+        .join(admitted.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+    )
+    unjustified = dropped.join(
+        tp.select("doc_b").withColumnRenamed("doc_b", "doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    return (
+        eligible.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                admitted.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_admitted")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                dropped.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_dropped")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                contaminated.agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("contaminated_true_pairs")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                unjustified.agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("unjustified_drops")
+                )
+            )
+        )
+    )

@@ -152,6 +152,10 @@ _PRIORITY = [
     # test_dedup_state_audit_matches_live_state_rows) — then the
     # round-6 window names, all 50 green in CORRECTNESS_r06.)
     "s_dedup_state_audit",
+    # also new this round (r6 verdict #7): the streaming intake's
+    # recall/precision eval, pinned to the real admit_batch path by
+    # test_intake_recall_eval_matches_real_intake_single_batch
+    "q_lsh_intake_recall_eval",
     "q_kmeans_lloyd",
     "q_embed_norm",
     "q_embed_centroid",

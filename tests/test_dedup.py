@@ -360,3 +360,34 @@ def test_components_broadcast_and_shuffle_plans_identical(
         for r in dedup.q_dedup_components(spark, sf).collect()
     }
     assert out_bcast == out_shuffle == {(0, 0), (1, 0), (2, 0)}
+
+
+def test_intake_recall_eval_matches_real_intake_single_batch(
+    spark, corpus, tmp_path
+):
+    """q_lsh_intake_recall_eval's closed-form drop rule must equal what
+    the REAL intake (admit_batch, empty store, one batch) admits — the
+    eval is only honest if it scores the code path that runs in
+    production. On the corpus: docs 1 and 2 collide with doc 0's band
+    keys and are dropped (both justified true dups), doc 3 is novel;
+    zero true pairs survive with both ends admitted."""
+    from keycloak_event_stream_spark.streaming.dedup_stream import (
+        admit_batch,
+    )
+
+    sf = _sf_dir(corpus)
+    docs = dedup.spread(
+        dedup.load_table(spark, sf, "documents")
+    ).select("doc_id", "text")
+    store = str(tmp_path / "store")
+    sink = str(tmp_path / "sink")
+    admit_batch(spark, docs, store, sink, batch_id=0)
+    admitted_real = {
+        r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()
+    }
+
+    row = dedup.q_lsh_intake_recall_eval(spark, sf).collect()[0]
+    assert admitted_real == {0, 3}
+    assert (row.n_docs, row.n_admitted, row.n_dropped) == (4, 2, 2)
+    assert row.contaminated_true_pairs == 0  # the recall guarantee
+    assert row.unjustified_drops == 0  # 1 and 2 are genuine near-dups
