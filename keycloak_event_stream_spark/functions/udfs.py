@@ -418,3 +418,10 @@ def q_sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang, n_chars DESC, doc_id
         """
     )
+
+
+# This module defines code that executes in Python workers; ship it by
+# value so executors never need the package importable (see _shipping).
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

@@ -595,3 +595,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return audio.mapInPandas(wav_decode_windows, WAV_WINDOW_SCHEMA)
+
+
+# This module defines code that executes in Python workers; ship it by
+# value so executors never need the package importable (see _shipping).
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

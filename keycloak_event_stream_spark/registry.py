@@ -156,6 +156,16 @@ _PRIORITY = [
     # recall/precision eval, pinned to the real admit_batch path by
     # test_intake_recall_eval_matches_real_intake_single_batch
     "q_lsh_intake_recall_eval",
+    # r7 worker-shipping change (pickle-by-value for UDF/source
+    # modules — the /tmp driver-sim ModuleNotFoundError class): the
+    # five affected WINDOW names get their driver evidence this round;
+    # these four live in changed modules but sit outside the window,
+    # so they queue here for r8 driver proof (locally verified from
+    # /tmp and by the full sweep)
+    "q_source_pydatasource_pushdown",
+    "q_multimodal_media",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
     "q_kmeans_lloyd",
     "q_embed_norm",
     "q_embed_centroid",
@@ -228,7 +238,6 @@ _PRIORITY = [
     "s_stream_stream_left_join",
     "s_stream_stream_full_join",
     "s_stream_stream_semi_join",
-    "q_source_pydatasource_pushdown",
     "q_lsh_cap_recall_eval",
     "q_bpe_pair_stats",
     "q_bpe_encode",
@@ -321,9 +330,6 @@ _PRIORITY = [
     "q_stickiness",
     "q_log_loss_brier",
     "q_agg_approx_distinct",
-    "q_multimodal_media",
-    "q_multimodal_frames",
-    "q_multimodal_audio",
     "q_markov_stationary",
     "q_quantile_sketch_eval",
     "q_join_asof_nearest",

@@ -313,3 +313,10 @@ def s_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.col("s").cast("double").alias("total_amount"),
     ).orderBy("user_id")
+
+
+# This module defines code that executes in Python workers; ship it by
+# value so executors never need the package importable (see _shipping).
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

@@ -294,3 +294,10 @@ def _tmp_audit() -> str:
     os.close(fd)
     os.unlink(path)
     return path
+
+
+# This module defines code that executes in Python workers; ship it by
+# value so executors never need the package importable (see _shipping).
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

@@ -185,3 +185,10 @@ def q_sink_pydatasource_roundtrip(
         "append"
     ).save()
     return read_ndjson(spark, out, ev.schema)
+
+
+# This module defines code that executes in Python workers; ship it by
+# value so executors never need the package importable (see _shipping).
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)
