@@ -19,7 +19,12 @@ The fix is cloudpickle's own escape hatch:
 ``register_pickle_by_value(module)`` makes everything the module
 defines serialize BY VALUE, so the bytes that reach the worker are
 self-contained. Every module that ships code to Python workers calls
-:func:`ship_module_by_value` on itself at import time. Cost: a few KB
+:func:`ship_module_by_value` on itself at import time — and since
+round 8 that set is not a hand-maintained list but DISCOVERED by
+:func:`discover_worker_modules` (a source scan for worker-API call
+tokens) and enforced by ``tests/test_shipping.py``, because the manual
+list is exactly how round 7 missed ``operators.relational``'s
+module-level ``applyInPandas`` function. Cost: a few KB
 per closure instead of a dotted name — irrelevant against Arrow batch
 traffic. Scale note: this is also the right call on a real cluster,
 where "pip install the analytics repo on 1000 executors before every
@@ -29,8 +34,40 @@ demand.
 
 from __future__ import annotations
 
+import re
 import sys
+from pathlib import Path
 from types import ModuleType
+
+#: Call-shaped tokens that mean "this module's source hands Python
+#: callables/classes to Spark workers". Deliberately broad (docstring
+#: mentions of a call form can match) — over-registering a module for
+#: by-value shipping is free; missing one is the ModuleNotFoundError
+#: class this file exists to kill.
+_WORKER_API_TOKENS = re.compile(
+    r"\.applyInPandas\(|\.mapInPandas\(|\.applyInPandasWithState\(|"
+    r"\.transformWithStateInPandas\(|\.mapInArrow\(|pandas_udf\(|"
+    r"@udtf|\budtf\(|\budf\(|\.foreach\(|\(DataSource\)|"
+    r"DataSourceReader|\.mapPartitions\("
+)
+
+
+def discover_worker_modules() -> list[str]:
+    """Scan the package source for modules whose text matches a worker-
+    API call token. The shipping test requires every discovered module
+    to be registered for by-value pickling — the manual-list failure
+    mode (round 7: ``operators.relational`` defined a module-level
+    ``applyInPandas`` function but was never listed) cannot recur
+    because the list is derived, not maintained."""
+    pkg_root = Path(__file__).resolve().parent
+    found: list[str] = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        if path.name == "_shipping.py":
+            continue  # defines the policy, ships no worker code
+        if _WORKER_API_TOKENS.search(path.read_text(encoding="utf-8")):
+            rel = path.relative_to(pkg_root).with_suffix("")
+            found.append("keycloak_event_stream_spark." + ".".join(rel.parts))
+    return found
 
 
 def ship_module_by_value(module: ModuleType | str) -> bool:

@@ -264,3 +264,12 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey
         """
     )
+
+
+# The @udtf classes here are defined inside query functions (closures,
+# already by-value), but the module matches the worker-API scan in
+# _shipping.discover_worker_modules — register it so the shipping
+# invariant stays uniform across every worker-code module.
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

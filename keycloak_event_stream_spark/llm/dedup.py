@@ -227,6 +227,14 @@ def band_keys(docs_df: DataFrame) -> DataFrame:
     )
 
 
+#: Frames the last `_clone_rep_pairs` call left persisted (clones and
+#: the rep band table). The two query consumers return LAZY plans over
+#: them, so they cannot release the pins themselves — but a caller
+#: that materializes its result inside the function (the intake eval)
+#: can and must, per the long-sweep heap-debris discipline.
+LAST_PREFIX_PINS: tuple[DataFrame, ...] = ()
+
+
 def _clone_rep_pairs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -238,6 +246,9 @@ def _clone_rep_pairs(
     (doc_id, ckey) clone table, ``reps`` maps ckey -> rep_id (the
     group's min doc_id), and ``rep_pairs`` is the lazy
     (doc_a, doc_b, jaccard) pair table over representatives only.
+    The persisted frames (clones + the rep band table) are also posted
+    to :data:`LAST_PREFIX_PINS` so a caller that finishes its action
+    in-function can release them.
     ``q_dedup_near_minhash`` fans rep pairs out to the full member pair
     list (its output is genuinely quadratic in clone-group size);
     ``q_dedup_components`` instead runs label propagation on the rep
@@ -331,6 +342,8 @@ def _clone_rep_pairs(
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
     )
+    global LAST_PREFIX_PINS
+    LAST_PREFIX_PINS = (clones, bands)
     return clones, reps, rep_pairs
 
 
@@ -682,9 +695,14 @@ _LP_SCHEDULE = (2, 2, 4, 4, 4, 4)
 # before another task is worth its launch overhead.
 _LP_PARTS = 32
 _LP_ROWS_PER_PART = 65536
-# Edge-table broadcast guard for the LP loop: at or under this many
-# symmetrized edges (~16 B/row -> ≤ ~32 MB) the whole edge table rides
-# a broadcast hash join in every round — no join shuffle, no edge
+# Edge-table broadcast guard for the LP loop. The broadcast table is
+# the symmetrized edges PLUS one self-edge per node, and every node
+# has >=1 outgoing symmetrized edge, so its row count is bounded by
+# 2*n_sym — the guard therefore compares 2*n_sym against this cap
+# (~16 B/row -> ≤ ~32 MB actually broadcast; round-8 fix — the old
+# guard compared n_sym alone and could broadcast up to 2x its
+# documented bound). At or under the cap the whole edge table rides a
+# broadcast hash join in every round — no join shuffle, no edge
 # persist/pin. Past it, the pre-partitioned shuffle design takes over
 # (a pair graph with billions of edges must never be broadcast). The
 # decision uses the MEASURED edge count already paid for by the pair
@@ -826,7 +844,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = max(4, min(_cap, n_sym // _LP_ROWS_PER_PART + 1))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    bcast = n_sym <= _LP_BROADCAST_EDGE_ROWS
+    # sym + one self-edge per node; nodes <= n_sym in a symmetrized
+    # graph, so 2*n_sym bounds what the broadcast actually carries.
+    bcast = 2 * n_sym <= _LP_BROADCAST_EDGE_ROWS
     try:
         nodes = sym.select(F.col("src").alias("id")).distinct()
         # self-edges make every node its own neighbor: one join+min per
@@ -2097,7 +2117,13 @@ def q_lsh_intake_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the drop rule is one (band, bkey) aggregate + one semi-join
     over the band table (bytes per doc); ground truth reuses the
     clone-collapsed LSH pipeline. Everything on the wire is hashes and
-    ids."""
+    ids. The five counts materialize in ONE action inside this
+    function and the three local persists are released before the
+    1-row result returns — an eval that leaves corpus-sized cache
+    entries pinned behind a 1-row DataFrame is exactly the long-sweep
+    heap-debris class the one-JVM 500-query sweeps have OOMed on
+    (round-8 fix; the returned DataFrame is a local 1-row frame, so
+    downstream re-execution never recomputes the pipeline either)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     eligible = (
         d.withColumn("w", F.split("text", " "))
@@ -2126,7 +2152,7 @@ def q_lsh_intake_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_anti",
     )
-    return (
+    combined = (
         eligible.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .crossJoin(
             F.broadcast(
@@ -2161,3 +2187,15 @@ def q_lsh_intake_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # one action for all five scalars, then release the caches: the
+    # crossJoin-of-aggregates plan is a single job, and the 1-row
+    # collect is API-terminal by construction (this query IS a scalar
+    # report), not a distributed operator leaking to the driver. The
+    # release covers the three local pins AND the clone/band tables
+    # the nested q_dedup_near_minhash's shared prefix persisted
+    # (LAST_PREFIX_PINS) — nothing corpus-sized stays pinned behind
+    # the returned local 1-row frame.
+    rows = combined.collect()
+    for cached in (bands, dropped, tp, *LAST_PREFIX_PINS):
+        cached.unpersist()
+    return spark.createDataFrame(rows, combined.schema)

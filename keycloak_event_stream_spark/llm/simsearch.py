@@ -973,3 +973,12 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# The mapInPandas scorers here are closures (already by-value), but the
+# module matches the worker-API scan in _shipping.discover_worker_modules
+# — register it so the shipping invariant stays uniform: any module
+# whose source hands callables to Python workers ships by value.
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

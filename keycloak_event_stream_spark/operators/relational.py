@@ -914,3 +914,12 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = both.groupBy("user_id").applyInPandas(_asof_pandas_group, schema)
     return out.withColumn("last_click_id", F.col("last_click_id").cast("long"))
+
+
+# _asof_pandas_group above is a module-level applyInPandas function —
+# cloudpickle would ship it by reference and require this package on
+# every executor's sys.path (the round-7 /tmp driver-sim failure
+# class). Register the module for by-value pickling; see _shipping.
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)

@@ -215,3 +215,13 @@ def running_user_type_profile(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# UserTypeProfileProcessor is a module-level class handed to
+# transformWithStateInPandas — cloudpickle would ship it by reference
+# and require this package on every executor's sys.path (the round-7
+# /tmp driver-sim failure class). The v1 operator above already ships
+# a closure; this registration covers the class. See _shipping.
+from keycloak_event_stream_spark._shipping import ship_module_by_value
+
+ship_module_by_value(__name__)
