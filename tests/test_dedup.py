@@ -391,3 +391,18 @@ def test_intake_recall_eval_matches_real_intake_single_batch(
     assert (row.n_docs, row.n_admitted, row.n_dropped) == (4, 2, 2)
     assert row.contaminated_true_pairs == 0  # the recall guarantee
     assert row.unjustified_drops == 0  # 1 and 2 are genuine near-dups
+
+
+def test_intake_recall_eval_releases_all_caches(spark, corpus):
+    """The eval materializes in-function and must unpin EVERYTHING it
+    (and its nested minhash prefix) persisted — the long-sweep
+    heap-debris class (round-8 ADVICE): a 1-row diagnostic must not
+    leave corpus-sized cache entries behind."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup.q_lsh_intake_recall_eval(spark, _sf_dir(corpus))
+    assert out.count() == 1  # local frame, no recompute
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"eval left {after - before} persisted RDDs pinned"
+    )
