@@ -406,3 +406,62 @@ def test_intake_recall_eval_releases_all_caches(spark, corpus):
     assert after <= before, (
         f"eval left {after - before} persisted RDDs pinned"
     )
+
+
+def test_lp_conf_scope_concurrent_query_correct(spark, corpus):
+    """The LP loop's session-global conf scope (AQE off + pinned
+    shuffle width, restored in a finally) must not affect the
+    CORRECTNESS of a concurrent query on the same session — only its
+    wall-clock regime (the recorded round-8 decision; r7 verdict #6).
+    A probe query runs in a loop on the same SparkSession while
+    q_dedup_components holds the confs; every probe result must equal
+    the quiet-session baseline, and the components output must equal
+    its own single-threaded run."""
+    import threading
+
+    sf = _sf_dir(corpus)
+    probe_df = lambda: (  # noqa: E731 - tiny plan built per iteration
+        spark.range(0, 1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+        .orderBy("k")
+    )
+    expected_probe = probe_df().collect()
+    expected_comp = sorted(
+        (r.doc_id, r.component)
+        for r in dedup.q_dedup_components(spark, sf).collect()
+    )
+
+    comp_out, errors, mismatches = [], [], []
+    done = threading.Event()
+
+    def run_components():
+        try:
+            comp_out.extend(dedup.q_dedup_components(spark, sf).collect())
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def run_probes():
+        while not done.is_set():
+            try:
+                got = probe_df().collect()
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+                return
+            if got != expected_probe:
+                mismatches.append(got)
+
+    ta = threading.Thread(target=run_components)
+    tb = threading.Thread(target=run_probes)
+    ta.start()
+    tb.start()
+    ta.join(timeout=300)
+    done.set()
+    tb.join(timeout=60)
+    assert not errors, errors
+    assert not mismatches, f"{len(mismatches)} probe results diverged"
+    assert sorted((r.doc_id, r.component) for r in comp_out) == expected_comp
+    # the finally restored the session confs for whoever runs next
+    assert spark.conf.get("spark.sql.adaptive.enabled") in ("true", "True")
