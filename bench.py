@@ -289,6 +289,25 @@ def main() -> int:
             )
     times = {name: round(min(ts), 3) for name, ts in samples.items()}
 
+    # Steady-state pagerank leg (r7 verdict #7b): the headline row
+    # times the COLD protocol — edge-table build + 5 iterations every
+    # run. On a cluster the edge table is built once and iterated many
+    # times, so the marginal (warm-edge) cost is the honest number for
+    # the iterative family: run once to build + pin the edges, then
+    # time passes that reuse the cache (CacheManager substitutes the
+    # semantically-equal persisted subtree on re-invocation). The r4
+    # stage attribution (BASELINE.md) showed ~2.8 s of the ~8 s cold
+    # row is build; this field keeps that measured, not asserted.
+    pagerank_steady = None
+    if "q_graph_pagerank" in queries:
+        _clear_cache(spark)
+        _run(queries, "q_graph_pagerank", spark, sf_dir)  # build + pin
+        pagerank_steady = round(
+            min(_run(queries, "q_graph_pagerank", spark, sf_dir) for _ in range(2)),
+            3,
+        )
+        _clear_cache(spark)
+
     total = round(sum(times.values()), 3)
     warm = canary_passes[1:] if len(canary_passes) >= 3 else canary_passes
     canary_min_warm = min(warm)
@@ -339,6 +358,7 @@ def main() -> int:
         "scale10x": scale10x,
         "scale10x_full_recorded": SCALE10X_FULL_RECORDED,
         "scale10x_full_stale": stale,
+        "pagerank_steady_state_sec": pagerank_steady,
     }
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
@@ -369,6 +389,9 @@ def main() -> int:
         "scale10x_full_recorded": SCALE10X_FULL_RECORDED["recorded"],
         "scale10x_full_commit": SCALE10X_FULL_RECORDED["commit"],
         "scale10x_full_stale": stale,
+        # warm-edge iterative-family marginal cost (r7 verdict #7b):
+        # the headline pagerank row is COLD (build + iterate each run)
+        "pagerank_steady_state_sec": pagerank_steady,
         "detail": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact))

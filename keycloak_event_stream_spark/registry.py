@@ -59,43 +59,119 @@ _MODULES = [
 # round; everything after the "refill" marker is documentation of past
 # windows plus module-order spillover, NOT driver-checked this round.
 #
-# Round-7 window (per VERDICT r6 "Next round #1"). Coverage
-# arithmetic after r6: 288/504 unique names driver-checked
-# (CORRECTNESS_r01..r06 union), 216 never checked (reproduce:
-# set(queries) - union(CORRECTNESS_r01..r06 keys)). This window holds
-# EXACTLY 50 names: 49 never-checked + 1 re-check, so a green r7
-# sheet lands coverage at 337/504 with 167 remaining (~3.5 more
+# Round-8 window (per VERDICT r7 "Next round #2"). Coverage
+# arithmetic after r7: the registry holds 506 queries; 337 unique
+# names are driver-checked (CORRECTNESS_r01..r07 union, zero stale
+# reds), 169 never checked (reproduce:
+# set(queries) - union(CORRECTNESS_r01..r07 keys)). This window holds
+# EXACTLY 50 names: 47 never-checked + 3 re-checks, so a green r8
+# sheet lands coverage at 384/506 with 122 remaining (~2.5 more
 # windows at 50/round).
 #
-# This window, in order: (a) round-7 / post-r6-gates code changes
-# needing driver proof — q_ngram_novelty (the f45bd53 first-seen
-# regroup rewrite shipped with no driver evidence; r6 verdict
-# "What's wrong #2"), q_dedup_components (r7 rep-graph LP +
-# edge-broadcast rewrite; the only re-check), q_market_basket (r7
-# pair fan-out cap, verdict #5); (b) the documented r7 queue head —
-# q_psi_drift, q_agg_bool, and the two streaming aggregation state
-# audits; (c) the timeseries block; (d) the UDF/UDTF surface; (e) the
-# source/format roundtrips; (f) the remaining streaming names;
-# (g) the core scalar-function packs.
+# This window, in order: (a) the two r7 registrations that only have
+# sweep evidence — s_dedup_state_audit (the dropDuplicates key-store
+# audit; r6 verdict #6) and q_lsh_intake_recall_eval (the streaming-
+# intake recall/precision eval; r6 verdict #7, REWRITTEN this round to
+# materialize in one action and release every cache pin — r8 ADVICE);
+# (b) round-8 code-change re-checks — q_join_asof_pandas (its
+# module-level applyInPandas fn now ships by value; r7 verdict
+# "What's wrong #1"), q_dedup_components (the LP broadcast guard now
+# bounds sym+self edges at 2*n_sym; r8 ADVICE), q_dedup_near_minhash
+# (shared-prefix A/B closed flat, BASELINE.md "Round 8"; prefix now
+# posts LAST_PREFIX_PINS); (c) the funnel/attribution family; (d) the
+# advanced-SQL block; (e) the remaining function packs incl. the
+# variant trio; (f) the eventstore pair; (g) profiling/layout names.
 #
-# Round-8 rotation queue (assuming this window lands green):
-# s_dedup_state_audit (new this round — dropDuplicatesWithinWatermark
-# key-store audit, verdict #6) leads as a code-change slot, then the
-# funnel/attribution family, the advanced-SQL block (q_pipe_syntax,
-# q_lateral_topk, q_window_distinct_running, ...), the remaining
-# func packs (q_array_hof, q_bit_funcs, q_hash_funcs, q_try_funcs,
-# q_variant_*), the eventstore pair, and the profiling/layout names.
+# Round-9/10 rotation plan for the 122 never-checked names left after
+# a green r8 (verdict r7 #7a): r9 takes the dedup/fingerprint tail
+# (q_dedup_bow/_prefix/_keep_best/_ngram_jaccard/_fuzzy_name,
+# q_fingerprint[_rolling], q_sim_search_pandas), the curation/sampling
+# names (q_dsir_importance, q_stratified_sample, q_sample_per_group,
+# q_mixture_weights, q_curation_pipeline, q_instruction_format,
+# q_safety_lexicon, q_pit_training_set, q_context_length_plan,
+# q_shard_plan), the text/corpus stats tail (q_vocab_coverage,
+# q_perplexity_unigram, q_zipf_fit, q_lexical_diversity,
+# q_doc_repetition, q_dataset_card, q_token_histogram_log2,
+# q_logsumexp_sources, q_tokenizer_fertility, q_char_ngram_profile,
+# q_bigram_lm, q_multimodal_cols) and the remaining window/join names
+# (q_window_ntile/_ignore_nulls/_nth/_trailing_7d,
+# q_join_interval_overlap/_asof_forward, q_gaps_islands,
+# q_transition_matrix, q_multiband_singlescan, q_percent_of_total,
+# q_rollup_rank); r10 takes the analytics/bi tail (q_yoy_growth,
+# q_top_movers_wow, q_market_share_shift, q_audience_overlap,
+# q_seasonal_heatmap, q_retention_curve_fit, ...), the embedding tail
+# (q_random_projection, q_embed_pca_power/_mmd/_covariance,
+# q_dbscan_core, q_coreset_kcenter, q_hard_negatives,
+# q_skipgram_cooc), the remaining quality/stat names and everything
+# else left in the reproduce set.
 _PRIORITY = [
-    # (a) code changes needing driver proof (3)
-    "q_ngram_novelty",
+    # (a) new registrations needing first driver proof (2)
+    "s_dedup_state_audit",
+    "q_lsh_intake_recall_eval",
+    # (b) round-8 code-change re-checks (3)
+    "q_join_asof_pandas",
     "q_dedup_components",
+    "q_dedup_near_minhash",
+    # (c) funnel / attribution family (13, first-time)
+    "q_funnel",
+    "q_funnel_rates",
+    "q_funnel_paths",
+    "q_funnel_cohort",
+    "q_attribution_first_touch",
+    "q_attribution_last_touch",
+    "q_shapley_attribution",
+    "q_markov_attribution",
+    "q_time_to_convert",
+    "q_cart_abandonment",
+    "q_retention_cohort",
+    "q_user_lifecycle",
+    "q_cohort_ltv",
+    # (d) advanced-SQL block (10, first-time)
+    "q_pipe_syntax",
+    "q_lateral_topk",
+    "q_window_distinct_running",
+    "q_sql_scripting",
+    "q_execute_immediate",
+    "q_collation_group",
+    "q_recursive_date_spine",
+    "q_grouping_sets_distinct",
+    "q_string_agg",
+    "q_posexplode_tokens",
+    # (e) remaining function packs (12, first-time)
+    "q_array_hof",
+    "q_bit_funcs",
+    "q_hash_funcs",
+    "q_try_funcs",
+    "q_variant_parse",
+    "q_variant_nested",
+    "q_variant_invalid",
+    "q_url_funcs",
+    "q_conditional_funcs",
+    "q_map_higher_order",
+    "q_xml_parse",
+    "q_regex_extract_all",
+    # (f) eventstore pair (2, first-time)
+    "q_eventstore_canonical",
+    "q_eventstore_user_filter",
+    # (g) profiling / layout names (8, first-time) — window cap
+    # reached at exactly 50
+    "q_layout_partitioned_prune",
+    "q_partition_size_audit",
+    "q_dq_audit",
+    "q_cluster_zorder",
+    "q_compaction_bins",
+    "q_null_rate_matrix",
+    "q_dup_key_audit",
+    "q_catalog_freshness",
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round; relative order
+    # preserved from the r7 file as documentation of past windows.)
+    "q_ngram_novelty",
     "q_market_basket",
-    # (b) documented r7 queue head (4)
     "q_psi_drift",
     "q_agg_bool",
     "s_window_state_audit",
     "s_session_state_audit",
-    # (c) timeseries block (14, first-time)
     "q_acf_multi",
     "q_autocorr_lag1",
     "q_anomaly_seasonal",
@@ -110,7 +186,6 @@ _PRIORITY = [
     "q_timeseries_resample",
     "q_ts_similarity",
     "q_cep_pattern",
-    # (d) UDF/UDTF surface (9, first-time)
     "q_udf_python",
     "q_udf_pandas_norm",
     "q_udf_arrow",
@@ -120,7 +195,6 @@ _PRIORITY = [
     "q_udtf_first_seen",
     "q_udtf_partition_agg",
     "q_udtf_polymorphic",
-    # (e) source/format roundtrips (8, first-time)
     "q_source_csv_roundtrip",
     "q_source_json_roundtrip",
     "q_source_orc_roundtrip",
@@ -129,39 +203,18 @@ _PRIORITY = [
     "q_source_corrupt_tolerant",
     "q_sink_pydatasource_roundtrip",
     "q_source_pushgen",
-    # (f) remaining streaming names (6, first-time)
     "s_source_pushgen_stream",
     "s_foreachbatch_mv",
     "s_window_topk",
     "s_stream_static_join",
     "s_tumbling_uniques",
     "s_stream_kl_monitor",
-    # (g) core scalar-function packs (6, first-time) — window cap
-    # reached at exactly 50
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
     "q_array_funcs",
     "q_map_funcs",
     "q_json_funcs",
-    # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round. First the r8
-    # queue head — s_dedup_state_audit is new this round (r6 verdict
-    # #6: the dedupe key store joins the join/window/session audit
-    # discipline, live-state-pinned by
-    # test_dedup_state_audit_matches_live_state_rows) — then the
-    # round-6 window names, all 50 green in CORRECTNESS_r06.)
-    "s_dedup_state_audit",
-    # also new this round (r6 verdict #7): the streaming intake's
-    # recall/precision eval, pinned to the real admit_batch path by
-    # test_intake_recall_eval_matches_real_intake_single_batch
-    "q_lsh_intake_recall_eval",
-    # r7 worker-shipping change (pickle-by-value for UDF/source
-    # modules — the /tmp driver-sim ModuleNotFoundError class): the
-    # five affected WINDOW names get their driver evidence this round;
-    # these four live in changed modules but sit outside the window,
-    # so they queue here for r8 driver proof (locally verified from
-    # /tmp and by the full sweep)
     "q_source_pydatasource_pushdown",
     "q_multimodal_media",
     "q_multimodal_frames",
@@ -190,7 +243,6 @@ _PRIORITY = [
     "q_ab_sequential",
     "q_ab_test_proportions",
     "q_ab_heterogeneity",
-    # stats-test family (18)
     "q_anova_oneway",
     "q_benjamini_hochberg",
     "q_benford",
@@ -232,7 +284,6 @@ _PRIORITY = [
     "q_neyman_allocation",
     "s_tumbling_approx_uniques",
     "q_zone_map_skip_eval",
-    "q_dedup_near_minhash",
     "q_graph_bfs_levels",
     "q_graph_kcore",
     "s_stream_stream_left_join",
@@ -357,38 +408,31 @@ _PRIORITY = [
     "q_mixture_temperature_sweep",
     "q_embed_dim_variance",
     "q_weekday_seasonality_map",
-    "q_null_rate_matrix",
     "q_value_histogram_text",
-    "q_dup_key_audit",
     "q_repetition_profile",
     "q_doc_language_mismatch",
     "q_session_handoff",
     "q_market_share_shift",
     "q_dedup_normalization_ladder",
     "q_join_skew_stats",
-    "q_funnel_cohort",
     "q_error_burst_detection",
     "q_rate_limit_window",
     "q_returns_wilson",
     "q_discount_band_elasticity",
     "q_text_ascii_ratio",
     "q_percentile_trend_weekly",
-    "q_cart_abandonment",
     "q_retention_curve_fit",
     "q_dedup_cross_source",
     "q_spearman_corr",
     "q_window_nth_value",
-    "q_partition_size_audit",
     "q_feed_freshness",
     "q_sampling_bias_check",
     "q_histogram_2d",
     "q_reservoir_aes",
     "q_seasonal_index_dow",
-    "q_catalog_freshness",
     "q_poisson_fit_lines",
     "q_invoice_reconciliation",
     "q_top_movers_wow",
-    "q_time_to_convert",
     "q_interval_merge",
     "q_quantile_normalize",
     "q_lorenz_deciles",
@@ -402,8 +446,6 @@ _PRIORITY = [
     "q_embed_mmd",
     "q_skipgram_cooc",
     "q_hard_negatives",
-    "q_shapley_attribution",
-    "q_markov_attribution",
     "q_mutual_information",
     "q_char_entropy",
     "q_span_corruption",
