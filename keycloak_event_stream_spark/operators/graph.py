@@ -360,9 +360,28 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-shuffle while |V| fits — above
     spark.kes.graph.broadcastMaxNodes the hint drops and the scores
     exchange against per-key cached edge layouts instead);
-    localCheckpoint truncates lineage each iteration.
+    localCheckpoint truncates lineage each half-step.
     Map-side partial aggregation bounds each half-step's shuffle at
     |nodes| x partitions rows regardless of |edges|.
+
+    Unlike pagerank, the per-half-step sum-normalization references its
+    own aggregate twice (raw + total), so the half-steps cannot compose
+    into one lazy plan: without the eager localCheckpoint the logical
+    plan doubles per half-step (2^8 copies — measured OOM), and a
+    segmented variant re-executed every uncached broadcast subtree
+    (measured pathological). The eager per-half-step action is
+    therefore load-bearing — which makes the LOOP's exchange regime the
+    cost lever, exactly as in the dedup LP loop (llm/dedup.py): the
+    8 checkpoint actions shuffle only |V|-row score tables, so the
+    session's corpus-scale AQE re-planning and shuffle width are pure
+    scheduling overhead there. Round 8 scopes the loop to AQE-off +
+    a width derived from the measured node count (floor 4, cap = the
+    session's own width so a cluster session keeps its parallelism
+    when |V| is huge), restored in a finally — measured 8.3 -> 5.7 s
+    at sf0.1 and 5.9 -> 3.9 s at sf0.01 (interleaved same-session
+    cold-plan best-of-3, rows identical; BASELINE.md "Round 8 —
+    q_graph_hits"). The |E|-sized edge build runs BEFORE the scope
+    under full session parallelism.
 
     Determinism: per-edge contributions round at 6 decimals and sum in
     DECIMAL (order-independent); normalization divides two identically
@@ -396,36 +415,57 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src": edges.repartition(n_shuffle, "src").persist(),
             "dst": edges.repartition(n_shuffle, "dst").persist(),
         }
-    h = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
-        .localCheckpoint()
-    )
     d6 = lambda col: F.sum(
         F.round(col, 6).cast("decimal(27,6)")
     ).cast("double")
 
-    def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
-        raw = (
-            edges_by[in_key].join(
-                _state(score, bcast), F.col(in_key) == F.col("node")
-            )
-            .groupBy(out_key)
-            .agg(d6(F.col("r")).alias("r"))
-            .withColumnRenamed(out_key, "node")
-        )
-        tot = raw.agg(d6(F.col("r")).alias("tot"))
-        return (
-            raw.crossJoin(F.broadcast(tot))
-            .select("node", (F.col("r") / F.col("tot")).alias("r"))
+    # loop conf scope (see docstring): the 8 eager half-step actions
+    # move only |V|-row score tables; AQE-off + a node-count-derived
+    # width cuts their per-action scheduling cost. Same session-global
+    # caveat and single-threaded-driver regime as the dedup LP loop —
+    # correctness under a concurrent query is pinned there
+    # (tests/test_dedup.py::test_lp_conf_scope_concurrent_query_correct)
+    # and the restore runs in a finally either way.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        _cap = max(int(parts_was), 32)
+    except ValueError:
+        _cap = 32
+    parts = max(4, min(_cap, n_hubs // 65536 + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        h = (
+            edges.select("src")
+            .distinct()
+            .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
             .localCheckpoint()
         )
 
-    a = None
-    for _ in range(_HITS_ITERS):
-        a = _half(h, "dst", "src")
-        h = _half(a, "src", "dst")
+        def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
+            raw = (
+                edges_by[in_key].join(
+                    _state(score, bcast), F.col(in_key) == F.col("node")
+                )
+                .groupBy(out_key)
+                .agg(d6(F.col("r")).alias("r"))
+                .withColumnRenamed(out_key, "node")
+            )
+            tot = raw.agg(d6(F.col("r")).alias("tot"))
+            return (
+                raw.crossJoin(F.broadcast(tot))
+                .select("node", (F.col("r") / F.col("tot")).alias("r"))
+                .localCheckpoint()
+            )
+
+        a = None
+        for _ in range(_HITS_ITERS):
+            a = _half(h, "dst", "src")
+            h = _half(a, "src", "dst")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
     top = lambda df, kind: (
         df.orderBy(F.col("r").desc(), "node")
         .limit(25)
