@@ -17,6 +17,8 @@ replay of the same recurrence.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -89,6 +91,46 @@ def _use_broadcast(spark: SparkSession, n_nodes: int | None) -> bool:
 
 def _state(df: DataFrame, bcast: bool) -> DataFrame:
     return F.broadcast(df) if bcast else df
+
+
+# Exchange regime for EAGER iteration loops (round 8; the dedup-LP
+# lesson generalized): a loop whose per-round actions move |V|-row
+# state tables pays the session's AQE re-planning and corpus-scale
+# shuffle width as pure scheduling overhead — measured 37->8 s (BFS),
+# 64->14 s (k-core), 8.3->5.7 s (HITS, sf0.1) under the driver's
+# vanilla 200-partition session, and still faster under a tuned
+# 32-width session (no regression; BASELINE.md "Round 8"). The width
+# derives from the MEASURED node count the broadcast guard already
+# paid for: floor 4 (local runs shouldn't pay 32-200 task launches per
+# tiny stage), cap = the session's own width (a cluster session with
+# thousands of partitions keeps them when |V| is huge). Only works for
+# loops that EXECUTE inside the scope (localCheckpoint per round) —
+# a lazy loop's plan executes at the caller's action, after restore.
+_LOOP_ROWS_PER_PART = 65536
+
+
+@contextmanager
+def _node_loop_scope(spark: SparkSession, n_nodes: int):
+    """AQE-off + node-count-derived shuffle width around an eager
+    |V|-row iteration loop; always restored. Session-global for the
+    loop's duration — same single-threaded-driver regime as the dedup
+    LP loop, whose concurrent-query correctness test
+    (tests/test_dedup.py::test_lp_conf_scope_concurrent_query_correct)
+    pins that a concurrent query stays CORRECT, just re-regimed."""
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        cap = max(int(parts_was), 32)
+    except ValueError:
+        cap = 32
+    parts = max(4, min(cap, n_nodes // _LOOP_ROWS_PER_PART + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
 
 
 def _duck_pagerank() -> str:
@@ -419,23 +461,9 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(col, 6).cast("decimal(27,6)")
     ).cast("double")
 
-    # loop conf scope (see docstring): the 8 eager half-step actions
-    # move only |V|-row score tables; AQE-off + a node-count-derived
-    # width cuts their per-action scheduling cost. Same session-global
-    # caveat and single-threaded-driver regime as the dedup LP loop —
-    # correctness under a concurrent query is pinned there
-    # (tests/test_dedup.py::test_lp_conf_scope_concurrent_query_correct)
-    # and the restore runs in a finally either way.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        _cap = max(int(parts_was), 32)
-    except ValueError:
-        _cap = 32
-    parts = max(4, min(_cap, n_hubs // 65536 + 1))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    # loop conf scope (see docstring and _node_loop_scope): the 8 eager
+    # half-step actions move only |V|-row score tables.
+    with _node_loop_scope(spark, n_hubs):
         h = (
             edges.select("src")
             .distinct()
@@ -463,9 +491,6 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(_HITS_ITERS):
             a = _half(h, "dst", "src")
             h = _half(a, "src", "dst")
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
     top = lambda df, kind: (
         df.orderBy(F.col("r").desc(), "node")
         .limit(25)
@@ -717,7 +742,20 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the exact same 3 rounds, so the comparison is
     well-defined even where full convergence would take more). At
     100 TB the survivor node lists shrink monotonically — later
-    iterations broadcast."""
+    iterations broadcast.
+
+    Round 8: the peels run EAGERLY (localCheckpoint per round) inside
+    ``_node_loop_scope`` — the lazy one-action compose left every peel
+    exchange at the session's corpus-scale width with AQE re-planning
+    each boundary, which under the driver's vanilla 200-partition
+    session cost 64.4 s at sf0.01 vs **14.3 s** scoped (and 4.1 vs
+    2.2 s under a tuned 32-width session — no regression; interleaved
+    cold best-of-2, rows identical; BASELINE.md "Round 8"). The
+    checkpoint materializes the same |E|-per-peel volume the persists
+    already did — the trade is 3 extra driver round-trips for
+    right-sized exchanges, and the |E|-sized edge build still runs
+    before the scope at full session parallelism (the guard count
+    materializes the cache)."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -734,27 +772,31 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |V| is bounded by the first round's degree-table size; count it
     # once so the keep-set joins are size-guarded like the other
     # iterative state vectors (keep ⊆ nodes, shrinking every round)
-    bcast = _use_broadcast(spark, edges.select("src").distinct().count())
-    for _ in range(3):
-        # the surviving-node list is |nodes|-sized (and shrinks every
-        # round) — broadcast both endpoint filters while it fits so
-        # each peel is two broadcast-hash semi joins over the persisted
-        # edges; above the guard the hints drop and the |V|-row keep
-        # set exchanges instead (never the reverse)
-        keep = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= 3)
-            .select("src")
-        )
-        edges = (
-            edges.join(_state(keep, bcast), "src")
-            .join(
-                _state(keep.select(F.col("src").alias("dst")), bcast), "dst"
+    n_nodes = edges.select("src").distinct().count()
+    bcast = _use_broadcast(spark, n_nodes)
+    with _node_loop_scope(spark, n_nodes):
+        for _ in range(3):
+            # the surviving-node list is |nodes|-sized (and shrinks
+            # every round) — broadcast both endpoint filters while it
+            # fits so each peel is two broadcast-hash semi joins over
+            # the previous round's checkpointed edges; above the guard
+            # the hints drop and the |V|-row keep set exchanges
+            # instead (never the reverse)
+            keep = (
+                edges.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= 3)
+                .select("src")
             )
-            .select("src", "dst")
-        )
-        edges = edges.persist()
+            edges = (
+                edges.join(_state(keep, bcast), "src")
+                .join(
+                    _state(keep.select(F.col("src").alias("dst")), bcast),
+                    "dst",
+                )
+                .select("src", "dst")
+                .localCheckpoint()
+            )
     survivors = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
@@ -823,7 +865,18 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier against the persisted edge table plus an anti-join against
     the visited set — frontiers broadcast while small, and the hop
     count is a static bound (3), not a convergence loop. The oracle
-    unrolls the identical 3 hops."""
+    unrolls the identical 3 hops.
+
+    Round 8: hops run EAGERLY (localCheckpoint per frontier) inside
+    ``_node_loop_scope`` — the lazy compose left every hop's distinct
+    and anti-join at the session's corpus-scale width with AQE
+    re-planning per boundary: 37.4 s at sf0.01 under the driver's
+    vanilla 200-partition session vs **7.8 s** scoped (4.2 vs 3.5 s
+    under a tuned 32-width session — no regression; interleaved cold
+    best-of-2, rows identical; BASELINE.md "Round 8"). Frontiers are
+    |V|-bounded and checkpointed, so the visited union needs no
+    persists; the |E|-sized edge build runs before the scope (the
+    guard count materializes the cache at full session width)."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -839,35 +892,38 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.persist()
     # frontier and visited are both bounded by |V| — size-guard their
     # broadcast hints off one node count, like the other state vectors
-    bcast = _use_broadcast(spark, edges.select("src").distinct().count())
-    seed = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .orderBy(F.desc("deg"), "src")
-        .limit(1)
-        .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
-    )
-    visited = seed
-    frontier = seed.select("node")
-    levels = [seed]
-    for lvl in (1, 2, 3):
-        # visited is |nodes|-sized — broadcast the anti join too while
-        # it fits (else every hop pays a full-width SortMerge against a
-        # tiny set); above the guard both hints drop and the |V|-row
-        # frontier/visited sets exchange instead
-        nxt = (
-            edges.join(_state(frontier, bcast), edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(
-                _state(visited.select("node"), bcast), "node", "left_anti"
-            )
-            .select("node", F.lit(lvl).alias("lvl"))
+    n_nodes = edges.select("src").distinct().count()
+    bcast = _use_broadcast(spark, n_nodes)
+    with _node_loop_scope(spark, n_nodes):
+        seed = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .orderBy(F.desc("deg"), "src")
+            .limit(1)
+            .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
+            .localCheckpoint()
         )
-        nxt = nxt.persist()
-        levels.append(nxt)
-        visited = visited.unionByName(nxt).persist()
-        frontier = nxt.select("node")
+        visited = seed
+        frontier = seed.select("node")
+        levels = [seed]
+        for lvl in (1, 2, 3):
+            # visited is |nodes|-sized — broadcast the anti join too
+            # while it fits (else every hop pays a full-width SortMerge
+            # against a tiny set); above the guard both hints drop and
+            # the |V|-row frontier/visited sets exchange instead
+            nxt = (
+                edges.join(_state(frontier, bcast), edges.src == frontier.node)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(
+                    _state(visited.select("node"), bcast), "node", "left_anti"
+                )
+                .select("node", F.lit(lvl).alias("lvl"))
+                .localCheckpoint()
+            )
+            levels.append(nxt)
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("node")
     allv = levels[0]
     for x in levels[1:]:
         allv = allv.unionByName(x)

@@ -64,8 +64,8 @@ _MODULES = [
 # names are driver-checked (CORRECTNESS_r01..r07 union, zero stale
 # reds), 169 never checked (reproduce:
 # set(queries) - union(CORRECTNESS_r01..r07 keys)). This window holds
-# EXACTLY 50 names: 46 never-checked + 4 re-checks, so a green r8
-# sheet lands coverage at 383/506 with 123 remaining (~2.5 more
+# EXACTLY 50 names: 44 never-checked + 6 re-checks, so a green r8
+# sheet lands coverage at 381/506 with 125 remaining (~2.5 more
 # windows at 50/round).
 #
 # This window, in order: (a) the two r7 registrations that only have
@@ -78,8 +78,10 @@ _MODULES = [
 # "What's wrong #1"), q_dedup_components (the LP broadcast guard now
 # bounds sym+self edges at 2*n_sym; r8 ADVICE), q_dedup_near_minhash
 # (shared-prefix A/B closed flat, BASELINE.md "Round 8"; prefix now
-# posts LAST_PREFIX_PINS), q_graph_hits (loop conf scope, 8.3->5.7 s
-# at sf0.1 — BASELINE.md "Round 8 — q_graph_hits");
+# posts LAST_PREFIX_PINS), q_graph_hits, q_graph_bfs_levels and
+# q_graph_kcore (the eager-loop conf-scope rewrites: hits 8.3->5.7 s
+# at sf0.1; bfs 37->8 s and kcore 64->14 s under the vanilla session —
+# BASELINE.md "Round 8");
 # (c) the funnel/attribution family; (d) the
 # advanced-SQL block; (e) the remaining function packs incl. the
 # variant trio; (f) the eventstore pair; (g) profiling/layout names.
@@ -110,11 +112,13 @@ _PRIORITY = [
     # (a) new registrations needing first driver proof (2)
     "s_dedup_state_audit",
     "q_lsh_intake_recall_eval",
-    # (b) round-8 code-change re-checks (4)
+    # (b) round-8 code-change re-checks (6)
     "q_join_asof_pandas",
     "q_dedup_components",
     "q_dedup_near_minhash",
     "q_graph_hits",
+    "q_graph_bfs_levels",
+    "q_graph_kcore",
     # (c) funnel / attribution family (13, first-time)
     "q_funnel",
     "q_funnel_rates",
@@ -163,14 +167,16 @@ _PRIORITY = [
     "q_dq_audit",
     "q_cluster_zorder",
     "q_compaction_bins",
-    "q_null_rate_matrix",
-    "q_dup_key_audit",
     # ---- refill: past-round windows + locally-verified families ----
     # (below the ~50 cap: NOT driver-checked this round; relative order
     # preserved from the r7 file as documentation of past windows.
-    # q_catalog_freshness yielded its window slot to the q_graph_hits
-    # re-check and leads the r9 queue.)
+    # q_catalog_freshness, q_null_rate_matrix and q_dup_key_audit
+    # yielded their window slots to the q_graph_hits / q_graph_bfs_levels
+    # / q_graph_kcore re-checks (the round-8 eager-loop conf-scope
+    # rewrites) and lead the r9 queue.)
     "q_catalog_freshness",
+    "q_null_rate_matrix",
+    "q_dup_key_audit",
     "q_ngram_novelty",
     "q_market_basket",
     "q_psi_drift",
@@ -289,8 +295,6 @@ _PRIORITY = [
     "q_neyman_allocation",
     "s_tumbling_approx_uniques",
     "q_zone_map_skip_eval",
-    "q_graph_bfs_levels",
-    "q_graph_kcore",
     "s_stream_stream_left_join",
     "s_stream_stream_full_join",
     "s_stream_stream_semi_join",
