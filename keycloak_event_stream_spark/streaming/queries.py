@@ -85,19 +85,91 @@ def read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
-    """Run a bounded streaming query into a memory sink, return result."""
+# Target rows per state partition for a bounded verification replay.
+# A stateful operator instantiates one state-store family instance PER
+# shuffle partition, and the state partitioning is fixed at the query's
+# first run from spark.sql.shuffle.partitions — so a ~60k-row replay at
+# the vanilla 200-partition width pays 200 x stores x (store open +
+# delta file + snapshot) of per-micro-batch store overhead for a few
+# hundred rows of actual state. Measured 12x on
+# s_stream_stream_semi_join (33.7 s at width 200 vs 2.7 s at width 8,
+# sf0.01 — BASELINE.md "Round 8 — measured r9 head item").
+_REPLAY_ROWS_PER_PART = 8192
+
+_FIXTURE_ROWS: dict[str, int] = {}
+
+# Observability handle (the LAST_BASKET_CAP_AUDIT idiom): what the most
+# recent scoped replay derived and restored, for tests and diagnosis —
+# the scope must never be a silent re-regime.
+LAST_REPLAY_SCOPE: dict | None = None
+
+
+def _events_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the bounded replay input, from parquet footer
+    metadata only (no Spark job), memoized per fixture dir — the width
+    driver for :func:`_run_to_memory`'s replay scope."""
+    n = _FIXTURE_ROWS.get(sf_dir)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
+        _FIXTURE_ROWS[sf_dir] = n
+    return n
+
+
+def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFrame:
+    """Run a bounded streaming query into a memory sink, return result.
+
+    ``rows`` — the bounded input's row count — scopes
+    ``spark.sql.shuffle.partitions`` around the run to
+    ``max(4, min(session width, rows // _REPLAY_ROWS_PER_PART + 1))``,
+    always restored in ``finally``: the registered s_* entries are
+    bounded VERIFICATION replays, so their state width should derive
+    from the bounded input, not from the session's corpus-sized
+    default (see _REPLAY_ROWS_PER_PART for the measured 12x cost).
+    Production streams attach their own trigger on their own session
+    and are never re-regimed: ``rows=None`` leaves the conf untouched.
+    AQE needs no override here — stateful streaming disables it
+    itself. The conf is session-global for the run's duration — the
+    same single-threaded-driver regime as the graph loops'
+    ``_node_loop_scope`` (operators/graph.py:113); that a concurrent
+    query on the re-regimed session stays CORRECT (just re-widthed) is
+    pinned by tests/test_dedup.py::
+    test_lp_conf_scope_concurrent_query_correct.
+    """
+    global LAST_REPLAY_SCOPE
+    spark = df.sparkSession
+    parts_was = None
+    if rows is not None:
+        parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            cap = int(parts_was)
+        except ValueError:
+            cap = 200
+        parts = max(4, min(cap, rows // _REPLAY_ROWS_PER_PART + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        LAST_REPLAY_SCOPE = {
+            "rows": rows,
+            "parts": parts,
+            "parts_was": parts_was,
+        }
     _COUNTER[0] += 1
     name = f"s_sink_{os.getpid()}_{_COUNTER[0]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if parts_was is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", parts_was)
     return df.sparkSession.table(name)
 
 
@@ -163,7 +235,7 @@ def s_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = _run_to_memory(agg, "complete")
+    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -202,7 +274,7 @@ def s_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
-    res = _run_to_memory(agg, "complete")
+    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -237,7 +309,7 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = _run_to_memory(agg, "append")
+    res = _run_to_memory(agg, "append", rows=_events_rows(spark, sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -285,7 +357,7 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = _run_to_memory(agg, "append")
+    res = _run_to_memory(agg, "append", rows=_events_rows(spark, sf_dir))
     return res.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -309,7 +381,9 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_memory(deduped, "append")
+    return _run_to_memory(
+        deduped, "append", rows=_events_rows(spark, sf_dir)
+    )
 
 
 @_q(
@@ -358,7 +432,9 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (clicks.click_ts <= purchases.purchase_ts + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(
+        joined, "append", rows=_events_rows(spark, sf_dir)
+    )
 
 
 def purchase_click_stream_join(p: DataFrame, c: DataFrame, how: str) -> DataFrame:
@@ -456,7 +532,11 @@ def s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_stream_stream_join_state_survives_restart."""
     p = read_stream_events(spark, sf_dir)
     c = read_stream_events(spark, sf_dir)
-    return _run_to_memory(purchase_click_stream_join(p, c, "left_outer"), "append")
+    return _run_to_memory(
+        purchase_click_stream_join(p, c, "left_outer"),
+        "append",
+        rows=_events_rows(spark, sf_dir),
+    )
 
 
 @_q(
@@ -502,7 +582,11 @@ def s_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_stream_stream_join_state_survives_restart."""
     p = read_stream_events(spark, sf_dir)
     c = read_stream_events(spark, sf_dir)
-    return _run_to_memory(purchase_click_stream_join(p, c, "full_outer"), "append")
+    return _run_to_memory(
+        purchase_click_stream_join(p, c, "full_outer"),
+        "append",
+        rows=_events_rows(spark, sf_dir),
+    )
 
 
 @_q(
@@ -533,7 +617,11 @@ def s_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_stream_stream_join_state_survives_restart."""
     p = read_stream_events(spark, sf_dir)
     c = read_stream_events(spark, sf_dir)
-    return _run_to_memory(purchase_click_stream_join(p, c, "left_semi"), "append")
+    return _run_to_memory(
+        purchase_click_stream_join(p, c, "left_semi"),
+        "append",
+        rows=_events_rows(spark, sf_dir),
+    )
 
 
 @_q(
@@ -563,7 +651,9 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(
         F.broadcast(customer), stream.user_id == customer.c_custkey
     ).select("event_id", "user_id", "event_type", "customer_name", "nationkey")
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(
+        joined, "append", rows=_events_rows(spark, sf_dir)
+    )
 
 
 @_q(
@@ -599,7 +689,9 @@ def s_stream_kl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("c")
     )
-    landed = _run_to_memory(counts, "complete")
+    landed = _run_to_memory(
+        counts, "complete", rows=_events_rows(spark, sf_dir)
+    )
     tot = landed.agg(F.sum("c").cast("bigint").alias("t"))
     frac = F.col("c").cast("double") / F.col("t")
     term = F.round(frac * F.log(frac / F.lit(0.2)), 6)
@@ -791,7 +883,11 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_stream_events(spark, sf_dir)
-    out = _run_to_memory(running_user_profile(stream), "append")
+    out = _run_to_memory(
+        running_user_profile(stream),
+        "append",
+        rows=_events_rows(spark, sf_dir),
+    )
     final = F.max(F.struct("n_events", "last_ts")).alias("s")
     return (
         out.groupBy("user_id")
@@ -838,7 +934,7 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    res = _run_to_memory(agg, "complete")
+    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("window_start").orderBy(
@@ -890,7 +986,7 @@ def s_tumbling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
-    res = _run_to_memory(agg, "complete")
+    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -935,7 +1031,7 @@ def s_tumbling_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    res = _run_to_memory(agg, "complete")
+    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -988,7 +1084,9 @@ def s_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    res = _run_to_memory(agg, "complete").select(
+    res = _run_to_memory(
+        agg, "complete", rows=_events_rows(spark, sf_dir)
+    ).select(
         F.col("window.start").alias("window_start"), "n"
     )
     base = res.agg(
@@ -1076,7 +1174,7 @@ def s_session_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_purchase"),
         )
     )
-    res = _run_to_memory(agg, "append")
+    res = _run_to_memory(agg, "append", rows=_events_rows(spark, sf_dir))
     return res.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),

@@ -946,3 +946,47 @@ def test_dedup_within_watermark_store_is_bounded(spark, tmp_path):
         (2, "2024-01-01 10:30:00"),
         (3, "2024-01-01 13:00:00"),
     ]
+
+
+def test_replay_scope_derives_width_and_restores_conf(spark):
+    """The bounded-replay width scope (_run_to_memory): under a
+    corpus-sized session width (200), a registered replay must run its
+    stateful query at the input-derived width — max(4, min(session,
+    rows // 8192 + 1)) — record it in LAST_REPLAY_SCOPE (never a
+    silent re-regime), restore the session conf afterwards, and return
+    exactly the batch-equivalent result (the 12x state-store overhead
+    diagnosis, BASELINE.md "Round 8 — measured r9 head item")."""
+    import pyarrow.parquet as pq
+
+    from keycloak_event_stream_spark.catalog import load_table, table_path
+    from keycloak_event_stream_spark.streaming import queries as sq
+    from tests.conftest import SF_DIR
+
+    n_events = pq.ParquetFile(table_path(SF_DIR, "events")).metadata.num_rows
+    assert sq._events_rows(spark, SF_DIR) == n_events  # memoized footer count
+
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        out = sq.QUERIES["s_stream_dedup"](spark, SF_DIR)
+        got = {(r.user_id, r.event_type) for r in out.collect()}
+        # conf restored to the caller's width the moment the run ends
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        scope = sq.LAST_REPLAY_SCOPE
+        assert scope is not None
+        assert scope["rows"] == n_events
+        assert scope["parts"] == max(
+            4, min(200, n_events // sq._REPLAY_ROWS_PER_PART + 1)
+        )
+        assert scope["parts_was"] == "200"
+        # re-widthed replay is result-identical to the batch DISTINCT
+        exp = {
+            (r.user_id, r.event_type)
+            for r in load_table(spark, SF_DIR, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        }
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
