@@ -64,8 +64,8 @@ _MODULES = [
 # names are driver-checked (CORRECTNESS_r01..r07 union, zero stale
 # reds), 169 never checked (reproduce:
 # set(queries) - union(CORRECTNESS_r01..r07 keys)). This window holds
-# EXACTLY 50 names: 44 never-checked + 6 re-checks, so a green r8
-# sheet lands coverage at 381/506 with 125 remaining (~2.5 more
+# EXACTLY 50 names: 39 never-checked + 11 re-checks, so a green r8
+# sheet lands coverage at 376/506 with 130 remaining (~2.6 more
 # windows at 50/round).
 #
 # This window, in order: (a) the two r7 registrations that only have
@@ -81,13 +81,32 @@ _MODULES = [
 # posts LAST_PREFIX_PINS), q_graph_hits, q_graph_bfs_levels and
 # q_graph_kcore (the eager-loop conf-scope rewrites: hits 8.3->5.7 s
 # at sf0.1; bfs 37->8 s and kcore 64->14 s under the vanilla session —
-# BASELINE.md "Round 8");
+# BASELINE.md "Round 8"), and the five heaviest names touched by the
+# bounded-replay width scope in streaming/queries.py::_run_to_memory
+# (state width derived from the fixture size instead of the session's
+# corpus width — semi join 33.7->2.7 s measured; BASELINE.md "Round 8
+# — measured r9 head item", landed late r8): s_stream_stream_semi/
+# full/left/_join + s_tumbling_uniques. The scope touches 17 s_*
+# names total; the other 12 (all oracle-green in the post-change
+# /tmp vanilla sweep) queue for r9 re-checks below.
 # (c) the funnel/attribution family; (d) the
 # advanced-SQL block; (e) the remaining function packs incl. the
-# variant trio; (f) the eventstore pair; (g) profiling/layout names.
+# variant trio; (f) the eventstore pair. The profiling/layout block
+# (g) yielded its five slots to the replay re-checks and now leads
+# the r9 queue.
 #
-# Round-9/10 rotation plan for the 122 never-checked names left after
-# a green r8 (verdict r7 #7a): r9 takes the dedup/fingerprint tail
+# Round-9/10 rotation plan for the 130 never-checked names left after
+# a green r8 (verdict r7 #7a): r9 leads with the 12 remaining
+# replay-scope re-checks (s_tumbling_counts, s_sliding_agg,
+# s_watermark_late, s_session_windows, s_stream_dedup,
+# s_stream_static_join, s_stream_kl_monitor, s_stateful_profile,
+# s_window_topk, s_tumbling_approx_uniques, s_rate_alert,
+# s_session_flags — every one oracle-green in the post-change /tmp
+# vanilla sweep), then the five displaced profiling/layout names
+# (q_layout_partitioned_prune, q_partition_size_audit, q_dq_audit,
+# q_cluster_zorder, q_compaction_bins) and the three displaced in the
+# graph rotation (q_catalog_freshness, q_null_rate_matrix,
+# q_dup_key_audit); after those 20 slots, r9 takes the dedup/fingerprint tail
 # (q_dedup_bow/_prefix/_keep_best/_ngram_jaccard/_fuzzy_name,
 # q_fingerprint[_rolling], q_sim_search_pandas), the curation/sampling
 # names (q_dsir_importance, q_stratified_sample, q_sample_per_group,
@@ -112,13 +131,18 @@ _PRIORITY = [
     # (a) new registrations needing first driver proof (2)
     "s_dedup_state_audit",
     "q_lsh_intake_recall_eval",
-    # (b) round-8 code-change re-checks (6)
+    # (b) round-8 code-change re-checks (11)
     "q_join_asof_pandas",
     "q_dedup_components",
     "q_dedup_near_minhash",
     "q_graph_hits",
     "q_graph_bfs_levels",
     "q_graph_kcore",
+    "s_stream_stream_semi_join",
+    "s_stream_stream_full_join",
+    "s_stream_stream_left_join",
+    "s_stream_stream_join",
+    "s_tumbling_uniques",
     # (c) funnel / attribution family (13, first-time)
     "q_funnel",
     "q_funnel_rates",
@@ -157,23 +181,24 @@ _PRIORITY = [
     "q_map_higher_order",
     "q_xml_parse",
     "q_regex_extract_all",
-    # (f) eventstore pair (2, first-time)
+    # (f) eventstore pair (2, first-time) — window cap reached at
+    # exactly 50
     "q_eventstore_canonical",
     "q_eventstore_user_filter",
-    # (g) profiling / layout names (8, first-time) — window cap
-    # reached at exactly 50
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round; relative order
+    # preserved from the r7 file as documentation of past windows.
+    # The profiling/layout block yielded its five slots to the
+    # bounded-replay width-scope re-checks (s_stream_stream_* +
+    # s_tumbling_uniques); with q_catalog_freshness, q_null_rate_matrix
+    # and q_dup_key_audit — displaced earlier by the graph re-checks —
+    # they lead the r9 queue after the 12 remaining replay-scope
+    # re-checks listed in the rotation plan above.)
     "q_layout_partitioned_prune",
     "q_partition_size_audit",
     "q_dq_audit",
     "q_cluster_zorder",
     "q_compaction_bins",
-    # ---- refill: past-round windows + locally-verified families ----
-    # (below the ~50 cap: NOT driver-checked this round; relative order
-    # preserved from the r7 file as documentation of past windows.
-    # q_catalog_freshness, q_null_rate_matrix and q_dup_key_audit
-    # yielded their window slots to the q_graph_hits / q_graph_bfs_levels
-    # / q_graph_kcore re-checks (the round-8 eager-loop conf-scope
-    # rewrites) and lead the r9 queue.)
     "q_catalog_freshness",
     "q_null_rate_matrix",
     "q_dup_key_audit",
@@ -218,7 +243,6 @@ _PRIORITY = [
     "s_foreachbatch_mv",
     "s_window_topk",
     "s_stream_static_join",
-    "s_tumbling_uniques",
     "s_stream_kl_monitor",
     "q_string_funcs",
     "q_date_funcs",
@@ -295,9 +319,6 @@ _PRIORITY = [
     "q_neyman_allocation",
     "s_tumbling_approx_uniques",
     "q_zone_map_skip_eval",
-    "s_stream_stream_left_join",
-    "s_stream_stream_full_join",
-    "s_stream_stream_semi_join",
     "q_lsh_cap_recall_eval",
     "q_bpe_pair_stats",
     "q_bpe_encode",
@@ -321,7 +342,6 @@ _PRIORITY = [
     "q_quality_score",
     "q_lang_id",
     "q_tfidf",
-    "s_stream_stream_join",
     "q_tpch_q1",
     "q_tpch_q2",
     "q_tpch_q4",
