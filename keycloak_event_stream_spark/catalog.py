@@ -14,6 +14,7 @@ nothing in this module's callers would change.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,6 +92,77 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+_FOOTER_ROWS: dict[tuple[str, str], int] = {}
+
+
+def footer_rows(sf_dir: str, name: str) -> int:
+    """Parquet-footer row count of a fixture table — metadata only, no
+    Spark job, memoized per (dir, table). The width driver for
+    :func:`bounded_eval_scope` and the streaming replay scope
+    (streaming/queries.py::_events_rows)."""
+    key = (sf_dir, name)
+    n = _FOOTER_ROWS.get(key)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+        _FOOTER_ROWS[key] = n
+    return n
+
+
+# Target rows per shuffle partition for a bounded analytic eval — the
+# same constant family as graph.py::_LOOP_ROWS_PER_PART (65536, |V|-row
+# loop state) and streaming's _REPLAY_ROWS_PER_PART (8192, state-store
+# rows); 8192 here because these evals expand their input (pair
+# self-joins, shingle explosion), so the driving-table count
+# understates the shuffled volume.
+_EVAL_ROWS_PER_PART = 8192
+
+
+@_contextmanager
+def bounded_eval_scope(spark: SparkSession, n_rows: int):
+    """Input-derived shuffle width around an EAGER bounded-eval
+    computation; always restored in ``finally``. Yields the width.
+
+    Why: a multi-shuffle analytic eval over a bounded input pays the
+    session's corpus width at every exchange AND inside every
+    persisted intermediate — an InMemoryRelation keeps its build
+    width; AQE coalesces shuffle *reads*, not cache partitioning — so
+    under a vanilla 200-partition session the eval launches hundreds
+    of near-empty tasks per stage. Measured 10-20x on
+    q_association_rules / q_shingle_size_sensitivity /
+    q_graph_assortativity / q_graph_common_neighbors (13-28 s -> ~1 s
+    at sf0.01; BASELINE.md "Round 8 — bounded-eval width scope").
+    Width derives from the driving table's footer rows — max(4,
+    min(cap, rows // 8192 + 1)), cap = session width floored at 32 —
+    never a pinned constant, so a genuinely large input keeps corpus
+    width and the 100 TB posture is unchanged.
+
+    Callers MUST materialize inside the scope (these evals end in at
+    most a few dozen rows — ``localCheckpoint(eager=True)`` them): a
+    lazily returned DataFrame executes after ``finally`` restores the
+    conf and sees none of this (the graph-BFS lesson at
+    operators/graph.py::_node_loop_scope). AQE stays untouched —
+    single-pass plans benefit from it and the measured wins were taken
+    with AQE on; only iterative loop boundaries need it off (the
+    _node_loop_scope sibling). Conf is session-global for the scope's
+    duration — same single-threaded-driver regime as the siblings,
+    concurrent-query correctness pinned by
+    tests/test_dedup.py::test_lp_conf_scope_concurrent_query_correct.
+    """
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        cap = max(int(parts_was), 32)
+    except ValueError:
+        cap = 32
+    parts = max(4, min(cap, n_rows // _EVAL_ROWS_PER_PART + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 from keycloak_event_stream_spark.operators._exact import davg, sql_davg
 from keycloak_event_stream_spark.operators._scale import two_phase_window
 
@@ -2437,63 +2442,78 @@ def q_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     short docs (len < k → empty, the sequence-descending trap) and is
     map-side; candidates come from the shingle equi-self-join, never
     all-pairs."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    words = d.select("doc_id", F.split("text", " ").alias("w"))
-    frames = []
-    for k in (3, 5, 8):
-        sh = words.select(
-            F.lit(k).alias("k"),
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("w") >= k,
-                    F.expr(
-                        f"transform(sequence(1, size(w) - {k} + 1),"
-                        f" i -> md5(array_join(slice(w, i, {k}), ' ')))"
-                    ),
-                ).otherwise(F.expr("array()"))
-            ).alias("sh"),
-        ).distinct()
-        frames.append(sh)
-    shingles = frames[0].unionByName(frames[1]).unionByName(frames[2])
-    shingles = shingles.persist()
-    a = shingles.select("k", F.col("doc_id").alias("doc_a"), "sh")
-    b = shingles.select("k", F.col("doc_id").alias("doc_b"), "sh")
-    cand = (
-        a.join(b, ["k", "sh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("k", "doc_a", "doc_b")
-        .distinct()
-    )
-    cand = cand.persist()
-    pair_stats = cand.groupBy("k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
-    )
-    docs_in = (
-        cand.select("k", F.col("doc_a").alias("d"))
-        .unionByName(cand.select("k", F.col("doc_b").alias("d")))
-        .distinct()
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in_pairs"))
-    )
-    sh_stats = shingles.groupBy("k").agg(
-        F.countDistinct("sh").cast("bigint").alias("n_shingles")
-    )
-    return (
-        sh_stats.join(pair_stats, "k", "left")
-        .join(docs_in, "k", "left")
-        .select(
-            "k",
-            "n_shingles",
-            F.coalesce("n_candidate_pairs", F.lit(0))
-            .cast("bigint")
-            .alias("n_candidate_pairs"),
-            F.coalesce("n_docs_in_pairs", F.lit(0))
-            .cast("bigint")
-            .alias("n_docs_in_pairs"),
+    # Bounded-eval width (catalog.bounded_eval_scope): the 3-way
+    # shingle explosion, its two persisted pins and the candidate
+    # self-join at corpus width measured 18-28 s vanilla for a 3-row
+    # result; input-derived width reads ~2 s. The shingle table is
+    # ~3 x words-per-doc x docs rows, so the driving count is scaled
+    # by the expansion factor before the rows-per-part division. The
+    # WHOLE body runs under the scope: persist() compiles the cached
+    # subtree's physical plan eagerly at call time, so pins created
+    # outside the scope would keep corpus width forever.
+    n_drive = footer_rows(sf_dir, "documents") * 3 * 64
+    with bounded_eval_scope(spark, n_drive):
+        d = spread(load_table(spark, sf_dir, "documents"))
+        words = d.select("doc_id", F.split("text", " ").alias("w"))
+        frames = []
+        for k in (3, 5, 8):
+            sh = words.select(
+                F.lit(k).alias("k"),
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.size("w") >= k,
+                        F.expr(
+                            f"transform(sequence(1, size(w) - {k} + 1),"
+                            f" i -> md5(array_join(slice(w, i, {k}), ' ')))"
+                        ),
+                    ).otherwise(F.expr("array()"))
+                ).alias("sh"),
+            ).distinct()
+            frames.append(sh)
+        shingles = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        shingles = shingles.persist()
+        a = shingles.select("k", F.col("doc_id").alias("doc_a"), "sh")
+        b = shingles.select("k", F.col("doc_id").alias("doc_b"), "sh")
+        cand = (
+            a.join(b, ["k", "sh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("k", "doc_a", "doc_b")
+            .distinct()
         )
-        .orderBy("k")
-    )
+        cand = cand.persist()
+        pair_stats = cand.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+        )
+        docs_in = (
+            cand.select("k", F.col("doc_a").alias("d"))
+            .unionByName(cand.select("k", F.col("doc_b").alias("d")))
+            .distinct()
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in_pairs"))
+        )
+        sh_stats = shingles.groupBy("k").agg(
+            F.countDistinct("sh").cast("bigint").alias("n_shingles")
+        )
+        table = (
+            sh_stats.join(pair_stats, "k", "left")
+            .join(docs_in, "k", "left")
+            .select(
+                "k",
+                "n_shingles",
+                F.coalesce("n_candidate_pairs", F.lit(0))
+                .cast("bigint")
+                .alias("n_candidate_pairs"),
+                F.coalesce("n_docs_in_pairs", F.lit(0))
+                .cast("bigint")
+                .alias("n_docs_in_pairs"),
+            )
+            .orderBy("k")
+        )
+        out = table.localCheckpoint(eager=True)
+        shingles.unpersist()
+        cand.unpersist()
+    return out
 
 
 @_q(

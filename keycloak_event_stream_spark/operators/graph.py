@@ -22,7 +22,12 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 from keycloak_event_stream_spark.operators._exact import DEC
 
 QUERIES: dict = {}
@@ -551,53 +556,63 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion is bounded by cap x |edges| — linear in data, and the
     cap is the knob. Counts exact; one double division; deterministic
     (jaccard, cn, s1, s2) tiebreak; top-25 via TakeOrderedAndProject."""
-    o = spread(load_table(spark, sf_dir, "orders"))
-    l = spread(load_table(spark, sf_dir, "lineitem"))
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
-    kept = (
-        pairs.join(cdeg.filter(F.col("cd") <= _LP_HUB_CAP), "c")
-        .select("c", "s")
-        .persist()
-    )
-    sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
-    a, b = kept.alias("a"), kept.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+    # Bounded-eval width (catalog.bounded_eval_scope): the capped pair
+    # explosion + its persisted `kept` prefix at corpus width measured
+    # 12-13 s vanilla for a 25-row result; input-derived width reads
+    # ~1 s. The WHOLE body runs under the scope: persist() compiles
+    # the cached subtree's physical plan eagerly at call time, so a
+    # pin created outside the scope would keep corpus width forever.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = spread(load_table(spark, sf_dir, "orders"))
+        l = spread(load_table(spark, sf_dir, "lineitem"))
+        pairs = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
         )
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
-    )
-    d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
-    d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
-    # degree tables are |V|-sized: same guard as the iterative state
-    # vectors, via the conf-only path (no count action worth spending)
-    bcast = _use_broadcast(spark, None)
-    return (
-        common.join(_state(d1, bcast), "s1")
-        .join(_state(d2, bcast), "s2")
-        .select(
-            "s1",
-            "s2",
-            "cn",
-            "deg1",
-            "deg2",
-            (
-                F.col("cn").cast("double")
-                / (F.col("deg1") + F.col("deg2") - F.col("cn"))
-            ).alias("jaccard"),
+        cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
+        kept = (
+            pairs.join(cdeg.filter(F.col("cd") <= _LP_HUB_CAP), "c")
+            .select("c", "s")
+            .persist()
         )
-        .orderBy(
-            F.col("jaccard").desc(), F.col("cn").desc(), "s1", "s2"
+        sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
+        a, b = kept.alias("a"), kept.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+            )
+            .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
         )
-        .limit(25)
-    )
+        d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("deg1"))
+        d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("deg2"))
+        # degree tables are |V|-sized: same guard as the iterative state
+        # vectors, via the conf-only path (no count action worth spending)
+        bcast = _use_broadcast(spark, None)
+        ranked = (
+            common.join(_state(d1, bcast), "s1")
+            .join(_state(d2, bcast), "s2")
+            .select(
+                "s1",
+                "s2",
+                "cn",
+                "deg1",
+                "deg2",
+                (
+                    F.col("cn").cast("double")
+                    / (F.col("deg1") + F.col("deg2") - F.col("cn"))
+                ).alias("jaccard"),
+            )
+            .orderBy(
+                F.col("jaccard").desc(), F.col("cn").desc(), "s1", "s2"
+            )
+            .limit(25)
+        )
+        out = ranked.localCheckpoint(eager=True)
+        kept.unpersist()
+    return out
 
 
 @_q(
@@ -991,77 +1006,87 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints is two equi-joins against the node-sized degree table
     (broadcast); the correlation uses exact DECIMAL(38,0) moments
     with one sqrt+division (the q_spearman_corr discipline)."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
-    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
-    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
-        pairs.select(s_node.alias("src"), c_node.alias("dst"))
-    )
-    edges = edges.persist()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    # |V|-sized degree table: size-guarded hint (conf-only path)
-    bcast = _use_broadcast(spark, None)
-    ed = (
-        edges.join(
-            _state(
-                deg.select(
-                    F.col("node").alias("src"), F.col("d").alias("dx")
-                ),
-                bcast,
-            ),
-            "src",
+    # Bounded-eval width (catalog.bounded_eval_scope): the edge build,
+    # its persist and the two degree joins at corpus width measured
+    # 13-15 s vanilla for a 1-row result; input-derived width reads
+    # ~1 s. The WHOLE body runs under the scope: persist() compiles
+    # the cached subtree's physical plan eagerly at call time, so a
+    # pin created outside the scope would keep corpus width forever.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = load_table(spark, sf_dir, "orders")
+        l = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select("o_custkey", "l_suppkey")
+            .distinct()
         )
-        .join(
-            _state(
-                deg.select(
-                    F.col("node").alias("dst"), F.col("d").alias("dy")
-                ),
-                bcast,
-            ),
-            "dst",
+        c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+        s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+        edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+            pairs.select(s_node.alias("src"), c_node.alias("dst"))
         )
-        .select("dx", "dy")
-    )
-    m = ed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
-        .cast("decimal(38,0)")
-        .alias("sxy"),
-        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx"))
-        .cast("decimal(38,0)")
-        .alias("sxx"),
-        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
-        .cast("decimal(38,0)")
-        .alias("syy"),
-    )
-    num = (
-        F.col("n") * F.col("sxy")
-        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
-    ).cast("double")
-    den = F.sqrt(
-        (
-            F.col("n") * F.col("sxx")
-            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        edges = edges.persist()
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+        # |V|-sized degree table: size-guarded hint (conf-only path)
+        bcast = _use_broadcast(spark, None)
+        ed = (
+            edges.join(
+                _state(
+                    deg.select(
+                        F.col("node").alias("src"), F.col("d").alias("dx")
+                    ),
+                    bcast,
+                ),
+                "src",
+            )
+            .join(
+                _state(
+                    deg.select(
+                        F.col("node").alias("dst"), F.col("d").alias("dy")
+                    ),
+                    bcast,
+                ),
+                "dst",
+            )
+            .select("dx", "dy")
+        )
+        m = ed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dx").cast("bigint").alias("sx"),
+            F.sum("dy").cast("bigint").alias("sy"),
+            F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+        num = (
+            F.col("n") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
         ).cast("double")
-        * (
-            F.col("n") * F.col("syy")
-            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
-        ).cast("double")
-    )
-    return m.select(
-        F.col("n").alias("n_half_edges"),
-        (num / den).alias("assortativity"),
-    )
+        den = F.sqrt(
+            (
+                F.col("n") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            ).cast("double")
+            * (
+                F.col("n") * F.col("syy")
+                - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+            ).cast("double")
+        )
+        res = m.select(
+            F.col("n").alias("n_half_edges"),
+            (num / den).alias("assortativity"),
+        )
+        out = res.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out
 
 
 @_q(

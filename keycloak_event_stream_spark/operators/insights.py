@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 from keycloak_event_stream_spark.operators._scale import (
     exact_ntile,
     two_phase_window,
@@ -2859,60 +2864,70 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (the big item table is keyed, never broadcast); the order
     total is a 1-row cross join. Every metric is a single division
     of exact BIGINT counts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    items = items.persist()
-    n_orders = items.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n")
-    )
-    item_n = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    pair_n = (
-        a.join(b, ["ok"])
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-    )
-    top = pair_n.orderBy(
-        F.col("n_ab").desc(), "pa", "pb"
-    ).limit(25)
-    ia = item_n.select(
-        F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")
-    )
-    ib = item_n.select(
-        F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")
-    )
-    return (
-        F.broadcast(top)
-        .join(ia, "pa")
-        .join(ib, "pb")
-        .crossJoin(F.broadcast(n_orders))
-        .select(
-            F.col("pa").alias("antecedent"),
-            F.col("pb").alias("consequent"),
-            "n_ab",
-            "n_a",
-            "n_b",
-            F.col("n").alias("n_orders"),
-            (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
-            (F.col("n_ab").cast("double") / F.col("n_a")).alias(
-                "confidence"
-            ),
-            (
-                F.col("n_ab").cast("double")
-                * F.col("n")
-                / (F.col("n_a").cast("double") * F.col("n_b"))
-            ).alias("lift"),
+    # Bounded-eval width (catalog.bounded_eval_scope): the pair
+    # expansion + its persisted `items` prefix at corpus width measured
+    # 19-21 s vanilla for a 25-row result; input-derived width reads
+    # ~1 s. The WHOLE body runs under the scope: persist() compiles the
+    # cached subtree's physical plan eagerly at call time, so a pin
+    # created outside the scope would keep corpus width forever.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        li = load_table(spark, sf_dir, "lineitem")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        items = items.persist()
+        n_orders = items.agg(
+            F.countDistinct("l_orderkey").cast("bigint").alias("n")
         )
-        .orderBy(F.col("n_ab").desc(), "antecedent", "consequent")
-    )
+        item_n = items.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_item")
+        )
+        a = items.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+        )
+        pair_n = (
+            a.join(b, ["ok"])
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        )
+        top = pair_n.orderBy(
+            F.col("n_ab").desc(), "pa", "pb"
+        ).limit(25)
+        ia = item_n.select(
+            F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")
+        )
+        ib = item_n.select(
+            F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")
+        )
+        rules = (
+            F.broadcast(top)
+            .join(ia, "pa")
+            .join(ib, "pb")
+            .crossJoin(F.broadcast(n_orders))
+            .select(
+                F.col("pa").alias("antecedent"),
+                F.col("pb").alias("consequent"),
+                "n_ab",
+                "n_a",
+                "n_b",
+                F.col("n").alias("n_orders"),
+                (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
+                (F.col("n_ab").cast("double") / F.col("n_a")).alias(
+                    "confidence"
+                ),
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ).alias("lift"),
+            )
+            .orderBy(F.col("n_ab").desc(), "antecedent", "consequent")
+        )
+        out = rules.localCheckpoint(eager=True)
+        items.unpersist()
+    return out
 
 
 @_q(

@@ -64,8 +64,8 @@ _MODULES = [
 # names are driver-checked (CORRECTNESS_r01..r07 union, zero stale
 # reds), 169 never checked (reproduce:
 # set(queries) - union(CORRECTNESS_r01..r07 keys)). This window holds
-# EXACTLY 50 names: 39 never-checked + 11 re-checks, so a green r8
-# sheet lands coverage at 376/506 with 130 remaining (~2.6 more
+# EXACTLY 50 names: 35 never-checked + 15 re-checks, so a green r8
+# sheet lands coverage at 372/506 with 134 remaining (~2.7 more
 # windows at 50/round).
 #
 # This window, in order: (a) the two r7 registrations that only have
@@ -88,25 +88,38 @@ _MODULES = [
 # — measured r9 head item", landed late r8): s_stream_stream_semi/
 # full/left/_join + s_tumbling_uniques. The scope touches 17 s_*
 # names total; the other 12 (all oracle-green in the post-change
-# /tmp vanilla sweep) queue for r9 re-checks below.
+# /tmp vanilla sweep) queue for r9 re-checks below. Then the four
+# bounded-eval width-scope rewrites (catalog.bounded_eval_scope,
+# also landed late r8; BASELINE.md "Round 8 — bounded-eval width
+# scope"): q_association_rules, q_shingle_size_sensitivity,
+# q_graph_assortativity, q_graph_common_neighbors — their
+# multi-shuffle evals at the vanilla session's corpus width measured
+# 12-28 s for ≤25-row results and read ~1-2 s warm with input-derived
+# width (persist pins now compile inside the scope; pins released
+# after the eager materialization).
 # (c) the funnel/attribution family; (d) the
 # advanced-SQL block; (e) the remaining function packs incl. the
 # variant trio; (f) the eventstore pair. The profiling/layout block
-# (g) yielded its five slots to the replay re-checks and now leads
-# the r9 queue.
+# (g) yielded its five slots to the replay re-checks, and
+# q_conditional_funcs / q_map_higher_order / q_xml_parse /
+# q_regex_extract_all yielded theirs to the bounded-eval re-checks;
+# all nine join the r9 queue.
 #
-# Round-9/10 rotation plan for the 130 never-checked names left after
+# Round-9/10 rotation plan for the 134 never-checked names left after
 # a green r8 (verdict r7 #7a): r9 leads with the 12 remaining
 # replay-scope re-checks (s_tumbling_counts, s_sliding_agg,
 # s_watermark_late, s_session_windows, s_stream_dedup,
 # s_stream_static_join, s_stream_kl_monitor, s_stateful_profile,
 # s_window_topk, s_tumbling_approx_uniques, s_rate_alert,
 # s_session_flags — every one oracle-green in the post-change /tmp
-# vanilla sweep), then the five displaced profiling/layout names
-# (q_layout_partitioned_prune, q_partition_size_audit, q_dq_audit,
-# q_cluster_zorder, q_compaction_bins) and the three displaced in the
-# graph rotation (q_catalog_freshness, q_null_rate_matrix,
-# q_dup_key_audit); after those 20 slots, r9 takes the dedup/fingerprint tail
+# vanilla sweep), then the nine displaced first-time names — the
+# profiling/layout block (q_layout_partitioned_prune,
+# q_partition_size_audit, q_dq_audit, q_cluster_zorder,
+# q_compaction_bins) and the function-pack four (q_conditional_funcs,
+# q_map_higher_order, q_xml_parse, q_regex_extract_all) — and the
+# three displaced in the graph rotation (q_catalog_freshness,
+# q_null_rate_matrix, q_dup_key_audit); after those 24 slots, r9
+# takes the dedup/fingerprint tail
 # (q_dedup_bow/_prefix/_keep_best/_ngram_jaccard/_fuzzy_name,
 # q_fingerprint[_rolling], q_sim_search_pandas), the curation/sampling
 # names (q_dsir_importance, q_stratified_sample, q_sample_per_group,
@@ -143,6 +156,10 @@ _PRIORITY = [
     "s_stream_stream_left_join",
     "s_stream_stream_join",
     "s_tumbling_uniques",
+    "q_association_rules",
+    "q_shingle_size_sensitivity",
+    "q_graph_assortativity",
+    "q_graph_common_neighbors",
     # (c) funnel / attribution family (13, first-time)
     "q_funnel",
     "q_funnel_rates",
@@ -177,15 +194,18 @@ _PRIORITY = [
     "q_variant_nested",
     "q_variant_invalid",
     "q_url_funcs",
-    "q_conditional_funcs",
-    "q_map_higher_order",
-    "q_xml_parse",
-    "q_regex_extract_all",
     # (f) eventstore pair (2, first-time) — window cap reached at
     # exactly 50
     "q_eventstore_canonical",
     "q_eventstore_user_filter",
     # ---- refill: past-round windows + locally-verified families ----
+    # (q_conditional_funcs, q_map_higher_order, q_xml_parse and
+    # q_regex_extract_all yielded their slots to the bounded-eval
+    # width-scope re-checks and join the r9 first-time queue.)
+    "q_conditional_funcs",
+    "q_map_higher_order",
+    "q_xml_parse",
+    "q_regex_extract_all",
     # (below the ~50 cap: NOT driver-checked this round; relative order
     # preserved from the r7 file as documentation of past windows.
     # The profiling/layout block yielded its five slots to the
@@ -372,8 +392,6 @@ _PRIORITY = [
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_graph_degree_dist",
-    "q_graph_common_neighbors",
-    "q_graph_assortativity",
     "q_sketch_hll",
     "q_sketch_quantiles",
     "q_sketch_cms",
@@ -425,7 +443,6 @@ _PRIORITY = [
     "q_ema_crossover",
     "q_keyword_extraction",
     "q_token_cooccurrence_pmi",
-    "q_shingle_size_sensitivity",
     "q_embedding_bucket_stats",
     "q_cohort_matrix_triangle",
     "q_supplier_balance_abc",

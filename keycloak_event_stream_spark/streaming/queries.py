@@ -96,8 +96,6 @@ def read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 — BASELINE.md "Round 8 — measured r9 head item").
 _REPLAY_ROWS_PER_PART = 8192
 
-_FIXTURE_ROWS: dict[str, int] = {}
-
 # Observability handle (the LAST_BASKET_CAP_AUDIT idiom): what the most
 # recent scoped replay derived and restored, for tests and diagnosis —
 # the scope must never be a silent re-regime.
@@ -105,16 +103,12 @@ LAST_REPLAY_SCOPE: dict | None = None
 
 
 def _events_rows(spark: SparkSession, sf_dir: str) -> int:
-    """Row count of the bounded replay input, from parquet footer
-    metadata only (no Spark job), memoized per fixture dir — the width
-    driver for :func:`_run_to_memory`'s replay scope."""
-    n = _FIXTURE_ROWS.get(sf_dir)
-    if n is None:
-        import pyarrow.parquet as pq
+    """Row count of the bounded replay input (parquet footer metadata
+    only, memoized — catalog.footer_rows) — the width driver for
+    :func:`_run_to_memory`'s replay scope."""
+    from keycloak_event_stream_spark.catalog import footer_rows
 
-        n = pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
-        _FIXTURE_ROWS[sf_dir] = n
-    return n
+    return footer_rows(sf_dir, "events")
 
 
 def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFrame:
