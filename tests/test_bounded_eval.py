@@ -1,0 +1,99 @@
+"""The bounded-eval width scope (catalog.bounded_eval_scope): width
+derivation, conf restore, and result identity of a rewritten eval
+under a corpus-sized session width — the mechanism behind the round-8
+q_association_rules / q_shingle_size_sensitivity /
+q_graph_assortativity / q_graph_common_neighbors rewrites
+(BASELINE.md "Round 8 — bounded-eval width scope")."""
+
+from __future__ import annotations
+
+import pytest
+
+from keycloak_event_stream_spark.catalog import (
+    _EVAL_ROWS_PER_PART,
+    bounded_eval_scope,
+    footer_rows,
+    table_path,
+)
+from tests.conftest import SF_DIR
+
+
+def test_footer_rows_matches_parquet_metadata():
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "documents", "events"):
+        n = pq.ParquetFile(table_path(SF_DIR, t)).metadata.num_rows
+        assert footer_rows(SF_DIR, t) == n
+        # memoized: second call returns the same value
+        assert footer_rows(SF_DIR, t) == n
+
+
+@pytest.mark.parametrize(
+    "session_width,n_rows,expected",
+    [
+        # tiny input under a corpus session -> floor 4
+        ("200", 10, 4),
+        # the measured sf0.01 regime: ~60k rows -> 8
+        ("200", 60_000, 8),
+        # large input keeps the session's corpus width (cap)
+        ("200", 100_000_000, 200),
+        # a narrow session is floored at 32 for the cap, so a large
+        # input may widen past the session width (the _node_loop_scope
+        # convention)
+        # (a non-numeric session value is unreachable through a real
+        # session — conf.set validates the int — so the scope's
+        # ValueError fallback stays defensive-only, untested here)
+        ("4", 100_000_000, 32),
+    ],
+)
+def test_scope_width_formula_and_restore(spark, session_width, n_rows, expected):
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", session_width)
+    try:
+        with bounded_eval_scope(spark, n_rows) as parts:
+            assert parts == expected
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                expected
+            )
+        # restored verbatim, even a non-numeric caller value
+        assert spark.conf.get("spark.sql.shuffle.partitions") == session_width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
+
+
+def test_scope_restores_on_error(spark):
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            with bounded_eval_scope(spark, 10):
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
+
+
+def test_rewritten_eval_is_width_invariant(spark):
+    """q_graph_assortativity under a forced 200-partition session must
+    return exactly the session-width result — the scope re-regimes the
+    plan, never the values (its 1-row Pearson moment arithmetic is
+    exact DECIMAL, so bitwise equality is the right bar)."""
+    from keycloak_event_stream_spark.operators.graph import (
+        q_graph_assortativity,
+    )
+
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ref = q_graph_assortativity(spark, SF_DIR).collect()
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        wide = q_graph_assortativity(spark, SF_DIR).collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        assert ref == wide
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
+
+
+def test_eval_rows_per_part_constant_documented():
+    # the constant the width derivation divides by; a silent change
+    # here re-regimes every scoped eval, so pin it
+    assert _EVAL_ROWS_PER_PART == 8192
