@@ -101,13 +101,17 @@ def footer_rows(sf_dir: str, name: str) -> int:
     """Parquet-footer row count of a fixture table — metadata only, no
     Spark job, memoized per (dir, table). The width driver for
     :func:`bounded_eval_scope` and the streaming replay scope
-    (streaming/queries.py::_events_rows)."""
+    (streaming/queries.py::_events_rows). pyarrow.dataset handles both
+    layouts a table path can take: the driver fixtures' single files
+    AND Spark-written directories of part files (the 10x replica that
+    tools/scale_probe.py builds — a plain pq.ParquetFile here crashed
+    on it); count_rows() reads footers only either way."""
     key = (sf_dir, name)
     n = _FOOTER_ROWS.get(key)
     if n is None:
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
 
-        n = pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+        n = ds.dataset(table_path(sf_dir, name), format="parquet").count_rows()
         _FOOTER_ROWS[key] = n
     return n
 

@@ -2510,9 +2510,11 @@ def q_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("k")
         )
-        out = table.localCheckpoint(eager=True)
-        shingles.unpersist()
-        cand.unpersist()
+        try:
+            out = table.localCheckpoint(eager=True)
+        finally:
+            shingles.unpersist()
+            cand.unpersist()
     return out
 
 

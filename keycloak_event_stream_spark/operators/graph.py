@@ -610,8 +610,10 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .limit(25)
         )
-        out = ranked.localCheckpoint(eager=True)
-        kept.unpersist()
+        try:
+            out = ranked.localCheckpoint(eager=True)
+        finally:
+            kept.unpersist()
     return out
 
 
@@ -1084,8 +1086,10 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_half_edges"),
             (num / den).alias("assortativity"),
         )
-        out = res.localCheckpoint(eager=True)
-        edges.unpersist()
+        try:
+            out = res.localCheckpoint(eager=True)
+        finally:
+            edges.unpersist()
     return out
 
 

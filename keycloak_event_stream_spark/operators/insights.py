@@ -2925,8 +2925,10 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("n_ab").desc(), "antecedent", "consequent")
         )
-        out = rules.localCheckpoint(eager=True)
-        items.unpersist()
+        try:
+            out = rules.localCheckpoint(eager=True)
+        finally:
+            items.unpersist()
     return out
 
 

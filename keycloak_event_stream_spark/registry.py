@@ -144,7 +144,7 @@ _PRIORITY = [
     # (a) new registrations needing first driver proof (2)
     "s_dedup_state_audit",
     "q_lsh_intake_recall_eval",
-    # (b) round-8 code-change re-checks (11)
+    # (b) round-8 code-change re-checks (15)
     "q_join_asof_pandas",
     "q_dedup_components",
     "q_dedup_near_minhash",
@@ -185,7 +185,7 @@ _PRIORITY = [
     "q_grouping_sets_distinct",
     "q_string_agg",
     "q_posexplode_tokens",
-    # (e) remaining function packs (12, first-time)
+    # (e) remaining function packs (8, first-time)
     "q_array_hof",
     "q_bit_funcs",
     "q_hash_funcs",

@@ -102,10 +102,10 @@ _REPLAY_ROWS_PER_PART = 8192
 LAST_REPLAY_SCOPE: dict | None = None
 
 
-def _events_rows(spark: SparkSession, sf_dir: str) -> int:
+def _events_rows(sf_dir: str) -> int:
     """Row count of the bounded replay input (parquet footer metadata
-    only, memoized — catalog.footer_rows) — the width driver for
-    :func:`_run_to_memory`'s replay scope."""
+    only, memoized — catalog.footer_rows; no Spark job) — the width
+    driver for :func:`_run_to_memory`'s replay scope."""
     from keycloak_event_stream_spark.catalog import footer_rows
 
     return footer_rows(sf_dir, "events")
@@ -136,6 +136,11 @@ def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFra
     parts_was = None
     if rows is not None:
         parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        # Deliberately NOT catalog.bounded_eval_scope's cap policy:
+        # that scope floors the cap at 32 (an eval may widen past a
+        # narrow test session), while a replay's state width must
+        # never exceed the session width — state-store instances per
+        # partition are the cost being bounded here.
         try:
             cap = int(parts_was)
         except ValueError:
@@ -229,7 +234,7 @@ def s_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "complete", rows=_events_rows(sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -268,7 +273,7 @@ def s_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
-    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "complete", rows=_events_rows(sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -303,7 +308,7 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = _run_to_memory(agg, "append", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "append", rows=_events_rows(sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -351,7 +356,7 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = _run_to_memory(agg, "append", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "append", rows=_events_rows(sf_dir))
     return res.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -376,7 +381,7 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(
-        deduped, "append", rows=_events_rows(spark, sf_dir)
+        deduped, "append", rows=_events_rows(sf_dir)
     )
 
 
@@ -427,7 +432,7 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return _run_to_memory(
-        joined, "append", rows=_events_rows(spark, sf_dir)
+        joined, "append", rows=_events_rows(sf_dir)
     )
 
 
@@ -529,7 +534,7 @@ def s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         purchase_click_stream_join(p, c, "left_outer"),
         "append",
-        rows=_events_rows(spark, sf_dir),
+        rows=_events_rows(sf_dir),
     )
 
 
@@ -579,7 +584,7 @@ def s_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         purchase_click_stream_join(p, c, "full_outer"),
         "append",
-        rows=_events_rows(spark, sf_dir),
+        rows=_events_rows(sf_dir),
     )
 
 
@@ -614,7 +619,7 @@ def s_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         purchase_click_stream_join(p, c, "left_semi"),
         "append",
-        rows=_events_rows(spark, sf_dir),
+        rows=_events_rows(sf_dir),
     )
 
 
@@ -646,7 +651,7 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(customer), stream.user_id == customer.c_custkey
     ).select("event_id", "user_id", "event_type", "customer_name", "nationkey")
     return _run_to_memory(
-        joined, "append", rows=_events_rows(spark, sf_dir)
+        joined, "append", rows=_events_rows(sf_dir)
     )
 
 
@@ -684,7 +689,7 @@ def s_stream_kl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     landed = _run_to_memory(
-        counts, "complete", rows=_events_rows(spark, sf_dir)
+        counts, "complete", rows=_events_rows(sf_dir)
     )
     tot = landed.agg(F.sum("c").cast("bigint").alias("t"))
     frac = F.col("c").cast("double") / F.col("t")
@@ -880,7 +885,7 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(
         running_user_profile(stream),
         "append",
-        rows=_events_rows(spark, sf_dir),
+        rows=_events_rows(sf_dir),
     )
     final = F.max(F.struct("n_events", "last_ts")).alias("s")
     return (
@@ -928,7 +933,7 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "complete", rows=_events_rows(sf_dir))
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("window_start").orderBy(
@@ -980,7 +985,7 @@ def s_tumbling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
-    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "complete", rows=_events_rows(sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -1025,7 +1030,7 @@ def s_tumbling_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    res = _run_to_memory(agg, "complete", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "complete", rows=_events_rows(sf_dir))
     return res.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -1079,7 +1084,7 @@ def s_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     res = _run_to_memory(
-        agg, "complete", rows=_events_rows(spark, sf_dir)
+        agg, "complete", rows=_events_rows(sf_dir)
     ).select(
         F.col("window.start").alias("window_start"), "n"
     )
@@ -1168,7 +1173,7 @@ def s_session_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_purchase"),
         )
     )
-    res = _run_to_memory(agg, "append", rows=_events_rows(spark, sf_dir))
+    res = _run_to_memory(agg, "append", rows=_events_rows(sf_dir))
     return res.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),

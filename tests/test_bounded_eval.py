@@ -28,6 +28,16 @@ def test_footer_rows_matches_parquet_metadata():
         assert footer_rows(SF_DIR, t) == n
 
 
+def test_footer_rows_handles_directory_layout(spark, tmp_path):
+    """A table path may be a Spark-written DIRECTORY of part files (the
+    10x replica tools/scale_probe.py builds), not just the fixtures'
+    single files — footer_rows must count both (it crashed on
+    directories when it used pq.ParquetFile directly)."""
+    out = str(tmp_path / "events.parquet")
+    spark.range(1000).selectExpr("id AS event_id").repartition(4).write.parquet(out)
+    assert footer_rows(str(tmp_path), "events") == 1000
+
+
 @pytest.mark.parametrize(
     "session_width,n_rows,expected",
     [

@@ -963,7 +963,7 @@ def test_replay_scope_derives_width_and_restores_conf(spark):
     from tests.conftest import SF_DIR
 
     n_events = pq.ParquetFile(table_path(SF_DIR, "events")).metadata.num_rows
-    assert sq._events_rows(spark, SF_DIR) == n_events  # memoized footer count
+    assert sq._events_rows(SF_DIR) == n_events  # memoized footer count
 
     was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "200")
