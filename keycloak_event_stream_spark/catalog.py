@@ -94,24 +94,45 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-_FOOTER_ROWS: dict[tuple[str, str], int] = {}
+_FOOTER_ROWS: dict[tuple[str, str, int, int], int] = {}
+
+
+def _path_sig(path: str) -> tuple[int, int]:
+    """Cheap freshness signature for a table path: (max mtime_ns, total
+    size) over the path itself and, for a directory layout, its
+    immediate entries. stat-only — no footer reads — so the memo below
+    stays metadata-cheap while an in-process REWRITE of the same path
+    (e.g. tools/scale_probe.py rebuilding the 10x replica after a
+    prior count) changes the signature and invalidates the stale
+    count (r8 ADVICE: a forever-memo silently drove the wrong shuffle
+    width after a rewrite)."""
+    st = os.stat(path)
+    mt, sz = st.st_mtime_ns, st.st_size
+    if os.path.isdir(path):
+        for entry in os.scandir(path):
+            est = entry.stat()
+            mt = max(mt, est.st_mtime_ns)
+            sz += est.st_size
+    return mt, sz
 
 
 def footer_rows(sf_dir: str, name: str) -> int:
     """Parquet-footer row count of a fixture table — metadata only, no
-    Spark job, memoized per (dir, table). The width driver for
-    :func:`bounded_eval_scope` and the streaming replay scope
-    (streaming/queries.py::_events_rows). pyarrow.dataset handles both
-    layouts a table path can take: the driver fixtures' single files
-    AND Spark-written directories of part files (the 10x replica that
-    tools/scale_probe.py builds — a plain pq.ParquetFile here crashed
-    on it); count_rows() reads footers only either way."""
-    key = (sf_dir, name)
+    Spark job, memoized per (dir, table, path signature) so a rewrite
+    of the same path re-counts instead of serving the stale number.
+    The width driver for :func:`bounded_eval_scope` and the streaming
+    replay scope (streaming/queries.py::_events_rows). pyarrow.dataset
+    handles both layouts a table path can take: the driver fixtures'
+    single files AND Spark-written directories of part files (the 10x
+    replica that tools/scale_probe.py builds — a plain pq.ParquetFile
+    here crashed on it); count_rows() reads footers only either way."""
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name, *_path_sig(path))
     n = _FOOTER_ROWS.get(key)
     if n is None:
         import pyarrow.dataset as ds
 
-        n = ds.dataset(table_path(sf_dir, name), format="parquet").count_rows()
+        n = ds.dataset(path, format="parquet").count_rows()
         _FOOTER_ROWS[key] = n
     return n
 

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -2135,78 +2140,90 @@ def q_lsh_intake_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap-debris class the one-JVM 500-query sweeps have OOMed on
     (round-8 fix; the returned DataFrame is a local 1-row frame, so
     downstream re-execution never recomputes the pipeline either)."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    eligible = (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= _SHINGLE)
-        .select("doc_id", "text")
-    )
-    bands = band_keys(eligible).persist()
-    bucket_min = bands.groupBy("band", "bkey").agg(
-        F.min("doc_id").alias("min_doc")
-    )
-    dropped = (
-        bands.join(bucket_min, ["band", "bkey"])
-        .filter(F.col("doc_id") > F.col("min_doc"))
-        .select("doc_id")
-        .distinct()
-        .persist()
-    )
-    admitted = eligible.select("doc_id").join(dropped, "doc_id", "left_anti")
-    tp = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
-    contaminated = (
-        tp.join(admitted.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
-        .join(admitted.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
-    )
-    unjustified = dropped.join(
-        tp.select("doc_b").withColumnRenamed("doc_b", "doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    combined = (
-        eligible.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .crossJoin(
-            F.broadcast(
-                admitted.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_admitted")
+    # Bounded-eval width (catalog.bounded_eval_scope): the r8 ABA
+    # probe (BASELINE.md "measured r9 perf queue") read this eval
+    # at 9.6 s vanilla sf0.01 — 'mixed' class: the batch half (band
+    # explosion + bucket-min + the nested near-minhash ground truth)
+    # is width-bound at corpus width. The WHOLE body runs under the
+    # scope — every persist (bands/dropped/tp and the nested shared
+    # prefix's pins) compiles its physical plan eagerly at call
+    # time, and the one materializing action (the collect below) is
+    # already inside the function. Width drives off band rows
+    # (_B bands per eligible doc).
+    n_drive = footer_rows(sf_dir, "documents") * _B
+    with bounded_eval_scope(spark, n_drive):
+        d = spread(load_table(spark, sf_dir, "documents"))
+        eligible = (
+            d.withColumn("w", F.split("text", " "))
+            .filter(F.size("w") >= _SHINGLE)
+            .select("doc_id", "text")
+        )
+        bands = band_keys(eligible).persist()
+        bucket_min = bands.groupBy("band", "bkey").agg(
+            F.min("doc_id").alias("min_doc")
+        )
+        dropped = (
+            bands.join(bucket_min, ["band", "bkey"])
+            .filter(F.col("doc_id") > F.col("min_doc"))
+            .select("doc_id")
+            .distinct()
+            .persist()
+        )
+        admitted = eligible.select("doc_id").join(dropped, "doc_id", "left_anti")
+        tp = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
+        contaminated = (
+            tp.join(admitted.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+            .join(admitted.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+        )
+        unjustified = dropped.join(
+            tp.select("doc_b").withColumnRenamed("doc_b", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        combined = (
+            eligible.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .crossJoin(
+                F.broadcast(
+                    admitted.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_admitted")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    dropped.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_dropped")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    contaminated.agg(
+                        F.count(F.lit(1))
+                        .cast("bigint")
+                        .alias("contaminated_true_pairs")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    unjustified.agg(
+                        F.count(F.lit(1))
+                        .cast("bigint")
+                        .alias("unjustified_drops")
+                    )
                 )
             )
         )
-        .crossJoin(
-            F.broadcast(
-                dropped.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_dropped")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                contaminated.agg(
-                    F.count(F.lit(1))
-                    .cast("bigint")
-                    .alias("contaminated_true_pairs")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                unjustified.agg(
-                    F.count(F.lit(1))
-                    .cast("bigint")
-                    .alias("unjustified_drops")
-                )
-            )
-        )
-    )
-    # one action for all five scalars, then release the caches: the
-    # crossJoin-of-aggregates plan is a single job, and the 1-row
-    # collect is API-terminal by construction (this query IS a scalar
-    # report), not a distributed operator leaking to the driver. The
-    # release covers the three local pins AND the clone/band tables
-    # the nested q_dedup_near_minhash's shared prefix persisted
-    # (LAST_PREFIX_PINS) — nothing corpus-sized stays pinned behind
-    # the returned local 1-row frame.
-    rows = combined.collect()
-    for cached in (bands, dropped, tp, *LAST_PREFIX_PINS):
-        cached.unpersist()
-    return spark.createDataFrame(rows, combined.schema)
+        # one action for all five scalars, then release the caches: the
+        # crossJoin-of-aggregates plan is a single job, and the 1-row
+        # collect is API-terminal by construction (this query IS a scalar
+        # report), not a distributed operator leaking to the driver. The
+        # release covers the three local pins AND the clone/band tables
+        # the nested q_dedup_near_minhash's shared prefix persisted
+        # (LAST_PREFIX_PINS) — nothing corpus-sized stays pinned behind
+        # the returned local 1-row frame.
+        rows = combined.collect()
+        for cached in (bands, dropped, tp, *LAST_PREFIX_PINS):
+            cached.unpersist()
+        return spark.createDataFrame(rows, combined.schema)

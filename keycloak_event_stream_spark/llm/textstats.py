@@ -96,6 +96,17 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stopword list used by the quality heuristic (shared Spark/oracle).
 _STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
+# Words-per-document assumption for the bounded-eval width drivers
+# whose shuffled volume is token/shingle rows, not document rows (r8
+# ADVICE: the factor was an unnamed literal). 64 matches the driver
+# fixture's synthetic documents and is deliberately a WIDTH heuristic,
+# not a correctness input: bounded_eval_scope caps the derived width
+# at the session width, so a corpus of much longer documents merely
+# runs the eval at the (correct-anyway) session width instead of the
+# tighter derived one. Callers multiply footer_rows(documents) by this
+# and any per-word expansion factor (e.g. x3 for the 3 shingle sizes).
+_EST_WORDS_PER_DOC = 64
+
 
 @_q(
     "q_quality_score",
@@ -2447,11 +2458,13 @@ def q_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join at corpus width measured 18-28 s vanilla for a 3-row
     # result; input-derived width reads ~2 s. The shingle table is
     # ~3 x words-per-doc x docs rows, so the driving count is scaled
-    # by the expansion factor before the rows-per-part division. The
-    # WHOLE body runs under the scope: persist() compiles the cached
-    # subtree's physical plan eagerly at call time, so pins created
-    # outside the scope would keep corpus width forever.
-    n_drive = footer_rows(sf_dir, "documents") * 3 * 64
+    # by the expansion factor before the rows-per-part division
+    # (x3 shingle sizes x _EST_WORDS_PER_DOC — see that constant's
+    # rationale for why a heuristic is safe here). The WHOLE body runs
+    # under the scope: persist() compiles the cached subtree's
+    # physical plan eagerly at call time, so pins created outside the
+    # scope would keep corpus width forever.
+    n_drive = footer_rows(sf_dir, "documents") * 3 * _EST_WORDS_PER_DOC
     with bounded_eval_scope(spark, n_drive):
         d = spread(load_table(spark, sf_dir, "documents"))
         words = d.select("doc_id", F.split("text", " ").alias("w"))
@@ -2753,41 +2766,55 @@ def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations; the two count tables and the 1-row type total join
     back by key (broadcast-sized). Top-50 by (count, w1, w2) total
     order."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select(F.split("text", " ").alias("w"))
-    pairs = toks.select(
-        F.expr(
-            "CASE WHEN size(w) >= 2 THEN "
-            "transform(sequence(1, size(w) - 1), "
-            "i -> struct(w[i-1] AS w1, w[i] AS w2)) "
-            "ELSE array() END"
-        ).alias("bigrams")
-    ).select(F.explode("bigrams").alias("bg"))
-    cb = pairs.groupBy(
-        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cu = cb.groupBy("w1").agg(
-        F.sum("c").cast("bigint").alias("cw1"),
-        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
-    )
-    bwd = cb.groupBy("w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
-    )
-    btypes = cb.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
-    p_kn = (F.col("c").cast("double") - F.lit(0.75)) / F.col("cw1") + (
-        F.lit(0.75) * F.col("n1p_fwd") / F.col("cw1")
-    ) * (F.col("n1p_bwd").cast("double") / F.col("b"))
-    return (
-        cb.join(cu, "w1")
-        .join(bwd, "w2")
-        .crossJoin(F.broadcast(btypes))
-        .select(
-            "w1",
-            "w2",
-            F.col("c").alias("c_bigram"),
-            F.col("cw1").alias("c_context"),
-            p_kn.alias("p_kn"),
+    # Bounded-eval width (catalog.bounded_eval_scope): the bigram
+    # explosion feeds THREE count aggregations plus the two key
+    # re-joins and the top-50 order spread; at corpus width the chain
+    # measured 4.8 s vanilla sf0.01 for a 50-row result (r8 ABA probe,
+    # BASELINE.md "measured r9 perf queue"), ~1.4 s at input-derived
+    # width. The shuffled volume is bigram rows (~words-per-doc x
+    # docs), so the driving count scales by _EST_WORDS_PER_DOC. No
+    # persists here and the result is 50 rows, but the WHOLE body
+    # still runs under the scope with an eager materialization so the
+    # lazily returned frame can't execute after the conf restore.
+    n_drive = footer_rows(sf_dir, "documents") * _EST_WORDS_PER_DOC
+    with bounded_eval_scope(spark, n_drive):
+        d = spread(load_table(spark, sf_dir, "documents"))
+        toks = d.select(F.split("text", " ").alias("w"))
+        pairs = toks.select(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i-1] AS w1, w[i] AS w2)) "
+                "ELSE array() END"
+            ).alias("bigrams")
+        ).select(F.explode("bigrams").alias("bg"))
+        cb = pairs.groupBy(
+            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        cu = cb.groupBy("w1").agg(
+            F.sum("c").cast("bigint").alias("cw1"),
+            F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
         )
-        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
-        .limit(50)
-    )
+        bwd = cb.groupBy("w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
+        )
+        btypes = cb.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+        p_kn = (F.col("c").cast("double") - F.lit(0.75)) / F.col("cw1") + (
+            F.lit(0.75) * F.col("n1p_fwd") / F.col("cw1")
+        ) * (F.col("n1p_bwd").cast("double") / F.col("b"))
+        out = (
+            cb.join(cu, "w1")
+            .join(bwd, "w2")
+            .crossJoin(F.broadcast(btypes))
+            .select(
+                "w1",
+                "w2",
+                F.col("c").alias("c_bigram"),
+                F.col("cw1").alias("c_context"),
+                p_kn.alias("p_kn"),
+            )
+            .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+            .limit(50)
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -1139,39 +1139,54 @@ def q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     true division) is at most 1 part in 1e7 of the smallest weight.
     The per-pair aggregate shuffles (s1, s2, weight) only; top-25 via
     TakeOrderedAndProject on the (ra_micro, cn, s1, s2) total order."""
-    o = spread(load_table(spark, sf_dir, "orders"))
-    l = spread(load_table(spark, sf_dir, "lineitem"))
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
-    kept = (
-        pairs.join(cdeg.filter(F.col("cd") <= _LP_HUB_CAP), "c")
-        .select("c", "s", "cd")
-        .persist()
-    )
-    a, b = kept.alias("a"), kept.alias("b")
-    scored = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+    # Bounded-eval width (catalog.bounded_eval_scope): same capped
+    # pair explosion + persisted `kept` prefix as
+    # q_graph_common_neighbors; at corpus width it measured 13.9 s
+    # vanilla sf0.01 for a 25-row result (r8 ABA probe, BASELINE.md
+    # "measured r9 perf queue"), ~1.4 s at input-derived width. WHOLE
+    # body under the scope (the persist compiles its physical plan
+    # eagerly at call time).
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = spread(load_table(spark, sf_dir, "orders"))
+        l = spread(load_table(spark, sf_dir, "lineitem"))
+        pairs = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
         )
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum(F.expr("1000000000 div a.cd")).cast("bigint").alias("ra_micro"),
+        cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
+        kept = (
+            pairs.join(cdeg.filter(F.col("cd") <= _LP_HUB_CAP), "c")
+            .select("c", "s", "cd")
+            .persist()
         )
-    )
-    return (
-        scored.select(
-            "s1",
-            "s2",
-            "cn",
-            "ra_micro",
-            (F.col("ra_micro").cast("double") / F.lit(1e9)).alias("ra"),
+        a, b = kept.alias("a"), kept.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+            )
+            .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cn"),
+                F.sum(F.expr("1000000000 div a.cd"))
+                .cast("bigint")
+                .alias("ra_micro"),
+            )
         )
-        .orderBy(F.col("ra_micro").desc(), F.col("cn").desc(), "s1", "s2")
-        .limit(25)
-    )
+        ranked = (
+            scored.select(
+                "s1",
+                "s2",
+                "cn",
+                "ra_micro",
+                (F.col("ra_micro").cast("double") / F.lit(1e9)).alias("ra"),
+            )
+            .orderBy(F.col("ra_micro").desc(), F.col("cn").desc(), "s1", "s2")
+            .limit(25)
+        )
+        try:
+            out = ranked.localCheckpoint(eager=True)
+        finally:
+            kept.unpersist()
+    return out

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
     with_totals,
@@ -3827,57 +3832,74 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from two-phase range-partitioned row_numbers (two order spreads,
     no single-task sort); the Pearson-on-ranks moments are exact
     integers in DECIMAL(38,0) with one double division at the end."""
-    o = spread(load_table(spark, sf_dir, "orders"))
-    l = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(o.o_orderkey, "o_totalprice")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
-        .select(
-            "o_orderkey",
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("price_c"),
-            "n_lines",
+    # Bounded-eval width (catalog.bounded_eval_scope): the join + the
+    # two two-phase order spreads + the rank re-join at corpus width
+    # measured 10.0 s vanilla sf0.01 for a 1-row result (r8 ABA probe,
+    # BASELINE.md "measured r9 perf queue"); input-derived width reads
+    # ~1.7 s. The WHOLE body runs under the scope: the per_order
+    # persist and the pooled two-phase range pins compile their
+    # physical plans eagerly at call time, so pins created outside the
+    # scope would keep corpus width forever. Driving count is lineitem
+    # (the join's large side); the moments materialize eagerly inside
+    # via localCheckpoint before the scope restores the conf.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = spread(load_table(spark, sf_dir, "orders"))
+        l = load_table(spark, sf_dir, "lineitem")
+        per_order = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(o.o_orderkey, "o_totalprice")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .alias("price_c"),
+                "n_lines",
+            )
         )
-    )
-    per_order = per_order.persist()
-    rx = two_phase_window(
-        per_order, [F.col("price_c"), F.col("o_orderkey")], row_number="rx"
-    ).select("o_orderkey", "rx")
-    ry = two_phase_window(
-        per_order, [F.col("n_lines"), F.col("o_orderkey")], row_number="ry"
-    ).select("o_orderkey", "ry")
-    ranked = rx.join(ry, "o_orderkey")
-    m = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rx").cast("bigint").alias("sx"),
-        F.sum("ry").cast("bigint").alias("sy"),
-        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry"))
-        .cast("decimal(38,0)")
-        .alias("sxy"),
-        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx"))
-        .cast("decimal(38,0)")
-        .alias("sxx"),
-        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry"))
-        .cast("decimal(38,0)")
-        .alias("syy"),
-    )
-    num = (
-        F.col("n") * F.col("sxy")
-        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
-    ).cast("double")
-    den = F.sqrt(
-        (
-            F.col("n") * F.col("sxx")
-            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        per_order = per_order.persist()
+        rx = two_phase_window(
+            per_order, [F.col("price_c"), F.col("o_orderkey")], row_number="rx"
+        ).select("o_orderkey", "rx")
+        ry = two_phase_window(
+            per_order, [F.col("n_lines"), F.col("o_orderkey")], row_number="ry"
+        ).select("o_orderkey", "ry")
+        ranked = rx.join(ry, "o_orderkey")
+        m = ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("rx").cast("bigint").alias("sx"),
+            F.sum("ry").cast("bigint").alias("sy"),
+            F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+        num = (
+            F.col("n") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
         ).cast("double")
-        * (
-            F.col("n") * F.col("syy")
-            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
-        ).cast("double")
-    )
-    return m.select("n", (num / den).alias("spearman_rho"))
+        den = F.sqrt(
+            (
+                F.col("n") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            ).cast("double")
+            * (
+                F.col("n") * F.col("syy")
+                - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+            ).cast("double")
+        )
+        try:
+            out = m.select("n", (num / den).alias("spearman_rho")).localCheckpoint(
+                eager=True
+            )
+        finally:
+            per_order.unpersist()
+    return out
 
 
 @_q(

@@ -103,6 +103,50 @@ def test_rewritten_eval_is_width_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", was)
 
 
+def test_footer_rows_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting a table at the SAME path must re-count (r8 ADVICE:
+    the memo keyed on (dir, name) alone served the stale count after
+    tools/scale_probe.py rebuilt the 10x replica in-process, silently
+    driving the wrong shuffle width)."""
+    out = str(tmp_path / "events.parquet")
+    spark.range(100).selectExpr("id AS event_id").write.parquet(out)
+    assert footer_rows(str(tmp_path), "events") == 100
+    spark.range(5000).selectExpr("id AS event_id").write.mode(
+        "overwrite"
+    ).parquet(out)
+    assert footer_rows(str(tmp_path), "events") == 5000
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the r9 width-scope adoptions (BASELINE.md "Round 9 —
+        # bounded-eval width scope, second wave"): each probed as
+        # width-class in the r8 ABA queue, rewritten under
+        # bounded_eval_scope, and — like the r8 four — required to be
+        # bitwise regime-invariant (exact integer/DECIMAL internals;
+        # only terminal double divisions).
+        "q_graph_resource_alloc",
+        "q_spearman_corr",
+        "q_kn_bigram_lm",
+        "q_lsh_intake_recall_eval",
+    ],
+)
+def test_r9_scoped_eval_is_width_invariant(spark, name):
+    from keycloak_event_stream_spark.registry import collect
+
+    queries, _ = collect()
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ref = sorted(map(tuple, queries[name](spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        wide = sorted(map(tuple, queries[name](spark, SF_DIR).collect()))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        assert ref == wide
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
+
+
 def test_eval_rows_per_part_constant_documented():
     # the constant the width derivation divides by; a silent change
     # here re-regimes every scoped eval, so pin it
