@@ -137,6 +137,41 @@ def footer_rows(sf_dir: str, name: str) -> int:
     return n
 
 
+_FOOTER_TS_RANGE: dict[tuple, tuple] = {}
+
+
+def footer_ts_range(sf_dir: str, name: str, column: str = "ts"):
+    """(min, max) of a timestamp column from parquet footer statistics
+    — metadata only, no Spark job, memoized with the same
+    path-signature freshness key as :func:`footer_rows`. Returns
+    ``(None, None)`` when any fragment lacks min/max stats for the
+    column (callers must treat that as 'span unknown' and keep their
+    conservative default). Used by the streaming replay grain
+    (streaming/queries.py::_replay_grain) to derive expected rows per
+    partition dir without scanning data."""
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name, column, *_path_sig(path))
+    r = _FOOTER_TS_RANGE.get(key)
+    if r is None:
+        import pyarrow.dataset as ds
+
+        lo = hi = None
+        for frag in ds.dataset(path, format="parquet").get_fragments():
+            for rg in frag.metadata.to_dict()["row_groups"]:
+                for col in rg["columns"]:
+                    if col["path_in_schema"] != column:
+                        continue
+                    st = col.get("statistics")
+                    if not st or st.get("min") is None or st.get("max") is None:
+                        _FOOTER_TS_RANGE[key] = (None, None)
+                        return (None, None)
+                    lo = st["min"] if lo is None else min(lo, st["min"])
+                    hi = st["max"] if hi is None else max(hi, st["max"])
+        r = (lo, hi)
+        _FOOTER_TS_RANGE[key] = r
+    return r
+
+
 # Target rows per shuffle partition for a bounded analytic eval — the
 # same constant family as graph.py::_LOOP_ROWS_PER_PART (65536, |V|-row
 # loop state) and streaming's _REPLAY_ROWS_PER_PART (8192, state-store

@@ -275,14 +275,23 @@ class KeycloakEventStore:
         self._admin_path = f"{self.root}/admin-events"
 
     # -- write path -----------------------------------------------------
+    #: Allowed partition grains, finest first. The layout is always a
+    #: PREFIX of the full dt/hour scheme so a coarser-grain write stays
+    #: readable (and prunable on dt) alongside full-grain data; hour
+    #: simply remains a data column instead of a directory level.
+    GRAINS = (("dt", "hour"), ("dt",), ())
+
     @staticmethod
-    def _layout(flat: DataFrame) -> DataFrame:
-        """Small-files + pruning discipline: co-locate each (dt, hour)
-        partition's rows into one task (one output file per partition
-        per batch instead of tasks x partitions), sorted by event time
-        so parquet row-group min/max statistics prune time-range scans
-        inside the hour."""
-        return flat.repartition("dt", "hour").sortWithinPartitions("time")
+    def _layout(flat: DataFrame, grain: tuple[str, ...] = ("dt", "hour")) -> DataFrame:
+        """Small-files + pruning discipline: co-locate each partition
+        dir's rows into one task (one output file per partition per
+        batch instead of tasks x partitions), sorted by event time so
+        parquet row-group min/max statistics prune time-range scans
+        inside the dir. An empty grain (unpartitioned bounded replay)
+        skips the co-location shuffle — there is exactly one dir."""
+        if not grain:
+            return flat.sortWithinPartitions("time")
+        return flat.repartition(*grain).sortWithinPartitions("time")
 
     def ingest(self, raw_events: DataFrame) -> None:
         """Batch ingest of raw user events (the tx-commit flush,
@@ -299,22 +308,44 @@ class KeycloakEventStore:
             self._admin_path
         )
 
-    def ingest_stream(self, raw_stream: DataFrame, checkpoint: str, admin: bool = False):
+    def ingest_stream(
+        self,
+        raw_stream: DataFrame,
+        checkpoint: str,
+        admin: bool = False,
+        grain: tuple[str, ...] = ("dt", "hour"),
+    ):
         """Streaming ingest (the Firehose leg done right): checkpointed
         partitioned parquet sink = exactly-once; the reference logs and
         drops failures (at-most-once,
-        FirehoseEventStoreProvider.java:147-149)."""
+        FirehoseEventStoreProvider.java:147-149).
+
+        ``grain`` is the partition-dir granularity — one of ``GRAINS``,
+        default the production dt/hour layout (terraform/main.tf:194).
+        A BOUNDED replay whose fixture would smear a handful of rows
+        across hundreds of hour dirs passes a coarser grain (the
+        small-files problem inverted: grain must follow data volume —
+        streaming/queries.py::_replay_grain derives it from footer
+        metadata). Production callers never pass it."""
+        self._check_grain(grain)
         flatten = flatten_admin_events if admin else flatten_user_events
         path = self._admin_path if admin else self._user_path
         flat = _with_event_time_partitions(flatten(raw_stream))
-        return (
+        writer = (
             flat.writeStream.format("parquet")
             .option("path", path)
             .option("checkpointLocation", checkpoint)
-            .partitionBy("dt", "hour")
-            .trigger(availableNow=True)
-            .start()
         )
+        if grain:
+            writer = writer.partitionBy(*grain)
+        return writer.trigger(availableNow=True).start()
+
+    @classmethod
+    def _check_grain(cls, grain: tuple[str, ...]) -> None:
+        if tuple(grain) not in cls.GRAINS:
+            raise ValueError(
+                f"grain {grain!r} is not a dt/hour prefix {cls.GRAINS}"
+            )
 
     def ingest_stream_json(
         self,
@@ -323,6 +354,7 @@ class KeycloakEventStore:
         admin: bool = False,
         delivery: str = "exactly_once",
         trigger: dict | None = None,
+        grain: tuple[str, ...] = ("dt", "hour"),
     ):
         """Streaming ingest from raw JSON lines with a bad-record
         quarantine — the full Firehose delivery story end-to-end.
@@ -351,9 +383,15 @@ class KeycloakEventStore:
           dropped, the reference's literal contract
           (FirehoseEventStoreProvider.java:147-149 logs
           "Error sending to firehose" and moves on).
+
+        ``grain`` — partition-dir granularity for the GOOD-record
+        table, see :meth:`ingest_stream`. The quarantine keeps its
+        arrival dt/hour layout regardless (it is written per failing
+        batch — a couple of rows — never the volume path).
         """
         if delivery not in ("exactly_once", "at_most_once"):
             raise ValueError(f"unknown delivery mode {delivery!r}")
+        self._check_grain(grain)
         flatten = flatten_admin_events if admin else flatten_user_events
         path = self._admin_path if admin else self._user_path
         schema = RAW_ADMIN_EVENT_SCHEMA if admin else RAW_USER_EVENT_SCHEMA
@@ -402,9 +440,10 @@ class KeycloakEventStore:
                 .drop("_corrupt_record")
             )
             flat = _with_event_time_partitions(flatten(good))
-            layout(flat).write.partitionBy("dt", "hour").mode(
-                "append"
-            ).parquet(path)
+            writer = layout(flat, grain).write
+            if grain:
+                writer = writer.partitionBy(*grain)
+            writer.mode("append").parquet(path)
 
         def _process_at_most_once(batch: DataFrame, batch_id: int) -> None:
             try:

@@ -111,6 +111,43 @@ def _events_rows(sf_dir: str) -> int:
     return footer_rows(sf_dir, "events")
 
 
+# Minimum expected rows per partition DIRECTORY before the ingest
+# replays keep a grain level. Production tables target ~128 MB files
+# (~1M event rows); this floor is deliberately far lower so the
+# fixture replays still exercise a partitioned sink — it exists to
+# catch the pathological end (the sf0.01 fixture smears 10k rows over
+# 720 dt/hour dirs at ~14 rows each, and the sink pays ~12 ms of
+# file open/commit PER DIR: 8.7 s measured for a sub-second write's
+# worth of data). Monotone in data volume: a larger corpus crosses
+# the floor and restores the finer grain automatically.
+_REPLAY_MIN_ROWS_PER_DIR = 256
+
+
+def _replay_grain(sf_dir: str) -> tuple[str, ...]:
+    """Partition grain for a BOUNDED ingest replay — the partitioned
+    sink's twin of :func:`_run_to_memory`'s replay width scope: derive
+    layout decisions from the bounded fixture's footer metadata (rows
+    + ts min/max span; no Spark job), never from session defaults.
+    Returns the finest dt/hour prefix whose expected rows-per-dir
+    clears ``_REPLAY_MIN_ROWS_PER_DIR``. Production ingest never calls
+    this — it writes the full dt/hour layout (terraform/main.tf:194),
+    where the volume makes every hour dir file-sized."""
+    from keycloak_event_stream_spark.catalog import footer_rows, footer_ts_range
+
+    rows = footer_rows(sf_dir, "events")
+    lo, hi = footer_ts_range(sf_dir, "events")
+    if lo is None or hi is None:
+        return ("dt", "hour")  # span unknown: keep the production grain
+    span_s = max((hi - lo).total_seconds(), 1.0)
+    hours = max(span_s / 3600.0, 1.0)
+    days = max(span_s / 86400.0, 1.0)
+    if rows / hours >= _REPLAY_MIN_ROWS_PER_DIR:
+        return ("dt", "hour")
+    if rows / days >= _REPLAY_MIN_ROWS_PER_DIR:
+        return ("dt",)
+    return ()
+
+
 def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFrame:
     """Run a bounded streaming query into a memory sink, return result.
 
@@ -195,14 +232,20 @@ def s_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour"),
     )
     out = tempfile.mkdtemp(prefix="s_ingest_out_")
-    q = (
+    # grain follows the bounded fixture's volume (_replay_grain): the
+    # full dt/hour layout on a 10k-row fixture means 720 dirs of ~14
+    # rows and the sink pays per-file commit cost, not data cost
+    # (12.9-18 s measured; sub-second at dt grain). Columns not in the
+    # grain stay DATA columns, so the result is grain-invariant.
+    grain = _replay_grain(sf_dir)
+    writer = (
         flat.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="s_ingest_ckpt_"))
-        .partitionBy("dt", "hour")
-        .trigger(availableNow=True)
-        .start()
     )
+    if grain:
+        writer = writer.partitionBy(*grain)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     landed = spark.read.parquet(out)
     return landed.select(
@@ -759,9 +802,13 @@ def s_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = KeycloakEventStore(
         spark, tempfile.mkdtemp(prefix="s_quarantine_store_")
     )
+    # replay grain from fixture footer metadata (see s_ingest_flatten's
+    # note); production callers of ingest_stream_json keep the default
+    # dt/hour layout.
     q = store.ingest_stream_json(
         spark.readStream.text(wire),
         checkpoint=tempfile.mkdtemp(prefix="s_quarantine_ckpt_"),
+        grain=_replay_grain(sf_dir),
     )
     q.awaitTermination()
     return store.user_events().select(

@@ -990,3 +990,88 @@ def test_replay_scope_derives_width_and_restores_conf(spark):
         assert got == exp
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", was)
+
+
+def test_replay_grain_follows_fixture_volume():
+    """The ingest replays choose partition grain from footer metadata:
+    expected rows-per-dir must clear _REPLAY_MIN_ROWS_PER_DIR at the
+    kept level (the 720-dir small-files diagnosis — 12.9-18 s of
+    per-file commit cost for a 10k-row fixture; BASELINE.md "Round 9 —
+    ingest replay partition grain")."""
+    from keycloak_event_stream_spark.catalog import footer_rows, footer_ts_range
+    from keycloak_event_stream_spark.streaming.queries import (
+        _REPLAY_MIN_ROWS_PER_DIR,
+        _replay_grain,
+    )
+    from tests.conftest import SF_DIR
+
+    grain = _replay_grain(SF_DIR)
+    rows = footer_rows(SF_DIR, "events")
+    lo, hi = footer_ts_range(SF_DIR, "events")
+    days = max((hi - lo).total_seconds() / 86400.0, 1.0)
+    hours = days * 24
+    # the chosen grain clears the floor; the next-finer one does not
+    if grain == ("dt", "hour"):
+        assert rows / hours >= _REPLAY_MIN_ROWS_PER_DIR
+    elif grain == ("dt",):
+        assert rows / days >= _REPLAY_MIN_ROWS_PER_DIR
+        assert rows / hours < _REPLAY_MIN_ROWS_PER_DIR
+    else:
+        assert grain == ()
+        assert rows / days < _REPLAY_MIN_ROWS_PER_DIR
+
+
+def test_ingest_grain_validation_and_result_invariance(spark, tmp_path):
+    """grain must be a dt/hour prefix (anything else raises), the
+    production default stays the full dt/hour layout, and a coarser
+    grain changes ONLY the directory layout — the landed rows are
+    identical because columns not in the grain remain data columns."""
+    import pytest as _pytest
+
+    from keycloak_event_stream_spark.sources.keycloak import (
+        KeycloakEventStore,
+    )
+
+    with _pytest.raises(ValueError, match="dt/hour prefix"):
+        KeycloakEventStore._check_grain(("hour",))
+    with _pytest.raises(ValueError, match="dt/hour prefix"):
+        KeycloakEventStore._check_grain(("dt", "hour", "minute"))
+
+    lines = spark.createDataFrame(
+        [
+            (
+                '{"id":"e%d","type":"LOGIN","realmId":"r1",'
+                '"userId":"u%d","time":%d}'
+                % (i, i % 3, 1704067200000 + i * 3_600_000),
+            )
+            for i in range(8)
+        ],
+        "value string",
+    )
+    landed = {}
+    for grain in (("dt", "hour"), ("dt",), ()):
+        wire = str(tmp_path / f"wire_{len(grain)}")
+        lines.write.mode("overwrite").text(wire)
+        store = KeycloakEventStore(
+            spark, str(tmp_path / f"store_{len(grain)}")
+        )
+        q = store.ingest_stream_json(
+            spark.readStream.text(wire),
+            checkpoint=str(tmp_path / f"ckpt_{len(grain)}"),
+            grain=grain,
+        )
+        q.awaitTermination()
+        rows = sorted(
+            (r.id, r.eventtype, r.userid, r.time, str(r.dt), int(r.hour))
+            for r in store.user_events().collect()
+        )
+        landed[grain] = rows
+        # dir layout really differs per grain
+        import os as _os
+
+        user_dir = f"{store.root}/user-events"
+        entries = [
+            e for e in _os.listdir(user_dir) if e.startswith("dt=")
+        ]
+        assert bool(entries) == ("dt" in grain)
+    assert landed[("dt", "hour")] == landed[("dt",)] == landed[()]
