@@ -186,7 +186,12 @@ class EventQueryBuilder:
         if self._types:
             conds.append(F.col(self._type_col).isin(self._types))
         for col, values in self._in.items():
-            conds.append(F.col(col).isin(values))
+            # an empty IN-list bucket (e.g. `operation()` with no args)
+            # is NO filter, matching the reference's `!isEmpty()` guard
+            # (AthenaAdminEventQuery.java:209,217) — a bare isin([])
+            # would be always-false instead
+            if values:
+                conds.append(F.col(col).isin(values))
         for col, value in self._eq.items():
             conds.append(F.col(col) == F.lit(value))
         if self._from is not None:
@@ -231,6 +236,116 @@ class EventQueryBuilder:
         (``AbstractAthenaQuery.java:60,86``) — constant driver memory on
         unbounded results."""
         return self.to_df().toLocalIterator()
+
+
+class UserEventQueryBuilder(EventQueryBuilder):
+    """The reference ``EventQuery``'s NAMED fluent surface
+    (``AthenaEventQuery.java:46-104``), delegating to the generic
+    builder — so a user porting reference code keeps their call sites
+    verbatim (modulo snake_case). Null arguments are no-ops, matching
+    the reference's null-guarded setters; varargs dedup preserves
+    insertion order (LinkedHashSet semantics, ``:22,46-51``)."""
+
+    def type(self, *names: str) -> "UserEventQueryBuilder":
+        """``type(EventType...)`` (``:46-51``)."""
+        self.types(*[n for n in names if n is not None])
+        return self
+
+    def realm(self, realm_id) -> "UserEventQueryBuilder":
+        """``realm(String)`` (``:54-57``)."""
+        if realm_id is not None:
+            self.where_eq("realmid", realm_id)
+        return self
+
+    def client(self, client_id) -> "UserEventQueryBuilder":
+        """``client(String)`` (``:60-63``)."""
+        if client_id is not None:
+            self.where_eq("clientid", client_id)
+        return self
+
+    def user(self, user_id) -> "UserEventQueryBuilder":
+        """``user(String)`` (``:66-69``)."""
+        if user_id is not None:
+            self.where_eq("userid", user_id)
+        return self
+
+    def ip_address(self, ip) -> "UserEventQueryBuilder":
+        """``ipAddress(String)`` (``:100-103``)."""
+        if ip is not None:
+            self.where_eq("ipaddress", ip)
+        return self
+
+    def from_date(self, value) -> "UserEventQueryBuilder":
+        """``fromDate(Date|long)`` (``:72-83``); null -> no-op."""
+        if value is not None:
+            self.from_time(value)
+        return self
+
+    def to_date(self, value) -> "UserEventQueryBuilder":
+        """``toDate(Date|long)`` (``:86-97``); null -> no-op."""
+        if value is not None:
+            self.to_time(value)
+        return self
+
+
+class AdminEventQueryBuilder(EventQueryBuilder):
+    """The reference ``AdminEventQuery``'s NAMED fluent surface
+    (``AthenaAdminEventQuery.java:51-135``; predicate emission
+    ``:186-240``), delegating to the generic builder. All predicates
+    AND together; ``operation``/``resource_type`` varargs dedup
+    preserving insertion order (LinkedHashSet, ``:29-30``);
+    ``resource_path`` is plain equality (``:227-229``); null
+    arguments are no-ops like the reference's null guards."""
+
+    def realm(self, realm_id) -> "AdminEventQueryBuilder":
+        """``realm(String)`` -> realmid equality (``:51-55,189-191``)."""
+        if realm_id is not None:
+            self.where_eq("realmid", realm_id)
+        return self
+
+    def auth_realm(self, auth_realm) -> "AdminEventQueryBuilder":
+        """``authRealm(String)`` (``:57-61,193-195``)."""
+        if auth_realm is not None:
+            self.where_eq("authrealmid", auth_realm)
+        return self
+
+    def auth_client(self, client) -> "AdminEventQueryBuilder":
+        """``authClient(String)`` (``:63-67,197-199``)."""
+        if client is not None:
+            self.where_eq("authclientid", client)
+        return self
+
+    def auth_user(self, user) -> "AdminEventQueryBuilder":
+        """``authUser(String)`` (``:69-73,201-203``)."""
+        if user is not None:
+            self.where_eq("authuserid", user)
+        return self
+
+    def auth_ip_address(self, ip) -> "AdminEventQueryBuilder":
+        """``authIpAddress(String)`` (``:75-79,205-207``)."""
+        if ip is not None:
+            self.where_eq("authipaddress", ip)
+        return self
+
+    def operation(self, *operations: str) -> "AdminEventQueryBuilder":
+        """``operation(OperationType...)`` -> operationtype IN-list
+        (``:81-87,209-215``)."""
+        self.where_in(
+            "operationtype", *[o for o in operations if o is not None]
+        )
+        return self
+
+    def resource_type(self, *types: str) -> "AdminEventQueryBuilder":
+        """``resourceType(ResourceType...)`` -> resourcetype IN-list
+        (``:89-95,217-225``)."""
+        self.where_in("resourcetype", *[t for t in types if t is not None])
+        return self
+
+    def resource_path(self, path) -> "AdminEventQueryBuilder":
+        """``resourcePath(String)`` -> equality (``:97-100,227-229``)."""
+        if path is not None:
+            self.where_eq("resourcepath", path)
+        return self
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from keycloak_event_stream_spark.plans.event_query import EventQueryBuilder
+from keycloak_event_stream_spark.plans.event_query import (
+    AdminEventQueryBuilder,
+    EventQueryBuilder,
+    UserEventQueryBuilder,
+)
 
 # ---------------------------------------------------------------------------
 # Schemas (declared, never inferred — terraform/main.tf:78-178,224-343)
@@ -492,12 +496,14 @@ class KeycloakEventStore:
             self._partitioned(ADMIN_EVENT_SCHEMA)
         ).parquet(self._admin_path)
 
-    def create_query(self) -> EventQueryBuilder:
+    def create_query(self) -> UserEventQueryBuilder:
         """Fluent user-event query (createQuery(),
-        FirehoseEventStoreProvider.java:79-88): realm/client/user/ip
-        equality via ``where_eq``, type IN-list via ``types``, inclusive
-        time range, DESC default, offset/limit."""
-        return EventQueryBuilder(
+        FirehoseEventStoreProvider.java:79-88): the reference's NAMED
+        setters (type/realm/client/user/ip_address/from_date/to_date —
+        AthenaEventQuery.java:46-104) plus the generic
+        ``where_eq``/``where_in`` surface, inclusive time range, DESC
+        default, offset/limit."""
+        return UserEventQueryBuilder(
             self.user_events(),
             time_col="time",
             type_col="eventtype",
@@ -507,14 +513,16 @@ class KeycloakEventStore:
             hour_col="hour",
         )
 
-    def create_admin_query(self) -> EventQueryBuilder:
+    def create_admin_query(self) -> AdminEventQueryBuilder:
         """Fluent admin-event query (createAdminQuery(),
         FirehoseEventStoreProvider.java:91-100): the nine filter
-        dimensions of AthenaAdminEventQuery.java:186-240 — realmid via
-        ``where_eq``, operationtype/resourcetype IN-lists via
-        ``where_in``, auth* equality via ``where_eq``, resourcepath via
-        ``where_eq``, plus time range / order / pagination."""
-        return EventQueryBuilder(
+        dimensions of AthenaAdminEventQuery.java:186-240 through the
+        reference's NAMED setters (realm/auth_realm/auth_client/
+        auth_user/auth_ip_address/operation/resource_type/
+        resource_path), each delegating to the generic
+        ``where_eq``/``where_in`` builder, plus time range / order /
+        pagination."""
+        return AdminEventQueryBuilder(
             self.admin_events(),
             time_col="time",
             type_col="operationtype",

@@ -107,6 +107,50 @@ def test_admin_query_nine_dimensions(store):
     assert q is not None
 
 
+def test_admin_query_named_fluent_surface(store):
+    """The reference's NAMED AdminEventQuery setters
+    (AthenaAdminEventQuery.java:51-100) as verbatim-portable methods
+    delegating to the generic builder — same rows as the where_eq /
+    where_in spelling in test_admin_query_nine_dimensions."""
+    q = (
+        store.create_admin_query()
+        .realm("r1")
+        .operation("CREATE", "UPDATE", "CREATE")  # varargs dedup
+        .resource_type("USER")
+        .auth_client("admin-cli")
+        .auth_realm("r1")
+        .auth_user("adm")
+        .auth_ip_address("9.9.9.9")
+        .resource_path("users/u9")
+    )
+    assert [r.id for r in q.to_df().collect()] == ["a1"]
+    # LinkedHashSet insertion-order dedup pinned on the IN-lists
+    assert q._in["operationtype"] == ["CREATE", "UPDATE"]
+    # null arguments are no-ops, matching the reference's null guards
+    q2 = store.create_admin_query().realm(None).operation(None).resource_path(None)
+    assert q2._eq == {} and q2._in.get("operationtype", []) == []
+    assert q2.to_df().count() == 2
+
+
+def test_user_query_named_fluent_surface(store):
+    """The reference's NAMED EventQuery setters
+    (AthenaEventQuery.java:46-104): type/realm/client/user/ip_address/
+    from_date/to_date."""
+    got = (
+        store.create_query()
+        .type("LOGIN", "LOGIN_ERROR", "LOGIN")
+        .realm("r1")
+        .client("c1")
+        .user("u1")
+        .ip_address("1.2.3.4")
+        .from_date("2024-03-01 00:00:00")
+        .to_date("2024-03-02 23:59:59")
+        .to_df()
+        .collect()
+    )
+    assert [r.id for r in got] == ["e1"]
+
+
 def test_decoded_user_events_blank_null_and_map(store):
     df = kc.decoded_user_events(
         store.user_events(), valid_event_types=frozenset({"LOGIN", "LOGOUT"})
