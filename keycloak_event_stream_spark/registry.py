@@ -59,92 +59,118 @@ _MODULES = [
 # round; everything after the "refill" marker is documentation of past
 # windows plus module-order spillover, NOT driver-checked this round.
 #
-# Round-8 window (per VERDICT r7 "Next round #2"). Coverage
-# arithmetic after r7: the registry holds 506 queries; 337 unique
-# names are driver-checked (CORRECTNESS_r01..r07 union, zero stale
-# reds), 169 never checked (reproduce:
-# set(queries) - union(CORRECTNESS_r01..r07 keys)). This window holds
-# EXACTLY 50 names: 35 never-checked + 15 re-checks, so a green r8
-# sheet lands coverage at 372/506 with 134 remaining (~2.7 more
+# Round-9 window (per VERDICT r8 "Next round" #1/#4 and the rotation
+# plan recorded here last round). Coverage arithmetic after r8: 506
+# registered queries, 372 unique names driver-checked (union of
+# CORRECTNESS_r01..r08, zero red on latest check), 134 never checked.
+# This window holds EXACTLY 50 names: 17 re-checks + 33 first-time,
+# so a green r9 lands coverage at 405/506 with 101 remaining (~2 more
 # windows at 50/round).
 #
-# This window, in order: (a) the two r7 registrations that only have
-# sweep evidence — s_dedup_state_audit (the dropDuplicates key-store
-# audit; r6 verdict #6) and q_lsh_intake_recall_eval (the streaming-
-# intake recall/precision eval; r6 verdict #7, REWRITTEN this round to
-# materialize in one action and release every cache pin — r8 ADVICE);
-# (b) round-8 code-change re-checks — q_join_asof_pandas (its
-# module-level applyInPandas fn now ships by value; r7 verdict
-# "What's wrong #1"), q_dedup_components (the LP broadcast guard now
-# bounds sym+self edges at 2*n_sym; r8 ADVICE), q_dedup_near_minhash
-# (shared-prefix A/B closed flat, BASELINE.md "Round 8"; prefix now
-# posts LAST_PREFIX_PINS), q_graph_hits, q_graph_bfs_levels and
-# q_graph_kcore (the eager-loop conf-scope rewrites: hits 8.3->5.7 s
-# at sf0.1; bfs 37->8 s and kcore 64->14 s under the vanilla session —
-# BASELINE.md "Round 8"), and the five heaviest names touched by the
-# bounded-replay width scope in streaming/queries.py::_run_to_memory
-# (state width derived from the fixture size instead of the session's
-# corpus width — semi join 33.7->2.7 s measured; BASELINE.md "Round 8
-# — measured r9 head item", landed late r8): s_stream_stream_semi/
-# full/left/_join + s_tumbling_uniques. The scope touches 17 s_*
-# names total; the other 12 (all oracle-green in the post-change
-# /tmp vanilla sweep) queue for r9 re-checks below. Then the four
-# bounded-eval width-scope rewrites (catalog.bounded_eval_scope,
-# also landed late r8; BASELINE.md "Round 8 — bounded-eval width
-# scope"): q_association_rules, q_shingle_size_sensitivity,
-# q_graph_assortativity, q_graph_common_neighbors — their
-# multi-shuffle evals at the vanilla session's corpus width measured
-# 12-28 s for ≤25-row results and read ~1-2 s warm with input-derived
-# width (persist pins now compile inside the scope; pins released
-# after the eager materialization).
-# (c) the funnel/attribution family; (d) the
-# advanced-SQL block; (e) the remaining function packs incl. the
-# variant trio; (f) the eventstore pair. The profiling/layout block
-# (g) yielded its five slots to the replay re-checks, and
-# q_conditional_funcs / q_map_higher_order / q_xml_parse /
-# q_regex_extract_all yielded theirs to the bounded-eval re-checks;
-# all nine join the r9 queue.
+# In order: (a) the 12 remaining replay-scope re-checks — the late-r8
+# bounded-replay width scope (streaming/queries.py::_run_to_memory
+# deriving state width from fixture footer rows) touched 17 s_* names
+# but only 5 fit the r8 window; these 12 were oracle-green in the
+# post-change /tmp vanilla sweep and get driver evidence now.
+# (b) round-9 code-change re-checks: the four width-class perf-queue
+# names probed in r8 (BASELINE.md "measured r9 perf queue") now run
+# under catalog.bounded_eval_scope — q_lsh_intake_recall_eval
+# (9.6->3.9 s vanilla sf0.01), q_graph_resource_alloc (13.9->1.6 s),
+# q_kn_bigram_lm (4.8->1.8 s) — and the two file-count-bound ingest
+# replays now derive their partition grain from fixture footer
+# metadata (BASELINE.md "Round 9 — ingest replay partition grain"):
+# s_quarantine_ingest (14.4-18.4->4.4 s), s_ingest_flatten
+# (12.9->1.3 s). (c) q_spearman_corr — width-scoped this round
+# (10.0->2.6 s) AND never driver-checked, so it counts first-time.
+# (d) the profiling/layout block displaced twice in past rotations.
+# (e) the four displaced function packs. (f) the two LLM-mandate
+# components the r8 verdict flagged as the only ones without a
+# CORRECTNESS row: q_multimodal_cols, q_hard_negatives. (g) the
+# dedup/fingerprint variant tail. (h) the curation/sampling family.
 #
-# Round-9/10 rotation plan for the 134 never-checked names left after
-# a green r8 (verdict r7 #7a): r9 leads with the 12 remaining
-# replay-scope re-checks (s_tumbling_counts, s_sliding_agg,
-# s_watermark_late, s_session_windows, s_stream_dedup,
-# s_stream_static_join, s_stream_kl_monitor, s_stateful_profile,
-# s_window_topk, s_tumbling_approx_uniques, s_rate_alert,
-# s_session_flags — every one oracle-green in the post-change /tmp
-# vanilla sweep), then the nine displaced first-time names — the
-# profiling/layout block (q_layout_partitioned_prune,
-# q_partition_size_audit, q_dq_audit, q_cluster_zorder,
-# q_compaction_bins) and the function-pack four (q_conditional_funcs,
-# q_map_higher_order, q_xml_parse, q_regex_extract_all) — and the
-# three displaced in the graph rotation (q_catalog_freshness,
-# q_null_rate_matrix, q_dup_key_audit); after those 24 slots, r9
-# takes the dedup/fingerprint tail
-# (q_dedup_bow/_prefix/_keep_best/_ngram_jaccard/_fuzzy_name,
-# q_fingerprint[_rolling], q_sim_search_pandas), the curation/sampling
-# names (q_dsir_importance, q_stratified_sample, q_sample_per_group,
-# q_mixture_weights, q_curation_pipeline, q_instruction_format,
-# q_safety_lexicon, q_pit_training_set, q_context_length_plan,
-# q_shard_plan), the text/corpus stats tail (q_vocab_coverage,
-# q_perplexity_unigram, q_zipf_fit, q_lexical_diversity,
-# q_doc_repetition, q_dataset_card, q_token_histogram_log2,
-# q_logsumexp_sources, q_tokenizer_fertility, q_char_ngram_profile,
-# q_bigram_lm, q_multimodal_cols) and the remaining window/join names
+# Round-10/11 rotation plan for the 101 never-checked names left
+# after a green r9: r10 leads with the text/corpus stats tail
+# (q_vocab_coverage, q_perplexity_unigram, q_zipf_fit,
+# q_lexical_diversity, q_doc_repetition, q_dataset_card,
+# q_token_histogram_log2, q_logsumexp_sources, q_tokenizer_fertility,
+# q_char_ngram_profile, q_bigram_lm), then the window/join names
 # (q_window_ntile/_ignore_nulls/_nth/_trailing_7d,
 # q_join_interval_overlap/_asof_forward, q_gaps_islands,
 # q_transition_matrix, q_multiband_singlescan, q_percent_of_total,
-# q_rollup_rank); r10 takes the analytics/bi tail (q_yoy_growth,
+# q_rollup_rank), the analytics/bi tail (q_yoy_growth,
 # q_top_movers_wow, q_market_share_shift, q_audience_overlap,
-# q_seasonal_heatmap, q_retention_curve_fit, ...), the embedding tail
-# (q_random_projection, q_embed_pca_power/_mmd/_covariance,
-# q_dbscan_core, q_coreset_kcenter, q_hard_negatives,
-# q_skipgram_cooc), the remaining quality/stat names and everything
-# else left in the reproduce set.
+# q_seasonal_heatmap, q_retention_curve_fit, ...), and the embedding
+# tail (q_random_projection, q_embed_pca_power/_mmd/_covariance,
+# q_dbscan_core, q_coreset_kcenter, q_skipgram_cooc); r11 takes the
+# remaining quality/stat names and everything else left in the
+# reproduce set (set(queries) - union(CORRECTNESS_r01..r09 keys)).
 _PRIORITY = [
-    # (a) new registrations needing first driver proof (2)
-    "s_dedup_state_audit",
+    # (a) replay-scope re-checks (12): the late-r8 bounded-replay
+    # width scope, driver evidence now
+    "s_tumbling_counts",
+    "s_sliding_agg",
+    "s_watermark_late",
+    "s_session_windows",
+    "s_stream_dedup",
+    "s_stream_static_join",
+    "s_stream_kl_monitor",
+    "s_stateful_profile",
+    "s_window_topk",
+    "s_tumbling_approx_uniques",
+    "s_rate_alert",
+    "s_session_flags",
+    # (b) round-9 code-change re-checks (5): width scopes + replay
+    # grain
     "q_lsh_intake_recall_eval",
-    # (b) round-8 code-change re-checks (15)
+    "q_graph_resource_alloc",
+    "q_kn_bigram_lm",
+    "s_quarantine_ingest",
+    "s_ingest_flatten",
+    # (c) width-scoped this round AND first-time (1)
+    "q_spearman_corr",
+    # (d) profiling/layout block (8, first-time)
+    "q_layout_partitioned_prune",
+    "q_partition_size_audit",
+    "q_dq_audit",
+    "q_cluster_zorder",
+    "q_compaction_bins",
+    "q_catalog_freshness",
+    "q_null_rate_matrix",
+    "q_dup_key_audit",
+    # (e) function packs (4, first-time)
+    "q_conditional_funcs",
+    "q_map_higher_order",
+    "q_xml_parse",
+    "q_regex_extract_all",
+    # (f) LLM-mandate evidence gaps (2, first-time; r8 verdict #4)
+    "q_multimodal_cols",
+    "q_hard_negatives",
+    # (g) dedup/fingerprint variant tail (8, first-time)
+    "q_dedup_bow",
+    "q_dedup_prefix",
+    "q_dedup_keep_best",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_fuzzy_name",
+    "q_fingerprint",
+    "q_fingerprint_rolling",
+    "q_sim_search_pandas",
+    # (h) curation/sampling family (10, first-time) - window cap
+    # reached at exactly 50
+    "q_dsir_importance",
+    "q_stratified_sample",
+    "q_sample_per_group",
+    "q_mixture_weights",
+    "q_curation_pipeline",
+    "q_instruction_format",
+    "q_safety_lexicon",
+    "q_pit_training_set",
+    "q_context_length_plan",
+    "q_shard_plan",
+    # ---- refill: past-round windows + locally-verified families ----
+    # (below the ~50 cap: NOT driver-checked this round; relative
+    # order preserved from the r8 file as documentation of past
+    # windows.)
+    "s_dedup_state_audit",
     "q_join_asof_pandas",
     "q_dedup_components",
     "q_dedup_near_minhash",
@@ -160,7 +186,6 @@ _PRIORITY = [
     "q_shingle_size_sensitivity",
     "q_graph_assortativity",
     "q_graph_common_neighbors",
-    # (c) funnel / attribution family (13, first-time)
     "q_funnel",
     "q_funnel_rates",
     "q_funnel_paths",
@@ -174,7 +199,6 @@ _PRIORITY = [
     "q_retention_cohort",
     "q_user_lifecycle",
     "q_cohort_ltv",
-    # (d) advanced-SQL block (10, first-time)
     "q_pipe_syntax",
     "q_lateral_topk",
     "q_window_distinct_running",
@@ -185,7 +209,6 @@ _PRIORITY = [
     "q_grouping_sets_distinct",
     "q_string_agg",
     "q_posexplode_tokens",
-    # (e) remaining function packs (8, first-time)
     "q_array_hof",
     "q_bit_funcs",
     "q_hash_funcs",
@@ -194,34 +217,8 @@ _PRIORITY = [
     "q_variant_nested",
     "q_variant_invalid",
     "q_url_funcs",
-    # (f) eventstore pair (2, first-time) — window cap reached at
-    # exactly 50
     "q_eventstore_canonical",
     "q_eventstore_user_filter",
-    # ---- refill: past-round windows + locally-verified families ----
-    # (q_conditional_funcs, q_map_higher_order, q_xml_parse and
-    # q_regex_extract_all yielded their slots to the bounded-eval
-    # width-scope re-checks and join the r9 first-time queue.)
-    "q_conditional_funcs",
-    "q_map_higher_order",
-    "q_xml_parse",
-    "q_regex_extract_all",
-    # (below the ~50 cap: NOT driver-checked this round; relative order
-    # preserved from the r7 file as documentation of past windows.
-    # The profiling/layout block yielded its five slots to the
-    # bounded-replay width-scope re-checks (s_stream_stream_* +
-    # s_tumbling_uniques); with q_catalog_freshness, q_null_rate_matrix
-    # and q_dup_key_audit — displaced earlier by the graph re-checks —
-    # they lead the r9 queue after the 12 remaining replay-scope
-    # re-checks listed in the rotation plan above.)
-    "q_layout_partitioned_prune",
-    "q_partition_size_audit",
-    "q_dq_audit",
-    "q_cluster_zorder",
-    "q_compaction_bins",
-    "q_catalog_freshness",
-    "q_null_rate_matrix",
-    "q_dup_key_audit",
     "q_ngram_novelty",
     "q_market_basket",
     "q_psi_drift",
@@ -261,9 +258,6 @@ _PRIORITY = [
     "q_source_pushgen",
     "s_source_pushgen_stream",
     "s_foreachbatch_mv",
-    "s_window_topk",
-    "s_stream_static_join",
-    "s_stream_kl_monitor",
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
@@ -283,10 +277,7 @@ _PRIORITY = [
     "q_temporal_split_embargo",
     "q_sample_weighted",
     "q_curriculum_interleave",
-    "s_quarantine_ingest",
     "s_upsert_latest",
-    "s_stateful_profile",
-    "q_graph_resource_alloc",
     "q_ann_recall",
     "q_calibration_bins",
     "q_confusion_matrix",
@@ -329,7 +320,6 @@ _PRIORITY = [
     "q_label_noise_rate",
     "q_rank_biased_overlap",
     "q_join_asof_tolerance",
-    "q_kn_bigram_lm",
     "q_block_bootstrap_ci",
     "q_attribution_position_based",
     "q_lsh_band_occupancy",
@@ -337,7 +327,6 @@ _PRIORITY = [
     "q_dp_mean_laplace",
     "q_twap_daily",
     "q_neyman_allocation",
-    "s_tumbling_approx_uniques",
     "q_zone_map_skip_eval",
     "q_lsh_cap_recall_eval",
     "q_bpe_pair_stats",
@@ -404,17 +393,10 @@ _PRIORITY = [
     "q_dp_count_laplace",
     "q_pseudonymize",
     "q_churn_hazard_weekly",
-    "s_session_flags",
     "q_classifier_prf1",
     "q_ndcg_eval",
     "q_sessionize",
     "q_pivot",
-    "s_ingest_flatten",
-    "s_tumbling_counts",
-    "s_sliding_agg",
-    "s_session_windows",
-    "s_watermark_late",
-    "s_stream_dedup",
     "q_auc_roc",
     "q_ks_test",
     "q_gini",
@@ -468,7 +450,6 @@ _PRIORITY = [
     "q_percentile_trend_weekly",
     "q_retention_curve_fit",
     "q_dedup_cross_source",
-    "q_spearman_corr",
     "q_window_nth_value",
     "q_feed_freshness",
     "q_sampling_bias_check",
@@ -490,7 +471,6 @@ _PRIORITY = [
     "q_coreset_kcenter",
     "q_embed_mmd",
     "q_skipgram_cooc",
-    "q_hard_negatives",
     "q_mutual_information",
     "q_char_entropy",
     "q_span_corruption",
