@@ -10,6 +10,12 @@ constraint, which is the property that transfers to a real cluster.
 
 Usage: python tools/scale_probe.py [q_name ...]
 Writes the replica to /tmp/scale10x (reused if present).
+
+SPARK_GRAFT_SCALE_REPLICAS (default 10) picks the replication factor:
+set 100 for the 100x leg (BASELINE.md "Round 9 — 100x leg"); the
+replica then lands at /tmp/scale100x and the report columns read
+1x/Nx. The 100x build appends replica-by-replica (a 100-way union in
+one plan is pointless codegen pressure for a fixture build).
 """
 
 from __future__ import annotations
@@ -28,8 +34,8 @@ from keycloak_event_stream_spark.registry import collect  # noqa: E402
 from keycloak_event_stream_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/scale10x"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+OUT = f"/tmp/scale{REPLICAS}x"
 
 # key columns to shift per replica so key ranges stay disjoint
 SHIFT_KEYS = {
@@ -74,21 +80,26 @@ def build_replica(spark) -> None:
             k: base.agg(F.max(F.col(k)).cast("long")).collect()[0][0] + 1
             for k in keys
         }
-        parts = []
+        base_n = base.count()
+        files_per = max(1, base_n // 500_000)
+        # append replica-by-replica with disjoint key ranges: bounded
+        # plan size at any replication factor, and the resulting
+        # many-file layout is exactly the realistic large-table shape
+        # the probe exists to exercise
         for i in range(REPLICAS):
             rep = base
             for k in keys:
                 rep = rep.withColumn(
                     k, (F.col(k) + F.lit(i * spans[k])).cast("long")
                 )
-            parts.append(rep)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        n = out.count()
-        files = max(1, n // 500_000)
-        out.repartition(files).write.mode("overwrite").parquet(dest)
-        print(f"replica {name}: {n} rows, {files} files", flush=True)
+            rep.repartition(files_per).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(dest)
+        print(
+            f"replica {name}: {base_n * REPLICAS} rows, "
+            f"{files_per * REPLICAS} files",
+            flush=True,
+        )
 
 
 def best_of_2(fn, spark, sf_dir) -> float:
@@ -105,13 +116,13 @@ def main() -> int:
     spark = get_spark()
     build_replica(spark)
     queries, _ = collect()
-    print(f"| query | sf0.1 | 10x | ratio |\n|---|---|---|---|")
+    print(f"| query | sf0.1 | {REPLICAS}x | ratio |\n|---|---|---|---|")
     for name in names:
         fn = queries[name]
         t1 = best_of_2(fn, spark, SF_DIR)
-        t10 = best_of_2(fn, spark, OUT)
+        tn = best_of_2(fn, spark, OUT)
         print(
-            f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |",
+            f"| {name} | {t1:.2f} | {tn:.2f} | {tn / t1:.1f}x |",
             flush=True,
         )
     return 0
