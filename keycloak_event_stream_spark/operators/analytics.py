@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
     with_totals,
@@ -534,78 +539,85 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table (count(*) per user = sum of per-cell counts;
     day-truncated min/max commute with the grouping). Everything
     downstream runs on the |users|x|days| cell matrix."""
-    ev = spread(load_table(spark, sf_dir, "events"))
-    day = F.date_trunc("day", F.col("ts"))
-    daily = ev.groupBy("user_id", day.alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(27,6)"))
-        .cast("decimal(18,2)")
-        .alias("v"),
-        F.count(F.lit(1)).alias("n_cell"),
-    )
-    # one materialization of the cell matrix feeds bounds, the user
-    # top-k and the dense grid: the raw table is scanned exactly once
-    daily = daily.persist()
-    bounds = daily.agg(
-        F.min("day").alias("lo"),
-        F.max("day").alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
-    )
-    # candidate selection before the quadratic stage: the 300 most
-    # active users (deterministic tiebreak) — the same pruning a
-    # production similarity search does with a coarse cluster/recency
-    # key so the pairwise cost is bounded regardless of corpus size
-    users = (
-        daily.groupBy("user_id")
-        .agg(F.sum("n_cell").alias("n_ev"))
-        .orderBy(F.col("n_ev").desc(), "user_id")
-        .limit(300)
-        .select("user_id")
-    )
-    daily = daily.drop("n_cell")
-    dense = (
-        users.crossJoin(F.broadcast(spine))
-        .join(daily, ["user_id", "day"], "left")
-        .withColumn(
-            "v", F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9): the
+    # cell-matrix build, its persist, the dense-grid join and the
+    # capped pairwise stage all paid corpus width — 7-8 s vanilla
+    # sf0.01 for a 20-row result, ~2.5 s at input-derived width
+    # (ABA probe; BASELINE.md "Round 9 - width scope, third wave").
+    # WHOLE body under the scope, eager localCheckpoint inside.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "events")):
+        ev = spread(load_table(spark, sf_dir, "events"))
+        day = F.date_trunc("day", F.col("ts"))
+        daily = ev.groupBy("user_id", day.alias("day")).agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(18,2)")
+            .alias("v"),
+            F.count(F.lit(1)).alias("n_cell"),
         )
-    )
-    mom = dense.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("v").cast("double").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
-    )
-    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    var = (s2 - s1 * s1 / n) / n
-    z = (
-        dense.join(mom, "user_id")
-        .filter((s2 - s1 * s1 / n) > 0)
-        .withColumn(
-            "z", (F.col("v").cast("double") - s1 / n) / F.sqrt(var)
+        # one materialization of the cell matrix feeds bounds, the user
+        # top-k and the dense grid: the raw table is scanned exactly once
+        daily = daily.persist()
+        bounds = daily.agg(
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
         )
-        .groupBy("user_id")
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("day"), F.col("z")))
-                ),
-                lambda s: s.z,
-            ).alias("zs")
+        spine = bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
         )
-    )
-    a = z.select(F.col("user_id").alias("user_a"), F.col("zs").alias("a_zs"))
-    b = z.select(F.col("user_id").alias("user_b"), F.col("zs").alias("b_zs"))
-    dist = F.expr(
-        "sqrt(aggregate(zip_with(a_zs, b_zs, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    return (
-        a.join(b, F.col("user_a") < F.col("user_b"))
-        .select("user_a", "user_b", dist.alias("zdist"))
-        .orderBy("zdist", "user_a", "user_b")
-        .limit(20)
-    )
+        # candidate selection before the quadratic stage: the 300 most
+        # active users (deterministic tiebreak) — the same pruning a
+        # production similarity search does with a coarse cluster/recency
+        # key so the pairwise cost is bounded regardless of corpus size
+        users = (
+            daily.groupBy("user_id")
+            .agg(F.sum("n_cell").alias("n_ev"))
+            .orderBy(F.col("n_ev").desc(), "user_id")
+            .limit(300)
+            .select("user_id")
+        )
+        daily = daily.drop("n_cell")
+        dense = (
+            users.crossJoin(F.broadcast(spine))
+            .join(daily, ["user_id", "day"], "left")
+            .withColumn(
+                "v", F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))
+            )
+        )
+        mom = dense.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+        )
+        n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+        var = (s2 - s1 * s1 / n) / n
+        z = (
+            dense.join(mom, "user_id")
+            .filter((s2 - s1 * s1 / n) > 0)
+            .withColumn(
+                "z", (F.col("v").cast("double") - s1 / n) / F.sqrt(var)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("day"), F.col("z")))
+                    ),
+                    lambda s: s.z,
+                ).alias("zs")
+            )
+        )
+        a = z.select(F.col("user_id").alias("user_a"), F.col("zs").alias("a_zs"))
+        b = z.select(F.col("user_id").alias("user_b"), F.col("zs").alias("b_zs"))
+        dist = F.expr(
+            "sqrt(aggregate(zip_with(a_zs, b_zs, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+        return (
+            a.join(b, F.col("user_a") < F.col("user_b"))
+            .select("user_a", "user_b", dist.alias("zdist"))
+            .orderBy("zdist", "user_a", "user_b")
+            .limit(20)
+        ).localCheckpoint(eager=True)
 
 
 @_q(
@@ -1392,43 +1404,50 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     join anything — the dedup is the one big shuffle, matching how
     warehouse DAU/MAU pipelines are actually built. The ratio is a
     single integer division per day."""
-    ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).distinct()
-    ud = ud.persist()
-    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    spine = bounds.select(
-        F.explode(
-            F.expr("sequence(lo, hi, interval 1 day)")
-        ).alias("day")
-    )
-    dau = ud.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
-    )
-    covered = ud.select(
-        "user_id",
-        F.explode(
-            F.expr("sequence(day, date_add(day, 29), interval 1 day)")
-        ).alias("day"),
-    )
-    mau = (
-        covered.join(spine, "day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
-    )
-    return (
-        mau.join(dau, "day", "left")
-        .select(
-            "day",
-            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
-            "mau",
-            (
-                F.coalesce("dau", F.lit(0)).cast("double") / F.col("mau")
-            ).alias("stickiness"),
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9): the
+    # (user, day) dedup, its persist, the 30-day explode join and
+    # the distinct-count aggregate paid corpus width — 6-7 s vanilla
+    # sf0.01 for a 30-row result, ~1.1 s at input-derived width
+    # (ABA probe; BASELINE.md "Round 9 - width scope, third wave").
+    # WHOLE body under the scope, eager localCheckpoint inside.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "events")):
+        ev = load_table(spark, sf_dir, "events")
+        ud = ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        ).distinct()
+        ud = ud.persist()
+        bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        spine = bounds.select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 day)")
+            ).alias("day")
         )
-        .orderBy("day")
-    )
+        dau = ud.groupBy("day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau")
+        )
+        covered = ud.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 29), interval 1 day)")
+            ).alias("day"),
+        )
+        mau = (
+            covered.join(spine, "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+        )
+        return (
+            mau.join(dau, "day", "left")
+            .select(
+                "day",
+                F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+                "mau",
+                (
+                    F.coalesce("dau", F.lit(0)).cast("double") / F.col("mau")
+                ).alias("stickiness"),
+            )
+            .orderBy("day")
+        ).localCheckpoint(eager=True)
 
 
 @_q(

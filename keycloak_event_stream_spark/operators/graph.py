@@ -427,85 +427,98 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     when |V| is huge), restored in a finally — measured 8.3 -> 5.7 s
     at sf0.1 and 5.9 -> 3.9 s at sf0.01 (interleaved same-session
     cold-plan best-of-3, rows identical; BASELINE.md "Round 8 —
-    q_graph_hits"). The |E|-sized edge build runs BEFORE the scope
-    under full session parallelism.
+    q_graph_hits"). Round 9 moved the |E|-sized edge build under an
+    input-derived width too (the build-phase comment below).
 
     Determinism: per-edge contributions round at 6 decimals and sum in
     DECIMAL (order-independent); normalization divides two identically
     derived doubles — the q_graph_pagerank discipline, so 4 iterations
     stay bitwise-equal to DuckDB's unrolled-CTE replay."""
-    o = spread(load_table(spark, sf_dir, "orders"))
-    l = spread(load_table(spark, sf_dir, "lineitem"))
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-        .persist()
-    )
-    n_hubs = edges.select("src").distinct().count()
-    bcast = _use_broadcast(spark, n_hubs)
-    if bcast:
-        edges_by = {"src": edges, "dst": edges}
-    else:
-        # shuffle mode: the half-steps alternate join keys, so cache
-        # the edge table in BOTH layouts once (two |E| shuffles at
-        # mode-switch time) — each of the 8 half-step joins then
-        # exchanges only the |V|-row score vector against the matching
-        # cached layout.
-        n_shuffle = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        edges_by = {
-            "src": edges.repartition(n_shuffle, "src").persist(),
-            "dst": edges.repartition(n_shuffle, "dst").persist(),
-        }
-    d6 = lambda col: F.sum(
-        F.round(col, 6).cast("decimal(27,6)")
-    ).cast("double")
-
-    # loop conf scope (see docstring and _node_loop_scope): the 8 eager
-    # half-step actions move only |V|-row score tables.
-    with _node_loop_scope(spark, n_hubs):
-        h = (
-            edges.select("src")
-            .distinct()
-            .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
-            .localCheckpoint()
-        )
-
-        def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
-            raw = (
-                edges_by[in_key].join(
-                    _state(score, bcast), F.col(in_key) == F.col("node")
-                )
-                .groupBy(out_key)
-                .agg(d6(F.col("r")).alias("r"))
-                .withColumnRenamed(out_key, "node")
+    # Build-phase width (catalog.bounded_eval_scope, round 9): the
+    # |E| edge build, its persist and the |V| guard count ran BEFORE
+    # the loop scope at the session's corpus width — under a vanilla
+    # 200-partition session that pre-loop phase dominated (BASELINE.md
+    # "Round 9 - graph build phase"). The WHOLE body (build + guard
+    # count + loop + final stats) now runs under an input-derived
+    # width driven by lineitem footer rows; _node_loop_scope nests
+    # inside for the iteration phase (AQE off, node-derived width)
+    # and restores to the build width, which the outer scope restores
+    # to the session width. The returned frame materializes eagerly
+    # inside the scope (localCheckpoint) so no exchange compiles at
+    # the restored width.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = spread(load_table(spark, sf_dir, "orders"))
+        l = spread(load_table(spark, sf_dir, "lineitem"))
+        edges = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
             )
-            tot = raw.agg(d6(F.col("r")).alias("tot"))
-            return (
-                raw.crossJoin(F.broadcast(tot))
-                .select("node", (F.col("r") / F.col("tot")).alias("r"))
+            .distinct()
+            .persist()
+        )
+        n_hubs = edges.select("src").distinct().count()
+        bcast = _use_broadcast(spark, n_hubs)
+        if bcast:
+            edges_by = {"src": edges, "dst": edges}
+        else:
+            # shuffle mode: the half-steps alternate join keys, so cache
+            # the edge table in BOTH layouts once (two |E| shuffles at
+            # mode-switch time) — each of the 8 half-step joins then
+            # exchanges only the |V|-row score vector against the matching
+            # cached layout.
+            n_shuffle = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            edges_by = {
+                "src": edges.repartition(n_shuffle, "src").persist(),
+                "dst": edges.repartition(n_shuffle, "dst").persist(),
+            }
+        d6 = lambda col: F.sum(
+            F.round(col, 6).cast("decimal(27,6)")
+        ).cast("double")
+
+        # loop conf scope (see docstring and _node_loop_scope): the 8 eager
+        # half-step actions move only |V|-row score tables.
+        with _node_loop_scope(spark, n_hubs):
+            h = (
+                edges.select("src")
+                .distinct()
+                .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
                 .localCheckpoint()
             )
 
-        a = None
-        for _ in range(_HITS_ITERS):
-            a = _half(h, "dst", "src")
-            h = _half(a, "src", "dst")
-    top = lambda df, kind: (
-        df.orderBy(F.col("r").desc(), "node")
-        .limit(25)
-        .select(F.lit(kind).alias("kind"), "node", F.col("r").alias("score"))
-    )
-    return (
-        top(a, "authority")
-        .unionAll(top(h, "hub"))
-        .orderBy("kind", F.col("score").desc(), "node")
-    )
+            def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
+                raw = (
+                    edges_by[in_key].join(
+                        _state(score, bcast), F.col(in_key) == F.col("node")
+                    )
+                    .groupBy(out_key)
+                    .agg(d6(F.col("r")).alias("r"))
+                    .withColumnRenamed(out_key, "node")
+                )
+                tot = raw.agg(d6(F.col("r")).alias("tot"))
+                return (
+                    raw.crossJoin(F.broadcast(tot))
+                    .select("node", (F.col("r") / F.col("tot")).alias("r"))
+                    .localCheckpoint()
+                )
+
+            a = None
+            for _ in range(_HITS_ITERS):
+                a = _half(h, "dst", "src")
+                h = _half(a, "src", "dst")
+        top = lambda df, kind: (
+            df.orderBy(F.col("r").desc(), "node")
+            .limit(25)
+            .select(F.lit(kind).alias("kind"), "node", F.col("r").alias("score"))
+        )
+        return (
+            top(a, "authority")
+            .unionAll(top(h, "hub"))
+            .orderBy("kind", F.col("score").desc(), "node")
+        ).localCheckpoint(eager=True)
 
 
 _LP_HUB_CAP = 50  # drop hub customers above this degree before pairing
@@ -770,62 +783,75 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold best-of-2, rows identical; BASELINE.md "Round 8"). The
     checkpoint materializes the same |E|-per-peel volume the persists
     already did — the trade is 3 extra driver round-trips for
-    right-sized exchanges, and the |E|-sized edge build still runs
-    before the scope at full session parallelism (the guard count
-    materializes the cache)."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
-    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
-    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
-        pairs.select(s_node.alias("src"), c_node.alias("dst"))
-    )
-    edges = edges.persist()
-    # |V| is bounded by the first round's degree-table size; count it
-    # once so the keep-set joins are size-guarded like the other
-    # iterative state vectors (keep ⊆ nodes, shrinking every round)
-    n_nodes = edges.select("src").distinct().count()
-    bcast = _use_broadcast(spark, n_nodes)
-    with _node_loop_scope(spark, n_nodes):
-        for _ in range(3):
-            # the surviving-node list is |nodes|-sized (and shrinks
-            # every round) — broadcast both endpoint filters while it
-            # fits so each peel is two broadcast-hash semi joins over
-            # the previous round's checkpointed edges; above the guard
-            # the hints drop and the |V|-row keep set exchanges
-            # instead (never the reverse)
-            keep = (
-                edges.groupBy("src")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= 3)
-                .select("src")
-            )
-            edges = (
-                edges.join(_state(keep, bcast), "src")
-                .join(
-                    _state(keep.select(F.col("src").alias("dst")), bcast),
-                    "dst",
+    right-sized exchanges; round 9 moved the |E|-sized edge build
+    under an input-derived width as well (the build-phase comment
+    below)."""
+    # Build-phase width (catalog.bounded_eval_scope, round 9): the
+    # |E| edge build, its persist and the |V| guard count ran BEFORE
+    # the loop scope at the session's corpus width — under a vanilla
+    # 200-partition session that pre-loop phase dominated (BASELINE.md
+    # "Round 9 - graph build phase"). The WHOLE body (build + guard
+    # count + loop + final stats) now runs under an input-derived
+    # width driven by lineitem footer rows; _node_loop_scope nests
+    # inside for the iteration phase (AQE off, node-derived width)
+    # and restores to the build width, which the outer scope restores
+    # to the session width. The returned frame materializes eagerly
+    # inside the scope (localCheckpoint) so no exchange compiles at
+    # the restored width.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = load_table(spark, sf_dir, "orders")
+        l = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select("o_custkey", "l_suppkey")
+            .distinct()
+        )
+        c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+        s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+        edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+            pairs.select(s_node.alias("src"), c_node.alias("dst"))
+        )
+        edges = edges.persist()
+        # |V| is bounded by the first round's degree-table size; count it
+        # once so the keep-set joins are size-guarded like the other
+        # iterative state vectors (keep ⊆ nodes, shrinking every round)
+        n_nodes = edges.select("src").distinct().count()
+        bcast = _use_broadcast(spark, n_nodes)
+        with _node_loop_scope(spark, n_nodes):
+            for _ in range(3):
+                # the surviving-node list is |nodes|-sized (and shrinks
+                # every round) — broadcast both endpoint filters while it
+                # fits so each peel is two broadcast-hash semi joins over
+                # the previous round's checkpointed edges; above the guard
+                # the hints drop and the |V|-row keep set exchanges
+                # instead (never the reverse)
+                keep = (
+                    edges.groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= 3)
+                    .select("src")
                 )
-                .select("src", "dst")
-                .localCheckpoint()
-            )
-    survivors = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
-    stats = survivors.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.max("deg").cast("bigint").alias("max_deg"),
-        F.min("deg").cast("bigint").alias("min_deg"),
-    )
-    ec = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_half_edges"))
-    return stats.crossJoin(F.broadcast(ec)).select(
-        "n_nodes", "n_half_edges", "max_deg", "min_deg"
-    )
+                edges = (
+                    edges.join(_state(keep, bcast), "src")
+                    .join(
+                        _state(keep.select(F.col("src").alias("dst")), bcast),
+                        "dst",
+                    )
+                    .select("src", "dst")
+                    .localCheckpoint()
+                )
+        survivors = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        stats = survivors.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+        )
+        ec = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_half_edges"))
+        return stats.crossJoin(F.broadcast(ec)).select(
+            "n_nodes", "n_half_edges", "max_deg", "min_deg"
+        ).localCheckpoint(eager=True)
 
 
 @_q(
@@ -892,63 +918,76 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a tuned 32-width session — no regression; interleaved cold
     best-of-2, rows identical; BASELINE.md "Round 8"). Frontiers are
     |V|-bounded and checkpointed, so the visited union needs no
-    persists; the |E|-sized edge build runs before the scope (the
-    guard count materializes the cache at full session width)."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
-    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
-    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
-        pairs.select(s_node.alias("src"), c_node.alias("dst"))
-    )
-    edges = edges.persist()
-    # frontier and visited are both bounded by |V| — size-guard their
-    # broadcast hints off one node count, like the other state vectors
-    n_nodes = edges.select("src").distinct().count()
-    bcast = _use_broadcast(spark, n_nodes)
-    with _node_loop_scope(spark, n_nodes):
-        seed = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .orderBy(F.desc("deg"), "src")
-            .limit(1)
-            .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
-            .localCheckpoint()
+    persists; round 9 moved the |E|-sized edge build under an
+    input-derived width as well (the build-phase comment below)."""
+    # Build-phase width (catalog.bounded_eval_scope, round 9): the
+    # |E| edge build, its persist and the |V| guard count ran BEFORE
+    # the loop scope at the session's corpus width — under a vanilla
+    # 200-partition session that pre-loop phase dominated (BASELINE.md
+    # "Round 9 - graph build phase"). The WHOLE body (build + guard
+    # count + loop + final stats) now runs under an input-derived
+    # width driven by lineitem footer rows; _node_loop_scope nests
+    # inside for the iteration phase (AQE off, node-derived width)
+    # and restores to the build width, which the outer scope restores
+    # to the session width. The returned frame materializes eagerly
+    # inside the scope (localCheckpoint) so no exchange compiles at
+    # the restored width.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
+        o = load_table(spark, sf_dir, "orders")
+        l = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select("o_custkey", "l_suppkey")
+            .distinct()
         )
-        visited = seed
-        frontier = seed.select("node")
-        levels = [seed]
-        for lvl in (1, 2, 3):
-            # visited is |nodes|-sized — broadcast the anti join too
-            # while it fits (else every hop pays a full-width SortMerge
-            # against a tiny set); above the guard both hints drop and
-            # the |V|-row frontier/visited sets exchange instead
-            nxt = (
-                edges.join(_state(frontier, bcast), edges.src == frontier.node)
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(
-                    _state(visited.select("node"), bcast), "node", "left_anti"
-                )
-                .select("node", F.lit(lvl).alias("lvl"))
+        c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+        s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+        edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+            pairs.select(s_node.alias("src"), c_node.alias("dst"))
+        )
+        edges = edges.persist()
+        # frontier and visited are both bounded by |V| — size-guard their
+        # broadcast hints off one node count, like the other state vectors
+        n_nodes = edges.select("src").distinct().count()
+        bcast = _use_broadcast(spark, n_nodes)
+        with _node_loop_scope(spark, n_nodes):
+            seed = (
+                edges.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .orderBy(F.desc("deg"), "src")
+                .limit(1)
+                .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
                 .localCheckpoint()
             )
-            levels.append(nxt)
-            visited = visited.unionByName(nxt)
-            frontier = nxt.select("node")
-    allv = levels[0]
-    for x in levels[1:]:
-        allv = allv.unionByName(x)
-    return (
-        allv.groupBy(F.col("lvl").cast("int").alias("level"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        .orderBy("level")
-    )
+            visited = seed
+            frontier = seed.select("node")
+            levels = [seed]
+            for lvl in (1, 2, 3):
+                # visited is |nodes|-sized — broadcast the anti join too
+                # while it fits (else every hop pays a full-width SortMerge
+                # against a tiny set); above the guard both hints drop and
+                # the |V|-row frontier/visited sets exchange instead
+                nxt = (
+                    edges.join(_state(frontier, bcast), edges.src == frontier.node)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(
+                        _state(visited.select("node"), bcast), "node", "left_anti"
+                    )
+                    .select("node", F.lit(lvl).alias("lvl"))
+                    .localCheckpoint()
+                )
+                levels.append(nxt)
+                visited = visited.unionByName(nxt)
+                frontier = nxt.select("node")
+        allv = levels[0]
+        for x in levels[1:]:
+            allv = allv.unionByName(x)
+        return (
+            allv.groupBy(F.col("lvl").cast("int").alias("level"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .orderBy("level")
+        ).localCheckpoint(eager=True)
 
 
 @_q(

@@ -778,39 +778,47 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window at any customer count. Monetary stays DECIMAL
     end-to-end.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    rfm = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-            "monetary"
-        ),
-    )
-    rfm = two_phase_window(
-        rfm, [F.col("last_order"), F.col("o_custkey")], row_number="_rn_r"
-    )
-    rfm = two_phase_window(
-        rfm, [F.col("frequency"), F.col("o_custkey")], row_number="_rn_f"
-    )
-    rfm = two_phase_window(
-        rfm, [F.col("monetary"), F.col("o_custkey")], row_number="_rn_m"
-    )
-    rfm = with_totals(rfm, {"_n": F.count(F.lit(1))})
-    scored = rfm.select(
-        "o_custkey",
-        "monetary",
-        exact_ntile(F.col("_rn_r"), F.col("_n"), 4).alias("r_score"),
-        exact_ntile(F.col("_rn_f"), F.col("_n"), 4).alias("f_score"),
-        exact_ntile(F.col("_rn_m"), F.col("_n"), 4).alias("m_score"),
-    )
-    return (
-        scored.groupBy("r_score", "f_score", "m_score")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("monetary").cast("double").alias("segment_value"),
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9): three
+    # two-phase order spreads + the totals join over the per-customer
+    # rollup paid corpus width — 6-8.5 s vanilla sf0.01 for a 55-row
+    # result, ~3 s at input-derived width (ABA probe; BASELINE.md
+    # "Round 9 - width scope, third wave"). WHOLE body under the
+    # scope (the pooled range pins compile eagerly), eager
+    # localCheckpoint inside.
+    with bounded_eval_scope(spark, footer_rows(sf_dir, "orders")):
+        orders = load_table(spark, sf_dir, "orders")
+        rfm = orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
         )
-        .orderBy("r_score", "f_score", "m_score")
-    )
+        rfm = two_phase_window(
+            rfm, [F.col("last_order"), F.col("o_custkey")], row_number="_rn_r"
+        )
+        rfm = two_phase_window(
+            rfm, [F.col("frequency"), F.col("o_custkey")], row_number="_rn_f"
+        )
+        rfm = two_phase_window(
+            rfm, [F.col("monetary"), F.col("o_custkey")], row_number="_rn_m"
+        )
+        rfm = with_totals(rfm, {"_n": F.count(F.lit(1))})
+        scored = rfm.select(
+            "o_custkey",
+            "monetary",
+            exact_ntile(F.col("_rn_r"), F.col("_n"), 4).alias("r_score"),
+            exact_ntile(F.col("_rn_f"), F.col("_n"), 4).alias("f_score"),
+            exact_ntile(F.col("_rn_m"), F.col("_n"), 4).alias("m_score"),
+        )
+        return (
+            scored.groupBy("r_score", "f_score", "m_score")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum("monetary").cast("double").alias("segment_value"),
+            )
+            .orderBy("r_score", "f_score", "m_score")
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

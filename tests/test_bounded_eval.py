@@ -130,6 +130,15 @@ def test_footer_rows_memo_invalidates_on_rewrite(spark, tmp_path):
         "q_spearman_corr",
         "q_kn_bigram_lm",
         "q_lsh_intake_recall_eval",
+        # third wave: the graph loops' BUILD phase (previously only the
+        # iteration loop was scoped) and the three analytics names the
+        # post-rotation sweep surfaced
+        "q_graph_kcore",
+        "q_graph_hits",
+        "q_graph_bfs_levels",
+        "q_ts_similarity",
+        "q_stickiness",
+        "q_rfm_segmentation",
     ],
 )
 def test_r9_scoped_eval_is_width_invariant(spark, name):
