@@ -1930,6 +1930,22 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical measurement on the deterministic 1/N md5(text)
     sample (default 1 = every doc, which is what the oracle replays;
     recall is a ratio, so it is sample-stable)."""
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9): mixed
+    # class in the ABA probe (17.0 s vanilla / 11.1 s at width 8,
+    # sf0.01) — the width half is the band self-join + per-pair
+    # aggregates compiling at corpus width; the residual is the
+    # UNCAPPED exact-jaccard verification this eval exists to pay
+    # (see the sample knob above). WHOLE body under the scope; the
+    # 4-row result materializes eagerly inside and the three persists
+    # release in the finally — previously they stayed pinned behind a
+    # lazily returned frame (the heap-debris class the round-8
+    # q_lsh_intake_recall_eval fix removed elsewhere).
+    n_drive = footer_rows(sf_dir, "documents") * _B
+    with bounded_eval_scope(spark, n_drive):
+        return _lsh_cap_recall_eval_body(spark, sf_dir)
+
+
+def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     uniq = (
         d.groupBy("text")
@@ -2034,7 +2050,7 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = true_pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("true_pairs_total")
     )
-    return (
+    out = (
         caps.join(dropped, "cap")
         .join(bill, "cap")
         .join(F.broadcast(total), F.lit(True), "left")
@@ -2052,6 +2068,11 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for cached in (docs, bands, true_pairs):
+            cached.unpersist()
 
 
 def _lsh_intake_eval_oracle() -> str:

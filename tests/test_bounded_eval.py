@@ -139,6 +139,7 @@ def test_footer_rows_memo_invalidates_on_rewrite(spark, tmp_path):
         "q_ts_similarity",
         "q_stickiness",
         "q_rfm_segmentation",
+        "q_lsh_cap_recall_eval",
     ],
 )
 def test_r9_scoped_eval_is_width_invariant(spark, name):
