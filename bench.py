@@ -143,19 +143,20 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 4.38,
+    "max_ratio": 5.43,
     "max_query": "q_graph_pagerank",
-    "median_ratio": 1.71,
-    "recorded": "round-8 final-tree leg, re-recorded after the"
-    " review fixes, 0.9% canary window (BASELINE.md 'Round 8 —"
-    " full-headline 10x table (fourth re-record...)')",
+    "median_ratio": 1.56,
+    "recorded": "round-9 final-tree leg after the width-scope third"
+    " wave, 19.4% canary window — the max is the standing pagerank"
+    " |E|-linear attribution widened by container noise (steady-state"
+    " 2.0 s; BASELINE.md 'Round 9 — full-headline 10x table')",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
     # silently goes stale after perf-affecting changes). _stale_check
     # compares this commit to HEAD over the package dir and the
     # compact line carries scale10x_full_stale so the artifact is
     # self-describing; re-record with SPARK_GRAFT_BENCH_SCALE10X_FULL=1
     # and update this stamp whenever it reports stale.
-    "commit": "f34ccc3",
+    "commit": "6548133",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
