@@ -89,7 +89,18 @@ _MODULES = [
 # dedup/fingerprint variant tail. (h) the curation/sampling family.
 #
 # Round-10/11 rotation plan for the 101 never-checked names left
-# after a green r9: r10 leads with the text/corpus stats tail
+# after a green r9. r10 MUST lead with the seven names whose code
+# changed AFTER this window was rotated (the same queue-for-next-round
+# pattern the r8->r9 replay re-checks followed): the width-scope
+# third wave q_graph_kcore / q_graph_hits / q_graph_bfs_levels
+# (build phase moved under bounded_eval_scope), q_ts_similarity /
+# q_stickiness / q_rfm_segmentation (whole-body scopes), and
+# q_lsh_cap_recall_eval (scope + eager materialization + pin
+# release). All seven are oracle-green in the post-change full 506
+# vanilla sweep (506/0/0 on the final r9 tree) and in the bitwise
+# width-invariance matrix (tests/test_bounded_eval.py), so this is
+# driver-evidence freshening, not an open correctness question.
+# Then r10 takes the text/corpus stats tail
 # (q_vocab_coverage, q_perplexity_unigram, q_zipf_fit,
 # q_lexical_diversity, q_doc_repetition, q_dataset_card,
 # q_token_histogram_log2, q_logsumexp_sources, q_tokenizer_fertility,
