@@ -222,6 +222,26 @@ def bounded_eval_scope(spark: SparkSession, n_rows: int):
     try:
         yield parts
     finally:
+        # Interleaving detector (r8 ADVICE): under the documented
+        # single-threaded-driver regime the conf at restore time is
+        # exactly what this scope set (a NESTED scope restores before
+        # this finally runs, so nesting never trips this). A different
+        # value means a concurrent scope interleaved — restoring
+        # parts_was would then clobber the other scope's save point,
+        # so make the hazard loud instead of silent.
+        cur = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        if cur != str(parts):
+            import warnings
+
+            warnings.warn(
+                "bounded_eval_scope: spark.sql.shuffle.partitions "
+                f"changed inside the scope ({parts} -> {cur}); a "
+                "concurrent width scope interleaved on this session — "
+                "scoped runs must be serialized (or use "
+                "spark.newSession() per thread)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         spark.conf.set("spark.sql.shuffle.partitions", parts_was)
 
 

@@ -161,3 +161,30 @@ def test_eval_rows_per_part_constant_documented():
     # the constant the width derivation divides by; a silent change
     # here re-regimes every scoped eval, so pin it
     assert _EVAL_ROWS_PER_PART == 8192
+
+
+def test_scope_warns_on_interleaved_mutation(spark):
+    """A concurrent scope interleaving on the same session is the one
+    documented hazard of the session-global conf scope (r8 ADVICE).
+    The scope cannot prevent it, but it must be LOUD: a conf value at
+    restore time that is not the scope's own setting raises a
+    RuntimeWarning naming the hazard. Nesting must NOT trip it."""
+    import warnings
+
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        # nesting: clean, no warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            with bounded_eval_scope(spark, 10):
+                with bounded_eval_scope(spark, 10):
+                    pass
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        # simulated interleave: a foreign mutation inside the scope
+        with pytest.warns(RuntimeWarning, match="concurrent width scope"):
+            with bounded_eval_scope(spark, 10):
+                spark.conf.set("spark.sql.shuffle.partitions", "77")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
