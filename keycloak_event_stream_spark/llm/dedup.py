@@ -1082,67 +1082,78 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the oracle — the q_ann_recall pattern applied to the
     dedup pipeline. Every count is an integer; two final divisions.
     """
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < 300
-    )
-    docs = (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= _SHINGLE)
-        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
-        .persist()
-    )
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
-    )
-    jaccard = F.size(F.array_intersect("sa", "sb")).cast(
-        "double"
-    ) / F.size(F.array_union("sa", "sb"))
-    truth = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(jaccard >= _JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
-    bands = band_keys(d)
-    ba, bb = bands.alias("a"), bands.alias("b")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9): the
+    # calibration set is capped at 300 docs, yet the truth all-pairs
+    # join, band self-join, distinct and the crossJoin aggregates all
+    # compiled at corpus width — ~5.9 s warm vanilla sf0.01 for a
+    # 1-row result, ~4.0 s at width 8 (the residual is shingle md5
+    # CPU). WHOLE body under the scope, eager checkpoint inside, and
+    # the docs persist releases in the finally.
+    n_drive = min(footer_rows(sf_dir, "documents"), 300) * _B
+    with bounded_eval_scope(spark, n_drive):
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 300
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        docs = (
+            d.withColumn("w", F.split("text", " "))
+            .filter(F.size("w") >= _SHINGLE)
+            .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+            .persist()
         )
-        .distinct()
-    )
-    hit = cand.join(truth, ["doc_a", "doc_b"], "inner")
-    m = (
-        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-        .crossJoin(
-            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
         )
-        .crossJoin(
-            hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
         )
-    )
-    precision = F.when(F.col("n_cand") == 0, F.lit(1.0)).otherwise(
-        F.col("n_hit").cast("double") / F.col("n_cand")
-    )
-    recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
-        F.col("n_hit").cast("double") / F.col("n_true")
-    )
-    return m.select(
-        "n_true",
-        "n_cand",
-        "n_hit",
-        precision.alias("precision"),
-        recall.alias("recall"),
-    )
+        jaccard = F.size(F.array_intersect("sa", "sb")).cast(
+            "double"
+        ) / F.size(F.array_union("sa", "sb"))
+        truth = (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .filter(jaccard >= _JACCARD_MIN)
+            .select("doc_a", "doc_b")
+        )
+        bands = band_keys(d)
+        ba, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        hit = cand.join(truth, ["doc_a", "doc_b"], "inner")
+        m = (
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+            .crossJoin(
+                cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+            )
+            .crossJoin(
+                hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+            )
+        )
+        precision = F.when(F.col("n_cand") == 0, F.lit(1.0)).otherwise(
+            F.col("n_hit").cast("double") / F.col("n_cand")
+        )
+        recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+            F.col("n_hit").cast("double") / F.col("n_true")
+        )
+        out = m.select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            precision.alias("precision"),
+            recall.alias("recall"),
+        ).localCheckpoint(eager=True)
+        docs.unpersist()
+        return out
 
 
 @_q(

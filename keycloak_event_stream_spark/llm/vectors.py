@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from keycloak_event_stream_spark.catalog import load_table, spread
+from keycloak_event_stream_spark.catalog import (
+    bounded_eval_scope,
+    footer_rows,
+    load_table,
+    spread,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -1413,79 +1418,90 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL(18,6) values (6-dp rounding makes the cast
     lossless — no float threshold). Scale: centroids are the (label, dim) tall-skinny
     reduction broadcast back; rank windows run partitioned by label."""
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cells = e.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
-    cent = (
-        cells.groupBy("label", "pos")
-        .agg(
-            (
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9): the
+    # per-dim explode, centroid reduction, the two label-partitioned
+    # rank windows and the fence join compiled at corpus width —
+    # ~3.5 s warm vanilla sf0.01 for a 23-row result, ~1.7 s at
+    # width 8. Width drives off cell rows (vectors x the fixture's
+    # 64-dim embedding; a dim-count heuristic, same class as
+    # textstats._EST_WORDS_PER_DOC — the scope caps at session
+    # width, so larger real embeddings merely keep session width).
+    # WHOLE body under the scope, eager checkpoint inside.
+    n_drive = footer_rows(sf_dir, "embeddings") * 64
+    with bounded_eval_scope(spark, n_drive):
+        e = spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cells = e.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
+        cent = (
+            cells.groupBy("label", "pos")
+            .agg(
+                (
+                    F.expr(
+                        "aggregate(transform(array_sort(collect_list("
+                        "struct(vec_id, val))), s -> s.val),"
+                        " cast(0.0 as double), (a, b) -> a + b)"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("mean_val")
+            )
+            .groupBy("label")
+            .agg(
                 F.expr(
-                    "aggregate(transform(array_sort(collect_list("
-                    "struct(vec_id, val))), s -> s.val),"
-                    " cast(0.0 as double), (a, b) -> a + b)"
-                )
-                / F.count(F.lit(1))
-            ).alias("mean_val")
+                    "transform(array_sort(collect_list(struct(pos, mean_val))),"
+                    " s -> s.mean_val)"
+                ).alias("c")
+            )
         )
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mean_val))),"
-                " s -> s.mean_val)"
-            ).alias("c")
+        dist = e.join(F.broadcast(cent), "label").select(
+            "vec_id",
+            "label",
+            F.round(
+                F.sqrt(F.expr(_SPARK_D2.format(a="v", b="c"))), 6
+            ).alias("d"),
         )
-    )
-    dist = e.join(F.broadcast(cent), "label").select(
-        "vec_id",
-        "label",
-        F.round(
-            F.sqrt(F.expr(_SPARK_D2.format(a="v", b="c"))), 6
-        ).alias("d"),
-    )
-    w = Window.partitionBy("label").orderBy("d", "vec_id")
-    wc = Window.partitionBy("label")
-    ranked = dist.select(
-        "vec_id",
-        "label",
-        "d",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    med = ranked.groupBy("label").agg(
-        F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("d"))).alias(
-            "med"
+        w = Window.partitionBy("label").orderBy("d", "vec_id")
+        wc = Window.partitionBy("label")
+        ranked = dist.select(
+            "vec_id",
+            "label",
+            "d",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
         )
-    )
-    dev = ranked.join(F.broadcast(med), "label").select(
-        "vec_id",
-        "label",
-        "d",
-        "med",
-        F.round(F.abs(F.col("d") - F.col("med")), 6).alias("ad"),
-    )
-    wd = Window.partitionBy("label").orderBy("ad", "vec_id")
-    dr = dev.select(
-        "label",
-        "ad",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    mad = dr.groupBy("label").agg(
-        F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("ad"))).alias(
-            "mad"
+        med = ranked.groupBy("label").agg(
+            F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("d"))).alias(
+                "med"
+            )
         )
-    )
-    return (
-        dev.join(F.broadcast(mad), "label")
-        .filter(
-            F.col("ad").cast("decimal(18,6)")
-            > F.lit(3) * F.col("mad").cast("decimal(18,6)")
+        dev = ranked.join(F.broadcast(med), "label").select(
+            "vec_id",
+            "label",
+            "d",
+            "med",
+            F.round(F.abs(F.col("d") - F.col("med")), 6).alias("ad"),
         )
-        .select("vec_id", "label", F.col("d").alias("dist"), "med", "mad")
-        .orderBy("label", "vec_id")
-    )
+        wd = Window.partitionBy("label").orderBy("ad", "vec_id")
+        dr = dev.select(
+            "label",
+            "ad",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        mad = dr.groupBy("label").agg(
+            F.min(F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("ad"))).alias(
+                "mad"
+            )
+        )
+        return (
+            dev.join(F.broadcast(mad), "label")
+            .filter(
+                F.col("ad").cast("decimal(18,6)")
+                > F.lit(3) * F.col("mad").cast("decimal(18,6)")
+            )
+            .select("vec_id", "label", F.col("d").alias("dist"), "med", "mad")
+            .orderBy("label", "vec_id")
+        ).localCheckpoint(eager=True)
 
 
 @_q(

@@ -96,7 +96,8 @@ _MODULES = [
 # (build phase moved under bounded_eval_scope), q_ts_similarity /
 # q_stickiness / q_rfm_segmentation (whole-body scopes), and
 # q_lsh_cap_recall_eval (scope + eager materialization + pin
-# release). All seven are oracle-green in the post-change full 506
+# release), plus the fourth-wave pair q_minhash_eval /
+# q_embedding_outliers (same treatment). All nine are oracle-green in the post-change full 506
 # vanilla sweep (506/0/0 on the final r9 tree) and in the bitwise
 # width-invariance matrix (tests/test_bounded_eval.py), so this is
 # driver-evidence freshening, not an open correctness question.

@@ -140,6 +140,8 @@ def test_footer_rows_memo_invalidates_on_rewrite(spark, tmp_path):
         "q_stickiness",
         "q_rfm_segmentation",
         "q_lsh_cap_recall_eval",
+        "q_minhash_eval",
+        "q_embedding_outliers",
     ],
 )
 def test_r9_scoped_eval_is_width_invariant(spark, name):
