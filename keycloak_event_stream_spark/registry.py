@@ -97,8 +97,8 @@ _MODULES = [
 # q_stickiness / q_rfm_segmentation (whole-body scopes), and
 # q_lsh_cap_recall_eval (scope + eager materialization + pin
 # release), plus the fourth-wave pair q_minhash_eval /
-# q_embedding_outliers (same treatment). All nine are oracle-green in the post-change full 506
-# vanilla sweep (506/0/0 on the final r9 tree) and in the bitwise
+# q_embedding_outliers (same treatment). All nine are oracle-green
+# in the post-change full 506 vanilla sweep (506/0/0 on the final r9 tree) and in the bitwise
 # width-invariance matrix (tests/test_bounded_eval.py), so this is
 # driver-evidence freshening, not an open correctness question.
 # Then r10 takes the text/corpus stats tail
