@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import load_table, spread
-from keycloak_event_stream_spark.operators._exact import DEC, dsum, sql_dsum
+from keycloak_event_stream_spark.operators._exact import (
+    DEC,
+    dbig,
+    dsum,
+    sql_dbig,
+    sql_dsum,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -256,14 +262,15 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q_agg_stats",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT o_orderstatus,
              count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
-                      * CAST(o_totalprice AS DECIMAL(18,2)))
-                  AS DOUBLE) AS s2
+             {sql_dbig("sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100")}
+               / 100.0 AS s1,
+             {sql_dbig("sum(CAST(o_totalprice AS DECIMAL(18,2))"
+                       " * CAST(o_totalprice AS DECIMAL(18,2))) * 10000")}
+               / 10000.0 AS s2
       FROM orders GROUP BY o_orderstatus
     )
     SELECT o_orderstatus, n,
@@ -277,7 +284,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance/stddev via exact decimal moment sums (s1, s2) with
     the final arithmetic in double — order-independent and bit-identical
     across engines, unlike streaming variance (Welford) whose result
-    depends on accumulation order."""
+    depends on accumulation order. The moment sums cross 2^53 at sf0.1,
+    so the double conversion goes through the split cast
+    (:func:`_exact.dbig` — a plain CAST drifts a ulp between engines)."""
     o = spread(load_table(spark, sf_dir, "orders"))
     x = F.col("o_totalprice")
     # prices are 2-decimal money: DECIMAL(18,2) casts are exact in every
@@ -285,8 +294,15 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x2 = x.cast("decimal(18,2)") * x.cast("decimal(18,2)")
     agg = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("s1"),
-        F.sum(x2).cast("double").alias("s2"),
+        (
+            dbig(
+                (F.sum(x.cast("decimal(18,2)")) * 100).cast("decimal(38,0)")
+            )
+            / F.lit(100.0)
+        ).alias("s1"),
+        (
+            dbig((F.sum(x2) * 10000).cast("decimal(38,0)")) / F.lit(10000.0)
+        ).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     return agg.select(
@@ -576,17 +592,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q_corr_moments",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             {sql_dbig("sum(CAST(l_quantity AS DECIMAL(18,2))) * 100")}
+               / 100.0 AS sx,
+             {sql_dbig("sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100")}
+               / 100.0 AS sy,
+             {sql_dbig("sum(CAST(l_quantity AS DECIMAL(18,2))"
+                       " * CAST(l_quantity AS DECIMAL(18,2))) * 10000")}
+               / 10000.0 AS sxx,
+             {sql_dbig("sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+                       " * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000")}
+               / 10000.0 AS syy,
+             {sql_dbig("sum(CAST(l_quantity AS DECIMAL(18,2))"
+                       " * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000")}
+               / 10000.0 AS sxy
       FROM lineitem
     )
     SELECT n,
@@ -598,17 +619,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from exact decimal moments (one pass, five
     sums), final arithmetic in double — order-independent and engine-
-    identical, unlike corr()'s streaming covariance accumulation."""
+    identical, unlike corr()'s streaming covariance accumulation. The
+    squared-cents sums cross 2^53 at sf0.1, so every moment converts
+    through the split cast (:func:`_exact.dbig`)."""
     l = spread(load_table(spark, sf_dir, "lineitem"))
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def mom2(col, alias):
+        return (
+            dbig((F.sum(col) * 10000).cast("decimal(38,0)")) / F.lit(1e4)
+        ).alias(alias)
+
     m = l.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        (dbig((F.sum(x) * 100).cast("decimal(38,0)")) / F.lit(100.0)).alias(
+            "sx"
+        ),
+        (dbig((F.sum(y) * 100).cast("decimal(38,0)")) / F.lit(100.0)).alias(
+            "sy"
+        ),
+        mom2(x * x, "sxx"),
+        mom2(y * y, "syy"),
+        mom2(x * y, "sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

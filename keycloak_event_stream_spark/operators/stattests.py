@@ -37,6 +37,7 @@ from keycloak_event_stream_spark.catalog import (
     load_table,
     spread,
 )
+from keycloak_event_stream_spark.operators._exact import dbig, sql_dbig
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
     with_totals,
@@ -1398,7 +1399,7 @@ def q_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q_corr_matrix",
-    oracle="""
+    oracle=f"""
     WITH cents AS (
       SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -1410,16 +1411,16 @@ def q_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(count(*) AS BIGINT) AS n,
         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
         CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
-        CAST(sum(CAST(q*q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
-        CAST(sum(CAST(p*p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
-        CAST(sum(CAST(d*d AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
-        CAST(sum(CAST(t*t AS DECIMAL(38,0))) AS DOUBLE) AS stt,
-        CAST(sum(CAST(q*p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
-        CAST(sum(CAST(q*d AS DECIMAL(38,0))) AS DOUBLE) AS sqd,
-        CAST(sum(CAST(q*t AS DECIMAL(38,0))) AS DOUBLE) AS sqt,
-        CAST(sum(CAST(p*d AS DECIMAL(38,0))) AS DOUBLE) AS spd,
-        CAST(sum(CAST(p*t AS DECIMAL(38,0))) AS DOUBLE) AS spt,
-        CAST(sum(CAST(d*t AS DECIMAL(38,0))) AS DOUBLE) AS sdt
+        {sql_dbig("sum(CAST(q*q AS DECIMAL(38,0)))")} AS sqq,
+        {sql_dbig("sum(CAST(p*p AS DECIMAL(38,0)))")} AS spp,
+        {sql_dbig("sum(CAST(d*d AS DECIMAL(38,0)))")} AS sdd,
+        {sql_dbig("sum(CAST(t*t AS DECIMAL(38,0)))")} AS stt,
+        {sql_dbig("sum(CAST(q*p AS DECIMAL(38,0)))")} AS sqp,
+        {sql_dbig("sum(CAST(q*d AS DECIMAL(38,0)))")} AS sqd,
+        {sql_dbig("sum(CAST(q*t AS DECIMAL(38,0)))")} AS sqt,
+        {sql_dbig("sum(CAST(p*d AS DECIMAL(38,0)))")} AS spd,
+        {sql_dbig("sum(CAST(p*t AS DECIMAL(38,0)))")} AS spt,
+        {sql_dbig("sum(CAST(d*t AS DECIMAL(38,0)))")} AS sdt
       FROM cents
     )
     SELECT col_x, col_y, n,
@@ -1462,7 +1463,9 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent("l_discount").alias("d"),
         cent("l_tax").alias("t"),
     )
-    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("double")
+    # split cast: these squared-cents sums cross 2^53 at sf0.1 and a
+    # plain decimal->double CAST drifts a ulp between engines
+    dsum = lambda e: dbig(F.sum(e.cast("decimal(38,0)")).cast("decimal(38,0)"))
     cols = {"q": "quantity", "p": "extendedprice", "d": "discount",
             "t": "tax"}
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
@@ -1827,7 +1830,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q_outlier_mahalanobis",
-    oracle="""
+    oracle=f"""
     WITH cents AS (
       SELECT l_orderkey, l_linenumber,
              CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
@@ -1837,9 +1840,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             {sql_dbig("sum(CAST(x * x AS DECIMAL(38,0)))")} AS sxx,
+             {sql_dbig("sum(CAST(y * y AS DECIMAL(38,0)))")} AS syy,
+             {sql_dbig("sum(CAST(x * y AS DECIMAL(38,0)))")} AS sxy
       FROM cents
     ), cov AS (
       SELECT n, sx / n AS mx, sy / n AS my,
@@ -1881,7 +1884,9 @@ def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = li.select(
         "l_orderkey", "l_linenumber", cx.alias("x"), cy.alias("y")
     )
-    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("double")
+    # split cast (q_corr_matrix discipline): the squared-cents sums
+    # cross 2^53 at sf0.1; a plain decimal->double CAST drifts a ulp
+    dsum = lambda e: dbig(F.sum(e.cast("decimal(38,0)")).cast("decimal(38,0)"))
     m = cents.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("double").alias("sx"),
@@ -2527,9 +2532,11 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(a: str, b: str) -> F.Column:
-        return (
+        # split cast (q_corr_matrix discipline): sf0.1 moment sums
+        # cross 2^53 and a plain decimal->double CAST drifts a ulp
+        return dbig(
             F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
-            .cast("double")
+            .cast("decimal(38,0)")
         )
 
     m = cents.groupBy("l_returnflag").agg(
@@ -2575,7 +2582,7 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q_ridge_regression",
-    oracle="""
+    oracle=f"""
     WITH cents AS (
       SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS x1,
@@ -2589,12 +2596,12 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x1) AS DOUBLE) AS s1,
              CAST(sum(x2) AS DOUBLE) AS s2,
              CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
-             CAST(sum(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
-             CAST(sum(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
-             CAST(sum(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
-             CAST(sum(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
-             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             {sql_dbig("sum(CAST(x1 * x1 AS DECIMAL(38,0)))")} AS s11,
+             {sql_dbig("sum(CAST(x1 * x2 AS DECIMAL(38,0)))")} AS s12,
+             {sql_dbig("sum(CAST(x2 * x2 AS DECIMAL(38,0)))")} AS s22,
+             {sql_dbig("sum(CAST(x1 * y AS DECIMAL(38,0)))")} AS s1y,
+             {sql_dbig("sum(CAST(x2 * y AS DECIMAL(38,0)))")} AS s2y,
+             {sql_dbig("sum(CAST(y * y AS DECIMAL(38,0)))")} AS syy
       FROM cents
     ), c AS (
       SELECT n,

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keycloak_event_stream_spark.catalog import load_table
+from keycloak_event_stream_spark.operators._exact import dbig, sql_dbig
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -1478,10 +1479,10 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mom AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(CAST(sum(t) AS DECIMAL(38,0)) AS DOUBLE) AS st,
-             CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
-             CAST(sum(CAST(t * t AS DECIMAL(38,0))) AS DOUBLE) AS stt,
-             CAST(sum(CAST(t * cents AS DECIMAL(38,0))) AS DOUBLE) AS sty
+             {sql_dbig("sum(t)")} AS st,
+             {sql_dbig("sum(cents)")} AS sy,
+             {sql_dbig("sum(CAST(t * t AS DECIMAL(38,0)))")} AS stt,
+             {sql_dbig("sum(CAST(t * cents AS DECIMAL(38,0)))")} AS sty
       FROM idx
     ),
     fit AS (
@@ -1493,22 +1494,21 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     resid AS (
       SELECT i.t,
-             round(i.cents - (f.a + f.b * i.t), 6) AS e
+             i.cents - (f.a + f.b * i.t) AS e
       FROM idx i CROSS JOIN fit f
     ),
     micro AS (
-      SELECT t, CAST(CAST(e AS DECIMAL(24,6)) * 1000000 AS BIGINT)
-                  AS e6
+      SELECT t, CAST(floor(e * 1000000) AS BIGINT) AS e6
       FROM resid
     ),
     lagged AS (
       SELECT e6, lag(e6) OVER (ORDER BY t) AS ep6 FROM micro
     )
     SELECT CAST(count(*) AS BIGINT) AS n_days,
-           CAST(sum(CAST(e6 - ep6 AS DECIMAL(19,0))
-                    * CAST(e6 - ep6 AS DECIMAL(19,0))) AS DOUBLE)
-             / CAST(sum(CAST(e6 AS DECIMAL(19,0))
-                        * CAST(e6 AS DECIMAL(19,0))) AS DOUBLE)
+           {sql_dbig("sum(CAST(e6 - ep6 AS DECIMAL(19,0))"
+                     " * CAST(e6 - ep6 AS DECIMAL(19,0)))")}
+             / {sql_dbig("sum(CAST(e6 AS DECIMAL(19,0))"
+                         " * CAST(e6 AS DECIMAL(19,0)))")}
              AS durbin_watson
     FROM lagged WHERE ep6 IS NOT NULL
     """,
@@ -1522,11 +1522,12 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_autocorr_lag1 (DW ≈ 2(1−ρ₁) of the residuals).
 
     The trend fits in closed form from exact integer moments over
-    the bounded daily rollup; residuals round at 6 dp, scale to
-    integer micro-units, and both quadratic sums are exact decimal
-    accumulations of integers (the scale cancels in the ratio); the
-    lag pairing is one bounded-series window.
-    One double division at the end."""
+    the bounded daily rollup (split-cast to double — _exact.dbig);
+    residuals quantize to integer micro-units with floor (tie-free:
+    a 6-dp round() flipped one residual between engines at sf0.1),
+    and both quadratic sums are exact decimal accumulations of
+    integers, split-cast for the final ratio; the lag pairing is one
+    bounded-series window. One double division at the end."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
@@ -1537,14 +1538,18 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mom = idx.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("t").cast("decimal(38,0)").cast("double").alias("st"),
-        F.sum("cents").cast("decimal(38,0)").cast("double").alias("sy"),
-        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("stt"),
-        F.sum((F.col("t") * F.col("cents")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sty"),
+        dbig(F.sum("t").cast("decimal(38,0)")).alias("st"),
+        dbig(F.sum("cents").cast("decimal(38,0)")).alias("sy"),
+        dbig(
+            F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("stt"),
+        dbig(
+            F.sum((F.col("t") * F.col("cents")).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sty"),
     )
     n = F.col("n")
     b = (n * F.col("sty") - F.col("st") * F.col("sy")) / (
@@ -1555,19 +1560,17 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resid = idx.crossJoin(F.broadcast(fit)).select(
         "t",
-        F.round(
-            F.col("cents") - (F.col("a") + F.col("b") * F.col("t")), 6
-        ).alias("e"),
+        (F.col("cents") - (F.col("a") + F.col("b") * F.col("t"))).alias("e"),
     )
-    # 6-dp residuals scale losslessly to integer micro-units; squares
-    # multiply as DECIMAL(19,0) (exact at ~1e26), and the 1e12 scale
-    # cancels in the ratio — integer-valued decimal->double casts only
-    # (the q_price_elasticity int128-portability discipline)
+    # floor-quantized micro-residuals (tie-free across engines);
+    # squares multiply as DECIMAL(19,0) (exact at ~1e26). The 1e12
+    # scale cancels in the ratio but the two big-integer double casts
+    # do NOT: each drifts a ulp independently at sf0.1 (DuckDB's
+    # int128->double is not correctly rounded), so numerator and
+    # denominator go through the split cast (_exact.dbig)
     micro = resid.select(
         "t",
-        (F.col("e").cast("decimal(24,6)") * 1000000)
-        .cast("bigint")
-        .alias("e6"),
+        F.floor(F.col("e") * 1000000).cast("bigint").alias("e6"),
     )
     wt = Window.orderBy("t")
     lagged = micro.select(
@@ -1575,8 +1578,8 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ep6").isNotNull())
     d = (F.col("e6") - F.col("ep6")).cast("decimal(19,0)")
     e6d = F.col("e6").cast("decimal(19,0)")
-    num = F.sum(d * d).cast("double")
-    den = F.sum(e6d * e6d).cast("double")
+    num = dbig(F.sum(d * d).cast("decimal(38,0)"))
+    den = dbig(F.sum(e6d * e6d).cast("decimal(38,0)"))
     return lagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         (num / den).alias("durbin_watson"),

@@ -97,10 +97,19 @@ _MODULES = [
 # q_stickiness / q_rfm_segmentation (whole-body scopes), and
 # q_lsh_cap_recall_eval (scope + eager materialization + pin
 # release), plus the fourth-wave pair q_minhash_eval /
-# q_embedding_outliers (same treatment). All nine are oracle-green
-# in the post-change full 506 vanilla sweep (506/0/0 on the final r9 tree) and in the bitwise
-# width-invariance matrix (tests/test_bounded_eval.py), so this is
-# driver-evidence freshening, not an open correctness question.
+# q_embedding_outliers (same treatment), and the three
+# already-checked names from the sf0.1 drift-class closure
+# (BASELINE.md "sf0.1 full-sweep audit"): q_agg_stats,
+# q_corr_moments, q_durbin_watson — their moment casts now go through
+# the split cast (_exact.dbig) so they hold bitwise at sf0.1 too
+# (the other three drift-class names — q_corr_matrix,
+# q_outlier_mahalanobis, q_ridge_regression — were never checked and
+# already sit in the first-time queue). All twelve are oracle-green
+# in post-change sweeps (the scoped nine in the full 506 vanilla
+# sweep; the drift six at sf0.001+sf0.01+sf0.1 individually) and the
+# scoped ones in the bitwise width-invariance matrix
+# (tests/test_bounded_eval.py), so this is driver-evidence
+# freshening, not an open correctness question.
 # Then r10 takes the text/corpus stats tail
 # (q_vocab_coverage, q_perplexity_unigram, q_zipf_fit,
 # q_lexical_diversity, q_doc_repetition, q_dataset_card,

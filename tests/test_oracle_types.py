@@ -82,3 +82,44 @@ def test_no_decimal_oracle_columns(oracle_con):
         if dec:
             flagged[name] = dec
     assert not flagged, f"oracles returning DECIMAL (CAST AS DOUBLE): {flagged}"
+
+
+def test_dbig_split_cast_matches_duckdb_bitwise(spark):
+    """The portable big-integer -> double cast (_exact.dbig /
+    sql_dbig): DuckDB's int128->double is NOT correctly rounded
+    (measured ...7fe vs Spark's ...7ff on 22240711483861231690), so
+    moment sums past 2^53 must convert via the 2^32 split on BOTH
+    sides. Pins bitwise equality on the measured drift value, its
+    negation, and small/zero values."""
+    import duckdb
+
+    from keycloak_event_stream_spark.operators._exact import dbig, sql_dbig
+
+    vals = [
+        "22240711483861231690",
+        "-22240711483861231690",
+        "248125486829998621365913325130693",
+        "9007199254740993",  # 2^53 + 1: first integer a double can't hold
+        "7",
+        "0",
+        "-7",
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT {sql_dbig(f'CAST({v!r} AS DECIMAL(38,0))')}"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r["d"]
+        for r in df.select(
+            dbig(F.col("v").cast("decimal(38,0)")).alias("d")
+        ).collect()
+    ]
+    assert [g.hex() for g in got] == [d.hex() for d in duck]
+    # and the split really is the VALUE (exact for <= 2^53)
+    assert got[4] == 7.0 and got[5] == 0.0 and got[6] == -7.0
