@@ -143,21 +143,21 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 5.82,
+    "max_ratio": 5.2,
     "max_query": "q_graph_pagerank",
-    "median_ratio": 1.54,
-    "recorded": "round-9 final-tree leg after the fourth-wave scopes,"
-    " 13.4% canary window, headline 51.2 s raw — the max is the"
-    " standing pagerank |E|-linear cold-build attribution widened by"
-    " container noise (BASELINE.md 'Round 9 — full-headline 10x"
-    " table')",
+    "median_ratio": 1.56,
+    "recorded": "round-9 final-tree leg after the sf0.1 drift-class"
+    " closure, 20.8% canary window (best clean-window headline of the"
+    " round: 51.2 s raw) — the max is the standing pagerank"
+    " |E|-linear cold-build attribution widened by container noise"
+    " (BASELINE.md 'Round 9 — full-headline 10x table')",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
     # silently goes stale after perf-affecting changes). _stale_check
     # compares this commit to HEAD over the package dir and the
     # compact line carries scale10x_full_stale so the artifact is
     # self-describing; re-record with SPARK_GRAFT_BENCH_SCALE10X_FULL=1
     # and update this stamp whenever it reports stale.
-    "commit": "7086e82",
+    "commit": "68f68ee",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
