@@ -1075,3 +1075,41 @@ def test_ingest_grain_validation_and_result_invariance(spark, tmp_path):
         ]
         assert bool(entries) == ("dt" in grain)
     assert landed[("dt", "hour")] == landed[("dt",)] == landed[()]
+
+
+def test_footer_ts_range_handles_directory_layout(spark, tmp_path):
+    """footer_ts_range must aggregate min/max stats across a DIRECTORY
+    of part files (the 10x replica layout), and fall back to
+    (None, None) — grain conservatively stays dt/hour — when the
+    column carries no stats (e.g. Spark's default INT96 timestamps,
+    which parquet writes statless) or does not exist."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from keycloak_event_stream_spark.catalog import footer_ts_range
+
+    # pyarrow-written directory (micros + stats, the fixture format)
+    out = tmp_path / "events.parquet"
+    out.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    for i in range(4):
+        tbl = pa.table(
+            {"ts": [base + dt.timedelta(hours=25 * i + j) for j in range(25)]}
+        )
+        pq.write_table(tbl, str(out / f"part-{i}.parquet"))
+    lo, hi = footer_ts_range(str(tmp_path), "events")
+    assert (lo, hi) == (base, base + dt.timedelta(hours=99))
+    # unknown column -> span unknown
+    assert footer_ts_range(str(tmp_path), "events", column="nope") == (
+        None,
+        None,
+    )
+    # Spark INT96 timestamps: no stats -> (None, None) fallback
+    out2 = str(tmp_path / "noss" / "events.parquet")
+    spark.range(10).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts")
+    ).write.parquet(out2)
+    assert footer_ts_range(str(tmp_path / "noss"), "events") == (None, None)
