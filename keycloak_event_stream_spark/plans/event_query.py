@@ -102,6 +102,23 @@ class EventQueryBuilder:
         self._eq[col] = value
         return self
 
+    def _eq_or_clear(self, col: str, value) -> "EventQueryBuilder":
+        """Reference scalar-setter semantics: the named setters are
+        PLAIN field assignments with no null guard
+        (``AthenaEventQuery.java:53-69,99-103``,
+        ``AthenaAdminEventQuery.java:51-79,97-100`` — only
+        ``fromDate``/``toDate(Date)`` and the varargs setters are
+        null-guarded upstream), and the predicate emitter skips null
+        fields — so passing null OVERWRITES: ``.realm("r1")
+        .realm(None)`` ends with no realm filter. Mirrored exactly
+        (r9 ADVICE: the earlier None-no-op spelling silently kept the
+        filter where the reference clears it)."""
+        if value is None:
+            self._eq.pop(col, None)
+        else:
+            self._eq[col] = value
+        return self
+
     def where_in(self, col: str, *values) -> "EventQueryBuilder":
         """Conjunctive IN-list on an arbitrary column, deduped preserving
         insertion order (the admin query's operationtype/resourcetype
@@ -113,11 +130,18 @@ class EventQueryBuilder:
         return self
 
     def from_time(self, value) -> "EventQueryBuilder":
-        self._from = _ts(value)
+        """Null -> no-op: the reference's Date overloads ARE
+        null-guarded (``AthenaAdminEventQuery.java:103-115``,
+        ``AthenaEventQuery.java:72-97``) — unlike the scalar string
+        setters (see :meth:`_eq_or_clear`)."""
+        if value is not None:
+            self._from = _ts(value)
         return self
 
     def to_time(self, value) -> "EventQueryBuilder":
-        self._to = _ts(value)
+        """Null -> no-op (see :meth:`from_time`)."""
+        if value is not None:
+            self._to = _ts(value)
         return self
 
     def order_by_ascending(self) -> "EventQueryBuilder":
@@ -242,38 +266,35 @@ class UserEventQueryBuilder(EventQueryBuilder):
     """The reference ``EventQuery``'s NAMED fluent surface
     (``AthenaEventQuery.java:46-104``), delegating to the generic
     builder — so a user porting reference code keeps their call sites
-    verbatim (modulo snake_case). Null arguments are no-ops, matching
-    the reference's null-guarded setters; varargs dedup preserves
-    insertion order (LinkedHashSet semantics, ``:22,46-51``)."""
+    verbatim (modulo snake_case). Null-argument semantics mirror the
+    reference exactly: the scalar string setters are UNGUARDED field
+    assignments, so null OVERWRITES (clears a previously-set filter —
+    :meth:`EventQueryBuilder._eq_or_clear`), while ``fromDate``/
+    ``toDate(Date)`` and the varargs ``type`` are null-guarded no-ops
+    (``:46-51,72-97``); varargs dedup preserves insertion order
+    (LinkedHashSet semantics, ``:22,46-51``)."""
 
     def type(self, *names: str) -> "UserEventQueryBuilder":
-        """``type(EventType...)`` (``:46-51``)."""
+        """``type(EventType...)`` (``:46-51``; null array -> no-op)."""
         self.types(*[n for n in names if n is not None])
         return self
 
     def realm(self, realm_id) -> "UserEventQueryBuilder":
-        """``realm(String)`` (``:54-57``)."""
-        if realm_id is not None:
-            self.where_eq("realmid", realm_id)
-        return self
+        """``realm(String)`` (``:54-57``; unguarded — null clears)."""
+        return self._eq_or_clear("realmid", realm_id)
 
     def client(self, client_id) -> "UserEventQueryBuilder":
-        """``client(String)`` (``:60-63``)."""
-        if client_id is not None:
-            self.where_eq("clientid", client_id)
-        return self
+        """``client(String)`` (``:60-63``; unguarded — null clears)."""
+        return self._eq_or_clear("clientid", client_id)
 
     def user(self, user_id) -> "UserEventQueryBuilder":
-        """``user(String)`` (``:66-69``)."""
-        if user_id is not None:
-            self.where_eq("userid", user_id)
-        return self
+        """``user(String)`` (``:66-69``; unguarded — null clears)."""
+        return self._eq_or_clear("userid", user_id)
 
     def ip_address(self, ip) -> "UserEventQueryBuilder":
-        """``ipAddress(String)`` (``:100-103``)."""
-        if ip is not None:
-            self.where_eq("ipaddress", ip)
-        return self
+        """``ipAddress(String)`` (``:100-103``; unguarded — null
+        clears)."""
+        return self._eq_or_clear("ipaddress", ip)
 
     def from_date(self, value) -> "UserEventQueryBuilder":
         """``fromDate(Date|long)`` (``:72-83``); null -> no-op."""
@@ -294,38 +315,37 @@ class AdminEventQueryBuilder(EventQueryBuilder):
     ``:186-240``), delegating to the generic builder. All predicates
     AND together; ``operation``/``resource_type`` varargs dedup
     preserving insertion order (LinkedHashSet, ``:29-30``);
-    ``resource_path`` is plain equality (``:227-229``); null
-    arguments are no-ops like the reference's null guards."""
+    ``resource_path`` is plain equality (``:227-229``). Null-argument
+    semantics mirror the reference exactly: the scalar string setters
+    are UNGUARDED assignments so null clears
+    (:meth:`EventQueryBuilder._eq_or_clear`); only the varargs and
+    ``fromTime``/``toTime(Date)`` are null-guarded (``:81-95,
+    103-115``)."""
 
     def realm(self, realm_id) -> "AdminEventQueryBuilder":
-        """``realm(String)`` -> realmid equality (``:51-55,189-191``)."""
-        if realm_id is not None:
-            self.where_eq("realmid", realm_id)
-        return self
+        """``realm(String)`` -> realmid equality (``:51-55,189-191``;
+        unguarded — null clears)."""
+        return self._eq_or_clear("realmid", realm_id)
 
     def auth_realm(self, auth_realm) -> "AdminEventQueryBuilder":
-        """``authRealm(String)`` (``:57-61,193-195``)."""
-        if auth_realm is not None:
-            self.where_eq("authrealmid", auth_realm)
-        return self
+        """``authRealm(String)`` (``:57-61,193-195``; unguarded —
+        null clears)."""
+        return self._eq_or_clear("authrealmid", auth_realm)
 
     def auth_client(self, client) -> "AdminEventQueryBuilder":
-        """``authClient(String)`` (``:63-67,197-199``)."""
-        if client is not None:
-            self.where_eq("authclientid", client)
-        return self
+        """``authClient(String)`` (``:63-67,197-199``; unguarded —
+        null clears)."""
+        return self._eq_or_clear("authclientid", client)
 
     def auth_user(self, user) -> "AdminEventQueryBuilder":
-        """``authUser(String)`` (``:69-73,201-203``)."""
-        if user is not None:
-            self.where_eq("authuserid", user)
-        return self
+        """``authUser(String)`` (``:69-73,201-203``; unguarded —
+        null clears)."""
+        return self._eq_or_clear("authuserid", user)
 
     def auth_ip_address(self, ip) -> "AdminEventQueryBuilder":
-        """``authIpAddress(String)`` (``:75-79,205-207``)."""
-        if ip is not None:
-            self.where_eq("authipaddress", ip)
-        return self
+        """``authIpAddress(String)`` (``:75-79,205-207``; unguarded —
+        null clears)."""
+        return self._eq_or_clear("authipaddress", ip)
 
     def operation(self, *operations: str) -> "AdminEventQueryBuilder":
         """``operation(OperationType...)`` -> operationtype IN-list
@@ -342,10 +362,9 @@ class AdminEventQueryBuilder(EventQueryBuilder):
         return self
 
     def resource_path(self, path) -> "AdminEventQueryBuilder":
-        """``resourcePath(String)`` -> equality (``:97-100,227-229``)."""
-        if path is not None:
-            self.where_eq("resourcepath", path)
-        return self
+        """``resourcePath(String)`` -> equality (``:97-100,227-229``;
+        unguarded — null clears)."""
+        return self._eq_or_clear("resourcepath", path)
 
 
 # ---------------------------------------------------------------------------

@@ -126,10 +126,20 @@ def test_admin_query_named_fluent_surface(store):
     assert [r.id for r in q.to_df().collect()] == ["a1"]
     # LinkedHashSet insertion-order dedup pinned on the IN-lists
     assert q._in["operationtype"] == ["CREATE", "UPDATE"]
-    # null arguments are no-ops, matching the reference's null guards
+    # reference null semantics split by setter kind
+    # (AthenaAdminEventQuery.java): varargs are null-guarded no-ops
+    # (:81-95), scalar string setters are UNGUARDED assignments — null
+    # on nothing-set stays unset...
     q2 = store.create_admin_query().realm(None).operation(None).resource_path(None)
     assert q2._eq == {} and q2._in.get("operationtype", []) == []
     assert q2.to_df().count() == 2
+    # ...and null after a set CLEARS the filter (plain field overwrite,
+    # :51-55 — r9 ADVICE: a None-no-op here silently diverged)
+    q3 = store.create_admin_query().realm("r1").realm(None)
+    assert q3._eq == {}
+    assert q3.to_df().count() == 2
+    q4 = store.create_admin_query().resource_path("users/u9").resource_path(None)
+    assert q4._eq == {}
 
 
 def test_user_query_named_fluent_surface(store):
@@ -149,6 +159,28 @@ def test_user_query_named_fluent_surface(store):
         .collect()
     )
     assert [r.id for r in got] == ["e1"]
+
+
+def test_user_query_scalar_setters_clear_on_none(store):
+    """The reference's scalar setters are unguarded assignments
+    (AthenaEventQuery.java:53-69,99-103): null overwrites, clearing a
+    previously-set filter. fromDate/toDate(Date) ARE null-guarded
+    (:72-97), so None there keeps the bound."""
+    q = (
+        store.create_query()
+        .realm("r1")
+        .client("c1")
+        .user("u1")
+        .ip_address("1.2.3.4")
+    )
+    assert set(q._eq) == {"realmid", "clientid", "userid", "ipaddress"}
+    q.client(None).ip_address(None)
+    assert set(q._eq) == {"realmid", "userid"}
+    # null-guarded pair: None is a no-op, the bound survives
+    q.from_date("2024-03-01 00:00:00").from_date(None)
+    assert q._from is not None
+    q.to_date("2024-03-02 23:59:59").to_date(None)
+    assert q._to is not None
 
 
 def test_decoded_user_events_blank_null_and_map(store):
