@@ -97,23 +97,36 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
 _FOOTER_ROWS: dict[tuple[str, str, int, int], int] = {}
 
 
-def _path_sig(path: str) -> tuple[int, int]:
+def _path_sig(path: str) -> tuple[int, int, int]:
     """Cheap freshness signature for a table path: (max mtime_ns, total
-    size) over the path itself and, for a directory layout, its
-    immediate entries. stat-only — no footer reads — so the memo below
-    stays metadata-cheap while an in-process REWRITE of the same path
-    (e.g. tools/scale_probe.py rebuilding the 10x replica after a
-    prior count) changes the signature and invalidates the stale
-    count (r8 ADVICE: a forever-memo silently drove the wrong shuffle
-    width after a rewrite)."""
+    size, entry count) over the path itself and, for a directory
+    layout, EVERY nested entry (full scandir walk). stat-only — no
+    footer reads — so the memo below stays metadata-cheap while an
+    in-process REWRITE of the same path (e.g. tools/scale_probe.py
+    rebuilding the 10x replica after a prior count) changes the
+    signature and invalidates the stale count (r8 ADVICE: a
+    forever-memo silently drove the wrong shuffle width after a
+    rewrite). The walk is recursive because partitioned layouts nest
+    (dt=*/hour=*/part-*.parquet — exactly what the ingest replays
+    write): replacing a part file two levels down changes neither the
+    table root's mtime nor its immediate entries' stats, so a
+    one-level signature served the stale count for precisely the
+    layout class that gets rewritten (r9 ADVICE). Cost is one stat
+    per entry, trivial against the footer read it guards; the entry
+    count term additionally catches a same-size in-place swap."""
     st = os.stat(path)
-    mt, sz = st.st_mtime_ns, st.st_size
+    mt, sz, n = st.st_mtime_ns, st.st_size, 1
     if os.path.isdir(path):
-        for entry in os.scandir(path):
-            est = entry.stat()
-            mt = max(mt, est.st_mtime_ns)
-            sz += est.st_size
-    return mt, sz
+        stack = [path]
+        while stack:
+            for entry in os.scandir(stack.pop()):
+                est = entry.stat()
+                mt = max(mt, est.st_mtime_ns)
+                sz += est.st_size
+                n += 1
+                if entry.is_dir():
+                    stack.append(entry.path)
+    return mt, sz, n
 
 
 def footer_rows(sf_dir: str, name: str) -> int:

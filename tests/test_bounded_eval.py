@@ -117,6 +117,35 @@ def test_footer_rows_memo_invalidates_on_rewrite(spark, tmp_path):
     assert footer_rows(str(tmp_path), "events") == 5000
 
 
+def test_footer_rows_memo_invalidates_on_nested_rewrite(spark, tmp_path):
+    """A rewrite that only touches files INSIDE nested partition dirs
+    (dt=*/hour=*/part-*) must re-count too (r9 ADVICE: the one-level
+    signature missed it — replacing a part file two levels down
+    changes neither the table root's mtime nor its immediate entries'
+    stats, and the ingest replays write exactly this layout)."""
+    out = str(tmp_path / "events.parquet")
+    spark.range(100).selectExpr(
+        "id AS event_id", "'2024-01-01' AS dt", "id % 2 AS hour"
+    ).write.partitionBy("dt", "hour").parquet(out)
+    assert footer_rows(str(tmp_path), "events") == 100
+    # grow ONE nested leaf by adding a part file two levels down with
+    # pyarrow directly — a Spark overwrite would recreate the leaf dir
+    # and bump the dt= parent's mtime, which even the one-level
+    # signature saw; a file added INSIDE the leaf changes only the
+    # leaf dir's stats, the exact blind spot
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(600), "int64")}),
+        out + "/dt=2024-01-01/hour=0/part-extra.parquet",
+    )
+    true_n = ds.dataset(out, format="parquet").count_rows()
+    assert true_n == 700  # the leaf really grew
+    assert footer_rows(str(tmp_path), "events") == true_n
+
+
 @pytest.mark.parametrize(
     "name",
     [
