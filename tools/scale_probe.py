@@ -70,11 +70,29 @@ def build_replica(spark) -> None:
     os.makedirs(OUT, exist_ok=True)
     for name, keys in SHIFT_KEYS.items():
         dest = os.path.join(OUT, f"{name}.parquet")
+        # completion marker (r9 ADVICE): the replica-by-replica build
+        # leaves a PARTIAL table if interrupted mid-append, and a bare
+        # exists(dest) reuse guard would silently benchmark wrong Nx
+        # ratios on it. The marker records the replica count so a
+        # REPLICAS change also rebuilds.
+        marker = os.path.join(dest, "_COMPLETE")
         if os.path.exists(dest):
-            continue
+            try:
+                done = int(open(marker).read().strip())
+            except (OSError, ValueError):
+                done = -1
+            if done == REPLICAS:
+                continue
+            print(f"replica {name}: partial/stale build, rebuilding",
+                  flush=True)
+            import shutil
+
+            shutil.rmtree(dest)
         base = load_table(spark, SF_DIR, name)
         if not keys:
             base.write.mode("overwrite").parquet(dest)
+            with open(marker, "w") as fh:
+                fh.write(str(REPLICAS))
             continue
         spans = {
             k: base.agg(F.max(F.col(k)).cast("long")).collect()[0][0] + 1
@@ -95,6 +113,8 @@ def build_replica(spark) -> None:
             rep.repartition(files_per).write.mode(
                 "overwrite" if i == 0 else "append"
             ).parquet(dest)
+        with open(marker, "w") as fh:
+            fh.write(str(REPLICAS))
         print(
             f"replica {name}: {base_n * REPLICAS} rows, "
             f"{files_per * REPLICAS} files",
