@@ -1145,15 +1145,19 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
             F.col("n_hit").cast("double") / F.col("n_true")
         )
-        out = m.select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            precision.alias("precision"),
-            recall.alias("recall"),
-        ).localCheckpoint(eager=True)
-        docs.unpersist()
-        return out
+        # pin release in finally (r9 ADVICE: the success-path-only
+        # unpersist left the corpus-sized cache pinned after a failed
+        # or interrupted run — the q_lsh_cap_recall_eval pattern)
+        try:
+            return m.select(
+                "n_true",
+                "n_cand",
+                "n_hit",
+                precision.alias("precision"),
+                recall.alias("recall"),
+            ).localCheckpoint(eager=True)
+        finally:
+            docs.unpersist()
 
 
 @_q(

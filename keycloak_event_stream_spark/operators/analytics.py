@@ -557,6 +557,7 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one materialization of the cell matrix feeds bounds, the user
         # top-k and the dense grid: the raw table is scanned exactly once
         daily = daily.persist()
+        daily_pin = daily  # rebound below; release in finally (r9 ADVICE)
         bounds = daily.agg(
             F.min("day").alias("lo"),
             F.max("day").alias("hi"),
@@ -612,12 +613,15 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(zip_with(a_zs, b_zs, (x, y) -> (x - y) * (x - y)), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
         )
-        return (
-            a.join(b, F.col("user_a") < F.col("user_b"))
-            .select("user_a", "user_b", dist.alias("zdist"))
-            .orderBy("zdist", "user_a", "user_b")
-            .limit(20)
-        ).localCheckpoint(eager=True)
+        try:
+            return (
+                a.join(b, F.col("user_a") < F.col("user_b"))
+                .select("user_a", "user_b", dist.alias("zdist"))
+                .orderBy("zdist", "user_a", "user_b")
+                .limit(20)
+            ).localCheckpoint(eager=True)
+        finally:
+            daily_pin.unpersist()
 
 
 @_q(
@@ -1436,18 +1440,21 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("day")
             .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
         )
-        return (
-            mau.join(dau, "day", "left")
-            .select(
-                "day",
-                F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
-                "mau",
-                (
-                    F.coalesce("dau", F.lit(0)).cast("double") / F.col("mau")
-                ).alias("stickiness"),
-            )
-            .orderBy("day")
-        ).localCheckpoint(eager=True)
+        try:
+            return (
+                mau.join(dau, "day", "left")
+                .select(
+                    "day",
+                    F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+                    "mau",
+                    (
+                        F.coalesce("dau", F.lit(0)).cast("double") / F.col("mau")
+                    ).alias("stickiness"),
+                )
+                .orderBy("day")
+            ).localCheckpoint(eager=True)
+        finally:
+            ud.unpersist()  # pin release (r9 ADVICE); output is eager
 
 
 @_q(

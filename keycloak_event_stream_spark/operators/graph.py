@@ -460,6 +460,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_hubs = edges.select("src").distinct().count()
         bcast = _use_broadcast(spark, n_hubs)
+        pins = [edges]  # released in the finally below (r9 ADVICE)
         if bcast:
             edges_by = {"src": edges, "dst": edges}
         else:
@@ -475,50 +476,58 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src": edges.repartition(n_shuffle, "src").persist(),
                 "dst": edges.repartition(n_shuffle, "dst").persist(),
             }
+            pins += [edges_by["src"], edges_by["dst"]]
         d6 = lambda col: F.sum(
             F.round(col, 6).cast("decimal(27,6)")
         ).cast("double")
 
         # loop conf scope (see docstring and _node_loop_scope): the 8 eager
-        # half-step actions move only |V|-row score tables.
-        with _node_loop_scope(spark, n_hubs):
-            h = (
-                edges.select("src")
-                .distinct()
-                .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
-                .localCheckpoint()
-            )
-
-            def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
-                raw = (
-                    edges_by[in_key].join(
-                        _state(score, bcast), F.col(in_key) == F.col("node")
-                    )
-                    .groupBy(out_key)
-                    .agg(d6(F.col("r")).alias("r"))
-                    .withColumnRenamed(out_key, "node")
-                )
-                tot = raw.agg(d6(F.col("r")).alias("tot"))
-                return (
-                    raw.crossJoin(F.broadcast(tot))
-                    .select("node", (F.col("r") / F.col("tot")).alias("r"))
+        # half-step actions move only |V|-row score tables. Pin release
+        # in finally (r9 ADVICE): every score the output reads is
+        # localCheckpoint'ed, so the edge caches are dead weight after
+        # the eager materialization — and stayed pinned on failure too.
+        try:
+            with _node_loop_scope(spark, n_hubs):
+                h = (
+                    edges.select("src")
+                    .distinct()
+                    .select(F.col("src").alias("node"), F.lit(1.0 / n_hubs).alias("r"))
                     .localCheckpoint()
                 )
 
-            a = None
-            for _ in range(_HITS_ITERS):
-                a = _half(h, "dst", "src")
-                h = _half(a, "src", "dst")
-        top = lambda df, kind: (
-            df.orderBy(F.col("r").desc(), "node")
-            .limit(25)
-            .select(F.lit(kind).alias("kind"), "node", F.col("r").alias("score"))
-        )
-        return (
-            top(a, "authority")
-            .unionAll(top(h, "hub"))
-            .orderBy("kind", F.col("score").desc(), "node")
-        ).localCheckpoint(eager=True)
+                def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
+                    raw = (
+                        edges_by[in_key].join(
+                            _state(score, bcast), F.col(in_key) == F.col("node")
+                        )
+                        .groupBy(out_key)
+                        .agg(d6(F.col("r")).alias("r"))
+                        .withColumnRenamed(out_key, "node")
+                    )
+                    tot = raw.agg(d6(F.col("r")).alias("tot"))
+                    return (
+                        raw.crossJoin(F.broadcast(tot))
+                        .select("node", (F.col("r") / F.col("tot")).alias("r"))
+                        .localCheckpoint()
+                    )
+
+                a = None
+                for _ in range(_HITS_ITERS):
+                    a = _half(h, "dst", "src")
+                    h = _half(a, "src", "dst")
+            top = lambda df, kind: (
+                df.orderBy(F.col("r").desc(), "node")
+                .limit(25)
+                .select(F.lit(kind).alias("kind"), "node", F.col("r").alias("score"))
+            )
+            return (
+                top(a, "authority")
+                .unionAll(top(h, "hub"))
+                .orderBy("kind", F.col("score").desc(), "node")
+            ).localCheckpoint(eager=True)
+        finally:
+            for p in pins:
+                p.unpersist()
 
 
 _LP_HUB_CAP = 50  # drop hub customers above this degree before pairing
@@ -812,46 +821,53 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(s_node.alias("src"), c_node.alias("dst"))
         )
         edges = edges.persist()
+        edge_pin = edges  # `edges` is rebound each peel; release in finally
         # |V| is bounded by the first round's degree-table size; count it
         # once so the keep-set joins are size-guarded like the other
         # iterative state vectors (keep ⊆ nodes, shrinking every round)
         n_nodes = edges.select("src").distinct().count()
         bcast = _use_broadcast(spark, n_nodes)
-        with _node_loop_scope(spark, n_nodes):
-            for _ in range(3):
-                # the surviving-node list is |nodes|-sized (and shrinks
-                # every round) — broadcast both endpoint filters while it
-                # fits so each peel is two broadcast-hash semi joins over
-                # the previous round's checkpointed edges; above the guard
-                # the hints drop and the |V|-row keep set exchanges
-                # instead (never the reverse)
-                keep = (
-                    edges.groupBy("src")
-                    .agg(F.count(F.lit(1)).alias("deg"))
-                    .filter(F.col("deg") >= 3)
-                    .select("src")
-                )
-                edges = (
-                    edges.join(_state(keep, bcast), "src")
-                    .join(
-                        _state(keep.select(F.col("src").alias("dst")), bcast),
-                        "dst",
+        try:
+            with _node_loop_scope(spark, n_nodes):
+                for _ in range(3):
+                    # the surviving-node list is |nodes|-sized (and shrinks
+                    # every round) — broadcast both endpoint filters while it
+                    # fits so each peel is two broadcast-hash semi joins over
+                    # the previous round's checkpointed edges; above the guard
+                    # the hints drop and the |V|-row keep set exchanges
+                    # instead (never the reverse)
+                    keep = (
+                        edges.groupBy("src")
+                        .agg(F.count(F.lit(1)).alias("deg"))
+                        .filter(F.col("deg") >= 3)
+                        .select("src")
                     )
-                    .select("src", "dst")
-                    .localCheckpoint()
-                )
-        survivors = edges.groupBy("src").agg(
-            F.count(F.lit(1)).cast("bigint").alias("deg")
-        )
-        stats = survivors.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.max("deg").cast("bigint").alias("max_deg"),
-            F.min("deg").cast("bigint").alias("min_deg"),
-        )
-        ec = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_half_edges"))
-        return stats.crossJoin(F.broadcast(ec)).select(
-            "n_nodes", "n_half_edges", "max_deg", "min_deg"
-        ).localCheckpoint(eager=True)
+                    edges = (
+                        edges.join(_state(keep, bcast), "src")
+                        .join(
+                            _state(keep.select(F.col("src").alias("dst")), bcast),
+                            "dst",
+                        )
+                        .select("src", "dst")
+                        .localCheckpoint()
+                    )
+            survivors = edges.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("deg")
+            )
+            stats = survivors.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.max("deg").cast("bigint").alias("max_deg"),
+                F.min("deg").cast("bigint").alias("min_deg"),
+            )
+            ec = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_half_edges"))
+            return stats.crossJoin(F.broadcast(ec)).select(
+                "n_nodes", "n_half_edges", "max_deg", "min_deg"
+            ).localCheckpoint(eager=True)
+        finally:
+            # pin release (r9 ADVICE): the peels read only the previous
+            # round's checkpoint after round 1, and the output is eager —
+            # the build cache is dead weight past this point
+            edge_pin.unpersist()
 
 
 @_q(
@@ -950,44 +966,49 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast hints off one node count, like the other state vectors
         n_nodes = edges.select("src").distinct().count()
         bcast = _use_broadcast(spark, n_nodes)
-        with _node_loop_scope(spark, n_nodes):
-            seed = (
-                edges.groupBy("src")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .orderBy(F.desc("deg"), "src")
-                .limit(1)
-                .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
-                .localCheckpoint()
-            )
-            visited = seed
-            frontier = seed.select("node")
-            levels = [seed]
-            for lvl in (1, 2, 3):
-                # visited is |nodes|-sized — broadcast the anti join too
-                # while it fits (else every hop pays a full-width SortMerge
-                # against a tiny set); above the guard both hints drop and
-                # the |V|-row frontier/visited sets exchange instead
-                nxt = (
-                    edges.join(_state(frontier, bcast), edges.src == frontier.node)
-                    .select(F.col("dst").alias("node"))
-                    .distinct()
-                    .join(
-                        _state(visited.select("node"), bcast), "node", "left_anti"
-                    )
-                    .select("node", F.lit(lvl).alias("lvl"))
+        try:
+            with _node_loop_scope(spark, n_nodes):
+                seed = (
+                    edges.groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .orderBy(F.desc("deg"), "src")
+                    .limit(1)
+                    .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
                     .localCheckpoint()
                 )
-                levels.append(nxt)
-                visited = visited.unionByName(nxt)
-                frontier = nxt.select("node")
-        allv = levels[0]
-        for x in levels[1:]:
-            allv = allv.unionByName(x)
-        return (
-            allv.groupBy(F.col("lvl").cast("int").alias("level"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-            .orderBy("level")
-        ).localCheckpoint(eager=True)
+                visited = seed
+                frontier = seed.select("node")
+                levels = [seed]
+                for lvl in (1, 2, 3):
+                    # visited is |nodes|-sized — broadcast the anti join too
+                    # while it fits (else every hop pays a full-width SortMerge
+                    # against a tiny set); above the guard both hints drop and
+                    # the |V|-row frontier/visited sets exchange instead
+                    nxt = (
+                        edges.join(_state(frontier, bcast), edges.src == frontier.node)
+                        .select(F.col("dst").alias("node"))
+                        .distinct()
+                        .join(
+                            _state(visited.select("node"), bcast), "node", "left_anti"
+                        )
+                        .select("node", F.lit(lvl).alias("lvl"))
+                        .localCheckpoint()
+                    )
+                    levels.append(nxt)
+                    visited = visited.unionByName(nxt)
+                    frontier = nxt.select("node")
+            allv = levels[0]
+            for x in levels[1:]:
+                allv = allv.unionByName(x)
+            return (
+                allv.groupBy(F.col("lvl").cast("int").alias("level"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+                .orderBy("level")
+            ).localCheckpoint(eager=True)
+        finally:
+            # pin release (r9 ADVICE): every frontier is checkpointed
+            # and the output is eager — the edge cache is dead weight
+            edges.unpersist()
 
 
 @_q(
