@@ -194,6 +194,45 @@ def footer_ts_range(sf_dir: str, name: str, column: str = "ts"):
 _EVAL_ROWS_PER_PART = 8192
 
 
+def conf_token_set(spark: SparkSession, key: str, value: str):
+    """Set a session conf for a scope; return a restore closure with
+    TOKEN semantics (r9 ADVICE: cheap insurance on top of the
+    documented single-threaded-driver regime). The closure puts the
+    saved value back only if the conf still holds what this scope set;
+    if a concurrent scope interleaved (the conf changed underneath),
+    it warns and leaves the other scope's value in place instead of
+    clobbering that scope's save point — the contextvars.Token
+    pattern. Nested scopes restore LIFO before their parent's finally
+    runs, so nesting never trips the guard. Under true interleaving
+    the final value still cannot be made right by ANY restore order
+    (each scope saved the other's transient) — the token rule merely
+    picks the non-destructive failure: never stomp a LIVE scope."""
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+
+    def _restore() -> None:
+        cur = spark.conf.get(key, None)
+        if cur != value:
+            import warnings
+
+            warnings.warn(
+                f"conf scope: {key} changed inside the scope "
+                f"({value!r} -> {cur!r}); a concurrent width scope "
+                "interleaved on this session — scoped runs must be "
+                "serialized (or use spark.newSession() per thread); "
+                "leaving the interloper's value in place",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            return
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+    return _restore
+
+
 @_contextmanager
 def bounded_eval_scope(spark: SparkSession, n_rows: int):
     """Input-derived shuffle width around an EAGER bounded-eval
@@ -231,31 +270,17 @@ def bounded_eval_scope(spark: SparkSession, n_rows: int):
     except ValueError:
         cap = 32
     parts = max(4, min(cap, n_rows // _EVAL_ROWS_PER_PART + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # Token restore (r8 ADVICE warning upgraded per r9 ADVICE): a
+    # concurrent interleaved scope now keeps its value instead of
+    # being clobbered with this scope's stale save point — the warn
+    # stays, the stomp goes (see conf_token_set).
+    restore = conf_token_set(
+        spark, "spark.sql.shuffle.partitions", str(parts)
+    )
     try:
         yield parts
     finally:
-        # Interleaving detector (r8 ADVICE): under the documented
-        # single-threaded-driver regime the conf at restore time is
-        # exactly what this scope set (a NESTED scope restores before
-        # this finally runs, so nesting never trips this). A different
-        # value means a concurrent scope interleaved — restoring
-        # parts_was would then clobber the other scope's save point,
-        # so make the hazard loud instead of silent.
-        cur = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        if cur != str(parts):
-            import warnings
-
-            warnings.warn(
-                "bounded_eval_scope: spark.sql.shuffle.partitions "
-                f"changed inside the scope ({parts} -> {cur}); a "
-                "concurrent width scope interleaved on this session — "
-                "scoped runs must be serialized (or use "
-                "spark.newSession() per thread)",
-                RuntimeWarning,
-                stacklevel=3,
-            )
-        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+        restore()
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

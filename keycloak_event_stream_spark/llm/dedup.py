@@ -31,6 +31,7 @@ from pyspark.sql.window import Window as W
 
 from keycloak_event_stream_spark.catalog import (
     bounded_eval_scope,
+    conf_token_set,
     footer_rows,
     load_table,
     spread,
@@ -851,15 +852,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # worse than a bounded, restored, test-pinned conf scope. The
     # driver contract evaluates queries sequentially on one session,
     # which is the regime this scoping is tuned for.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
     try:
         _cap = max(int(parts_was), _LP_PARTS)
     except ValueError:
         _cap = _LP_PARTS
     parts = max(4, min(_cap, n_sym // _LP_ROWS_PER_PART + 1))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # token restores (catalog.conf_token_set, r9 ADVICE): a concurrent
+    # interleaved scope keeps its value instead of being clobbered
+    _restores = [
+        conf_token_set(spark, "spark.sql.adaptive.enabled", "false"),
+        conf_token_set(spark, "spark.sql.shuffle.partitions", str(parts)),
+    ]
     # sym + one self-edge per node; nodes <= n_sym in a symmetrized
     # graph, so 2*n_sym bounds what the broadcast actually carries.
     bcast = 2 * n_sym <= _LP_BROADCAST_EDGE_ROWS
@@ -934,8 +938,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             if row["s_prev"] == row["s_new"]:
                 break
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+        for _r in reversed(_restores):
+            _r()
     # member fan-out (LINEAR, runs under the restored session confs):
     # a clone group's members belong to exactly the component of their
     # representative, so one ckey equi-join attaches them — no member

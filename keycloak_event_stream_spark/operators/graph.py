@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from keycloak_event_stream_spark.catalog import (
     bounded_eval_scope,
+    conf_token_set,
     footer_rows,
     load_table,
     spread,
@@ -122,20 +123,25 @@ def _node_loop_scope(spark: SparkSession, n_nodes: int):
     LP loop, whose concurrent-query correctness test
     (tests/test_dedup.py::test_lp_conf_scope_concurrent_query_correct)
     pins that a concurrent query stays CORRECT, just re-regimed."""
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
     try:
         cap = max(int(parts_was), 32)
     except ValueError:
         cap = 32
     parts = max(4, min(cap, n_nodes // _LOOP_ROWS_PER_PART + 1))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # token restores (catalog.conf_token_set, r9 ADVICE): a concurrent
+    # interleaved scope keeps its value instead of being clobbered
+    restores = [
+        conf_token_set(spark, "spark.sql.adaptive.enabled", "false"),
+        conf_token_set(
+            spark, "spark.sql.shuffle.partitions", str(parts)
+        ),
+    ]
     try:
         yield parts
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+        for r in reversed(restores):
+            r()
 
 
 def _duck_pagerank() -> str:

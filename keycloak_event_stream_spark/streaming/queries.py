@@ -170,7 +170,7 @@ def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFra
     """
     global LAST_REPLAY_SCOPE
     spark = df.sparkSession
-    parts_was = None
+    restore = None
     if rows is not None:
         parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
         # Deliberately NOT catalog.bounded_eval_scope's cap policy:
@@ -183,7 +183,14 @@ def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFra
         except ValueError:
             cap = 200
         parts = max(4, min(cap, rows // _REPLAY_ROWS_PER_PART + 1))
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # token restore (catalog.conf_token_set, r9 ADVICE): a
+        # concurrent interleaved scope keeps its value instead of
+        # being clobbered with this scope's stale save point
+        from keycloak_event_stream_spark.catalog import conf_token_set
+
+        restore = conf_token_set(
+            spark, "spark.sql.shuffle.partitions", str(parts)
+        )
         LAST_REPLAY_SCOPE = {
             "rows": rows,
             "parts": parts,
@@ -204,8 +211,8 @@ def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFra
         )
         q.awaitTermination()
     finally:
-        if parts_was is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+        if restore is not None:
+            restore()
     return df.sparkSession.table(name)
 
 

@@ -197,9 +197,13 @@ def test_eval_rows_per_part_constant_documented():
 def test_scope_warns_on_interleaved_mutation(spark):
     """A concurrent scope interleaving on the same session is the one
     documented hazard of the session-global conf scope (r8 ADVICE).
-    The scope cannot prevent it, but it must be LOUD: a conf value at
-    restore time that is not the scope's own setting raises a
-    RuntimeWarning naming the hazard. Nesting must NOT trip it."""
+    The scope cannot prevent it, but it must be LOUD and
+    NON-DESTRUCTIVE (r9 ADVICE, token semantics —
+    catalog.conf_token_set): a conf value at restore time that is not
+    the scope's own setting raises a RuntimeWarning naming the hazard
+    and LEAVES the interloper's value in place — restoring this
+    scope's stale save point would clobber the live scope's save
+    chain. Nesting must NOT trip it."""
     import warnings
 
     was = spark.conf.get("spark.sql.shuffle.partitions")
@@ -212,10 +216,34 @@ def test_scope_warns_on_interleaved_mutation(spark):
                 with bounded_eval_scope(spark, 10):
                     pass
         assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
-        # simulated interleave: a foreign mutation inside the scope
+        # simulated interleave: a foreign mutation inside the scope —
+        # warn, and do NOT stomp the interloper's live value
         with pytest.warns(RuntimeWarning, match="concurrent width scope"):
             with bounded_eval_scope(spark, 10):
                 spark.conf.set("spark.sql.shuffle.partitions", "77")
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "77"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
+
+
+def test_conf_token_set_restores_and_unsets(spark):
+    """conf_token_set round-trips a set conf and unsets one that had
+    no prior value (so a scope on a pristine session leaves no
+    residue)."""
+    from keycloak_event_stream_spark.catalog import conf_token_set
+
+    was = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "123")
+        restore = conf_token_set(spark, "spark.sql.shuffle.partitions", "9")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
+        restore()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
+        # a key with no prior value is unset on restore
+        key = "spark.kes.test.tokenScratch"
+        restore2 = conf_token_set(spark, key, "x")
+        assert spark.conf.get(key) == "x"
+        restore2()
+        assert spark.conf.get(key, None) is None
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", was)
