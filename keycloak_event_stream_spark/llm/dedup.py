@@ -1086,17 +1086,28 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the oracle — the q_ann_recall pattern applied to the
     dedup pipeline. Every count is an integer; two final divisions.
     """
-    # Bounded-eval width (catalog.bounded_eval_scope, round 9): the
-    # calibration set is capped at 300 docs, yet the truth all-pairs
-    # join, band self-join, distinct and the crossJoin aggregates all
-    # compiled at corpus width — ~5.9 s warm vanilla sf0.01 for a
-    # 1-row result, ~4.0 s at width 8 (the residual is shingle md5
-    # CPU). WHOLE body under the scope, eager checkpoint inside, and
-    # the docs persist releases in the finally.
-    n_drive = min(footer_rows(sf_dir, "documents"), 300) * _B
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9; width
+    # driver rewritten round 10): the calibration set is capped at 300
+    # docs, yet the truth all-pairs join, band self-join, distinct and
+    # the crossJoin aggregates all compiled at corpus width — ~5.9 s
+    # warm vanilla sf0.01 for a 1-row result. The first scope drove
+    # width off docs x bands (2400 rows -> width 1), which serialized
+    # the REAL work — n²/2 exact-Jaccard pairs and 4 md5 calls per
+    # shingle — onto one core (~3.3 s warm; the r9 'CPU residual').
+    # The driving count now measures that work: the quadratic truth
+    # term plus the shingle-hash term (words/doc x md5 group count,
+    # the _EVAL_CPU_* rationale), and the calibration scan is spread()
+    # so the broadcast-nested-loop truth join streams from every core
+    # regardless of shuffle width (~0.9 s warm). WHOLE body under the
+    # scope, eager checkpoint inside, docs persist released in the
+    # finally.
+    n_cal = min(footer_rows(sf_dir, "documents"), 300)
+    n_drive = n_cal * n_cal // 2 + n_cal * _EVAL_CPU_ROWS_PER_DOC
     with bounded_eval_scope(spark, n_drive):
-        d = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") < 300
+        d = spread(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") < 300
+            )
         )
         docs = (
             d.withColumn("w", F.split("text", " "))
@@ -1857,6 +1868,23 @@ def q_lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_CAPS = (4, 8, 16, 1 << 30)  # last = effectively uncapped
 
+# Width accounting for the CPU-bound recall evals (round 10; the r9
+# verdict's last two perf residuals). Their cost is NOT their row
+# count: per shingle the pipeline pays _N_GROUPS md5 calls plus 16
+# substring minhashes, and per verified pair an exact set
+# intersect/union over ~words-per-doc shingle strings — one to two
+# orders heavier than the relational rows _EVAL_ROWS_PER_PART was
+# tuned on. Driving the scope off docs x bands gave width 1 at
+# fixture scale and serialized the whole verify onto one core (the
+# measured residual). The evals therefore scale their driving count
+# by shingle-hash volume per doc: words/doc (same fixture-documented
+# heuristic as textstats._EST_WORDS_PER_DOC, and a WIDTH heuristic
+# only — see that comment) times the md5 group count. The session
+# width cap in bounded_eval_scope still bounds the result, so a
+# 100 TB corpus keeps corpus width.
+_EVAL_CPU_WORDS_PER_DOC = 64
+_EVAL_CPU_ROWS_PER_DOC = _EVAL_CPU_WORDS_PER_DOC * _N_GROUPS
+
 
 def _lsh_cap_recall_oracle() -> str:
     caps_sql = ", ".join(str(c) for c in _EVAL_CAPS)
@@ -1949,22 +1977,37 @@ def q_lsh_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical measurement on the deterministic 1/N md5(text)
     sample (default 1 = every doc, which is what the oracle replays;
     recall is a ratio, so it is sample-stable)."""
-    # Bounded-eval width (catalog.bounded_eval_scope, round 9): mixed
-    # class in the ABA probe (17.0 s vanilla / 11.1 s at width 8,
-    # sf0.01) — the width half is the band self-join + per-pair
-    # aggregates compiling at corpus width; the residual is the
-    # UNCAPPED exact-jaccard verification this eval exists to pay
-    # (see the sample knob above). WHOLE body under the scope; the
-    # 4-row result materializes eagerly inside and the three persists
-    # release in the finally — previously they stayed pinned behind a
-    # lazily returned frame (the heap-debris class the round-8
-    # q_lsh_intake_recall_eval fix removed elsewhere).
-    n_drive = footer_rows(sf_dir, "documents") * _B
+    # Bounded-eval width (catalog.bounded_eval_scope, round 9; width
+    # driver rewritten round 10): mixed class in the ABA probe
+    # (17.0 s vanilla / 11.1 s at width 8, sf0.01) — the width half is
+    # the band self-join + per-pair aggregates compiling at corpus
+    # width; the rest is the UNCAPPED exact-jaccard verification this
+    # eval exists to pay (see the sample knob above). Driving width
+    # off docs x bands landed at 1 at fixture scale and serialized
+    # that verification onto one core (the r9 'CPU residual',
+    # ~2.6 s warm); the driving count now measures the shingle-hash
+    # volume (_EVAL_CPU_ROWS_PER_DOC rationale), putting the verify's
+    # equi-joins at machine width (~1.3 s warm). WHOLE body under the
+    # scope; the 4-row result materializes eagerly inside and the
+    # three persists release in the finally — previously they stayed
+    # pinned behind a lazily returned frame (the heap-debris class the
+    # round-8 q_lsh_intake_recall_eval fix removed elsewhere).
+    n_drive = footer_rows(sf_dir, "documents") * _EVAL_CPU_ROWS_PER_DOC
     with bounded_eval_scope(spark, n_drive):
         return _lsh_cap_recall_eval_body(spark, sf_dir)
 
 
 def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-10 stage diet (the r9 'CPU residual' turned out to be
+    # mostly sequential stage overhead once the width fix landed):
+    # band keys derive from the PERSISTED shingle arrays instead of
+    # band_keys() re-splitting and re-shingling the text; the
+    # redundant semi join is gone (band_keys applied the same
+    # size(w) >= _SHINGLE filter docs already carries); per-bucket
+    # size rides ONE window over the band table instead of a separate
+    # aggregate three-way-joined back in; and the four per-cap
+    # aggregates collapse into two conditional-agg passes. Same rows,
+    # same oracle, ~half the shuffle boundaries.
     d = spread(load_table(spark, sf_dir, "documents"))
     uniq = (
         d.groupBy("text")
@@ -1986,19 +2029,41 @@ def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
         .persist()
     )
-    bands = band_keys(
-        uniq.join(docs.select("doc_id"), "doc_id", "semi")
-    ).persist()
-    bsz = bands.groupBy("band", "bkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    hashed = docs.select(
+        "doc_id",
+        *[
+            F.expr(_spark_hash_arr(g)).alias(f"h{g}")
+            for g in range(_N_GROUPS)
+        ],
     )
-    # disambiguated copy for the three-way self-join lineage
-    zsz = bsz.select(
-        F.col("band").alias("z_band"),
-        F.col("bkey").alias("z_bkey"),
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "|", *[F.expr(_spark_minhash(i)) for i in _band_indices(b)]
+            ).alias(f"bk{b}")
+            for b in range(_B)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(_B)])
+        ).alias("band", "bkey"),
+    )
+    # bucket size attached per band row by a window (one shuffle on
+    # the bucket key); the cached layout then feeds the self-join,
+    # the bucket-level bill AND the per-pair min without re-joining
+    from pyspark.sql import Window as _W
+
+    bands_n = bands.withColumn(
         "n",
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+        F.count(F.lit(1))
+        .over(_W.partitionBy("band", "bkey"))
+        .cast("bigint"),
+    ).persist()
+    bsz = bands_n.groupBy("band", "bkey").agg(F.min("n").alias("n"))
+    a, b = bands_n.alias("a"), bands_n.alias("b")
     pair_min_bucket = (
         a.join(
             b,
@@ -2006,16 +2071,11 @@ def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .join(
-            zsz,
-            (F.col("a.band") == F.col("z_band"))
-            & (F.col("a.bkey") == F.col("z_bkey")),
-        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.min("n").alias("min_bsz"))
+        .agg(F.min(F.col("a.n")).alias("min_bsz"))
     )
     x = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
@@ -2037,43 +2097,43 @@ def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(c),) for c in _EVAL_CAPS], "cap bigint"
     )
     # per-cap aggregates: the 4-row cap spine BROADCASTS into each
-    # inequality join (a bounded 4x fan-out BNLJ over the bucket /
-    # confirmed-pair tables — never the reverse), and each branch
-    # partial-aggregates map-side down to 4 cap rows before the final
-    # equi-joins stitch the columns together
-    bill = (
-        caps.join(bsz, bsz.n <= caps.cap, "left")
+    # fan-out join (a bounded 4x BNLJ over the bucket / confirmed-pair
+    # tables — never the reverse); conditional aggregates compute both
+    # columns of each pair in one pass, partial-aggregated map-side
+    # down to 4 cap rows. Left joins on TRUE (not crossJoin) so an
+    # empty bucket/pair table still yields all 4 cap rows with zeros.
+    bd = (
+        caps.join(bsz, F.lit(True), "left")
         .groupBy("cap")
         .agg(
             F.coalesce(
-                F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+                F.sum(
+                    F.when(
+                        F.col("n") <= F.col("cap"),
+                        F.expr("n * (n - 1) div 2"),
+                    )
+                ),
+                F.lit(0),
             )
             .cast("bigint")
-            .alias("candidate_pairs")
+            .alias("candidate_pairs"),
+            F.count(F.when(F.col("n") > F.col("cap"), 1))
+            .cast("bigint")
+            .alias("buckets_dropped"),
         )
     )
-    dropped = (
-        caps.join(bsz, bsz.n > caps.cap, "left")
+    kt = (
+        caps.join(true_pairs, F.lit(True), "left")
         .groupBy("cap")
         .agg(
-            F.count(bsz.n).cast("bigint").alias("buckets_dropped")
+            F.count(F.when(F.col("min_bsz") <= F.col("cap"), 1))
+            .cast("bigint")
+            .alias("true_pairs_kept"),
+            F.count("min_bsz").cast("bigint").alias("true_pairs_total"),
         )
     )
-    kept = (
-        caps.join(true_pairs, true_pairs.min_bsz <= caps.cap, "left")
-        .groupBy("cap")
-        .agg(F.count(true_pairs.min_bsz).cast("bigint").alias(
-            "true_pairs_kept"
-        ))
-    )
-    total = true_pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("true_pairs_total")
-    )
     out = (
-        caps.join(dropped, "cap")
-        .join(bill, "cap")
-        .join(F.broadcast(total), F.lit(True), "left")
-        .join(kept, "cap")
+        bd.join(kt, "cap")
         .select(
             "cap",
             "buckets_dropped",
@@ -2090,7 +2150,7 @@ def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return out.localCheckpoint(eager=True)
     finally:
-        for cached in (docs, bands, true_pairs):
+        for cached in (docs, bands_n, true_pairs):
             cached.unpersist()
 
 
