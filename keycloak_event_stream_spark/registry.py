@@ -246,9 +246,6 @@ _PRIORITY = [
     "q_join_asof_pandas",
     "q_dedup_components",
     "q_dedup_near_minhash",
-    "q_graph_hits",
-    "q_graph_bfs_levels",
-    "q_graph_kcore",
     "s_stream_stream_semi_join",
     "s_stream_stream_full_join",
     "s_stream_stream_left_join",
@@ -309,7 +306,6 @@ _PRIORITY = [
     "q_cross_correlation",
     "q_ewma",
     "q_timeseries_resample",
-    "q_ts_similarity",
     "q_cep_pattern",
     "q_udf_python",
     "q_udf_pandas_norm",
@@ -400,7 +396,6 @@ _PRIORITY = [
     "q_twap_daily",
     "q_neyman_allocation",
     "q_zone_map_skip_eval",
-    "q_lsh_cap_recall_eval",
     "q_bpe_pair_stats",
     "q_bpe_encode",
     "q_dedup_simhash",
@@ -409,7 +404,6 @@ _PRIORITY = [
     "q_dedup_semantic",
     "q_dedup_exact",
     "q_dedup_embed_cosine",
-    "q_minhash_eval",
     "q_sim_search",
     "q_sim_search_ivf",
     "q_sim_search_lsh",
@@ -472,13 +466,11 @@ _PRIORITY = [
     "q_auc_roc",
     "q_ks_test",
     "q_gini",
-    "q_rfm_segmentation",
     "q_pareto_abc",
     "q_pack_sequences",
     "q_skyline",
     "q_session_metrics",
     "q_growth_accounting",
-    "q_stickiness",
     "q_log_loss_brier",
     "q_agg_approx_distinct",
     "q_markov_stationary",
@@ -511,7 +503,6 @@ _PRIORITY = [
     "q_repetition_profile",
     "q_doc_language_mismatch",
     "q_session_handoff",
-    "q_market_share_shift",
     "q_dedup_normalization_ladder",
     "q_join_skew_stats",
     "q_error_burst_detection",
@@ -520,7 +511,6 @@ _PRIORITY = [
     "q_discount_band_elasticity",
     "q_text_ascii_ratio",
     "q_percentile_trend_weekly",
-    "q_retention_curve_fit",
     "q_dedup_cross_source",
     "q_window_nth_value",
     "q_feed_freshness",
@@ -530,19 +520,10 @@ _PRIORITY = [
     "q_seasonal_index_dow",
     "q_poisson_fit_lines",
     "q_invoice_reconciliation",
-    "q_top_movers_wow",
     "q_interval_merge",
     "q_quantile_normalize",
     "q_lorenz_deciles",
     "q_recursive_hierarchy",
-    "q_bigram_lm",
-    "q_char_ngram_profile",
-    "q_random_projection",
-    "q_embed_pca_power",
-    "q_dbscan_core",
-    "q_coreset_kcenter",
-    "q_embed_mmd",
-    "q_skipgram_cooc",
     "q_mutual_information",
     "q_char_entropy",
     "q_span_corruption",
