@@ -196,6 +196,8 @@ def two_phase_window(
     partition_by: list[str] | None = None,
     row_number: str | None = None,
     rank: str | None = None,
+    dense_rank: str | None = None,
+    dense_keys: list[str] | None = None,
     cumsum: dict[str, str] | None = None,
     cummax: dict[str, str] | None = None,
     cummax_excl: dict[str, str] | None = None,
@@ -214,6 +216,14 @@ def two_phase_window(
                    range partitions instead of one task per key.
     row_number   : output column for global ``row_number()``.
     rank         : output column for global ``rank()`` (ties share).
+    dense_rank   : output column for global ``dense_rank()``. Requires
+                   ``dense_keys``: the DIRECTION-FREE columns spelling
+                   the same tuple as ``order_by`` (a SortOrder column
+                   cannot be aggregated). Range partitioning colocates
+                   equal order tuples, so each partition's distinct-key
+                   set is a disjoint range interval and the global
+                   dense rank is the local one plus the sum of earlier
+                   partitions' distinct counts.
     cumsum       : {out_col: in_col} running ROWS-unbounded-preceding
                    sums.
     cummax       : {out_col: in_col} running ROWS-unbounded-preceding
@@ -224,6 +234,8 @@ def two_phase_window(
                    globally first row, matching the naive window.
     """
     partition_by = list(partition_by or [])
+    if dense_rank is not None and not dense_keys:
+        raise ValueError("dense_rank requires dense_keys (see docstring)")
     cumsum = cumsum or {}
     cummax = dict(cummax or {})
     cummax_excl = dict(cummax_excl or {})
@@ -255,6 +267,14 @@ def two_phase_window(
     aggs = []
     if need_cnt:
         aggs.append(F.count(F.lit(1)).alias("_tp_cnt"))
+    if dense_rank is not None:
+        # distinct order tuples per partition; struct() so null keys
+        # count as a distinct value, matching dense_rank()
+        aggs.append(
+            F.countDistinct(
+                F.struct(*[F.col(c) for c in dense_keys])
+            ).alias("_tp_dcnt")
+        )
     for out, src in cumsum.items():
         aggs.append(F.sum(src).alias(f"_tp_t_{out}"))
     for out, src in all_cummax.items():
@@ -269,6 +289,11 @@ def two_phase_window(
         *(
             [F.col("_tp_cnt").alias("_tp_rcnt")] if need_cnt else []
         ),
+        *(
+            [F.col("_tp_dcnt").alias("_tp_rdcnt")]
+            if dense_rank is not None
+            else []
+        ),
         *[F.col(f"_tp_t_{out}").alias(f"_tp_rt_{out}") for out in cumsum],
         *[
             F.col(f"_tp_m_{out}").alias(f"_tp_rm_{out}")
@@ -282,6 +307,10 @@ def two_phase_window(
     if need_cnt:
         off_aggs.append(
             F.coalesce(F.sum("_tp_rcnt"), F.lit(0)).alias("_tp_offn")
+        )
+    if dense_rank is not None:
+        off_aggs.append(
+            F.coalesce(F.sum("_tp_rdcnt"), F.lit(0)).alias("_tp_offd")
         )
     for out in cumsum:
         off_aggs.append(
@@ -312,6 +341,13 @@ def two_phase_window(
         # never spans partitions: local rank + preceding-row count is
         # the global rank
         out = out.withColumn(rank, F.rank().over(local) + F.col("_tp_offn"))
+    if dense_rank is not None:
+        # disjoint distinct-key ranges per partition (see docstring):
+        # local dense rank + count of distinct keys in earlier
+        # partitions is the global dense rank
+        out = out.withColumn(
+            dense_rank, F.dense_rank().over(local) + F.col("_tp_offd")
+        )
     for outcol, src in cumsum.items():
         out = out.withColumn(
             outcol, F.sum(src).over(local_run) + F.col(f"_tp_off_{outcol}")

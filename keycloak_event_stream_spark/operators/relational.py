@@ -694,19 +694,53 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank/row_number per partition. One shuffle on the
-    partition key + one sort serves all three functions (same window)."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
-    w = W.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    """rank/dense_rank/row_number per partition, with a COST-BASED
+    plan split (round 10). The naive window partitions by
+    ``o_orderstatus``, a THREE-value key: WindowExec then runs exactly
+    3 tasks however large the table is — fine at fixture scale (the
+    whole table sorts in well under a second), a scale-killer on a big
+    one (the 100x leg measured 11.6 s with ~5M rows per task — the one
+    skewed-window plan left in the headline families). Above a row
+    threshold (parquet footer metadata, no job) the query switches to
+    ``two_phase_window``, whose range partitioning fans the sort
+    across the session width regardless of partition-key cardinality
+    (100x leg: 5.7 s, 3.9x ratio vs 14.7x naive). Both forms are
+    bitwise-identical (integer ranks; equal order keys colocate under
+    range partitioning so tie groups never straddle a boundary —
+    pinned by tests/test_scale_windows.py::test_dense_rank_matches_naive
+    and the q_window_rank oracle row at both SFs)."""
+    from keycloak_event_stream_spark.catalog import footer_rows
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window,
     )
-    return orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.row_number().over(w).alias("rn"),
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    threshold = int(
+        spark.conf.get("spark.kes.window.twoPhaseMinRows", "2000000")
+    )
+    if footer_rows(sf_dir, "orders") <= threshold:
+        w = W.partitionBy("o_orderstatus").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        return orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+    ranked = two_phase_window(
+        orders,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        partition_by=["o_orderstatus"],
+        row_number="rn",
+        rank="rnk",
+        dense_rank="drnk",
+        dense_keys=["o_totalprice", "o_orderkey"],
+    )
+    return ranked.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "rnk", "drnk", "rn"
     )
 
 

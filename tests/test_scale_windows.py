@@ -70,6 +70,64 @@ def test_row_number_rank_cumsum_match_naive(spark, data):
     assert rk_a == rk_b
 
 
+def test_dense_rank_matches_naive(spark, data):
+    """Global and partitioned dense_rank, with ties (ordering by v
+    alone, which repeats), must match the naive single-task window —
+    including a tie group sitting exactly on a range boundary."""
+    naive = data.select(
+        "id",
+        F.dense_rank().over(Window.orderBy("v")).alias("dr"),
+        F.dense_rank()
+        .over(Window.partitionBy("grp").orderBy("v"))
+        .alias("pdr"),
+    )
+    fast = two_phase_window(
+        data, [F.col("v")], dense_rank="dr", dense_keys=["v"], k=7
+    )
+    fast_p = two_phase_window(
+        data,
+        [F.col("v")],
+        partition_by=["grp"],
+        dense_rank="pdr",
+        dense_keys=["v"],
+        k=7,
+    )
+    b = {r.id: (r.dr, r.pdr) for r in naive.collect()}
+    assert {r.id: r.dr for r in fast.select("id", "dr").collect()} == {
+        k: v[0] for k, v in b.items()
+    }
+    assert {r.id: r.pdr for r in fast_p.select("id", "pdr").collect()} == {
+        k: v[1] for k, v in b.items()
+    }
+    # requires dense_keys
+    with pytest.raises(ValueError, match="dense_keys"):
+        two_phase_window(data, [F.col("v")], dense_rank="dr")
+
+
+def test_window_rank_cost_split_branches_identical(spark):
+    """q_window_rank picks naive-window vs two-phase off a footer-row
+    threshold (spark.kes.window.twoPhaseMinRows); both branches must
+    produce identical rows on the same input."""
+    from keycloak_event_stream_spark.operators.relational import (
+        q_window_rank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.kes.window.twoPhaseMinRows"
+    was = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "2000000")  # fixture under threshold: naive
+        naive = sorted(map(tuple, q_window_rank(spark, sf).collect()))
+        spark.conf.set(key, "0")  # force the two-phase branch
+        fast = sorted(map(tuple, q_window_rank(spark, sf).collect()))
+        assert naive == fast
+    finally:
+        if was is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, was)
+
+
 def test_partitioned_cumsum_matches_naive(spark, data):
     naive = data.select(
         "id",
