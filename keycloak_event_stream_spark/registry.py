@@ -93,8 +93,11 @@ _MODULES = [
 # after a green r10 (exact list = registry order of
 # set(queries) - union(CORRECTNESS_r01..r10 keys); enumerated here
 # per VERDICT r9 #2 so the r11 window is mechanical). r11 takes the
-# first 50, led by any name whose code changes after THIS rotation
-# (none planned as of the r10 rewrite), then in registry order:
+# first 50, led by the names whose code changed after THIS rotation —
+# as of round 10 close that is q_window_rank (r1-checked; rewritten
+# r10 with the cost-based two-phase plan split, oracle-green at
+# sf0.001+sf0.01 post-change and branch-equivalence pinned in
+# tests/test_scale_windows.py) — then in registry order:
 # q_weekday_seasonality_map, q_value_histogram_text,
 # q_repetition_profile, q_doc_language_mismatch, q_session_handoff,
 # q_dedup_normalization_ladder, q_join_skew_stats,
