@@ -151,12 +151,34 @@ def main() -> int:
             )
             if dead and name not in retried:
                 retried.add(name)
+                # HARD reset (round 10): an executor-thread OOM can
+                # leave the local JVM half-alive — driver threads up,
+                # heap wrecked. spark.stop() then fails or no-ops, the
+                # JVM-side context lingers, and the rebuilt session
+                # dies on assertNoOtherContextIsRunning (observed
+                # aborting the sf0.1 vanilla sweep at query 302). Kill
+                # the gateway process outright so _make_session()
+                # launches a genuinely fresh JVM.
                 try:
                     spark.stop()
                 except Exception:
                     pass
+                from pyspark import SparkContext
                 from pyspark.sql import SparkSession
 
+                gw = SparkContext._gateway
+                if gw is not None:
+                    try:
+                        gw.shutdown()
+                    except Exception:
+                        pass
+                    try:
+                        gw.proc.kill()
+                    except Exception:
+                        pass
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+                SparkContext._active_spark_context = None
                 SparkSession._instantiatedSession = None
                 SparkSession._activeSession = None
                 spark = _make_session()
