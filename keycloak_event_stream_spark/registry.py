@@ -94,10 +94,15 @@ _MODULES = [
 # set(queries) - union(CORRECTNESS_r01..r10 keys); enumerated here
 # per VERDICT r9 #2 so the r11 window is mechanical). r11 takes the
 # first 50, led by the names whose code changed after THIS rotation —
-# as of round 10 close that is q_window_rank (r1-checked; rewritten
-# r10 with the cost-based two-phase plan split, oracle-green at
-# sf0.001+sf0.01 post-change and branch-equivalence pinned in
-# tests/test_scale_windows.py) — then in registry order:
+# as of round 10 close: q_window_rank (r1-checked; rewritten r10 with
+# the cost-based two-phase plan split, oracle-green at sf0.001+sf0.01
+# post-change and branch-equivalence pinned in
+# tests/test_scale_windows.py), plus the replay canaries
+# s_tumbling_counts + s_session_windows (read_stream_events gained a
+# directory-layout branch for Spark-written tables — the fixture's
+# single-file path is untouched and all 18 s_* names re-swept green
+# at sf0.01 vanilla post-change, but the two reps get fresh driver
+# evidence per the discipline) — then in registry order:
 # q_weekday_seasonality_map, q_value_histogram_text,
 # q_repetition_profile, q_doc_language_mismatch, q_session_handoff,
 # q_dedup_normalization_ladder, q_join_skew_stats,

@@ -68,12 +68,23 @@ def read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema
-    # the file source wants a directory; glob-filter to the events file
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", os.path.basename(path))
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory layout (Spark-written tables: the scale replicas,
+        # any real ingest output) — the file source streams a directory
+        # natively. The glob branch below CANNOT serve this case:
+        # pathGlobFilter matches LEAF FILE names, so filtering on the
+        # directory's name matches nothing and the replay silently
+        # processed zero rows (caught by the round-10 100x streaming
+        # leg reporting an impossible 0.3x ratio).
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file fixture layout: the file source wants a
+        # directory; glob-filter the parent to exactly this file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(sf_dir)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Session-independence: under a default Spark 4 session the declared
