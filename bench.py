@@ -143,11 +143,12 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 5.85,
+    "max_ratio": 6.21,
     "max_query": "q_graph_pagerank",
-    "median_ratio": 1.65,
-    "recorded": "round-10 final-tree leg after the recall-eval width"
-    " rewrite and the q_window_rank cost-split, 40.6% canary window —"
+    "median_ratio": 1.60,
+    "recorded": "round-10 frozen-tree leg (after the streaming"
+    " directory-source fix re-staled the mid-round stamp; the"
+    " mid-round sweep read max 5.85 / median 1.65, same shape) —"
     " the max is the standing pagerank |E|-linear cold-build"
     " attribution widened by container noise; same-run-relative"
     " ratios, so the noise partially cancels (BASELINE.md 'Round 10"
@@ -163,7 +164,7 @@ SCALE10X_FULL_RECORDED = {
     # and the plain bench re-run that follows regenerates
     # BENCH_LOCAL.json from this stamp, so the two artifacts cannot
     # disagree on the committed tree.
-    "commit": "91c1faf",
+    "commit": "d10738f",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
