@@ -1113,3 +1113,34 @@ def test_footer_ts_range_handles_directory_layout(spark, tmp_path):
         F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts")
     ).write.parquet(out2)
     assert footer_ts_range(str(tmp_path / "noss"), "events") == (None, None)
+
+
+def test_read_stream_events_directory_layout(spark, tmp_path):
+    """A Spark-written events table is a DIRECTORY of part files (the
+    scale replicas, any real ingest output). The original source
+    glob-filtered the parent on the table's basename — pathGlobFilter
+    matches leaf FILE names, so a directory matched nothing and the
+    replay silently processed zero rows (caught by the round-10 100x
+    streaming leg reporting an impossible 0.3x ratio). Pin: a
+    directory-layout events table streams every row; the single-file
+    fixture path stays covered by every other test in this file."""
+    from keycloak_event_stream_spark.streaming import queries as SQ
+
+    sf_dir = str(tmp_path)
+    (
+        spark.range(100)
+        .selectExpr(
+            "id AS event_id",
+            "id % 7 AS user_id",
+            "timestamp_micros(cast(1704067200000000 + id * 60000000 as long)) AS ts",
+            "CASE WHEN id % 2 = 0 THEN 'view' ELSE 'click' END AS event_type",
+            "cast(id as double) AS value",
+        )
+        .repartition(4)
+        .write.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    stream = SQ.read_stream_events(spark, sf_dir)
+    counted = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = SQ._run_to_memory(counted, "complete", rows=100)
+    got = {r.event_type: r.n for r in out.collect()}
+    assert got == {"view": 50, "click": 50}
