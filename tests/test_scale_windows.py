@@ -104,6 +104,31 @@ def test_dense_rank_matches_naive(spark, data):
         two_phase_window(data, [F.col("v")], dense_rank="dr")
 
 
+def test_dense_rank_null_keys_count_as_distinct(spark):
+    """dense_rank() treats NULL as one distinct key value (NULLS FIRST
+    by default); the two-phase per-partition distinct counts use
+    countDistinct over a struct() of the keys precisely because a bare
+    multi-column countDistinct drops null-containing rows, which would
+    shift every later rank by one."""
+    rows = [(0, None), (1, None), (2, 5), (3, 5), (4, 9)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    naive = {
+        r.id: r.dr
+        for r in df.select(
+            "id", F.dense_rank().over(Window.orderBy("v")).alias("dr")
+        ).collect()
+    }
+    fast = {
+        r.id: r.dr
+        for r in two_phase_window(
+            df, [F.col("v")], dense_rank="dr", dense_keys=["v"], k=3
+        )
+        .select("id", "dr")
+        .collect()
+    }
+    assert fast == naive == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
+
+
 def test_window_rank_cost_split_branches_identical(spark):
     """q_window_rank picks naive-window vs two-phase off a footer-row
     threshold (spark.kes.window.twoPhaseMinRows); both branches must
