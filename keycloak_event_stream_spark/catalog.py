@@ -94,7 +94,7 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-_FOOTER_ROWS: dict[tuple[str, str, int, int], int] = {}
+_FOOTER_ROWS: dict[tuple[str, str, int, int, int], int] = {}
 
 
 def _path_sig(path: str) -> tuple[int, int, int]:
@@ -124,7 +124,12 @@ def _path_sig(path: str) -> tuple[int, int, int]:
                 mt = max(mt, est.st_mtime_ns)
                 sz += est.st_size
                 n += 1
-                if entry.is_dir():
+                if entry.is_dir(follow_symlinks=False):
+                    # follow_symlinks=False: a symlinked directory
+                    # cycle inside a table path would loop this walk
+                    # forever (and a symlinked subtree would be
+                    # double-counted into the signature); symlinked
+                    # FILES still stat normally above (r10 ADVICE).
                     stack.append(entry.path)
     return mt, sz, n
 

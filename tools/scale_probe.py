@@ -87,7 +87,14 @@ def build_replica(spark) -> None:
                   flush=True)
             import shutil
 
-            shutil.rmtree(dest)
+            # a pre-marker interrupted build can leave dest as a plain
+            # FILE (single-file write path); rmtree raises
+            # NotADirectoryError on that and would abort the probe
+            # instead of rebuilding (r10 ADVICE)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            else:
+                os.remove(dest)
         base = load_table(spark, SF_DIR, name)
         if not keys:
             base.write.mode("overwrite").parquet(dest)
