@@ -405,6 +405,26 @@ def main() -> int:
         "detail": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact))
+    # Last-resort gate line (r10 verdict #2): even the ~2 KB compact
+    # line got head-clipped by the driver's bounded tail capture
+    # (BENCH_r10.json ``parsed: null`` — the capture window started
+    # mid-JSON because ``queries`` embeds 52 timings). Emit ONE more
+    # line, printed LAST and guaranteed <300 bytes (no per-query map),
+    # holding only the scalar gates, so any tail window that clips the
+    # compact line still ends on a complete parseable JSON object.
+    gate = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "value_canary_norm": full["value_canary_norm"],
+        "value_noise_adj_sec": full["value_noise_adj_sec"],
+        "canary_spread_pct_warm": canary["spread_pct_warm"],
+        "scale10x_full_max_ratio": SCALE10X_FULL_RECORDED["max_ratio"],
+        "detail": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(gate))
     return 0
 
 
