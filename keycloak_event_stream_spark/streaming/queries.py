@@ -159,28 +159,30 @@ def _replay_grain(sf_dir: str) -> tuple[str, ...]:
     return ()
 
 
-def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFrame:
-    """Run a bounded streaming query into a memory sink, return result.
+def _replay_width_scope(spark: SparkSession, rows: int | None):
+    """Install the bounded-replay shuffle width for a streaming run and
+    return the restore callable (or ``None`` when ``rows is None``).
 
     ``rows`` — the bounded input's row count — scopes
     ``spark.sql.shuffle.partitions`` around the run to
     ``max(4, min(session width, rows // _REPLAY_ROWS_PER_PART + 1))``,
-    always restored in ``finally``: the registered s_* entries are
-    bounded VERIFICATION replays, so their state width should derive
-    from the bounded input, not from the session's corpus-sized
-    default (see _REPLAY_ROWS_PER_PART for the measured 12x cost).
-    Production streams attach their own trigger on their own session
-    and are never re-regimed: ``rows=None`` leaves the conf untouched.
-    AQE needs no override here — stateful streaming disables it
-    itself. The conf is session-global for the run's duration — the
-    same single-threaded-driver regime as the graph loops'
-    ``_node_loop_scope`` (operators/graph.py:113); that a concurrent
-    query on the re-regimed session stays CORRECT (just re-widthed) is
-    pinned by tests/test_dedup.py::
-    test_lp_conf_scope_concurrent_query_correct.
+    always restored by the caller's ``finally``: the registered s_*
+    entries are bounded VERIFICATION replays, so their state width
+    should derive from the bounded input, not from the session's
+    corpus-sized default (see _REPLAY_ROWS_PER_PART for the measured
+    12x cost). Production streams attach their own trigger on their
+    own session and are never re-regimed: ``rows=None`` leaves the
+    conf untouched. AQE needs no override here — stateful streaming
+    disables it itself. The conf is session-global for the run's
+    duration — the same single-threaded-driver regime as the graph
+    loops' ``_node_loop_scope`` (operators/graph.py:113); that a
+    concurrent query on the re-regimed session stays CORRECT (just
+    re-widthed) is pinned by tests/test_dedup.py::
+    test_lp_conf_scope_concurrent_query_correct. Shared by
+    :func:`_run_to_memory` and :func:`run_to_parquet` so the memory
+    and distributed sinks replay under an identical regime.
     """
     global LAST_REPLAY_SCOPE
-    spark = df.sparkSession
     restore = None
     if rows is not None:
         parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -207,6 +209,20 @@ def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFra
             "parts": parts,
             "parts_was": parts_was,
         }
+    return restore
+
+
+def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFrame:
+    """Run a bounded streaming query into a memory sink, return result.
+
+    The memory sink collects the output driver-side, which is the
+    right shape for the registered VERIFICATION replays (the driver
+    collects the result anyway) but NOT for scale probes whose output
+    is data-linear — use :func:`run_to_parquet` there. Width regime:
+    :func:`_replay_width_scope`.
+    """
+    spark = df.sparkSession
+    restore = _replay_width_scope(spark, rows)
     _COUNTER[0] += 1
     name = f"s_sink_{os.getpid()}_{_COUNTER[0]}"
     try:
@@ -225,6 +241,45 @@ def _run_to_memory(df: DataFrame, mode: str, rows: int | None = None) -> DataFra
         if restore is not None:
             restore()
     return df.sparkSession.table(name)
+
+
+def run_to_parquet(
+    df: DataFrame, path: str, rows: int | None = None
+) -> DataFrame:
+    """Distributed-sink twin of :func:`_run_to_memory`: identical
+    bounded replay (availableNow trigger + the same
+    :func:`_replay_width_scope` regime) but the output lands in a
+    parquet directory, never on the driver — the production sink
+    shape, and the harness fix for user-linear outputs (BASELINE.md
+    round-10 caveat: s_session_windows at 100x OOMed the MEMORY
+    VERIFICATION SINK while the operator itself was fine; the r10
+    verdict asked for a parquet sink + aggregate assertions so the
+    100x point becomes measurable). Append-mode only — that is the
+    only output mode Spark's file sink supports, and exactly the mode
+    of the watermark-closed stateful queries whose output scales with
+    data. Returns the sink read back as a LAZY batch DataFrame;
+    callers assert AGGREGATES over it (counts, sums, distinct keys)
+    and must not collect the row set.
+    """
+    spark = df.sparkSession
+    restore = _replay_width_scope(spark, rows)
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", path)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt_pq_sink_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if restore is not None:
+            restore()
+    return spark.read.parquet(path)
 
 
 @_q(
@@ -411,18 +466,26 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window semantics); append mode emits sessions closed by the
     terminal watermark, which the oracle reproduces as a
     gaps-and-islands rollup filtered to watermark-closed sessions."""
-    stream = read_stream_events(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    agg = session_windows_agg(read_stream_events(spark, sf_dir))
     res = _run_to_memory(agg, "append", rows=_events_rows(sf_dir))
     return res.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
         "n_events",
+    )
+
+
+def session_windows_agg(stream: DataFrame) -> DataFrame:
+    """The s_session_windows aggregation on a caller-supplied stream —
+    factored out so the Nx scale probe (tools/stream_scale_probe.py)
+    runs the IDENTICAL stateful plan through the distributed parquet
+    sink (:func:`run_to_parquet`) instead of the driver-side memory
+    sink the registered verification replay uses."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
 
