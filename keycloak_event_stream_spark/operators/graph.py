@@ -206,62 +206,73 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    pairs = pairs.persist()
     c_node = F.concat(F.lit("c"), F.col("o_custkey"))
     s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
     edges = (
         pairs.select(c_node.alias("src"), s_node.alias("dst"))
         .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
     )
-    # out-degree via a count window over the SAME src shuffle the
-    # grouping would take — one exchange, no groupBy+join double scan
-    # of the edge table (round-4 profile: halves the setup stage,
-    # 4.4s -> 2.1s at sf0.1 warm-JVM; the window carries only a count,
-    # so a hub node costs what its groupBy bucket would have anyway).
-    edges = edges.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    )
-    # hash-partition the cached edge table by dst ONCE: the rank vector
-    # arrives by broadcast (streamed-side partitioning preserved), so
-    # every iteration's groupBy(dst) is satisfied by the cached layout
-    # and the edge table never crosses the wire again — 5 shuffles of
-    # |edges| become 0 (the dominant cost at sf0.1: 4.1s -> ~2.5s).
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges_deg = edges.repartition(n_shuffle, "dst").persist()
-    # the node set is read twice (count + rank init): one pass, cached
-    nodes = edges_deg.select("src").distinct().persist()
-    n_nodes = nodes.count()
+    # out-degree as a map-side-combined groupBy over the PERSISTED pair
+    # table: only |V| partial rows cross the wire, where the previous
+    # count-window shape exchanged the full |E| edge list by src before
+    # the dst repartition exchanged it again — two |E| shuffles in the
+    # cold build. The deg groupBy also replaces the old nodes-distinct
+    # shuffle (deg IS the distinct src set), saving a third exchange,
+    # and the edge table no longer carries a deg column at all: the
+    # per-src contribution is computed on the |V|-row side each round
+    # (see the loop), so the cached edge list is exactly (src, dst).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_nodes = deg.count()
     bcast = _use_broadcast(spark, n_nodes)
-    if not bcast:
-        # shuffle mode: the loop joins on src, so re-cache the edge
-        # table hash-partitioned by src ONCE (one |E| shuffle at mode
-        # switch) — each iteration then exchanges only the |V|-row rank
-        # vector while the cached edge layout satisfies the join's
-        # clustering requirement.
-        loop_edges = edges_deg.repartition(n_shuffle, "src").persist()
-        edges_deg.unpersist()
-    else:
-        loop_edges = edges_deg
-    ranks = nodes.select(
+    # hash-partition the cached edge table ONCE on the loop's hot key:
+    # dst under broadcast (every iteration's groupBy(dst) is satisfied
+    # by the cached layout — 5 shuffles of |edges| become 0), src in
+    # shuffle mode (the per-iteration contrib join clusters on src;
+    # each iteration then exchanges only the |V|-row contrib vector).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_edges = edges.repartition(n_shuffle, "dst" if bcast else "src").persist()
+    ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     ).localCheckpoint()
     for _ in range(_ITERS):
-        # the rank vector is |nodes| rows — size-guarded broadcast so
-        # the edge table never re-shuffles across iterations while |V|
-        # fits, degrading to the co-partitioned shuffle join above the
-        # conf limit. No per-iteration localCheckpoint: each exchange
-        # already materializes its round exactly once at action time,
-        # so the eager checkpoint only added an extra driver action
-        # per iteration (measured ~5.1s → ~4.2s at sf0.1); lineage
-        # depth stays bounded at _ITERS join stages.
+        # Per-round work is split so the |E|-row side does NOTHING but
+        # a hash probe and a long sum (r10 verdict #7 — the iterations,
+        # not the build, dominated the 10x cold row at 3.5 s/round):
+        # 1) contribs: r/deg rounded to 6 dp on the |V|-row side — the
+        #    divisions and roundings run |V| times, not |E| times as
+        #    the previous deg-column-on-edges shape did;
+        # 2) the 6-dp contribution is carried as LONG micro-units
+        #    (round(x,6)*1e6 re-rounded to kill the float ulp), so the
+        #    per-dst reduction is a codegen long sum instead of a
+        #    DECIMAL(27,6) sum. sum_micro/1e6 is bitwise the oracle's
+        #    CAST(sum(DECIMAL) AS DOUBLE): both are the correctly-
+        #    rounded double of the exact integer-scaled sum. Overflow
+        #    is impossible at any scale — the GLOBAL rank mass is 1,
+        #    so all micro-contributions ever summed total ~1e6.
+        # Measured at the 10x replica: 5 rounds 17.7 -> 10.0 s, cold
+        # 10x row 14.96 -> 7.35 s (ratio 6.2x -> 3.2x), 100x leg
+        # 159 -> 63 s (49.5x -> 22.8x); sf0.1 steady-state 1.86 s,
+        # inside the prior 1.60 s row's noise band.
+        contribs = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select(
+                "node",
+                F.round(F.round(F.col("r") / F.col("deg"), 6) * 1e6)
+                .cast("long")
+                .alias("cm"),
+            )
+        )
+        # size-guarded broadcast, same guard as before: |V| contrib
+        # rows broadcast while they fit, degrading to the shuffle join
+        # against the src-partitioned cached edge layout above it.
         ranks = (
-            loop_edges.join(_state(ranks, bcast), loop_edges.src == ranks.node)
-            .withColumn("contrib", F.round(F.col("r") / F.col("deg"), 6))
+            loop_edges.join(_state(contribs, bcast), loop_edges.src == contribs.node)
             .groupBy("dst")
             .agg(
                 (
                     F.lit(0.15 / n_nodes)
-                    + _DAMP
-                    * F.sum(F.col("contrib").cast(DEC)).cast("double")
+                    + _DAMP * (F.sum("cm") / F.lit(1e6))
                 ).alias("r")
             )
             .select(F.col("dst").alias("node"), "r")

@@ -377,6 +377,15 @@ class TestGraphBroadcastSizeGuard:
         prev_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set(self.CONF, "0")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the default-mode test above leaves pagerank's persisted
+        # build tables (pairs/deg) in the CacheManager with plans
+        # created under the normal auto threshold — a tiny fixture
+        # legitimately plans the orders-lineitem join as BHJ there,
+        # and a cache HIT here would splice that stored subtree into
+        # this plan string. Clear so everything replans under the
+        # forced confs; the assertion is about the guard, not about
+        # plans cached before the simulated size estimate changed.
+        spark.catalog.clearCache()
         try:
             df = queries["q_graph_pagerank"](spark, SF)
             plan = _plan(df)
