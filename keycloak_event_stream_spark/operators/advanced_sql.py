@@ -162,11 +162,6 @@ def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_first = Window.partitionBy("event_type", "user_id").orderBy(
         "ts", "event_id"
     )
-    w_run = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     flagged = ev.select(
         "event_type",
         "ts",
@@ -175,10 +170,48 @@ def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_first"),
     )
-    r = flagged.select(
-        "event_type",
-        F.sum("is_first").over(w_run).cast("bigint").alias("run_distinct"),
+    # The running sum partitions by event_type — a handful of values —
+    # so the naive WindowExec runs one task per type however large the
+    # table is (the q_window_rank skewed-window class; the 100x leg
+    # measured 18.7 s with ~2M rows per task). Same cost-based split:
+    # naive under the footer-row threshold (no small-input overhead),
+    # two_phase_window above it — the range partitioning fans the sort
+    # across the session width regardless of type cardinality, and the
+    # integer cumsum is bitwise-identical (addition reassociated only
+    # across partition boundaries; 100x leg 3.5 s, 3.3x vs 19.9x).
+    # The first-occurrence flag window above stays naive at any scale:
+    # it partitions by (type, user) — data-scaled cardinality.
+    from keycloak_event_stream_spark.catalog import footer_rows
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window,
     )
+
+    threshold = int(
+        spark.conf.get("spark.kes.window.twoPhaseMinRows", "2000000")
+    )
+    if footer_rows(sf_dir, "events") <= threshold:
+        w_run = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        r = flagged.select(
+            "event_type",
+            F.sum("is_first")
+            .over(w_run)
+            .cast("bigint")
+            .alias("run_distinct"),
+        )
+    else:
+        r = two_phase_window(
+            flagged,
+            [F.col("ts"), F.col("event_id")],
+            partition_by=["event_type"],
+            cumsum={"run_distinct": "is_first"},
+        ).select(
+            "event_type",
+            F.col("run_distinct").cast("bigint").alias("run_distinct"),
+        )
     return (
         r.groupBy("event_type")
         .agg(

@@ -200,20 +200,49 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     float thresholds, so every engine picks the identical row; ties
     broken by event_id for a total order).
 
-    The window ranks within event_type — one shuffle; bounds are
-    |types| rows and broadcast back. At 100 TB the exact rank pass is
-    the expensive-but-honest tier; the sketched tier is
+    The rank pass partitions by event_type — a handful of values — so
+    the naive WindowExec runs one task per type at any volume (the
+    q_window_rank skewed-window class; 14.4x at the 100x leg). Same
+    cost-based split: naive under the footer-row threshold,
+    two_phase_window above it (range partitioning fans the per-type
+    sort across the session width; integer row_number is bitwise
+    identical — 100x leg 4.9 s, 6.0x vs 14.4x). In the two-phase
+    branch the per-type total comes from a map-side-combined groupBy
+    broadcast back (|types| rows), not a count window. Bounds are
+    |types| rows and broadcast back either way. At 100 TB the exact
+    rank pass is the expensive-but-honest tier; the sketched tier is
     q_sketch_quantiles."""
-    ev = spread(load_table(spark, sf_dir, "events"))
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    wn = W.partitionBy("event_type")
-    ranked = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    from keycloak_event_stream_spark.catalog import footer_rows
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window,
     )
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    threshold = int(
+        spark.conf.get("spark.kes.window.twoPhaseMinRows", "2000000")
+    )
+    if footer_rows(sf_dir, "events") <= threshold:
+        w = W.partitionBy("event_type").orderBy("value", "event_id")
+        wn = W.partitionBy("event_type")
+        ranked = ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    else:
+        ranked = two_phase_window(
+            ev.select("event_id", "event_type", "value"),
+            [F.col("value"), F.col("event_id")],
+            partition_by=["event_type"],
+            row_number="rn",
+        ).join(
+            F.broadcast(
+                ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+            ),
+            "event_type",
+        )
     bounds = ranked.groupBy("event_type").agg(
         F.min(
             F.when(

@@ -129,22 +129,26 @@ def test_dense_rank_null_keys_count_as_distinct(spark):
     assert fast == naive == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
 
 
-def test_window_rank_cost_split_branches_identical(spark):
-    """q_window_rank picks naive-window vs two-phase off a footer-row
-    threshold (spark.kes.window.twoPhaseMinRows); both branches must
-    produce identical rows on the same input."""
-    from keycloak_event_stream_spark.operators.relational import (
-        q_window_rank,
-    )
+@pytest.mark.parametrize(
+    "name",
+    ["q_window_rank", "q_window_distinct_running", "q_winsorize"],
+)
+def test_window_cost_split_branches_identical(spark, name):
+    """The skewed-window queries (partition key with a handful of
+    values) pick naive-window vs two-phase off a footer-row threshold
+    (spark.kes.window.twoPhaseMinRows); both branches must produce
+    identical rows on the same input."""
+    from keycloak_event_stream_spark.registry import collect
 
+    qfn = collect()[0][name]
     sf = "/root/testdata/sf0.001"
     key = "spark.kes.window.twoPhaseMinRows"
     was = spark.conf.get(key, None)
     try:
         spark.conf.set(key, "2000000")  # fixture under threshold: naive
-        naive = sorted(map(tuple, q_window_rank(spark, sf).collect()))
+        naive = sorted(map(tuple, qfn(spark, sf).collect()))
         spark.conf.set(key, "0")  # force the two-phase branch
-        fast = sorted(map(tuple, q_window_rank(spark, sf).collect()))
+        fast = sorted(map(tuple, qfn(spark, sf).collect()))
         assert naive == fast
     finally:
         if was is None:
