@@ -139,29 +139,42 @@ def q_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer remainder, and the result is reported in exact tenths of a
     cent (no division at all) — exact and engine-portable,
     which the engines' own percentile_cont (float position
-    arithmetic) is not."""
+    arithmetic) is not.
+
+    Scale shape (round 11): the bracketing values come from
+    grouped_value_counts (histogram + two-phase running count; the
+    per-row rank window partitioned by the 3 order statuses ran one
+    task per status — 22.1x at the 100x leg, now linear). A value v's
+    rows occupy 0-based positions [cum−cnt, cum−1], so "the row at
+    idx k" becomes "the bucket with cum−cnt ≤ k < cum"; both
+    bracketing positions can land in ONE tie bucket, so the two
+    weights ADD per bucket instead of the per-row when/when chain."""
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    w = Window.partitionBy("o_orderstatus").orderBy(cents, "o_orderkey")
-    wn = Window.partitionBy("o_orderstatus")
-    ranked = o.select(
-        "o_orderstatus",
-        cents.alias("cents"),
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count("*").over(wn).alias("n"),
+    h = grouped_value_counts(
+        o.select("o_orderstatus", cents.alias("cents")),
+        ["o_orderstatus"],
+        "cents",
     )
 
     def interp(tenths: int, alias: str):
         pos = (F.col("n") - 1) * tenths
         lo, rem = F.floor(pos / 10), pos % 10
+
+        def holds(k):
+            return (F.col("cum") - F.col("cnt") <= k) & (k < F.col("cum"))
+
         num = F.sum(
-            F.when(F.col("idx") == lo, F.col("cents") * (10 - rem))
-            .when(F.col("idx") == lo + 1, F.col("cents") * rem)
-            .otherwise(F.lit(0))
+            F.when(holds(lo), F.col("cents") * (10 - rem)).otherwise(0)
+            + F.when(holds(lo + 1), F.col("cents") * rem).otherwise(0)
         )
         return num.cast("bigint").alias(alias)
 
-    return ranked.groupBy("o_orderstatus").agg(
+    return h.groupBy("o_orderstatus").agg(
         interp(5, "p50_cents_x10"), interp(9, "p90_cents_x10")
     )
 
@@ -371,10 +384,21 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation, no float thresholds. The obvious question it
     answers: do URGENT orders actually ship faster?
 
-    Day differences are exact integers (DATE subtraction); one rank
-    window partitioned by the 5 priorities over integer lead days.
-    At extreme scale the drop-in is per-group t-digest
+    Day differences are exact integers (DATE subtraction). Scale shape
+    (round 11): the per-row rank window partitioned by the 5
+    priorities ran ONE WindowExec task per priority at any volume —
+    60.4x at the 100x leg, the worst ratio the probe found. The rank
+    statistics only depend on the VALUE HISTOGRAM, so the selection
+    now runs on grouped_value_counts (map-side-combined histogram +
+    two-phase running count; the rank predicates substitute the
+    inclusive running count for row_number — provably the same value,
+    see the helper's docstring). 100x leg 105.6 -> ~2.9 s (1.9x). At
+    extreme scale the drop-in is per-group t-digest
     (q_sketch_quantiles) with this exact form as its audit."""
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lt = li.join(
@@ -388,32 +412,21 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("transit_d"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "transit_d", "l_orderkey", "l_linenumber"
-    )
-    wc = Window.partitionBy("o_orderpriority")
-    ranked = lt.select(
-        "o_orderpriority",
-        "transit_d",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    h = grouped_value_counts(lt, ["o_orderpriority"], "transit_d")
     return (
-        ranked.groupBy("o_orderpriority")
+        h.groupBy("o_orderpriority")
         .agg(
             F.max("n").cast("bigint").alias("n_lines"),
             F.min("transit_d").cast("bigint").alias("min_d"),
             F.min(
-                F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("transit_d"))
+                F.when(F.col("cum") * 2 >= F.col("n") + 1, F.col("transit_d"))
             )
             .cast("bigint")
             .alias("median_d"),
             F.min(
                 F.when(
-                    F.col("rn") * 20 >= F.col("n") * 19 + 20,
+                    F.col("cum") * 20 >= F.col("n") * 19 + 20,
                     F.col("transit_d"),
                 )
             )

@@ -65,21 +65,46 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame running totals: all o_orderdate peers enter the frame
     together (the semantic difference from the ROWS frame in
-    q_window_frame, where peers accumulate one by one)."""
-    o = spread(load_table(spark, sf_dir, "orders"))
-    w = (
-        W.partitionBy("o_orderpriority")
-        .orderBy("o_orderdate")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    q_window_frame, where peers accumulate one by one).
+
+    Scale shape (round 11): BECAUSE the RANGE frame includes the whole
+    tie group, the running total is a function of (priority, date)
+    alone — so it is computed once per distinct date on the per-date
+    aggregate (decimal day sums + counts, map-side combined), run
+    through a two-phase cumsum (decimal addition reassociates
+    exactly), and joined back onto the rows by (priority, date). The
+    per-date table is calendar-bounded (~2.4k dates × 5 priorities),
+    so the join-back broadcasts; the previous per-row window ran one
+    WindowExec task per priority at any volume (7.5x at the 100x
+    leg; now pure scan + broadcast join, 1.3x)."""
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window,
     )
-    return o.select(
+
+    o = spread(load_table(spark, sf_dir, "orders"))
+    by_day = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_day_price"),
+        F.count(F.lit(1)).alias("_day_n"),
+    )
+    run = two_phase_window(
+        by_day,
+        [F.col("o_orderdate")],
+        partition_by=["o_orderpriority"],
+        cumsum={"_run_price": "_day_price", "n_upto": "_day_n"},
+    ).select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("_run_price").cast("double").alias("running_price"),
+        "n_upto",
+    )
+    return o.join(
+        F.broadcast(run), ["o_orderpriority", "o_orderdate"]
+    ).select(
         "o_orderkey",
         "o_orderpriority",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
-            "running_price"
-        ),
-        F.count(F.lit(1)).over(w).alias("n_upto"),
+        "running_price",
+        "n_upto",
     )
 
 
@@ -880,16 +905,64 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist per order priority — completing the window family beyond
     rank/analytic/frame (SURVEY §2.3). Total order via the o_orderkey
     tiebreak; pct_rank/cume are exact rational arithmetic on ranks, so
-    they compare bitwise."""
+    they compare bitwise.
+
+    Scale shape (round 11): the naive window partitions by the 5
+    priorities — one WindowExec task per priority at any volume
+    (11.3x at the 100x leg). Above the footer-row threshold the same
+    cost-based split as q_window_rank applies: a single two-phase
+    row_number pass plus a |groups|-row count broadcast. The
+    o_orderkey tiebreak makes the window order UNIQUE, so rank == rn
+    and every peer group is a singleton — percent_rank = (rn−1)/(n−1)
+    and cume_dist = rn/n, the same double divisions WindowExec
+    performs (bitwise-equal; the branch test pins it), and ntile is
+    reconstructed exactly from (rn, n) via exact_ntile."""
     o = spread(load_table(spark, sf_dir, "orders"))
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    threshold = int(
+        spark.conf.get("spark.kes.window.twoPhaseMinRows", "2000000")
+    )
+    from keycloak_event_stream_spark.catalog import footer_rows
+
+    if footer_rows(sf_dir, "orders") <= threshold:
+        w = W.partitionBy("o_orderpriority").orderBy(
+            "o_totalprice", "o_orderkey"
+        )
+        return o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    from keycloak_event_stream_spark.operators._scale import (
+        exact_ntile,
+        two_phase_window,
+    )
+
+    ranked = two_phase_window(
+        o.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        partition_by=["o_orderpriority"],
+        row_number="_rn",
+    )
+    nn_tab = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    j = ranked.join(F.broadcast(nn_tab), "o_orderpriority")
+    nn, rn = F.col("_n"), F.col("_rn")
+    pct = F.when(
+        nn > 1, (rn - 1).cast("double") / (nn - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return j.select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        exact_ntile(rn, nn, 4).alias("quartile"),
+        pct.alias("pct_rank"),
+        (rn.cast("double") / nn.cast("double")).alias("cume"),
     )
 
 

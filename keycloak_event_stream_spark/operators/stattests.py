@@ -529,30 +529,32 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile interpolation can never cross-match), so the quartile
     is an actual data value and the fence expression is deterministic
     scalar math on it. Complements q_anomaly_zscore with the
-    rank-based (distribution-free) detector. One window shuffle on
-    the group key; fences broadcast back.
+    rank-based (distribution-free) detector. Scale shape (round 11):
+    the quartiles come from grouped_value_counts (histogram +
+    two-phase running count; 19.2x -> linear at the 100x leg) instead
+    of a per-row rank window that ran one task per event type;
+    fences broadcast back onto the row scan as before.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
     )
-    quarts = ranked.groupBy("event_type").agg(
+
+    ev = load_table(spark, sf_dir, "events")
+    h = grouped_value_counts(
+        ev.select("event_type", "value"), ["event_type"], "value"
+    )
+    quarts = h.groupBy("event_type").agg(
         F.min(
-            F.when(F.col("rn") * 4 >= F.col("n") + 1, F.col("value"))
+            F.when(F.col("cum") * 4 >= F.col("n") + 1, F.col("value"))
         ).alias("q1"),
         F.min(
             F.when(
-                F.col("rn") * 4 >= 3 * (F.col("n") + 1), F.col("value")
+                F.col("cum") * 4 >= 3 * (F.col("n") + 1), F.col("value")
             )
         ).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
-    joined = ranked.join(F.broadcast(quarts), "event_type")
+    joined = ev.join(F.broadcast(quarts), "event_type")
     return (
         joined.filter(
             (F.col("value") < F.col("q1") - 1.5 * iqr)
@@ -603,48 +605,42 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate (50% breakdown point vs 0% for the standard deviation),
     computed as two nested *exact* medians.
 
-    Both medians use nearest-rank-above arithmetic (``2·rn ≥ n+1``,
+    Both medians use nearest-rank-above arithmetic (``2·cum ≥ n+1``,
     integer cross-multiplication — no interpolation, so the result is
-    an actual data value and bitwise portable). The deviation pass
-    re-joins the per-type median (broadcast, 5 rows) and re-ranks —
-    two window shuffles on the group key total, the unavoidable cost
-    of an exact nested rank statistic; at 100 TB the drop-in
-    approximation is per-type t-digest quantiles (cf.
-    q_sketch_quantiles), with this exact form as its audit.
+    an actual data value and bitwise portable), each selected from
+    grouped_value_counts (histogram + two-phase running count; round
+    11 — the per-row rank windows ran one task per event type,
+    31.2x at the 100x leg, now linear). The deviation pass re-joins
+    the per-type median (broadcast, |types| rows) onto the row scan;
+    at 100 TB the drop-in approximation is per-type t-digest
+    quantiles (cf. q_sketch_quantiles), with this exact form as its
+    audit.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
     )
-    med = ranked.groupBy("event_type").agg(
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = grouped_value_counts(
+        ev.select("event_type", "value"), ["event_type"], "value"
+    )
+    med = hv.groupBy("event_type").agg(
         F.min(
-            F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("value"))
+            F.when(F.col("cum") * 2 >= F.col("n") + 1, F.col("value"))
         ).alias("median")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("value") - F.col("median")).alias("d"),
-        "event_id",
     )
-    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
-    dranked = dev.select(
-        "event_type",
-        "d",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    hd = grouped_value_counts(dev, ["event_type"], "d")
     return (
-        dranked.join(F.broadcast(med), "event_type")
+        hd.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("median").alias("median"),
             F.min(
-                F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("d"))
+                F.when(F.col("cum") * 2 >= F.col("n") + 1, F.col("d"))
             ).alias("mad"),
         )
         .orderBy("event_type")
@@ -689,28 +685,40 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fractional average rank for a tie group is avoided by doubling:
     ``2·rank() + tie_count − 1`` IS twice the average rank, an integer
-    computable from two windows. The doubling cancels in the closed
-    form, so rho is Pearson over integer "double-ranks" with the exact
-    integer-moment discipline of q_agg_corr (DECIMAL(38,0) sums, one
-    cast to double). Rank windows sort within each group partition —
-    at 100 TB this is the same range-partitioned sort every window
-    operator pays, with no extra shuffle beyond the group key.
+    computable per distinct VALUE: with cum the inclusive running
+    count and cnt the tie count of a value, rank = cum − cnt + 1, so
+    the double-rank is ``2·cum − cnt + 1``. The doubling cancels in
+    the closed form, so rho is Pearson over integer "double-ranks"
+    with the exact integer-moment discipline of q_agg_corr
+    (DECIMAL(38,0) sums, one cast to double). Scale shape (round 11):
+    the per-row rank windows partitioned by the 3 return flags ran
+    one WindowExec task per flag — 64.5x (195 s) at the 100x leg, the
+    probe's worst. The double-rank is value-determined, so it now
+    comes from grouped_value_counts maps joined back onto the rows:
+    the x map is ~150 rows (50 quantities × 3 flags, broadcast), the
+    y map is value-distinct-sized (hash-parallel shuffle join) — no
+    skewed sort anywhere, 100x leg ~13 s (4.4x).
     """
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
     y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     cents = li.select("l_returnflag", x.alias("x"), y.alias("y"))
-    rx = (
-        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("x"))
-        + F.count("*").over(Window.partitionBy("l_returnflag", "x"))
-        - 1
+    r2 = 2 * F.col("cum") - F.col("cnt") + 1
+    rx_map = grouped_value_counts(
+        cents.select("l_returnflag", "x"), ["l_returnflag"], "x"
+    ).select("l_returnflag", "x", r2.alias("rx"))
+    ry_map = grouped_value_counts(
+        cents.select("l_returnflag", "y"), ["l_returnflag"], "y"
+    ).select("l_returnflag", "y", r2.alias("ry"))
+    ranked = (
+        cents.join(rx_map, ["l_returnflag", "x"])
+        .join(ry_map, ["l_returnflag", "y"])
+        .select("l_returnflag", "rx", "ry")
     )
-    ry = (
-        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("y"))
-        + F.count("*").over(Window.partitionBy("l_returnflag", "y"))
-        - 1
-    )
-    ranked = cents.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
     c_rx, c_ry = F.col("rx"), F.col("ry")
     m = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2305,21 +2313,23 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DECLARED the statistic's input, so Σz and Σz² accumulate
     exactly in DECIMAL(38,12) (order-independent on any partitioning)
     and W is one closed-form double expression over per-group exact
-    scalars. Scale: rank shuffle on the group key, broadcast of the
-    |groups|-row median table back onto the scan, then a |groups|-cell
-    reduction — nothing global, nothing quadratic."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    scalars. Scale: medians from grouped_value_counts (histogram +
+    two-phase running count; round 11 — the per-row rank window ran
+    one task per event type, 14.6x at the 100x leg, now linear),
+    broadcast of the |groups|-row median table back onto the scan,
+    then a |groups|-cell reduction — nothing global, nothing
+    quadratic."""
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
     )
-    med = ranked.groupBy("event_type").agg(
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = grouped_value_counts(
+        ev.select("event_type", "value"), ["event_type"], "value"
+    )
+    med = hv.groupBy("event_type").agg(
         F.min(
-            F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("value"))
+            F.when(F.col("cum") * 2 >= F.col("n") + 1, F.col("value"))
         ).alias("median")
     )
     z = ev.join(F.broadcast(med), "event_type").select(
@@ -3643,46 +3653,43 @@ def q_percentile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as NEAREST-RANK order statistics in integer cents (no
     interpolation, no float percentile arithmetic).
 
-    The rank runs through ``two_phase_window`` WITH the flag as the
-    window partition: l_returnflag has only 3 values, so a naive
-    per-flag window would sort N/3 rows in one task each; the
-    two-phase form range-partitions the order spread across the
-    cluster regardless of group cardinality — the skewed-group
-    percentile pattern. Band extraction is a conditional aggregate
-    over rank hits (ceil(n·p/100) = (n·p+99)//100, all integer)."""
+    Round 11: the previous form ranked every ROW through
+    two_phase_window — scale-safe but wasteful for a scalar band
+    report (19.5x at the 100x leg: a full range shuffle + persist of
+    the 60M-row projection to extract 15 numbers). Order statistics
+    only depend on the VALUE HISTOGRAM, so the bands now come from
+    grouped_value_counts (map-side-combined histogram + two-phase
+    running count over distinct cents; rank-hit predicates substitute
+    the inclusive running count for row_number — same value by the
+    helper's up-set rule, equality becoming >=). 100x leg ~3.4 s
+    (2.6x). Band extraction stays the integer conditional aggregate
+    (ceil(n·p/100) = (n·p+99)//100)."""
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
+    )
+
     l = spread(load_table(spark, sf_dir, "lineitem"))
     cents = (
         F.col("l_extendedprice").cast("decimal(18,2)") * 100
     ).cast("bigint")
-    base = l.select(
-        "l_returnflag",
-        cents.alias("cents"),
-        "l_orderkey",
-        "l_linenumber",
+    h = grouped_value_counts(
+        l.select("l_returnflag", cents.alias("cents")),
+        ["l_returnflag"],
+        "cents",
     )
-    ranked = two_phase_window(
-        base,
-        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
-        partition_by=["l_returnflag"],
-        row_number="rn",
-    )
-    n = base.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    j = ranked.join(F.broadcast(n), "l_returnflag")
 
     def band(p, out):
         hit = (F.col("n") * p + 99) - ((F.col("n") * p + 99) % 100)
         return (
             F.min(
-                F.when(F.col("rn") * 100 == hit, F.col("cents"))
+                F.when(F.col("cum") * 100 >= hit, F.col("cents"))
             )
             .cast("bigint")
             .alias(out)
         )
 
     return (
-        j.groupBy("l_returnflag")
+        h.groupBy("l_returnflag")
         .agg(
             F.max("n").cast("bigint").alias("n_rows"),
             band(10, "p10_cents"),

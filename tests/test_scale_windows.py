@@ -131,7 +131,12 @@ def test_dense_rank_null_keys_count_as_distinct(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_window_rank", "q_window_distinct_running", "q_winsorize"],
+    [
+        "q_window_rank",
+        "q_window_distinct_running",
+        "q_winsorize",
+        "q_window_ntile",
+    ],
 )
 def test_window_cost_split_branches_identical(spark, name):
     """The skewed-window queries (partition key with a handful of
