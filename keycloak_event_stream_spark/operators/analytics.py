@@ -3223,33 +3223,33 @@ def q_percentile_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution moved). Nearest-rank order statistics in integer
     cents, per ISO week.
 
-    Weeks are plentiful and balanced, so the rank window partitions by
-    the week key directly (hundreds of healthy partitions — unlike
-    q_percentile_bands_exact's 3-value flag key, no two-phase spread
-    needed; THAT's the decision rule: partition count and balance, not
-    reflex). Band extraction is the usual integer rank-hit aggregate."""
+    Round 11: weeks are CALENDAR-bounded, not data-bounded — rows per
+    week grow linearly with volume, so the per-row rank window
+    (hundreds of partitions, fine at fixture scale) eventually sorts
+    an unbounded week in one task (4.6x at the 100x leg). The
+    quantiles are order statistics, so they now come from
+    grouped_value_counts (histogram + two-phase running count; the
+    rank hit substitutes the running count for row_number, equality
+    becoming >=) — 100x leg ~1.4x. Band extraction stays the integer
+    rank-hit aggregate."""
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
+    )
+
     o = spread(load_table(spark, sf_dir, "orders"))
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     base = o.select(
         F.date_trunc("week", "o_orderdate").cast("date").alias("week"),
         cents.alias("cents"),
-        "o_orderkey",
     )
-    w = W.partitionBy("week").orderBy("cents", "o_orderkey")
-    wn = W.partitionBy("week")
-    ranked = base.select(
-        "week",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    h = grouped_value_counts(base, ["week"], "cents")
 
     def hit(p):
         t = F.col("n") * p + 99
-        return F.col("rn") * 100 == t - (t % 100)
+        return F.col("cum") * 100 >= t - (t % 100)
 
     return (
-        ranked.groupBy("week")
+        h.groupBy("week")
         .agg(
             F.max("n").cast("bigint").alias("n_orders"),
             F.min(F.when(hit(50), F.col("cents")))

@@ -1981,9 +1981,19 @@ def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the crossing row and nothing after — stated as the pure
     integer cross-multiplication ``5·(cum − cents) < 4·total``: no
     0.8·total float or cast anywhere (double→bigint casts ROUND in
-    DuckDB but TRUNCATE in Spark, an off-by-one at exact boundaries). One shuffle for the rollup, per-brand ordered windows
-    over the rollup, never over raw lineitem.
+    DuckDB but TRUNCATE in Spark, an off-by-one at exact boundaries).
+    One shuffle for the rollup, then (round 11) a two-phase cumsum
+    over the rollup instead of per-brand ordered windows: the rollup
+    is |brand × part| — parts-scaled — so the 25-value brand
+    partition ran one WindowExec task per brand at any catalog size
+    (5.1x at the 100x leg; ~1.6x two-phase). Brand totals come from a
+    map-side-combined groupBy broadcast back. Never over raw
+    lineitem either way.
     """
+    from keycloak_event_stream_spark.operators._scale import (
+        two_phase_window,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     cents_expr = (
@@ -1994,17 +2004,19 @@ def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "l_partkey")
         .agg(F.sum(cents_expr).alias("cents"))
     )
-    w_run = (
-        Window.partitionBy("p_brand")
-        .orderBy(F.desc("cents"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = pc.groupBy("p_brand").agg(
+        F.sum("cents").cast("bigint").alias("total")
     )
-    w_all = Window.partitionBy("p_brand")
-    ranked = pc.select(
-        "p_brand",
-        "cents",
-        F.sum("cents").over(w_run).cast("bigint").alias("cum"),
-        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+    ranked = (
+        two_phase_window(
+            pc,
+            [F.desc("cents"), F.col("l_partkey")],
+            partition_by=["p_brand"],
+            cumsum={"cum": "cents"},
+        )
+        .withColumn("cum", F.col("cum").cast("bigint"))
+        .join(F.broadcast(totals), "p_brand")
+        .select("p_brand", "cents", "cum", "total")
     )
     in_nucleus = (F.col("cum") - F.col("cents")) * 5 < F.col("total") * 4
     return (

@@ -3740,31 +3740,29 @@ def q_winsorized_mean_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistics first). The gap between the two columns IS the
     tail-sensitivity diagnostic.
 
-    Same skew discipline as q_percentile_bands_exact: ranks from
-    ``two_phase_window`` partitioned by the 5-value priority key, tail
-    bounds by nearest-rank conditional aggregate, then one more pass
-    over the SAME keyed shuffle clamps and sums in integer cents — a
-    single double division (and a /100 to dollars) at the surface."""
+    Same skew discipline as q_percentile_bands_exact (round 11): the
+    tail bounds are order statistics, so they come straight from
+    grouped_value_counts (histogram + two-phase running count; the
+    nearest-rank hit substitutes the running count for row_number,
+    equality becoming >=) — no per-row rank pass at all. The clamp
+    pass is then one scan with the |groups|-row bounds broadcast
+    back, integer cents end-to-end, a single double division (and a
+    /100 to dollars) at the surface. 100x leg 4.7x -> ~1.6x."""
+    from keycloak_event_stream_spark.operators._scale import (
+        grouped_value_counts,
+    )
+
     o = spread(load_table(spark, sf_dir, "orders"))
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-    base = o.select("o_orderpriority", cents.alias("cents"), "o_orderkey")
-    ranked = two_phase_window(
-        base,
-        [F.col("cents"), F.col("o_orderkey")],
-        partition_by=["o_orderpriority"],
-        row_number="rn",
-    )
-    n = base.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    j = ranked.join(F.broadcast(n), "o_orderpriority")
+    base = o.select("o_orderpriority", cents.alias("cents"))
+    h = grouped_value_counts(base, ["o_orderpriority"], "cents")
 
     def hit(p):
-        return F.col("rn") * 100 == (
+        return F.col("cum") * 100 >= (
             (F.col("n") * p + 99) - ((F.col("n") * p + 99) % 100)
         )
 
-    bounds = j.groupBy("o_orderpriority").agg(
+    bounds = h.groupBy("o_orderpriority").agg(
         F.min(F.when(hit(5), F.col("cents"))).alias("lo"),
         F.min(F.when(hit(95), F.col("cents"))).alias("hi"),
         F.max("n").cast("bigint").alias("n"),
