@@ -91,6 +91,34 @@ def _session_leg(spark, sf_dir: str) -> dict:
     }
 
 
+def _dedup_leg(spark, sf_dir: str) -> dict:
+    """One timed s_stream_dedup leg through the parquet sink: the
+    watermarked dropDuplicates emits one (user_id, event_type) row per
+    key — user-linear output, the same memory-sink hazard class as
+    session windows. Aggregate-only verification: key count, distinct
+    users, and the exact-N replication law (users shift per replica,
+    the per-user type sets replicate verbatim)."""
+    from pyspark.sql import functions as F2
+
+    sink = tempfile.mkdtemp(prefix="s_dedup_sink_")
+    shutil.rmtree(sink)
+    t0 = time.time()
+    stream = read_stream_events(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_to_parquet(deduped, sink, rows=_events_rows(sf_dir))
+    row = out.agg(
+        F2.count(F2.lit(1)).alias("keys"),
+        F2.countDistinct("user_id").alias("users"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    shutil.rmtree(sink, ignore_errors=True)
+    return {"wall_sec": wall, "keys": row["keys"], "users": row["users"]}
+
+
 def main() -> int:
     spark = get_spark()
     build_replica(spark)
@@ -100,8 +128,12 @@ def main() -> int:
 
     one = _session_leg(spark, SF_DIR)
     nx = _session_leg(spark, OUT)
+    d_one = _dedup_leg(spark, SF_DIR)
+    d_nx = _dedup_leg(spark, OUT)
 
     laws = {
+        "dedup_keys_scale_exact": d_nx["keys"] == REPLICAS * d_one["keys"],
+        "dedup_users_scale_exact": d_nx["users"] == REPLICAS * d_one["users"],
         "sessions_scale_exact": nx["sessions"] == REPLICAS * one["sessions"],
         "events_scale_exact": (
             nx["events_emitted"] == REPLICAS * one["events_emitted"]
@@ -116,6 +148,13 @@ def main() -> int:
         "one_x": one,
         "n_x": nx,
         "ratio": round(nx["wall_sec"] / max(one["wall_sec"], 1e-9), 2),
+        "dedup": {
+            "one_x": d_one,
+            "n_x": d_nx,
+            "ratio": round(
+                d_nx["wall_sec"] / max(d_one["wall_sec"], 1e-9), 2
+            ),
+        },
         "laws": laws,
         "ok": all(laws.values()),
     }
