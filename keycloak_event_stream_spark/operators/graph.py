@@ -466,11 +466,17 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
         o = spread(load_table(spark, sf_dir, "orders"))
         l = spread(load_table(spark, sf_dir, "lineitem"))
+        # LONG node keys (round 11): the graph is directed c->s, so a
+        # score table never mixes sides — the 'c'/'s' string prefixes
+        # are purely cosmetic and now attach only to the top-25 output
+        # (BEFORE its orderBy, so the string tiebreak is unchanged).
+        # Raw integer keys shrink the persisted edge list ~3x and make
+        # every half-step join/groupBy hash longs instead of strings.
         edges = (
             o.join(l, o.o_orderkey == l.l_orderkey)
             .select(
-                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+                F.col("o_custkey").cast("long").alias("src"),
+                F.col("l_suppkey").cast("long").alias("dst"),
             )
             .distinct()
             .persist()
@@ -494,10 +500,6 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dst": edges.repartition(n_shuffle, "dst").persist(),
             }
             pins += [edges_by["src"], edges_by["dst"]]
-        d6 = lambda col: F.sum(
-            F.round(col, 6).cast("decimal(27,6)")
-        ).cast("double")
-
         # loop conf scope (see docstring and _node_loop_scope): the 8 eager
         # half-step actions move only |V|-row score tables. Pin release
         # in finally (r9 ADVICE): every score the output reads is
@@ -513,33 +515,66 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
                 def _half(score: DataFrame, out_key: str, in_key: str) -> DataFrame:
+                    # Round 11 (the 100x probe read 28.4x): two fixes
+                    # with bitwise-identical results —
+                    # 1) the 6-dp contribution converts to LONG
+                    #    micro-units on the |V|-row score side (the
+                    #    q_graph_pagerank discipline: round(x,6)*1e6
+                    #    re-rounded to kill the float ulp), so the
+                    #    |E|-row reduction is a codegen long sum, not a
+                    #    DECIMAL(27,6) sum, and the rounding runs |V|
+                    #    times, not |E| times;
+                    # 2) the per-node sums CHECKPOINT BEFORE the
+                    #    normalization total is taken: `tot` previously
+                    #    re-executed the whole |E| join as the
+                    #    broadcast subplan, doubling every half-step's
+                    #    edge pass (16 |E| scans for 4 iterations; now
+                    #    8). sum_k/1e6 is the correctly-rounded double
+                    #    of the exact integer-scaled sum — exactly the
+                    #    oracle's CAST(sum(DECIMAL) AS DOUBLE) — and
+                    #    the total over per-node 6-dp values is the
+                    #    integer sum of the same micro-units, so the
+                    #    normalization divides the identical doubles.
+                    sm = score.select(
+                        "node",
+                        F.round(F.round(F.col("r"), 6) * 1e6)
+                        .cast("long")
+                        .alias("k"),
+                    )
                     raw = (
                         edges_by[in_key].join(
-                            _state(score, bcast), F.col(in_key) == F.col("node")
+                            _state(sm, bcast), F.col(in_key) == F.col("node")
                         )
                         .groupBy(out_key)
-                        .agg(d6(F.col("r")).alias("r"))
+                        .agg(F.sum("k").alias("k"))
                         .withColumnRenamed(out_key, "node")
-                    )
-                    tot = raw.agg(d6(F.col("r")).alias("tot"))
-                    return (
-                        raw.crossJoin(F.broadcast(tot))
-                        .select("node", (F.col("r") / F.col("tot")).alias("r"))
                         .localCheckpoint()
+                    )
+                    tot = raw.agg(F.sum("k").alias("tk"))
+                    return raw.crossJoin(F.broadcast(tot)).select(
+                        "node",
+                        (
+                            (F.col("k") / F.lit(1e6))
+                            / (F.col("tk") / F.lit(1e6))
+                        ).alias("r"),
                     )
 
                 a = None
                 for _ in range(_HITS_ITERS):
                     a = _half(h, "dst", "src")
                     h = _half(a, "src", "dst")
-            top = lambda df, kind: (
-                df.orderBy(F.col("r").desc(), "node")
+            top = lambda df, kind, prefix: (
+                df.select(
+                    F.lit(kind).alias("kind"),
+                    F.concat(F.lit(prefix), F.col("node")).alias("node"),
+                    F.col("r").alias("score"),
+                )
+                .orderBy(F.col("score").desc(), "node")
                 .limit(25)
-                .select(F.lit(kind).alias("kind"), "node", F.col("r").alias("score"))
             )
             return (
-                top(a, "authority")
-                .unionAll(top(h, "hub"))
+                top(a, "authority", "s")
+                .unionAll(top(h, "hub", "c"))
                 .orderBy("kind", F.col("score").desc(), "node")
             ).localCheckpoint(eager=True)
         finally:
@@ -824,67 +859,116 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the session width. The returned frame materializes eagerly
     # inside the scope (localCheckpoint) so no exchange compiles at
     # the restored width.
+    # Memory shape (round 11): the previous form peeled the DOUBLED
+    # string-keyed edge list ("c123"/"s45" x both directions), so four
+    # generations of 2|pairs| string rows sat checkpointed at once —
+    # a heap OOM at the 100x replica (118M half-edges in an 8g local
+    # JVM; on a cluster the same bytes are executor-cache pressure).
+    # The graph is bipartite, so a doubled-graph peel is EXACTLY a
+    # one-sided peel of the pair list with both endpoint degree tables
+    # (degree(src='c…') over doubled edges == |pairs with that c|, and
+    # filtering doubled edges on both endpoints == filtering pairs on
+    # (c-keep, s-keep)) — the peels now run on the single-direction
+    # (c, s) LONG-keyed pair list: half the rows, ~3x smaller rows,
+    # and bitwise-identical stats (the output is scalar counts; node
+    # ids never surface). 100x: OOM -> completes (see BASELINE.md).
     with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
         o = load_table(spark, sf_dir, "orders")
         l = load_table(spark, sf_dir, "lineitem")
         pairs = (
             o.join(l, o.o_orderkey == l.l_orderkey)
-            .select("o_custkey", "l_suppkey")
+            .select(
+                F.col("o_custkey").cast("long").alias("c"),
+                F.col("l_suppkey").cast("long").alias("s"),
+            )
             .distinct()
+            .persist()
         )
-        c_node = F.concat(F.lit("c"), F.col("o_custkey"))
-        s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
-        edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
-            pairs.select(s_node.alias("src"), c_node.alias("dst"))
-        )
-        edges = edges.persist()
-        edge_pin = edges  # `edges` is rebound each peel; release in finally
-        # |V| is bounded by the first round's degree-table size; count it
+        pair_pin = pairs  # `pairs` is rebound each peel; release in finally
+        # |V| is bounded by the first round's degree-table sizes; count
         # once so the keep-set joins are size-guarded like the other
         # iterative state vectors (keep ⊆ nodes, shrinking every round)
-        n_nodes = edges.select("src").distinct().count()
+        n_nodes = (
+            pairs.select("c").distinct().count()
+            + pairs.select("s").distinct().count()
+        )
         bcast = _use_broadcast(spark, n_nodes)
+        gen_pins: list[DataFrame] = []
         try:
             with _node_loop_scope(spark, n_nodes):
                 for _ in range(3):
-                    # the surviving-node list is |nodes|-sized (and shrinks
-                    # every round) — broadcast both endpoint filters while it
-                    # fits so each peel is two broadcast-hash semi joins over
-                    # the previous round's checkpointed edges; above the guard
-                    # the hints drop and the |V|-row keep set exchanges
+                    # the surviving-node lists are |nodes|-sized (and
+                    # shrink every round) — broadcast both endpoint
+                    # filters while they fit so each peel is two
+                    # broadcast-hash semi joins over the previous
+                    # round's materialized pairs; above the guard the
+                    # hints drop and the |V|-row keep sets exchange
                     # instead (never the reverse)
-                    keep = (
-                        edges.groupBy("src")
+                    ckeep = (
+                        pairs.groupBy("c")
                         .agg(F.count(F.lit(1)).alias("deg"))
                         .filter(F.col("deg") >= 3)
-                        .select("src")
+                        .select("c")
                     )
-                    edges = (
-                        edges.join(_state(keep, bcast), "src")
-                        .join(
-                            _state(keep.select(F.col("src").alias("dst")), bcast),
-                            "dst",
-                        )
-                        .select("src", "dst")
-                        .localCheckpoint()
+                    skeep = (
+                        pairs.groupBy("s")
+                        .agg(F.count(F.lit(1)).alias("deg"))
+                        .filter(F.col("deg") >= 3)
+                        .select("s")
                     )
-            survivors = edges.groupBy("src").agg(
-                F.count(F.lit(1)).cast("bigint").alias("deg")
+                    # generation storage: columnar persist + eager
+                    # count, NOT localCheckpoint — checkpoint blocks
+                    # are raw row storage and effectively unevictable
+                    # (they ARE the lineage), so three |E|-sized
+                    # generations pinned at once still OOM'd the 100x
+                    # leg after the long-key slimming; the columnar
+                    # cache compresses (long, long) pairs ~10x and the
+                    # PREVIOUS generation is released as soon as the
+                    # next one is materialized, so at most two
+                    # generations are ever live (a recompute after
+                    # release just re-derives from the build cache —
+                    # correctness unaffected)
+                    pairs = (
+                        pairs.join(_state(ckeep, bcast), "c")
+                        .join(_state(skeep, bcast), "s")
+                        .select("c", "s")
+                        .persist()
+                    )
+                    pairs.count()
+                    if gen_pins:
+                        gen_pins.pop().unpersist()
+                    gen_pins.append(pairs)
+            # survivor degree envelope over BOTH sides (the doubled
+            # graph's per-node degrees are exactly the two one-sided
+            # degree tables)
+            survivors = (
+                pairs.groupBy("c")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+                .select("deg")
+                .unionByName(
+                    pairs.groupBy("s")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+                    .select("deg")
+                )
             )
             stats = survivors.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
                 F.max("deg").cast("bigint").alias("max_deg"),
                 F.min("deg").cast("bigint").alias("min_deg"),
             )
-            ec = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_half_edges"))
+            ec = pairs.agg(
+                (F.count(F.lit(1)) * 2).cast("bigint").alias("n_half_edges")
+            )
             return stats.crossJoin(F.broadcast(ec)).select(
                 "n_nodes", "n_half_edges", "max_deg", "min_deg"
             ).localCheckpoint(eager=True)
         finally:
-            # pin release (r9 ADVICE): the peels read only the previous
-            # round's checkpoint after round 1, and the output is eager —
-            # the build cache is dead weight past this point
-            edge_pin.unpersist()
+            # pin release (r9 ADVICE): the output is eager, so the build
+            # cache and the final generation are dead weight past this
+            # point — and they release on failure too
+            pair_pin.unpersist()
+            for g in gen_pins:
+                g.unpersist()
 
 
 @_q(
@@ -965,67 +1049,93 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the session width. The returned frame materializes eagerly
     # inside the scope (localCheckpoint) so no exchange compiles at
     # the restored width.
+    # Memory/key shape (round 11, same probe finding as q_graph_kcore):
+    # the doubled string-keyed edge list read 22.5x at the 100x leg.
+    # The graph is bipartite and BFS frontiers ALTERNATE sides, so the
+    # hops now run on the single-direction LONG-keyed (c, s) pair list,
+    # joining on whichever side the current frontier lives on — half
+    # the rows, ~3x smaller rows, long hashes, and the level counts
+    # are identical by construction (every neighbor of a c-node is an
+    # s-node). Only the SEED selection ever compares node ids across
+    # sides: its tiebreak decorates the ids back to the 'c…'/'s…'
+    # strings so the max-degree tie resolves exactly as before.
     with bounded_eval_scope(spark, footer_rows(sf_dir, "lineitem")):
         o = load_table(spark, sf_dir, "orders")
         l = load_table(spark, sf_dir, "lineitem")
         pairs = (
             o.join(l, o.o_orderkey == l.l_orderkey)
-            .select("o_custkey", "l_suppkey")
+            .select(
+                F.col("o_custkey").cast("long").alias("c"),
+                F.col("l_suppkey").cast("long").alias("s"),
+            )
             .distinct()
+            .persist()
         )
-        c_node = F.concat(F.lit("c"), F.col("o_custkey"))
-        s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
-        edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
-            pairs.select(s_node.alias("src"), c_node.alias("dst"))
-        )
-        edges = edges.persist()
+        cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+        sdeg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         # frontier and visited are both bounded by |V| — size-guard their
         # broadcast hints off one node count, like the other state vectors
-        n_nodes = edges.select("src").distinct().count()
+        n_nodes = cdeg.count() + sdeg.count()
         bcast = _use_broadcast(spark, n_nodes)
         try:
             with _node_loop_scope(spark, n_nodes):
-                seed = (
-                    edges.groupBy("src")
-                    .agg(F.count(F.lit(1)).alias("deg"))
-                    .orderBy(F.desc("deg"), "src")
-                    .limit(1)
-                    .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
-                    .localCheckpoint()
-                )
-                visited = seed
-                frontier = seed.select("node")
-                levels = [seed]
-                for lvl in (1, 2, 3):
-                    # visited is |nodes|-sized — broadcast the anti join too
-                    # while it fits (else every hop pays a full-width SortMerge
-                    # against a tiny set); above the guard both hints drop and
-                    # the |V|-row frontier/visited sets exchange instead
-                    nxt = (
-                        edges.join(_state(frontier, bcast), edges.src == frontier.node)
-                        .select(F.col("dst").alias("node"))
-                        .distinct()
-                        .join(
-                            _state(visited.select("node"), bcast), "node", "left_anti"
-                        )
-                        .select("node", F.lit(lvl).alias("lvl"))
-                        .localCheckpoint()
+                cand = cdeg.select(
+                    F.col("c").alias("id"), F.lit("c").alias("side"), "deg"
+                ).unionByName(
+                    sdeg.select(
+                        F.col("s").alias("id"), F.lit("s").alias("side"), "deg"
                     )
-                    levels.append(nxt)
-                    visited = visited.unionByName(nxt)
-                    frontier = nxt.select("node")
-            allv = levels[0]
-            for x in levels[1:]:
-                allv = allv.unionByName(x)
+                )
+                seed_row = (
+                    cand.orderBy(
+                        F.desc("deg"),
+                        F.concat(F.col("side"), F.col("id")),
+                    )
+                    .limit(1)
+                    .collect()[0]
+                )
+                side = seed_row["side"]
+                frontier = spark.createDataFrame(
+                    [(int(seed_row["id"]),)], "node long"
+                ).localCheckpoint()
+                # per-side visited sets (ids are side-local)
+                visited = {"c": None, "s": None}
+                visited[side] = frontier
+                counts = [(0, 1)]
+                for lvl in (1, 2, 3):
+                    other = "s" if side == "c" else "c"
+                    nxt = (
+                        pairs.join(
+                            _state(frontier, bcast),
+                            F.col(side) == F.col("node"),
+                        )
+                        .select(F.col(other).alias("node"))
+                        .distinct()
+                    )
+                    if visited[other] is not None:
+                        # visited is |nodes|-sized — broadcast the anti
+                        # join too while it fits; above the guard both
+                        # hints drop and the |V|-row sets exchange
+                        nxt = nxt.join(
+                            _state(visited[other], bcast), "node", "left_anti"
+                        )
+                    nxt = nxt.localCheckpoint()
+                    counts.append((lvl, nxt.count()))
+                    visited[other] = (
+                        nxt
+                        if visited[other] is None
+                        else visited[other].unionByName(nxt).localCheckpoint()
+                    )
+                    frontier = nxt
+                    side = other
             return (
-                allv.groupBy(F.col("lvl").cast("int").alias("level"))
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+                spark.createDataFrame(counts, "level int, n_nodes long")
                 .orderBy("level")
             ).localCheckpoint(eager=True)
         finally:
             # pin release (r9 ADVICE): every frontier is checkpointed
-            # and the output is eager — the edge cache is dead weight
-            edges.unpersist()
+            # and the output is eager — the pair cache is dead weight
+            pairs.unpersist()
 
 
 @_q(

@@ -113,7 +113,15 @@ _MODULES = [
 # q_outlier_iqr, q_mad, q_percentile_trend_weekly and
 # q_top_p_nucleus changed identically but sit in THIS round's
 # window, and q_percentile_interp is already in the final-13 list
-# below — then high-value
+# below — then the graph-family memory/key rewrites (BASELINE.md
+# "Round 11 — graph family at 100x"; oracle-green at
+# sf0.001+sf0.01 post-change, HITS also at sf0.1, both broadcast
+# and forced-shuffle plan shapes re-pinned): q_graph_hits (raw-sum
+# checkpoint + long micro-units + long keys, 100x 28.4x -> 7.0x),
+# q_graph_kcore (single-direction long-keyed peel + generation
+# release; 100x OOM -> 5.7x), q_graph_bfs_levels (alternating-side
+# hops on the long-keyed pair list; 100x 22.5x -> 3.9x) — then
+# high-value
 # re-checks oldest-evidence-first — the r1-window relational core
 # (q_scan_project, q_filter_eq_conj, q_filter_in,
 # q_filter_range_time, q_sort_limit_offset, q_topk,
