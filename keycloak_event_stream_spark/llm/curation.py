@@ -1389,9 +1389,9 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("c_nationkey", "c_mktsegment")
         .agg(
             F.first("n").alias("class_size"),
-            (
-                F.sum(term).cast("double")
-                / (F.first("n_buckets") - 1)
+            F.try_divide(
+                F.sum(term).cast("double"),
+                F.first("n_buckets") - 1,
             ).alias("t_emd"),
         )
         .orderBy(F.col("t_emd").desc(), "c_nationkey", "c_mktsegment")

@@ -2140,9 +2140,9 @@ def _lsh_cap_recall_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs",
             "true_pairs_total",
             "true_pairs_kept",
-            (
-                F.col("true_pairs_kept").cast("double")
-                / F.col("true_pairs_total")
+            F.try_divide(
+                F.col("true_pairs_kept").cast("double"),
+                F.col("true_pairs_total"),
             ).alias("recall"),
         )
         .orderBy("cap")

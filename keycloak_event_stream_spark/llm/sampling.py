@@ -608,8 +608,8 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_train_grams",
             "n_test_grams",
             "n_shared",
-            (
-                F.col("n_shared").cast("double") / F.col("n_test_grams")
+            F.try_divide(
+                F.col("n_shared").cast("double"), F.col("n_test_grams")
             ).alias("leakage_rate"),
         )
     )

@@ -1909,8 +1909,9 @@ def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     n = F.col("n")
-    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.try_divide(
+        n * F.col("sxy") - F.col("sx") * F.col("sy"),
+        n * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     k = F.exp((F.col("sy") - beta * F.col("sx")) / n)
     return (

@@ -518,8 +518,9 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         d6(F.col("xj")).alias("sy"),
         d6(F.col("xi") * F.col("xj")).alias("sxy"),
     )
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("n") - 1
+    cov = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+        F.col("n") - 1,
     )
     return m.select("i", "j", "n", cov.alias("cov")).orderBy("i", "j")
 
@@ -756,8 +757,9 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         d6(F.col("xj")).alias("sy"),
         d6(F.col("xi") * F.col("xj")).alias("sxy"),
     )
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("n") - 1
+    cov = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+        F.col("n") - 1,
     )
     rows = m.select("i", "j", cov.alias("cov"))
     # 8x8 matrix as ONE row: array of row arrays, both levels
@@ -809,8 +811,11 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "vv",
+            # try_element_at: on a zero-row corpus the collected
+            # matrix (and thus vv) is an empty array — NULL < 0 falls
+            # to ELSE and posexplode of [] yields the empty result
             F.expr(
-                "CASE WHEN element_at(vv, 1) < 0"
+                "CASE WHEN try_element_at(vv, 1) < 0"
                 " THEN transform(vv, x -> -x) ELSE vv END"
             ),
         )
@@ -1083,7 +1088,9 @@ def q_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s").cast("decimal(27,6)")).cast("double").alias("st"),
     )
     mu_l = F.col("s") / F.col("n")
-    mu_r = (F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))
+    mu_r = F.try_divide(
+        F.col("st") - F.col("s"), F.col("nt") - F.col("n")
+    )
     diffs = bylab.join(F.broadcast(tot), "pos").select(
         "label",
         "pos",
@@ -1329,7 +1336,7 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(8.0)
             / F.lit(7.0)
-            * (F.lit(1.0) - sum_item_var / tot_var)
+            * (F.lit(1.0) - F.try_divide(sum_item_var, tot_var))
         ).alias("cronbach_alpha"),
     )
 

@@ -1153,10 +1153,10 @@ def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("click").alias("stage"),
             F.col("n2").alias("n_users"),
-            (F.col("n2").cast("double") / F.col("n1")).alias(
+            F.try_divide(F.col("n2").cast("double"), F.col("n1")).alias(
                 "conv_from_prev"
             ),
-            (F.col("n2").cast("double") / F.col("n1")).alias(
+            F.try_divide(F.col("n2").cast("double"), F.col("n1")).alias(
                 "conv_from_top"
             ),
             F.lit(2).alias("ord"),
@@ -1164,10 +1164,10 @@ def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("purchase").alias("stage"),
             F.col("n3").alias("n_users"),
-            (F.col("n3").cast("double") / F.col("n2")).alias(
+            F.try_divide(F.col("n3").cast("double"), F.col("n2")).alias(
                 "conv_from_prev"
             ),
-            (F.col("n3").cast("double") / F.col("n1")).alias(
+            F.try_divide(F.col("n3").cast("double"), F.col("n1")).alias(
                 "conv_from_top"
             ),
             F.lit(3).alias("ord"),

@@ -707,12 +707,13 @@ def q_basket_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_orders"),
         (sx / n).alias("mean_lines"),
         (sy / n / F.lit(100.0)).alias("mean_value"),
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
         ).alias("corr_lines_value"),
         (
-            (n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(100.0)
+            F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+            / F.lit(100.0)
         ).alias("value_per_extra_line"),
     )
 

@@ -224,6 +224,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see the loop), so the cached edge list is exactly (src, dst).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # Empty graph (a zero-match input slice is routine at scale —
+        # a pruned partition, a new tenant): degrade to an empty
+        # result with the output schema instead of dividing the 1/|V|
+        # seed by zero on the driver.
+        pairs.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "node string, pagerank double")
     bcast = _use_broadcast(spark, n_nodes)
     # hash-partition the cached edge table ONCE on the loop's hot key:
     # dst under broadcast (every iteration's groupBy(dst) is satisfied
@@ -482,6 +490,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         n_hubs = edges.select("src").distinct().count()
+        if n_hubs == 0:
+            # empty graph: no 1/|V| seed to build — return the empty
+            # output shape instead of a driver-side ZeroDivisionError
+            edges.unpersist()
+            return spark.createDataFrame(
+                [], "kind string, node string, score double"
+            )
         bcast = _use_broadcast(spark, n_hubs)
         pins = [edges]  # released in the finally below (r9 ADVICE)
         if bcast:
@@ -1086,14 +1101,21 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("s").alias("id"), F.lit("s").alias("side"), "deg"
                     )
                 )
-                seed_row = (
+                seed_rows = (
                     cand.orderBy(
                         F.desc("deg"),
                         F.concat(F.col("side"), F.col("id")),
                     )
                     .limit(1)
-                    .collect()[0]
+                    .collect()
                 )
+                if not seed_rows:
+                    # empty graph: no seed node exists — empty output
+                    # shape instead of IndexError on the collected seed
+                    return spark.createDataFrame(
+                        [], "level int, n_nodes long"
+                    )
+                seed_row = seed_rows[0]
                 side = seed_row["side"]
                 frontier = spark.createDataFrame(
                     [(int(seed_row["id"]),)], "node long"

@@ -393,10 +393,17 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least(
                 F.lit(19),
-                F.floor(
-                    (F.col("o_totalprice") - F.col("lo"))
-                    * F.lit(20.0)
-                    / (F.col("hi") - F.col("lo"))
+                # try_divide: a single-valued (or 1-row) input has
+                # hi == lo; every row then lands in bin 0
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(
+                            (F.col("o_totalprice") - F.col("lo"))
+                            * F.lit(20.0),
+                            F.col("hi") - F.col("lo"),
+                        )
+                    ),
+                    F.lit(0),
                 ),
             ).alias("bin"),
             "o_totalprice",
@@ -555,8 +562,9 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    r = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
     )
     return m.select(
         "l_returnflag", "n", r.alias("corr_qty_price")
@@ -2274,7 +2282,9 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "channel",
             F.col("phi").cast("double").alias("phi"),
-            (F.col("phi") / F.col("tot")).cast("double").alias("phi_share"),
+            F.try_divide(F.col("phi"), F.col("tot"))
+            .cast("double")
+            .alias("phi_share"),
         )
         .orderBy("channel")
     )
@@ -2559,7 +2569,8 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_start").alias("conv_prob_without"),
             "conv_prob_full",
             (
-                F.lit(1.0) - F.col("p_start") / F.col("conv_prob_full")
+                F.lit(1.0)
+                - F.try_divide(F.col("p_start"), F.col("conv_prob_full"))
             ).alias("removal_effect"),
         )
         .orderBy("channel")

@@ -252,13 +252,19 @@ def q_layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     out = tempfile.mkdtemp(prefix="layout_part_")
-    orders.withColumn("yr", F.year("o_orderdate")).write.mode(
-        "overwrite"
-    ).partitionBy("yr").parquet(out)
-    landed = spark.read.parquet(out)
+    with_yr = orders.withColumn("yr", F.year("o_orderdate"))
+    with_yr.write.mode("overwrite").partitionBy("yr").parquet(out)
+    # schema-on-read (catalog-style): a zero-row input lands no yr=
+    # directories and inference on the empty layout throws
+    landed = spark.read.schema(with_yr.schema).parquet(out)
     pruned = landed.filter(F.col("yr").isin(1996, 1997))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan, "expected partition filters"
+    import os
+
+    has_parts = any(n.startswith("yr=") for n in os.listdir(out))
+    assert "PartitionFilters" in plan or not has_parts, (
+        "expected partition filters"
+    )
     return (
         pruned.groupBy(F.col("yr").cast("int").alias("yr"))
         .agg(

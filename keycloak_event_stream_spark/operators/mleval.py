@@ -292,9 +292,9 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tot_p").cast("bigint").alias("n_pos"),
         F.max("tot_n").cast("bigint").alias("n_neg"),
         num2.alias("auc_num2"),
-        (
-            num2.cast("double")
-            / (2.0 * F.max("tot_p") * F.max("tot_n"))
+        F.try_divide(
+            num2.cast("double"),
+            2.0 * F.max("tot_p") * F.max("tot_n"),
         ).alias("auc"),
     )
 
@@ -345,11 +345,16 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = scored.crossJoin(F.broadcast(ext)).select(
         F.least(
-            F.floor(
-                (F.col("s") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * 10
-            ).cast("bigint"),
+            F.coalesce(
+                F.floor(
+                    F.try_divide(
+                        F.col("s") - F.col("lo"),
+                        F.col("hi") - F.col("lo"),
+                    )
+                    * 10
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
             F.lit(9),
         ).alias("bin"),
         "s",
@@ -424,9 +429,9 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "seg",
             "y",
-            (
-                (F.col("s") - F.col("y")).cast("double")
-                / (F.col("n") - 1)
+            F.try_divide(
+                (F.col("s") - F.col("y")).cast("double"),
+                F.col("n") - 1,
             ).alias("loo_mean_cents"),
         )
         .orderBy("c_custkey")
@@ -502,8 +507,10 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     woe_expr = F.round(
         F.log(
-            (F.col("n_pos").cast("double") / F.col("tp"))
-            / (F.col("n_neg").cast("double") / F.col("tn"))
+            F.try_divide(
+                F.try_divide(F.col("n_pos").cast("double"), F.col("tp")),
+                F.try_divide(F.col("n_neg").cast("double"), F.col("tn")),
+            )
         ),
         6,
     )
@@ -514,8 +521,8 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         woe_expr.alias("woe"),
         F.round(
             (
-                F.col("n_pos").cast("double") / F.col("tp")
-                - F.col("n_neg").cast("double") / F.col("tn")
+                F.try_divide(F.col("n_pos").cast("double"), F.col("tp"))
+                - F.try_divide(F.col("n_neg").cast("double"), F.col("tn"))
             )
             * woe_expr,
             6,
@@ -869,9 +876,9 @@ def q_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_pos",
         F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
-        (
-            F.sum("n_pos").over(wcum).cast("double")
-            / F.max("tot_pos").over(wall)
+        F.try_divide(
+            F.sum("n_pos").over(wcum).cast("double"),
+            F.max("tot_pos").over(wall),
         ).alias("capture_rate"),
     ).orderBy("decile")
 
@@ -1204,9 +1211,9 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_pos").cast("double") / F.col("cum_rows")).alias(
                 "precision_at"
             ),
-            (F.col("cum_pos").cast("double") / F.col("tp")).alias(
-                "recall_at"
-            ),
+            F.try_divide(
+                F.col("cum_pos").cast("double"), F.col("tp")
+            ).alias("recall_at"),
         )
         .orderBy("decile")
     )
@@ -1376,9 +1383,15 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
     binned = scored.crossJoin(F.broadcast(ext)).select(
         F.least(
-            F.floor(
-                (F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10
-            ).cast("bigint"),
+            F.coalesce(
+                F.floor(
+                    F.try_divide(
+                        F.col("s") - F.col("lo"), F.col("hi") - F.col("lo")
+                    )
+                    * 10
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
             F.lit(9),
         ).alias("bin"),
         "s",

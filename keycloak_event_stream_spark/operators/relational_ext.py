@@ -334,8 +334,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "n",
         (s1 / n).alias("mean_price"),
-        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_price"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_price"),
+        F.try_divide(s2 - s1 * s1 / n, n - 1).alias("var_price"),
+        F.sqrt(F.try_divide(s2 - s1 * s1 / n, n - 1)).alias(
+            "stddev_price"
+        ),
     )
 
 
@@ -670,8 +672,9 @@ def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
     )
     return m.select("n", corr.alias("corr_qty_price"))
 

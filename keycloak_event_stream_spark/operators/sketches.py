@@ -104,8 +104,10 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "exact_users",
         (
-            F.abs(F.col("approx") - F.col("exact_users"))
-            / F.col("exact_users")
+            F.try_divide(
+                F.abs(F.col("approx") - F.col("exact_users")),
+                F.col("exact_users"),
+            )
             <= F.lit(5 * rsd)
         ).alias("within_bound"),
     )
@@ -746,8 +748,10 @@ def q_hll_merge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         (
-            F.abs(F.col("approx") - F.col("exact_users"))
-            / F.col("exact_users")
+            F.try_divide(
+                F.abs(F.col("approx") - F.col("exact_users")),
+                F.col("exact_users"),
+            )
             <= F.lit(0.08)
         ).alias("within_bound"),
     ).orderBy("event_type")

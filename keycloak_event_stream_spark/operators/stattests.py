@@ -430,7 +430,7 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     return m.select(
         "l_returnflag",
@@ -730,8 +730,9 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    rho = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    rho = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
     )
     return m.select("l_returnflag", "n", rho.alias("spearman_rho")).orderBy(
         "l_returnflag"
@@ -1240,7 +1241,10 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, n_tot = F.col("k"), F.col("n_tot")
     ssb = F.col("t1") - F.col("s_tot") * F.col("s_tot") / n_tot
     ssw = F.col("q_tot") - F.col("t1")
-    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n_tot - k))
+    f_stat = F.try_divide(
+        F.try_divide(ssb, k - F.lit(1.0)),
+        F.try_divide(ssw, n_tot - k),
+    )
     return m.select(
         "k",
         "n_tot",
@@ -1315,10 +1319,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("b").cast("bigint").alias("c"),
     )
     v = F.sqrt(
-        F.col("chi2")
-        / (
+        F.try_divide(
+            F.col("chi2"),
             F.col("n")
-            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"),
         )
     )
     return chi.crossJoin(dims).select(
@@ -1503,9 +1507,12 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exp = m.select(F.explode(rows).alias("e")).select("e.*")
     n = F.col("n")
-    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    r = F.try_divide(
+        n * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
     return exp.select("col_x", "col_y", "n", r.alias("r")).orderBy(
         "col_x", "col_y"
@@ -1631,8 +1638,8 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "st",
         "n",
-        (m3 / F.pow(m2, 1.5)).alias("skewness"),
-        (m4 / F.pow(m2, 2.0) - 3.0).alias("excess_kurtosis"),
+        F.try_divide(m3, F.pow(m2, 1.5)).alias("skewness"),
+        (F.try_divide(m4, F.pow(m2, 2.0)) - 3.0).alias("excess_kurtosis"),
     ).orderBy("st")
 
 
@@ -1719,9 +1726,9 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = m.select(
         "n",
         "sx",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
         ).alias("th"),
     )
     adj_val = F.round(
@@ -1816,8 +1823,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ref").cast("bigint").alias("tr"),
         F.sum("n_cur").cast("bigint").alias("tc"),
     )
-    p_cur = F.col("n_cur").cast("double") / F.col("tc")
-    p_ref = F.col("n_ref").cast("double") / F.col("tr")
+    p_cur = F.try_divide(F.col("n_cur").cast("double"), F.col("tc"))
+    p_ref = F.try_divide(F.col("n_ref").cast("double"), F.col("tr"))
     terms = cells.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_ref",
@@ -1907,22 +1914,23 @@ def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = m.select(
         (F.col("sx") / n).alias("mx"),
         (F.col("sy") / n).alias("my"),
-        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias(
-            "vxx"
-        ),
-        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias(
-            "vyy"
-        ),
-        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias(
-            "vxy"
-        ),
+        F.try_divide(
+            F.col("sxx") - F.col("sx") * F.col("sx") / n, n - 1
+        ).alias("vxx"),
+        F.try_divide(
+            F.col("syy") - F.col("sy") * F.col("sy") / n, n - 1
+        ).alias("vyy"),
+        F.try_divide(
+            F.col("sxy") - F.col("sx") * F.col("sy") / n, n - 1
+        ).alias("vxy"),
     )
     dx = F.col("x") - F.col("mx")
     dy = F.col("y") - F.col("my")
-    d2 = (
+    d2 = F.try_divide(
         dx * (F.col("vyy") * dx - F.col("vxy") * dy)
-        + dy * (F.col("vxx") * dy - F.col("vxy") * dx)
-    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+        + dy * (F.col("vxx") * dy - F.col("vxy") * dx),
+        F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"),
+    )
     return (
         cents.crossJoin(F.broadcast(cov))
         .select("l_orderkey", "l_linenumber", d2.alias("d2"))
@@ -2003,9 +2011,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     means = series.select(
         "n",
+        # empty series: no draws exist (the hash index would take
+        # % 0) — NULL mean list degrades every output stat to NULL
         F.expr(
-            f"array_sort(transform(sequence(1, {_BOOT_B}),"
-            f" r -> {mean_r}))"
+            f"CASE WHEN n >= 1 THEN"
+            f" array_sort(transform(sequence(1, {_BOOT_B}),"
+            f" r -> {mean_r})) ELSE NULL END"
         ).alias("ms"),
     )
     import math
@@ -2132,21 +2143,22 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(transform(sequence(1, cast(n as int)), i -> {body}),"
         " cast(0.0 as double), (a, b) -> a + b)"
     )
-    d_obs = (
+    d_obs = F.try_divide(
         F.expr(
             fold.format(
                 body="CASE WHEN element_at(gs, i) = 1"
                 " THEN element_at(ys, i) ELSE cast(0.0 as double) END"
             )
-        )
-        / F.col("n1")
-        - F.expr(
+        ),
+        F.col("n1"),
+    ) - F.try_divide(
+        F.expr(
             fold.format(
                 body="CASE WHEN element_at(gs, i) = 0"
                 " THEN element_at(ys, i) ELSE cast(0.0 as double) END"
             )
-        )
-        / (F.col("n") - F.col("n1"))
+        ),
+        F.col("n") - F.col("n1"),
     )
     obs = arrs.select(
         "n",
@@ -2165,8 +2177,9 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "                    16, 10) as bigint) as h, i as i))),"
         "   1, cast(n1 as int)),"
         " cast(0.0 as double), (a, s) -> a + element_at(ys, s.i))"
-        " * (cast(1.0 as double) / n1 + cast(1.0 as double) / (n - n1))"
-        " - tot / (n - n1)"
+        " * (try_divide(cast(1.0 as double), n1)"
+        "    + try_divide(cast(1.0 as double), n - n1))"
+        " - try_divide(tot, n - n1)"
     )
     perms = obs.select(
         "n",
@@ -2360,10 +2373,10 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz2j").cast("double").alias("sz2"),
     )
     n, k = F.col("n"), F.col("k")
-    bf = (
-        ((n - k).cast("double") / (k - 1).cast("double"))
-        * (F.col("sq_over_n") - F.col("sz") * F.col("sz") / n)
-        / (F.col("sz2") - F.col("sq_over_n"))
+    bf = F.try_divide(
+        F.try_divide((n - k).cast("double"), (k - 1).cast("double"))
+        * (F.col("sq_over_n") - F.col("sz") * F.col("sz") / n),
+        F.col("sz2") - F.col("sq_over_n"),
     )
     return tot.select(
         k.alias("k_groups"), n.alias("n_total"), bf.alias("bf_stat")
@@ -2565,14 +2578,17 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy, sz = F.col("sx"), F.col("sy"), F.col("sz")
     sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
     sxy, sxz, syz = F.col("sxy"), F.col("sxz"), F.col("syz")
-    rxy = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    rxy = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
     )
-    rxz = (n * sxz - sx * sz) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz)
+    rxz = F.try_divide(
+        n * sxz - sx * sz,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz),
     )
-    ryz = (n * syz - sy * sz) / (
-        F.sqrt(n * syy - sy * sy) * F.sqrt(n * szz - sz * sz)
+    ryz = F.try_divide(
+        n * syz - sy * sz,
+        F.sqrt(n * syy - sy * sy) * F.sqrt(n * szz - sz * sz),
     )
     r = m.select(
         "l_returnflag",
@@ -2581,9 +2597,12 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rxz.alias("rxz"),
         ryz.alias("ryz"),
     )
-    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
-        (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
-        * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+    partial = F.try_divide(
+        F.col("rxy") - F.col("rxz") * F.col("ryz"),
+        F.sqrt(
+            (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+            * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+        ),
     )
     return r.select(
         "l_returnflag", "n", "rxy", partial.alias("partial_rxy_z")
@@ -2700,8 +2719,12 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = (F.col("c11") + lam) * (F.col("c22") + lam) - F.col(
         "c12"
     ) * F.col("c12")
-    b1 = ((F.col("c22") + lam) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
-    b2 = ((F.col("c11") + lam) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    b1 = F.try_divide(
+        (F.col("c22") + lam) * F.col("c1y") - F.col("c12") * F.col("c2y"), det
+    )
+    b2 = F.try_divide(
+        (F.col("c11") + lam) * F.col("c2y") - F.col("c12") * F.col("c1y"), det
+    )
     solved = c.select(
         "n", "m1", "m2", "my", "c1y", "c2y", "cyy",
         b1.alias("b1"), b2.alias("b2"),
@@ -2714,9 +2737,9 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"))
             / F.lit(100.0)
         ).alias("intercept"),
-        (
-            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
-            / F.col("cyy")
+        F.try_divide(
+            F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"),
+            F.col("cyy"),
         ).alias("r2"),
     )
 
@@ -2842,11 +2865,12 @@ def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000000000.0)
         ).alias("s2"),
     )
-    z_emp = (
-        F.col("q_emp") - F.col("s1") / F.col("mn")
-    ) / F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("mn"))
-        / F.col("mn")
+    z_emp = F.try_divide(
+        F.col("q_emp") - F.col("s1") / F.col("mn"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("mn"))
+            / F.col("mn")
+        ),
     )
     return (
         emp.crossJoin(F.broadcast(mom))
@@ -2949,8 +2973,10 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p0 = F.col("tpos").cast("double") / F.col("tn")
     az = F.abs(
-        (F.col("pos").cast("double") / F.col("n") - p0)
-        / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n"))
+        F.try_divide(
+            F.col("pos").cast("double") / F.col("n") - p0,
+            F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n")),
+        )
     )
     pv = (
         grp.crossJoin(F.broadcast(tot))
@@ -4337,7 +4363,7 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100).cast("bigint").alias("k"),
         F.min("xk1").alias("threshold"),
         (ssum / F.lit(100.0)).alias("inv_alpha"),
-        (F.lit(100.0) / ssum).alias("alpha_hat"),
+        F.try_divide(F.lit(100.0), ssum).alias("alpha_hat"),
     )
 
 
@@ -4419,8 +4445,13 @@ def q_block_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     means = series.select(
         "n",
+        # shorter than one block (or empty): no valid block start
+        # exists (the hash start would take % of a non-positive
+        # count) — NULL mean list degrades every stat to NULL
         F.expr(
-            f"array_sort(transform(sequence(1, {_BOOT_B}), r -> {mean_r}))"
+            f"CASE WHEN n >= {_BB_L} THEN"
+            f" array_sort(transform(sequence(1, {_BOOT_B}),"
+            f" r -> {mean_r})) ELSE NULL END"
         ).alias("ms"),
     )
     import math
@@ -4510,10 +4541,11 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     std_bal = (
         F.sqrt(
-            (F.col("n_pop") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
+            F.try_divide(
+                (F.col("n_pop") * F.col("sxx")
+                 - F.col("sx") * F.col("sx")).cast("double"),
+                F.col("n_pop").cast("double") * (F.col("n_pop") - 1),
             )
-            / (F.col("n_pop").cast("double") * (F.col("n_pop") - 1))
         )
         / F.lit(100.0)
     )
@@ -4533,7 +4565,9 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg",
             "n_pop",
             "std_bal",
-            F.round(F.lit(1000.0) * F.col("nh_sh") / F.col("d"), 0)
+            F.round(
+                F.try_divide(F.lit(1000.0) * F.col("nh_sh"), F.col("d")), 0
+            )
             .cast("bigint")
             .alias("alloc_neyman"),
             F.round(F.lit(1000.0) * F.col("n_pop") / F.col("big_n"), 0)

@@ -628,6 +628,10 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"   'l', {new_l},"
         f"   'b', {b} * ({new_l} - acc.l) + {1 - b} * acc.b))"
     )
+    # a sub-2-day series (e.g. a zero-match slice) has no (l0, b0)
+    # seed — degrade the state to NULL instead of erroring on the
+    # negative slice length / out-of-bounds seed element_at
+    fold = f"CASE WHEN size(v) >= 2 THEN {fold} ELSE NULL END"
     fitted = series.select("n_days", F.expr(fold).alias("st"))
     return fitted.select(
         "n_days",
@@ -745,6 +749,9 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"         array({g} * (x - ({new_l}))"
         f"               + {1 - g} * element_at(acc.ss, 1)))))"
     )
+    # shorter than one season (or empty): no seasonal seed exists —
+    # NULL state instead of a negative fold-slice length error
+    fold = f"CASE WHEN size(v) >= {m} THEN {fold} ELSE NULL END"
     fitted = series.select("n_days", F.expr(fold).alias("st"))
     out = fitted.select(
         "n_days",
@@ -983,9 +990,12 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    r = (n * sxy - sx * sy).cast("double") / F.sqrt(
-        (n * sxx - sx * sx).cast("double")
-        * (n * syy - sy * sy).cast("double")
+    r = F.try_divide(
+        (n * sxy - sx * sy).cast("double"),
+        F.sqrt(
+            (n * sxx - sx * sx).cast("double")
+            * (n * syy - sy * sy).cast("double")
+        ),
     )
     return stats.select(
         F.col("lag").cast("bigint").alias("lag"),
@@ -1206,8 +1216,10 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         n.alias("n_days"),
         k.alias("k_weekdays"),
-        (ssb / sst).alias("seasonality_strength"),
-        ((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+        F.try_divide(ssb, sst).alias("seasonality_strength"),
+        F.try_divide(
+            F.try_divide(ssb, k - 1), F.try_divide(ssw, n - k)
+        ).alias("f_stat"),
     )
 
 
@@ -1552,8 +1564,9 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sty"),
     )
     n = F.col("n")
-    b = (n * F.col("sty") - F.col("st") * F.col("sy")) / (
-        n * F.col("stt") - F.col("st") * F.col("st")
+    b = F.try_divide(
+        n * F.col("sty") - F.col("st") * F.col("sy"),
+        n * F.col("stt") - F.col("st") * F.col("st"),
     )
     fit = mom.select(
         "n", b.alias("b"), ((F.col("sy") - b * F.col("st")) / n).alias("a")
@@ -1834,9 +1847,15 @@ def q_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"   'out', IF(acc.sgn <> 0 AND ({sgn2}) <> acc.sgn,"
         f"             concat(acc.out, array({flip})), acc.out)))"
     )
-    flips = series.select(
-        "d", F.explode(F.expr(fold + ".out")).alias("x")
+    # sub-2-day series (or a zero-match slice): no crossover can
+    # exist — skip the fold (whose seed element_at / descending
+    # sequence(2, n) would error) and explode an empty flip list
+    out = (
+        f"CASE WHEN n >= 2 THEN ({fold}).out ELSE"
+        f" cast(array() as"
+        f" array<struct<i:int,f:double,s:double,dir:string>>) END"
     )
+    flips = series.select("d", F.explode(F.expr(out)).alias("x"))
     return flips.select(
         F.element_at("d", F.col("x.i")).alias("day"),
         F.col("x.f").alias("ema_fast"),
@@ -1935,7 +1954,10 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = series.crossJoin(F.broadcast(params))
     step = "greatest(cast(0.0 as double), acc.s + (element_at(v, i) - mean - 0.5 * sigma))"
     fold = (
-        f"aggregate(sequence(2, cast(n_days as int)),"
+        # IF-guard: sequence(2, 1) is DESCENDING in Spark, so a 1-day
+        # series must fold over an empty step list, not [2, 1]
+        f"aggregate(IF(n_days >= 2, sequence(2, cast(n_days as int)),"
+        f"           cast(array() as array<int>)),"
         f" named_struct("
         f"   's', greatest(cast(0.0 as double),"
         f"        element_at(v, 1) - mean - 0.5 * sigma),"
@@ -1951,8 +1973,14 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"             concat(acc.out, array(named_struct('i', i, 'sv', {step}))),"
         f"             acc.out)))"
     )
+    # empty series: no S-path — skip the fold (its seed element_at
+    # would error on the empty day array) and emit zero rows
+    out = (
+        f"CASE WHEN n_days >= 1 THEN ({fold}).out ELSE"
+        f" cast(array() as array<struct<i:int,sv:double>>) END"
+    )
     flips = joined.select(
-        "d", "sigma", F.explode(F.expr(fold + ".out")).alias("x")
+        "d", "sigma", F.explode(F.expr(out)).alias("x")
     )
     return flips.select(
         F.element_at("d", F.col("x.i")).alias("day"),

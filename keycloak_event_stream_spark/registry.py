@@ -120,8 +120,16 @@ _MODULES = [
 # checkpoint + long micro-units + long keys, 100x 28.4x -> 7.0x),
 # q_graph_kcore (single-direction long-keyed peel + generation
 # release; 100x OOM -> 5.7x), q_graph_bfs_levels (alternating-side
-# hops on the long-keyed pair list; 100x 22.5x -> 3.9x) — then
-# high-value
+# hops on the long-keyed pair list; 100x 22.5x -> 3.9x) — then the
+# round-11 degenerate-input hardening class (BASELINE.md "Round 11 —
+# degenerate-input hardening": try_divide at zero-able denominators,
+# guarded fold seeds, graph-loop empty guards, schema-on-read sinks —
+# 57 queries changed, ALL re-swept green at sf0.01 vanilla
+# post-change and pinned by tests/test_degenerate.py; window members
+# among them already land driver evidence on the new code) —
+# representatives q_spearman, q_anova_oneway, q_corr_matrix,
+# q_agg_stats, q_holt_linear, q_holt_winters, q_bootstrap_ci,
+# q_auc_roc, q_pr_curve, s_upsert_latest — then high-value
 # re-checks oldest-evidence-first — the r1-window relational core
 # (q_scan_project, q_filter_eq_conj, q_filter_in,
 # q_filter_range_time, q_sort_limit_offset, q_topk,

@@ -320,7 +320,10 @@ def s_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer = writer.partitionBy(*grain)
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    landed = spark.read.parquet(out)
+    # schema-on-read from the writer's own schema: a zero-row replay
+    # lands no files, and schema INFERENCE on an empty sink dir throws
+    # — exactly the catalog-first read a production table uses anyway
+    landed = spark.read.schema(flat.schema).parquet(out)
     return landed.select(
         "event_id",
         "user_id",
@@ -964,8 +967,18 @@ def s_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # explicit state-table schema: a zero-row replay lands no snapshot
+    # files and inference on the empty dir throws; derived from the
+    # source schema like a catalog-backed table would be
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    st = {f.name: f for f in stream.schema.fields}
+    state_schema = StructType(
+        [st["user_id"], st["ts"], st["event_id"], st["value"],
+         StructField("_batch_id", LongType())]
+    )
     return (
-        spark.read.parquet(state)
+        spark.read.schema(state_schema).parquet(state)
         .groupBy("user_id")
         .agg(latest_struct)
         .select(
