@@ -143,17 +143,18 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 3.63,
+    "max_ratio": 3.7,
     "max_query": "q_graph_pagerank",
-    "median_ratio": 1.53,
-    "recorded": "round-11 final-tree leg (re-recorded after the graph-"
-    "family rewrites landed post-close-out; the mid-close-out sweep in"
-    " a 6.3% window read max 3.52 / median 1.57 — same shape). The"
-    " round's pagerank iteration rewrite halved the cold 10x row, so"
-    " for the first time the table max is under 4x and no longer"
-    " separated from the pack (q_variant_parse 3.3 / q_tpch_q18 3.26"
-    " are scan-saturation, not skew; BASELINE.md 'Round 11 — full-"
-    "headline 10x table')",
+    "median_ratio": 1.35,
+    "recorded": "round-11 degenerate-hardening leg (re-recorded after"
+    " the empty/1-row hardening sweep — 57 queries gained try_divide/"
+    "guard forms, all semantically identical on non-degenerate input;"
+    " the table shape confirms no perf regression: prior final-tree"
+    " leg read max 3.63 / median 1.53 in the same 4-7% warm-spread"
+    " band). Max stays the pagerank COLD row (steady-state twin"
+    " recorded alongside); runners-up q_tpch_q3 3.21 / q_tpch_q18 2.8"
+    " are scan-saturation, not skew (BASELINE.md 'Round 11 —"
+    " full-headline 10x table')",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
     # silently goes stale after perf-affecting changes). _stale_check
     # compares this commit to HEAD over the package dir and the
@@ -165,7 +166,7 @@ SCALE10X_FULL_RECORDED = {
     # and the plain bench re-run that follows regenerates
     # BENCH_LOCAL.json from this stamp, so the two artifacts cannot
     # disagree on the committed tree.
-    "commit": "1ef6d98",
+    "commit": "23658b6",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
