@@ -59,18 +59,50 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Analyzed-DataFrame memo: (applicationId, sf_dir, name, path_sig) ->
+#: the lazy scan DataFrame. Plan-OBJECT reuse only — no data, no
+#: results, no persisted partitions are held here; every action on the
+#: returned frame still executes from the parquet files. Why it exists
+#: (round-11 measurement): one `spread(load_table(...))` call costs
+#: 160-190 ms of pure DRIVER work (spark.read.parquet re-lists the
+#: path and re-reads the footer schema on every call, then the spread
+#: probe plans the scan) — per-query build overhead that the bench
+#: pays inside the timed region and a real application would pay once
+#: per table, not once per query (guide §5: the driver should do
+#: almost no work in the query path). The path signature keys
+#: freshness exactly like _FOOTER_ROWS: an in-process rewrite of the
+#: same path (the 10x replica rebuild) changes the signature and
+#: re-analyzes instead of serving a stale plan over vanished files.
+#: Keyed by applicationId so a stopped-and-recreated session (the
+#: vanilla-parity tests) never reuses a dead session's plan.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    Memoized per (session, path, freshness signature): repeated loads
+    of the same table return the same analyzed DataFrame object —
+    plan reuse, never data reuse (see _TABLE_MEMO)."""
     if name in _NANO_TS_COLS:
-        # runtime SQL conf — safe to set on a session we didn't build
+        # runtime SQL conf — safe to set on a session we didn't build;
+        # re-set on every call (memo hit included) so execution always
+        # sees it even if a caller unset it between loads
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name, _path_sig(path))
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(f"{col}_nanos", F.col(col)).withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
-    return normalize_ntz(df)
+    df = normalize_ntz(df)
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def normalize_ntz(df: DataFrame) -> DataFrame:
@@ -298,11 +330,26 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     parallelism — on a 100 TB table (thousands of row groups) this never
     shuffles; it only round-robins genuinely narrow inputs, where the
     shuffle is tiny by construction.
+
+    The decision probe (``df.rdd.getNumPartitions()`` plans the scan:
+    ~50-60 ms of driver time) and its outcome are memoized on the
+    DataFrame object itself — with :func:`load_table` returning the
+    same object per table, a query that spreads the same scan the
+    bench already spread pays the probe zero times, not once per call
+    (round-11: the probe + re-load cost 160-190 ms per call inside
+    every timed query build). Memo entries are (n, result) so an
+    explicit ``partitions=`` override never reuses a mismatched width.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    memo = getattr(df, "_kes_spread", None)
+    if memo is not None and memo[0] == n:
+        return memo[1]
+    out = df if df.rdd.getNumPartitions() >= n else df.repartition(n)
+    try:
+        df._kes_spread = (n, out)
+    except Exception:
+        pass  # exotic DataFrame subclass refusing attributes — fine
+    return out
 
 
 def load_tables(
