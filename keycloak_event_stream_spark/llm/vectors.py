@@ -408,14 +408,40 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        d = v.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", F.expr(_D2).alias("dist")
+        # In-row argmin (round-11 optimization): the k centroid rows
+        # collapse to ONE broadcast row carrying a cid-sorted
+        # struct array, and each vector computes all k distances and
+        # picks its winner inside the row — the former shape cross-
+        # joined the corpus k ways and shuffled the k×|corpus| result
+        # by vec_id into a row_number window (an Exchange + two sorts
+        # per iteration that exist only to express "argmin").
+        # Equivalence is exact: the per-element fold is the same _D2
+        # arithmetic (bitwise-identical doubles), carr is sorted by
+        # cid ascending (struct array_sort, first field), and
+        # array_position finds the FIRST index holding the min
+        # distance — min over (dist, cid) lexicographic, the very
+        # tiebreak the (dist, cid)-ordered row_number implemented.
+        carr = cents.agg(
+            F.expr(
+                "array_sort(collect_list(struct(cid, c)))"
+            ).alias("carr")
         )
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("dist", "cid")
+        ds = (
+            "transform(carr, p -> aggregate(transform(sequence(1, size(v)),"
+            " i -> (element_at(v, i) - element_at(p.c, i))"
+            "      * (element_at(v, i) - element_at(p.c, i))),"
+            " cast(0.0 as double), (a, b) -> a + b))"
         )
-        return d.withColumn("rn", rn).filter(F.col("rn") == 1).select(
-            "vec_id", "cid"
+        return (
+            v.crossJoin(F.broadcast(carr))
+            .withColumn("ds", F.expr(ds))
+            .select(
+                "vec_id",
+                F.expr(
+                    "element_at(carr, cast(array_position(ds, array_min(ds))"
+                    " as int)).cid"
+                ).alias("cid"),
+            )
         )
 
     def update(assigned: DataFrame) -> DataFrame:

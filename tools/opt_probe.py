@@ -54,16 +54,20 @@ def main() -> int:
     queries, _ = collect()
     spark = get_spark("opt_probe")
 
-    # warmup: scan + shuffled agg + the canary's own plan (bench.py)
+    # warmup: scan + shuffled agg + the canary + one UNTIMED pass of
+    # every target query, so the timed passes measure a hot JVM (the
+    # bench's pass-1 plays this role there; without it the canary
+    # reads JIT ramp as container slowness)
     queries["q_scan_project"](spark, args.sf).write.format("noop").mode(
         "overwrite").save()
     queries["q_agg_distinct"](spark, args.sf).write.format("noop").mode(
         "overwrite").save()
     _run_cold(queries, CANARY, spark, args.sf)
+    for name in args.queries:
+        if name in queries:
+            _run_cold(queries, name, spark, args.sf)
 
-    canary = min(_run_cold(queries, CANARY, spark, args.sf)
-                 for _ in range(2))
-
+    canaries = [_run_cold(queries, CANARY, spark, args.sf)]
     times: dict[str, list[float]] = {}
     for _ in range(args.n):
         for name in args.queries:
@@ -71,6 +75,8 @@ def main() -> int:
                 continue
             times.setdefault(name, []).append(
                 _run_cold(queries, name, spark, args.sf))
+        canaries.append(_run_cold(queries, CANARY, spark, args.sf))
+    canary = min(canaries)
 
     if args.plans:
         os.makedirs(args.plans, exist_ok=True)
