@@ -106,6 +106,15 @@ _JACCARD_MIN = 0.2
 _LSH_BUCKET_CAP_CONF = "spark.kes.dedup.lshBucketCap"
 _LSH_BUCKET_CAP_DEFAULT = 512
 
+# Pin the representative shingle table while the corpus is at or under
+# this many documents (footer-rows metadata, no action). Shingles are
+# text-sized, so an unconditional pin would cache ~the corpus; under
+# the cap the disk-spillable pin turns 5-6 evaluations of the
+# scan->shingle chain into one (round-11 stage attribution), past it
+# the prior recompute-from-scan design applies unchanged.
+_SHINGLE_PIN_MAX_DOCS_CONF = "spark.kes.dedup.persistShinglesMaxDocs"
+_SHINGLE_PIN_MAX_DOCS_DEFAULT = 10_000_000
+
 #: Audit DataFrame for the most recent q_dedup_near_minhash call: one
 #: row per (band, bkey, n) bucket the cap dropped. Derived from the
 #: persisted band table, so inspecting it after the query executes is
@@ -285,6 +294,29 @@ def _clone_rep_pairs(
         .withColumn("w", F.split("text", " "))
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
     )
+    # Size-guarded shingle pin (round-11 stage attribution): the
+    # scan -> spread -> semi-join -> shingle chain under `docs` is
+    # referenced by the band build AND both sides of the exact-Jaccard
+    # verify (plus the member fan-out's re-reads downstream), and with
+    # nothing pinned a cold q_dedup_components run re-evaluated it
+    # 5-6x. Persisting the rep-granular shingle table (disk-spillable)
+    # makes every consumer read one evaluation. The guard keeps the
+    # 100 TB posture honest: shingle arrays are text-sized — caching
+    # them corpus-wide would pin ~|corpus| bytes — so past
+    # spark.kes.dedup.persistShinglesMaxDocs (default 10M docs, i.e.
+    # tens of GB disk-backed) the pin drops away and the chain
+    # recomputes from the scan exactly as before (same plan, same
+    # results; the pin changes evaluation count only). Fixture and
+    # replica runs sit far under the cap.
+    from pyspark import StorageLevel
+
+    pin_shingles = footer_rows(sf_dir, "documents") <= int(
+        spark.conf.get(
+            _SHINGLE_PIN_MAX_DOCS_CONF, str(_SHINGLE_PIN_MAX_DOCS_DEFAULT)
+        )
+    )
+    if pin_shingles:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     hashed = docs.select(
         "doc_id",
         *[F.expr(_spark_hash_arr(g)).alias(f"h{g}") for g in range(_N_GROUPS)],
@@ -349,7 +381,9 @@ def _clone_rep_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     global LAST_PREFIX_PINS
-    LAST_PREFIX_PINS = (clones, bands)
+    LAST_PREFIX_PINS = (
+        (clones, bands, docs) if pin_shingles else (clones, bands)
+    )
     return clones, reps, rep_pairs
 
 
