@@ -328,7 +328,27 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    basket = li.groupBy("l_orderkey").agg(
+    # Round-11 (guide §2.5, blind coalesce before a fan-out): the basket
+    # exchange carries tiny bytes (two ints per row), so AQE coalesced
+    # its read to ~4 tasks — but the stage ABOVE it does the quadratic
+    # per-basket pair expansion, so the one CPU-heavy stage of the query
+    # ran on 4 of 32 cores (stage attribution: 3.6 s CPU / 4 tasks).
+    # An explicit keyed repartition at an input-derived width (footer
+    # rows, same 8192-rows-per-part family as bounded_eval_scope, capped
+    # at the session's shuffle width) pins the fan-out's parallelism:
+    # the basket groupBy reuses this exchange (same key, guide §2.4), so
+    # the exchange COUNT is unchanged — AQE just no longer coalesces an
+    # explicitly-widthed user repartition. Interleaved A/B at sf0.1:
+    # 3.84 -> 1.85 s best-of-5, rows identical.
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        width_cap = max(int(parts_was), 32)
+    except ValueError:
+        width_cap = 32
+    width = max(
+        4, min(width_cap, footer_rows(sf_dir, "lineitem") // 8192 + 1)
+    )
+    basket = li.repartition(width, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
     global LAST_BASKET_CAP_AUDIT
