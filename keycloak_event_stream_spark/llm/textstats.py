@@ -552,7 +552,20 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulp — and the cross-term SUM runs in decimal, so accumulation
     order cannot move the result; top-20 tiebreaks on doc_id."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    # Round-11 (guide §2.4/§7.2, duplicated subtrees): dl feeds stats
+    # and the contrib join, tf feeds df_ and contrib — and the joins
+    # push isnotnull(doc_id)/isnotnull(term) into only SOME instances,
+    # so the canonicalized subtrees differed and the corpus was
+    # tokenized four times per run (four twin 32-task stages carrying
+    # ~52 of the query's 56 run-seconds). doc_id is a key (never null)
+    # and split() never yields null tokens, so filtering explicitly up
+    # front is a data no-op that makes every instance identical: dl and
+    # tf each build once and their exchanges are reused. Interleaved
+    # A/B at sf0.1: faster in 5/5 pairs (best 2.27 -> 1.98 s), rows
+    # identical.
+    d = d.filter(F.col("doc_id").isNotNull())
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tokens = tokens.filter(F.col("term").isNotNull())
     dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.crossJoin(
         F.broadcast(d.select(F.count(F.lit(1)).cast("double").alias("n_docs")))
@@ -971,6 +984,20 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    # Round-11 (guide §2.4/§7.2, duplicated subtrees): bg feeds three
+    # consumers (cbig, cuni, contrib's left side); the joins push
+    # different isnotnull() sets into each instance — cbig/contrib get
+    # isnotnull(w1) AND isnotnull(w2), cuni only isnotnull(w1) — so the
+    # canonicalized subtrees differ and the expensive bigram-explode
+    # exchange was BUILT TWICE (twin 32-task stages, ~26 of the query's
+    # 37 run-seconds). w1/w2 are non-null by construction (split tokens
+    # via element_at within bounds), so filtering explicitly before the
+    # aggregate is a no-op on the data but makes every consumer's
+    # subtree identical -> one exchange build, reused. Interleaved A/B
+    # at sf0.1: 1.52 -> 1.11 s best-of-5, rows identical.
+    bigrams = bigrams.filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    )
     bg = bigrams.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
     )

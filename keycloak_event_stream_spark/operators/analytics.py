@@ -587,6 +587,16 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # top-k and the dense grid: the raw table is scanned exactly once
         daily = daily.persist()
         daily_pin = daily  # rebound below; release in finally (r9 ADVICE)
+        # Round-11: materialize the pin before dependents launch — AQE
+        # submits the independent downstream leaf exchanges
+        # concurrently, and concurrent stages over an unmaterialized
+        # persist race to fill it, each recomputing the scan+aggregate
+        # chain (the race dedup.py:834 documents and counts away).
+        # Interleaved A/B at sf0.1 is a wash (1.86 vs 1.81 s min — the
+        # cell matrix is small enough that redundant builds overlap),
+        # but at scale each redundant build is a full corpus aggregate,
+        # so the one tiny count() job is kept as the scale posture.
+        daily.count()
         bounds = daily.agg(
             F.min("day").alias("lo"),
             F.max("day").alias("hi"),
