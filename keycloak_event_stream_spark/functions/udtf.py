@@ -38,7 +38,14 @@ def _q(name: str, oracle: str | None = None):
 def _register_first_seen(spark: SparkSession) -> None:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos: int, word: string")
+    # Round-12 (guide §4.1/§4.3): useArrow=True moves the JVM<->Python
+    # exchange from pickled rows to Arrow batches. eval() is still
+    # called per input row (UDTF contract), but the document text
+    # arrives and the (pos, word) rows return as columnar batches —
+    # the round-11 plan showed BatchEvalPythonUDTF with a 7.8 s warm
+    # stage of which only 0.8 s was CPU (serialization wait). Return
+    # types are exact (int, str), so the Arrow cast is a no-op.
+    @udtf(returnType="pos: int, word: string", useArrow=True)
     class FirstSeen:
         """Emit (1-based position, word) for each token's FIRST
         occurrence in the document — order-preserving dedup."""
@@ -110,27 +117,45 @@ def _register_type_stats(spark: SparkSession) -> None:
 
     from pyspark.sql.functions import udtf
 
+    # Round-12: measured, left on pickle DELIBERATELY — useArrow=True
+    # here read 9.0-9.3 s warm stage runMs vs 2.0-3.2 s on the pickle
+    # path (same window, both passes): with PARTITION BY the input
+    # arrives as one struct column per row and each eval sees a Row,
+    # so Arrow adds a per-row columnar->Row rebuild on top of the
+    # boundary crossing instead of removing work.
     @udtf(returnType="event_type: string, n: bigint, sum_k: bigint, max_user: bigint")
     class TypeStats:
         """Streaming per-partition accumulator: consume rows one at a
         time, emit a single summary row from ``terminate()``."""
 
         def __init__(self):
+            self.seen = False
             self.key = None
             self.n = 0
-            self.sum_k = 0
+            self.sum_k = None
             self.max_user = None
 
         def eval(self, row):
+            # Degenerate-input hardening (round 12, the r11 try_divide
+            # class): a NULL payload row must not crash the
+            # accumulator. NULL props contributes nothing to sum_k
+            # (json_extract of NULL is NULL, and SQL sum skips NULLs —
+            # sum_k stays NULL when every row's props is NULL), and a
+            # NULL event_type still forms a group, so emission is
+            # keyed on having seen rows, not on the key being non-NULL.
+            # On non-degenerate input this is bitwise-identical.
+            self.seen = True
             self.key = row["event_type"]
             self.n += 1
-            self.sum_k += int(json.loads(row["props"])["k"])
+            p = row["props"]
+            if p is not None:
+                self.sum_k = (self.sum_k or 0) + int(json.loads(p)["k"])
             u = row["user_id"]
-            if self.max_user is None or u > self.max_user:
+            if u is not None and (self.max_user is None or u > self.max_user):
                 self.max_user = u
 
         def terminate(self):
-            if self.key is not None:
+            if self.seen:
                 yield (self.key, self.n, self.sum_k, self.max_user)
 
     spark.udtf.register("t_type_stats", TypeStats)

@@ -566,7 +566,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.filter(F.col("doc_id").isNotNull())
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tokens = tokens.filter(F.col("term").isNotNull())
-    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Round-12 (guide §2.3/§2.4): the document length never needs the
+    # explode at all — dl == size(split(text)) computed per row at the
+    # scan (split of a non-null string never returns null elements, and
+    # explode of the non-empty array yields exactly size() rows; the
+    # text-IS-NOT-NULL filter reproduces explode's drop of null arrays).
+    # This deletes both remaining full-corpus tokenize+groupBy(doc_id)
+    # stages (one per dl consumer) from the plan: no Generate, no
+    # hash-aggregate over the token stream, no exchange — dl is a
+    # narrow map over the one shared scan.
+    dl = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        )
+    )
     stats = dl.crossJoin(
         F.broadcast(d.select(F.count(F.lit(1)).cast("double").alias("n_docs")))
     ).agg(
@@ -578,7 +593,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Round-12 (guide §2.4, the residual twin from the r11 verdict):
+    # df == count of tf rows per term, but spelling it count(*) lets
+    # the optimizer prune tf's count function out of this branch's
+    # aggregate — the two subtrees then canonicalize differently
+    # (partial_count vs distinct) and the corpus is tokenized twice.
+    # count("tf") is the same number (tf is a count, never null) and
+    # forces the tf column through, so both consumers share ONE
+    # exchange (AQE ReusedExchange) and the corpus tokenizes once.
+    df_ = tf.groupBy("term").agg(F.count("tf").alias("df"))
     contrib = (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
@@ -652,8 +675,15 @@ def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    corpus = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
-    total = tokens.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    # Round-12 (guide §2.3/§2.4): ctf and n_tokens are exact integer
+    # rollups OF tf (sum of per-doc term counts == corpus term count;
+    # their grand total == token count), so both derive from the one
+    # (doc_id, term) aggregate instead of re-exploding the corpus — the
+    # before-plan tokenized the full corpus three times (tf, corpus,
+    # total subtrees), the after-plan once, with the tf exchange shared
+    # by every consumer.
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = corpus.agg(F.sum("ctf").cast("double").alias("n_tokens"))
     contrib = (
         tf.join(F.broadcast(corpus), "term")
         .crossJoin(F.broadcast(total))

@@ -206,6 +206,7 @@ def two_phase_window(
     cumsum: dict[str, str] | None = None,
     cummax: dict[str, str] | None = None,
     cummax_excl: dict[str, str] | None = None,
+    totals: dict[str, str | None] | None = None,
     k: int | None = None,
 ) -> DataFrame:
     """Add exact global-ordered window columns without a
@@ -237,11 +238,27 @@ def two_phase_window(
     cummax_excl  : like ``cummax`` but over the EXCLUSIVE frame
                    (unbounded preceding .. 1 preceding) — NULL for the
                    globally first row, matching the naive window.
+    totals       : {out_col: src_col | None} — attach GLOBAL totals as
+                   broadcast scalar columns (round 12, guide §2.3): the
+                   sum of ``src_col`` (or the row count for ``None``)
+                   is folded from per-partition partials aggregated in
+                   the SAME k-row pass as the offsets, so a caller that
+                   previously ran ``with_totals`` over the window
+                   output (a second full pass over the consumed
+                   subtree) gets the same exact value from a k-row
+                   aggregate instead. Addition is only reassociated
+                   across partition boundaries — bitwise-identical for
+                   integer/decimal sources, exactly the cumsum
+                   contract. Global-only: rejected together with
+                   ``partition_by``.
     """
     partition_by = list(partition_by or [])
     if dense_rank is not None and not dense_keys:
         raise ValueError("dense_rank requires dense_keys (see docstring)")
     cumsum = cumsum or {}
+    totals = dict(totals or {})
+    if totals and partition_by:
+        raise ValueError("totals is global-only (no partition_by)")
     cummax = dict(cummax or {})
     cummax_excl = dict(cummax_excl or {})
     if set(cummax) & set(cummax_excl):
@@ -284,6 +301,12 @@ def two_phase_window(
         aggs.append(F.sum(src).alias(f"_tp_t_{out}"))
     for out, src in all_cummax.items():
         aggs.append(F.max(src).alias(f"_tp_m_{out}"))
+    for out, src in totals.items():
+        aggs.append(
+            (F.count(F.lit(1)) if src is None else F.sum(src)).alias(
+                f"_tp_g_{out}"
+            )
+        )
     tots = ranged.groupBy(*partition_by, _PID).agg(*aggs)
 
     # prefix offsets via triangle join (no window at all -> no
@@ -383,6 +406,11 @@ def two_phase_window(
                 )
             ),
         )
+    if totals:
+        glob = tots.agg(
+            *[F.sum(f"_tp_g_{out}").alias(out) for out in totals]
+        )
+        out = out.crossJoin(F.broadcast(glob))
     drop = [_PID] + [c for c in out.columns if c.startswith("_tp_off")]
     return out.drop(*drop)
 

@@ -27,7 +27,6 @@ from keycloak_event_stream_spark.catalog import (
 )
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
-    with_totals,
 )
 
 QUERIES: dict = {}
@@ -1811,10 +1810,14 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.col("prev_ts").cast("long")
         ).alias("gap_s"),
     )
+    # round 12: total folds out of the same k-row per-partition
+    # aggregate as the offsets (no with_totals re-pass; exact)
     ranked = two_phase_window(
-        gaps, [F.col("gap_s"), F.col("user_id")], row_number="rn"
+        gaps,
+        [F.col("gap_s"), F.col("user_id")],
+        row_number="rn",
+        totals={"n": None},
     )
-    ranked = with_totals(ranked, {"n": F.count(F.lit(1)).cast("bigint")})
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_intervals"),
         F.min("gap_s").cast("bigint").alias("min_s"),

@@ -32,7 +32,6 @@ from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._scale import (
     exact_ntile,
     two_phase_window,
-    with_totals,
 )
 
 QUERIES: dict = {}
@@ -324,9 +323,13 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     per = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
     tiled = two_phase_window(
-        per, [F.col("cents"), F.col("o_custkey")], row_number="_rn"
-    )
-    tiled = with_totals(tiled, {"_n": F.count(F.lit(1))}).select(
+        per,
+        [F.col("cents"), F.col("o_custkey")],
+        row_number="_rn",
+        # round 12: total folds out of the same k-row per-partition
+        # aggregate as the offsets (no with_totals re-pass; exact)
+        totals={"_n": None},
+    ).select(
         "cents",
         exact_ntile(F.col("_rn"), F.col("_n"), 10).alias("decile"),
     )
@@ -523,9 +526,9 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part,
         [F.col("rev").desc(), F.col("l_partkey")],
         cumsum={"cum_rev": "rev"},
-    )
-    ranked = with_totals(
-        ranked, {"tot_rev": F.sum("rev").cast("bigint")}
+        # round 12: total folds out of the same k-row per-partition
+        # aggregate as the offsets (no with_totals re-pass; exact)
+        totals={"tot_rev": "rev"},
     ).withColumn("cum_rev", F.col("cum_rev").cast("bigint"))
     var_n = (
         F.col("sq2") - F.col("sq").cast("double") * F.col("sq") / F.col("n")

@@ -35,7 +35,6 @@ from pyspark.sql.window import Window
 from keycloak_event_stream_spark.catalog import load_table, spread
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
-    with_totals,
 )
 
 QUERIES: dict = {}
@@ -273,13 +272,13 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase range-partitioned cumsum + broadcast totals: same
     # values as the former global Window.orderBy, but the sort over
     # |distinct scores| runs on k partitions instead of 1
-    cum = two_phase_window(per_score, [F.col("score")], cumsum={"cum_p": "p"})
-    cum = with_totals(
-        cum,
-        {
-            "tot_p": F.sum("p").cast("bigint"),
-            "tot_n": F.sum("ng").cast("bigint"),
-        },
+    # round 12: totals fold out of the same k-row per-partition
+    # aggregate as the offsets (no with_totals re-pass; exact)
+    cum = two_phase_window(
+        per_score,
+        [F.col("score")],
+        cumsum={"cum_p": "p"},
+        totals={"tot_p": "p", "tot_n": "ng"},
     ).select(
         "p", "ng", "tot_p", "tot_n", F.col("cum_p").cast("bigint").alias("cum_p")
     )
@@ -846,13 +845,9 @@ def q_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         [F.col("score").desc(), F.col("vec_id")],
         row_number="rn",
-    )
-    ranked = with_totals(
-        ranked,
-        {
-            "n": F.count(F.lit(1)).cast("bigint"),
-            "tot_pos": F.sum("pos").cast("bigint"),
-        },
+        # round 12: totals fold out of the same k-row per-partition
+        # aggregate as the offsets (no with_totals re-pass; exact)
+        totals={"n": None, "tot_pos": "pos"},
     )
     deciles = (
         ranked.groupBy(
@@ -1170,13 +1165,9 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         [F.col("score").desc(), F.col("vec_id")],
         row_number="rn",
-    )
-    ranked = with_totals(
-        ranked,
-        {
-            "n": F.count(F.lit(1)).cast("bigint"),
-            "tot_pos": F.sum("pos").cast("bigint"),
-        },
+        # round 12: totals fold out of the same k-row per-partition
+        # aggregate as the offsets (no with_totals re-pass; exact)
+        totals={"n": None, "tot_pos": "pos"},
     )
     deciles = (
         ranked.groupBy(
@@ -1285,14 +1276,12 @@ def q_threshold_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     )
     ranked = two_phase_window(
-        scored, [F.col("score").desc(), F.col("vec_id")], row_number="rn"
-    )
-    ranked = with_totals(
-        ranked,
-        {
-            "n": F.count(F.lit(1)).cast("bigint"),
-            "tot_pos": F.sum("pos").cast("bigint"),
-        },
+        scored,
+        [F.col("score").desc(), F.col("vec_id")],
+        row_number="rn",
+        # round 12: totals fold out of the same k-row per-partition
+        # aggregate as the offsets (no with_totals re-pass; exact)
+        totals={"n": None, "tot_pos": "pos"},
     )
     deciles = ranked.groupBy(
         F.least(

@@ -40,7 +40,6 @@ from keycloak_event_stream_spark.catalog import (
 from keycloak_event_stream_spark.operators._exact import dbig, sql_dbig
 from keycloak_event_stream_spark.operators._scale import (
     two_phase_window,
-    with_totals,
 )
 
 QUERIES: dict = {}
@@ -107,18 +106,22 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in2").cast("bigint").alias("c2"),
     )
     # two-phase cumsum over the distinct-value cells + broadcast
-    # totals — the merged ECDF without a single-partition sort
+    # totals — the merged ECDF without a single-partition sort.
+    # Round-12 (guide §2.3): n/m now fold out of the k per-partition
+    # sums two_phase_window already aggregates (totals=) instead of a
+    # with_totals() pass that re-aggregated the whole ecdf subtree —
+    # one full pass over the cells and two stages gone; the integer
+    # totals are identical (addition reassociated only).
     ecdf = two_phase_window(
-        pts, [F.col("value")], cumsum={"cum1": "c1", "cum2": "c2"}
-    )
-    ecdf = with_totals(
-        ecdf,
-        {"n": F.sum("c1").cast("bigint"), "m": F.sum("c2").cast("bigint")},
+        pts,
+        [F.col("value")],
+        cumsum={"cum1": "c1", "cum2": "c2"},
+        totals={"n": "c1", "m": "c2"},
     ).select(
         F.col("cum1").cast("bigint").alias("cum1"),
         F.col("cum2").cast("bigint").alias("cum2"),
-        "n",
-        "m",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m").cast("bigint").alias("m"),
     )
     d_num = F.max(
         F.abs(F.col("cum1") * F.col("m") - F.col("cum2") * F.col("n"))
@@ -1547,9 +1550,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale.
     """
     cust = load_table(spark, sf_dir, "customer")
-    ranked = two_phase_window(cust, [F.col("c_acctbal")], rank="rk")
-    ranked = with_totals(
-        ranked, {"n": F.count(F.lit(1)).cast("bigint")}
+    # round 12: total folds out of the same k-row per-partition
+    # aggregate as the offsets (no with_totals re-pass; exact)
+    ranked = two_phase_window(
+        cust, [F.col("c_acctbal")], rank="rk", totals={"n": None}
     ).select(
         "c_custkey",
         "c_acctbal",
@@ -2824,9 +2828,10 @@ def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = ev.groupBy("value").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    cum = two_phase_window(per_v, [F.col("value")], cumsum={"cum": "c"})
-    cum = with_totals(
-        cum, {"n": F.sum("c").cast("bigint")}
+    # round 12: total folds out of the same k-row per-partition
+    # aggregate as the offsets (no with_totals re-pass; exact)
+    cum = two_phase_window(
+        per_v, [F.col("value")], cumsum={"cum": "c"}, totals={"n": "c"}
     ).select("value", F.col("cum").cast("bigint").alias("cum"), "n")
     probs = spark.createDataFrame(
         _qq_probs(), schema="p double, z_theo double"

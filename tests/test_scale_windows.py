@@ -70,6 +70,44 @@ def test_row_number_rank_cumsum_match_naive(spark, data):
     assert rk_a == rk_b
 
 
+def test_totals_match_with_totals(spark, data):
+    """Round 12: the ``totals=`` parameter (global sums / row count
+    folded from the k-row per-partition aggregate) must equal the
+    with_totals() pass it replaces, on every row."""
+    base = two_phase_window(
+        data,
+        [F.col("v"), F.col("id")],
+        row_number="rn",
+        cumsum={"cs": "x"},
+        k=7,
+    )
+    ref = with_totals(
+        base, {"n": F.count(F.lit(1)), "tot_x": F.sum("x")}
+    )
+    fast = two_phase_window(
+        data,
+        [F.col("v"), F.col("id")],
+        row_number="rn",
+        cumsum={"cs": "x"},
+        totals={"n": None, "tot_x": "x"},
+        k=7,
+    )
+    a = {r.id: (r.rn, r.cs, r.n, r.tot_x)
+         for r in fast.select("id", "rn", "cs", "n", "tot_x").collect()}
+    b = {r.id: (r.rn, r.cs, r.n, r.tot_x)
+         for r in ref.select("id", "rn", "cs", "n", "tot_x").collect()}
+    assert a == b
+    # global-only contract + unknown-source rejection
+    with pytest.raises(ValueError):
+        two_phase_window(
+            data,
+            [F.col("v"), F.col("id")],
+            partition_by=["grp"],
+            row_number="rn",
+            totals={"n": None},
+        )
+
+
 def test_dense_rank_matches_naive(spark, data):
     """Global and partitioned dense_rank, with ties (ordering by v
     alone, which repeats), must match the naive single-task window —
