@@ -75,7 +75,15 @@ def table_path(sf_dir: str, name: str) -> str:
 #: re-analyzes instead of serving a stale plan over vanished files.
 #: Keyed by applicationId so a stopped-and-recreated session (the
 #: vanilla-parity tests) never reuses a dead session's plan.
-_TABLE_MEMO: dict[tuple, DataFrame] = {}
+#: ADVICE r12 (bounded memory): the signature lives in the VALUE, not
+#: the key, so a path rewrite/append REPLACES the entry for that
+#: (applicationId, sf_dir, name) instead of accumulating one stale
+#: DataFrame (plus its spread repartition chain) per signature — the
+#: memo is capped at one live plan per table per session. The per-call
+#: stat walk stays: it IS the freshness check (same contract as
+#: _FOOTER_ROWS), and memoizing it would serve stale plans over
+#: rewritten files.
+_TABLE_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -90,10 +98,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sees it even if a caller unset it between loads
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, name)
-    key = (spark.sparkContext.applicationId, sf_dir, name, _path_sig(path))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    sig = _path_sig(path)
     memo = _TABLE_MEMO.get(key)
-    if memo is not None:
-        return memo
+    if memo is not None and memo[0] == sig:
+        return memo[1]
     df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
@@ -101,7 +110,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
     df = normalize_ntz(df)
-    _TABLE_MEMO[key] = df
+    _TABLE_MEMO[key] = (sig, df)
     return df
 
 

@@ -38,14 +38,20 @@ def _q(name: str, oracle: str | None = None):
 def _register_first_seen(spark: SparkSession) -> None:
     from pyspark.sql.functions import udtf
 
-    # Round-12 (guide §4.1/§4.3): useArrow=True moves the JVM<->Python
-    # exchange from pickled rows to Arrow batches. eval() is still
-    # called per input row (UDTF contract), but the document text
-    # arrives and the (pos, word) rows return as columnar batches —
-    # the round-11 plan showed BatchEvalPythonUDTF with a 7.8 s warm
-    # stage of which only 0.8 s was CPU (serialization wait). Return
-    # types are exact (int, str), so the Arrow cast is a no-op.
-    @udtf(returnType="pos: int, word: string", useArrow=True)
+    # Round-12: MEASURED on pickle deliberately (guide §1 beats §4.3's
+    # default advice here). useArrow=True was tried per the r11
+    # verdict (#5) and REVERTED: interleaved same-session A/B at
+    # sf0.1 read Arrow 1.50 s vs pickle 0.61 s best-of-4 (the full
+    # bench saw 4.46 s vs the 0.73 s r11 driver row — a 2.5-6x
+    # regression, far outside the noise band). Same direction as the
+    # PARTITION BY UDTF below (3x): for a row-at-a-time eval() whose
+    # OUTPUT fans out (many small (pos, word) rows per input row),
+    # the Arrow path pays a per-batch columnar build/rebuild that
+    # dwarfs pickle's cost at this row shape; serialization was not
+    # the stage's bottleneck. High-volume escape hatch remains
+    # mapInArrow (guide §4.1), which would change the declared plan
+    # shape — out of scope for an optimization round.
+    @udtf(returnType="pos: int, word: string")
     class FirstSeen:
         """Emit (1-based position, word) for each token's FIRST
         occurrence in the document — order-preserving dedup."""

@@ -270,6 +270,20 @@ def _clone_rep_pairs(
     graph and attaches members with one linear join — both consume
     this prefix unchanged, so the expensive candidate/verify plan is
     written once."""
+    # ADVICE r12: release the PREVIOUS call's pins before overwriting
+    # the handle — the two lazy consumers never consume them, so
+    # without this each call orphans a persisted clone/band/shingle
+    # set in the CacheManager until clearCache or session end (the
+    # shingle table is text-sized, the largest pinned object here).
+    # At most one prefix's pins are ever live. Unpersist on a frame
+    # whose session has stopped raises; swallow — dead pins are gone.
+    global LAST_PREFIX_PINS
+    for pinned in LAST_PREFIX_PINS:
+        try:
+            pinned.unpersist()
+        except Exception:
+            pass
+    LAST_PREFIX_PINS = ()
     d = spread(load_table(spark, sf_dir, "documents"))
     eligible = (
         d.withColumn("w", F.split("text", " "))
@@ -380,7 +394,6 @@ def _clone_rep_pairs(
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
     )
-    global LAST_PREFIX_PINS
     LAST_PREFIX_PINS = (
         (clones, bands, docs) if pin_shingles else (clones, bands)
     )

@@ -288,14 +288,6 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D2 = (
-    "aggregate(transform(sequence(1, size(v)),"
-    " i -> (element_at(v, i) - element_at(c, i))"
-    "      * (element_at(v, i) - element_at(c, i))),"
-    " cast(0.0 as double), (a, b) -> a + b)"
-)  # squared L2, sequential index-order fold — engine-portable
-
-
 @_q(
     "q_kmeans_lloyd",
     oracle="""
@@ -364,12 +356,12 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first shape per iteration — this is the part that matters at
     100 TB:
-    - **assignment** is a broadcast cross join of the corpus against k
-      centroid rows (k × |corpus| intermediate, never a shuffle of the
-      corpus), distances as index-order sequential folds (bitwise
-      engine-portable, no engine-managed float sums), argmin via a
-      (dist, cid)-ordered row_number so ties break identically
-      everywhere;
+    - **assignment** broadcasts ONE row carrying the cid-sorted
+      centroid struct array; each vector computes all k distances
+      in-row (index-order sequential folds — bitwise engine-portable,
+      no engine-managed float sums) and takes array_position of the
+      min, i.e. the (dist, cid)-lexicographic argmin, so ties break
+      identically everywhere with no per-iteration exchange or window;
     - **update** is the q_embed_centroid tall-skinny reduction: shuffle
       keyed by (cluster, dim) → k × 64 cells regardless of corpus size,
       per-cell mean as a vec_id-ordered fold.
@@ -415,8 +407,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # joined the corpus k ways and shuffled the k×|corpus| result
         # by vec_id into a row_number window (an Exchange + two sorts
         # per iteration that exist only to express "argmin").
-        # Equivalence is exact: the per-element fold is the same _D2
-        # arithmetic (bitwise-identical doubles), carr is sorted by
+        # Equivalence is exact: the per-element fold is the same
+        # sequential squared-L2 arithmetic the oracle unrolls
+        # (bitwise-identical doubles), carr is sorted by
         # cid ascending (struct array_sort, first field), and
         # array_position finds the FIRST index holding the min
         # distance — min over (dist, cid) lexicographic, the very

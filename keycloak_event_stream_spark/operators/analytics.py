@@ -586,72 +586,75 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # top-k and the dense grid: the raw table is scanned exactly once
         daily = daily.persist()
         daily_pin = daily  # rebound below; release in finally (r9 ADVICE)
-        # Round-11: materialize the pin before dependents launch — AQE
-        # submits the independent downstream leaf exchanges
-        # concurrently, and concurrent stages over an unmaterialized
-        # persist race to fill it, each recomputing the scan+aggregate
-        # chain (the race dedup.py:834 documents and counts away).
-        # Interleaved A/B at sf0.1 is a wash (1.86 vs 1.81 s min — the
-        # cell matrix is small enough that redundant builds overlap),
-        # but at scale each redundant build is a full corpus aggregate,
-        # so the one tiny count() job is kept as the scale posture.
-        daily.count()
-        bounds = daily.agg(
-            F.min("day").alias("lo"),
-            F.max("day").alias("hi"),
-        )
-        spine = bounds.select(
-            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
-        )
-        # candidate selection before the quadratic stage: the 300 most
-        # active users (deterministic tiebreak) — the same pruning a
-        # production similarity search does with a coarse cluster/recency
-        # key so the pairwise cost is bounded regardless of corpus size
-        users = (
-            daily.groupBy("user_id")
-            .agg(F.sum("n_cell").alias("n_ev"))
-            .orderBy(F.col("n_ev").desc(), "user_id")
-            .limit(300)
-            .select("user_id")
-        )
-        daily = daily.drop("n_cell")
-        dense = (
-            users.crossJoin(F.broadcast(spine))
-            .join(daily, ["user_id", "day"], "left")
-            .withColumn(
-                "v", F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))
-            )
-        )
-        mom = dense.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast("double").alias("s1"),
-            F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
-        )
-        n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-        var = (s2 - s1 * s1 / n) / n
-        z = (
-            dense.join(mom, "user_id")
-            .filter((s2 - s1 * s1 / n) > 0)
-            .withColumn(
-                "z", (F.col("v").cast("double") - s1 / n) / F.sqrt(var)
-            )
-            .groupBy("user_id")
-            .agg(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("day"), F.col("z")))
-                    ),
-                    lambda s: s.z,
-                ).alias("zs")
-            )
-        )
-        a = z.select(F.col("user_id").alias("user_a"), F.col("zs").alias("a_zs"))
-        b = z.select(F.col("user_id").alias("user_b"), F.col("zs").alias("b_zs"))
-        dist = F.expr(
-            "sqrt(aggregate(zip_with(a_zs, b_zs, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-        )
+        # ADVICE r12: the count() and ALL plan construction run inside
+        # the try so a failure anywhere after the persist still
+        # releases the pin for the session.
         try:
+            # Round-11: materialize the pin before dependents launch — AQE
+            # submits the independent downstream leaf exchanges
+            # concurrently, and concurrent stages over an unmaterialized
+            # persist race to fill it, each recomputing the scan+aggregate
+            # chain (the race dedup.py:834 documents and counts away).
+            # Interleaved A/B at sf0.1 is a wash (1.86 vs 1.81 s min — the
+            # cell matrix is small enough that redundant builds overlap),
+            # but at scale each redundant build is a full corpus aggregate,
+            # so the one tiny count() job is kept as the scale posture.
+            daily.count()
+            bounds = daily.agg(
+                F.min("day").alias("lo"),
+                F.max("day").alias("hi"),
+            )
+            spine = bounds.select(
+                F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+            )
+            # candidate selection before the quadratic stage: the 300 most
+            # active users (deterministic tiebreak) — the same pruning a
+            # production similarity search does with a coarse cluster/recency
+            # key so the pairwise cost is bounded regardless of corpus size
+            users = (
+                daily.groupBy("user_id")
+                .agg(F.sum("n_cell").alias("n_ev"))
+                .orderBy(F.col("n_ev").desc(), "user_id")
+                .limit(300)
+                .select("user_id")
+            )
+            daily = daily.drop("n_cell")
+            dense = (
+                users.crossJoin(F.broadcast(spine))
+                .join(daily, ["user_id", "day"], "left")
+                .withColumn(
+                    "v", F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))
+                )
+            )
+            mom = dense.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").cast("double").alias("s1"),
+                F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+            )
+            n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+            var = (s2 - s1 * s1 / n) / n
+            z = (
+                dense.join(mom, "user_id")
+                .filter((s2 - s1 * s1 / n) > 0)
+                .withColumn(
+                    "z", (F.col("v").cast("double") - s1 / n) / F.sqrt(var)
+                )
+                .groupBy("user_id")
+                .agg(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("day"), F.col("z")))
+                        ),
+                        lambda s: s.z,
+                    ).alias("zs")
+                )
+            )
+            a = z.select(F.col("user_id").alias("user_a"), F.col("zs").alias("a_zs"))
+            b = z.select(F.col("user_id").alias("user_b"), F.col("zs").alias("b_zs"))
+            dist = F.expr(
+                "sqrt(aggregate(zip_with(a_zs, b_zs, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+            )
             return (
                 a.join(b, F.col("user_a") < F.col("user_b"))
                 .select("user_a", "user_b", dist.alias("zdist"))
