@@ -283,6 +283,14 @@ def two_phase_window(
             _PID, F.spark_partition_id()
         )
     )
+    # Round-12 audit note: an eager ranged.count() here (the
+    # dedup/ts_similarity pin-materialization pattern) was TRIED and
+    # REVERTED — stage attribution shows the multi-consumer fan-out
+    # (tots probe, triangle broadcast, main join) does NOT race the
+    # fill the way those prefixes did: the in-bytes of the repeated
+    # stages match the CACHED layout (one fill + N cache reads), and
+    # the extra count pass cost +18-48% runMs on q_gini / q_skyline /
+    # q_ks_test with no build removed.
 
     # per-(group, pid) totals: k (× groups) rows — always tiny
     need_cnt = row_number is not None or rank is not None
