@@ -143,18 +143,19 @@ SCALE10X_FULL_BUDGET_S = 3600.0
 # prose never disagree on "max ratio" (r4 verdict #4: the subset max
 # 3.34 sat next to the full-table max 5.07 with one ambiguous name).
 SCALE10X_FULL_RECORDED = {
-    "max_ratio": 3.7,
-    "max_query": "q_graph_pagerank",
-    "median_ratio": 1.35,
-    "recorded": "round-11 degenerate-hardening leg (re-recorded after"
-    " the empty/1-row hardening sweep — 57 queries gained try_divide/"
-    "guard forms, all semantically identical on non-degenerate input;"
-    " the table shape confirms no perf regression: prior final-tree"
-    " leg read max 3.63 / median 1.53 in the same 4-7% warm-spread"
-    " band). Max stays the pagerank COLD row (steady-state twin"
-    " recorded alongside); runners-up q_tpch_q3 3.21 / q_tpch_q18 2.8"
-    " are scan-saturation, not skew (BASELINE.md 'Round 11 —"
-    " full-headline 10x table')",
+    "max_ratio": 3.79,
+    "max_query": "q_tpch_q3",
+    "median_ratio": 1.51,
+    "recorded": "round-12 final-tree re-record (closes the r11"
+    " scale10x_full_stale flag; full table in BASELINE.md 'Round 12 —"
+    " full-headline 10x table'). Max is q_tpch_q3 scan saturation,"
+    " not skew (r11 runner-up at 3.04-3.21); q_graph_pagerank 3.49"
+    " (iterative cold build, steady-state twin recorded alongside),"
+    " q_market_basket 3.18, q_tpch_q18 3.17. Two same-tree sweeps were"
+    " taken: an earlier leg in a window whose 10x side inflated four"
+    " rows (market_basket read 5.24 there; isolated re-probes: 2.1x,"
+    " pagerank 3.5x, q18 3.4x, q1 1.2x) is recorded in BASELINE.md"
+    " and superseded by this one — no code changed between them",
     # Tree the sweep was recorded on (r5 ADVICE: a hardcoded figure
     # silently goes stale after perf-affecting changes). _stale_check
     # compares this commit to HEAD over the package dir and the
@@ -166,7 +167,7 @@ SCALE10X_FULL_RECORDED = {
     # and the plain bench re-run that follows regenerates
     # BENCH_LOCAL.json from this stamp, so the two artifacts cannot
     # disagree on the committed tree.
-    "commit": "23658b6",
+    "commit": "a5d80d8",
 }
 
 # Canary-normalized total (r5 verdict #4): recorded headline totals for
